@@ -1,0 +1,118 @@
+"""Closed-form detectors: pure JVM column expressions, no Python in the
+hot path (SURVEY.md §2.4 D5, D6, D7 — the algorithms whose published
+semantics are expressible without sequential state).
+
+Everything here stays inside whole-stage codegen; the only shuffles are
+the per-series window sorts, which co-partition by series_key once and
+are reused across the lag/rolling expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+from .base import register_detector
+from ..operators.asof import asof_join
+
+def _series_w():
+    return W.partitionBy("series_key").orderBy("ts_ms")
+
+
+@register_detector("absolute_threshold")
+def absolute_threshold(
+    df: DataFrame,
+    absolute_threshold_value_upper: float | None = None,
+    absolute_threshold_value_lower: float | None = None,
+) -> DataFrame:
+    """D5: score = exceedance beyond fixed bounds (published Luminol
+    AbsoluteThreshold semantics): value above upper scores value-upper,
+    below lower scores lower-value, else 0."""
+    upper = (
+        F.lit(float(absolute_threshold_value_upper))
+        if absolute_threshold_value_upper is not None
+        else None
+    )
+    lower = (
+        F.lit(float(absolute_threshold_value_lower))
+        if absolute_threshold_value_lower is not None
+        else None
+    )
+    score = F.lit(0.0)
+    if upper is not None:
+        score = F.when(F.col("value") > upper, F.col("value") - upper).otherwise(score)
+    if lower is not None:
+        score = F.when(F.col("value") < lower, lower - F.col("value")).otherwise(score)
+    return df.select(
+        "series_key", "ts_ms", "value", score.cast("double").alias("score")
+    )
+
+
+@register_detector("diff_percent_threshold")
+def diff_percent_threshold(
+    df: DataFrame,
+    baseline: DataFrame,
+    percent_threshold_upper: float | None = None,
+    percent_threshold_lower: float | None = None,
+) -> DataFrame:
+    """D6: percent deviation vs a baseline series (reference requires
+    ``baseline_time_series``, config.py:82). Baseline alignment is an
+    **as-of join** (latest baseline point at-or-before each ts) — the
+    reference/Luminol assume exactly-aligned timestamps; as-of is the
+    defined superset semantics (SURVEY.md §7 hard-point 4). Score is the
+    signed percent diff's exceedance over the thresholds; 0 inside the
+    band, null-baseline rows score 0."""
+    joined = asof_join(
+        df,
+        baseline.select("series_key", "ts_ms", F.col("value").alias("base_value")),
+        on="series_key",
+        left_ts="ts_ms",
+        right_ts="ts_ms",
+    )
+    pct = F.when(
+        F.col("base_value").isNotNull() & (F.col("base_value") != 0),
+        (F.col("value") - F.col("base_value")) / F.abs(F.col("base_value")) * 100.0,
+    )
+    score = F.lit(0.0)
+    if percent_threshold_upper is not None:
+        up = F.lit(float(percent_threshold_upper))
+        score = F.when(pct > up, pct - up).otherwise(score)
+    if percent_threshold_lower is not None:
+        lo = F.lit(-abs(float(percent_threshold_lower)))
+        score = F.when(pct < lo, lo - pct).otherwise(score)
+    return joined.select(
+        "series_key", "ts_ms", "value", score.cast("double").alias("score")
+    )
+
+
+@register_detector("sign_test")
+def sign_test(
+    df: DataFrame,
+    baseline: DataFrame,
+    window_size: int = 10,
+    offset: float = 0.0,
+) -> DataFrame:
+    """D7: rolling sign test vs baseline. Over the trailing
+    ``window_size`` points, count how often value exceeds
+    baseline*(1+offset); score = one-sided binomial z-statistic of that
+    count (0 until a full window is seen). Rolling counts are a plain
+    window frame — no sequential state, stays in codegen."""
+    joined = asof_join(
+        df,
+        baseline.select("series_key", "ts_ms", F.col("value").alias("base_value")),
+        on="series_key",
+        left_ts="ts_ms",
+        right_ts="ts_ms",
+    )
+    sign = F.when(
+        F.col("base_value").isNotNull()
+        & (F.col("value") > F.col("base_value") * (1.0 + float(offset))),
+        1,
+    ).otherwise(0)
+    w = _series_w().rowsBetween(-(int(window_size) - 1), 0)
+    s = F.sum(sign).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    z = (s - n / 2.0) / F.sqrt(n / 4.0)
+    score = F.when(n >= float(window_size), F.greatest(z, F.lit(0.0))).otherwise(0.0)
+    return joined.select(
+        "series_key", "ts_ms", "value", score.cast("double").alias("score")
+    )

@@ -1,0 +1,190 @@
+"""Sequential-state detectors (SURVEY.md §2.4 D1/D2/D4/D3).
+
+EMA and SAX-bitmap passes are inherently order-dependent per series, so
+they run as Arrow-batched ``applyInPandas`` kernels partitioned by
+``series_key`` — each series' sequential pass is local to one task after
+a single hash partition, and every series is processed in parallel
+(the reference ran one series at a time in driver Python,
+/root/reference/potoos/client.py:91). NumPy/pandas vectorize within a
+series; no row-at-a-time Python anywhere.
+
+Score conventions (documented semantics, re-derived from the published
+Luminol algorithms — Luminol itself is not a dependency):
+
+* ``exp_avg_detector``: ema
+  via the adjust=False recurrence ``ema_i = a*v_i + (1-a)*ema_{i-1}``,
+  ``ema_0 = v_0``; score = |v - ema| / stddev_samp(series) (0 if the
+  series is constant). With ``lag_window_size`` set, mean/std come from
+  the trailing window instead.
+* ``derivative_detector``: d_i = |v_i - v_{i-1}| / ((t_i - t_{i-1})/1000)
+  (per-second rate; d_0 = d_1); score = |d - ema(d)| / stddev_samp(d).
+* ``default_detector``: mean of the two scores above (ensemble, D4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from .base import register_detector
+
+_OUT_SCHEMA = "series_key string, ts_ms bigint, value double, score double"
+
+
+def _per_series(df: DataFrame, kernel: Callable[[pd.DataFrame], pd.DataFrame]) -> DataFrame:
+    def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts_ms").reset_index(drop=True)
+        out = kernel(pdf)
+        return out[["series_key", "ts_ms", "value", "score"]]
+
+    return (
+        df.select("series_key", "ts_ms", "value")
+        .groupBy("series_key")
+        .applyInPandas(wrapped, schema=_OUT_SCHEMA)
+    )
+
+
+def _ema(values: np.ndarray, alpha: float) -> np.ndarray:
+    # adjust=False recurrence; identical arithmetic to the documented
+    # closed recurrence (and to a SQL recursive-CTE oracle)
+    return (
+        pd.Series(values).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+    )
+
+
+def _safe_div(num: np.ndarray, denom: float) -> np.ndarray:
+    if denom is None or denom == 0 or np.isnan(denom):
+        return np.zeros_like(num)
+    return num / denom
+
+
+def _exp_avg_kernel(alpha: float, lag_window_size: int | None):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        if len(v) == 0:
+            pdf["score"] = np.zeros(0)
+            return pdf
+        if lag_window_size:
+            roll = pd.Series(v).rolling(int(lag_window_size), min_periods=1)
+            mean = roll.mean().to_numpy()
+            std = roll.std(ddof=1).to_numpy()
+            score = np.abs(v - mean)
+            score = np.where((std > 0) & ~np.isnan(std), score / std, 0.0)
+        else:
+            ema = _ema(v, alpha)
+            std = float(np.std(v, ddof=1)) if len(v) > 1 else 0.0
+            score = _safe_div(np.abs(v - ema), std)
+        pdf["score"] = score
+        return pdf
+
+    return kernel
+
+
+def _derivative_kernel(alpha: float):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        t = pdf["ts_ms"].to_numpy(dtype=np.float64)
+        n = len(v)
+        if n < 2:
+            pdf["score"] = np.zeros(n)
+            return pdf
+        dt = np.diff(t) / 1000.0
+        dt[dt == 0] = 1.0
+        d = np.abs(np.diff(v)) / dt
+        d = np.concatenate([[d[0]], d])  # d_0 = d_1, reference-style copy
+        ema = _ema(d, alpha)
+        std = float(np.std(d, ddof=1)) if n > 1 else 0.0
+        pdf["score"] = _safe_div(np.abs(d - ema), std)
+        return pdf
+
+    return kernel
+
+
+@register_detector("exp_avg_detector")
+def exp_avg_detector(
+    df: DataFrame,
+    smoothing_factor: float = 0.2,
+    lag_window_size: int | None = None,
+) -> DataFrame:
+    """D2: deviation from the exponential moving average."""
+    return _per_series(df, _exp_avg_kernel(float(smoothing_factor), lag_window_size))
+
+
+@register_detector("derivative_detector")
+def derivative_detector(df: DataFrame, smoothing_factor: float = 0.2) -> DataFrame:
+    """D1 (the reference's default algorithm, config.py:86): deviation of
+    |dv/dt| from its exponential moving average."""
+    return _per_series(df, _derivative_kernel(float(smoothing_factor)))
+
+
+@register_detector("default_detector")
+def default_detector(df: DataFrame, smoothing_factor: float = 0.2) -> DataFrame:
+    """D4: ensemble — mean of exp_avg and derivative scores, computed in
+    one pandas pass per series (not two Spark jobs)."""
+    exp_k = _exp_avg_kernel(float(smoothing_factor), None)
+    der_k = _derivative_kernel(float(smoothing_factor))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = exp_k(pdf.copy())["score"].to_numpy()
+        b = der_k(pdf.copy())["score"].to_numpy()
+        pdf["score"] = (a + b) / 2.0
+        return pdf
+
+    return _per_series(df, kernel)
+
+
+@register_detector("bitmap_detector")
+def bitmap_detector(
+    df: DataFrame,
+    precision: int = 4,
+    chunk_size: int = 2,
+    lag_window_size: int = 50,
+    future_window_size: int = 50,
+) -> DataFrame:
+    """D3: SAX-bitmap detector. Values are discretized into ``precision``
+    equal-width bins over the series range (SAX symbols); consecutive
+    ``chunk_size``-symbol words are counted in a lagging and a future
+    window around each point; score = squared distance between the two
+    normalized word-frequency bitmaps (chaos-game bitmap distance).
+    Points without both full windows score 0.
+    """
+    p = int(precision)
+    cs = int(chunk_size)
+    lw = int(lag_window_size)
+    fw = int(future_window_size)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(v)
+        scores = np.zeros(n)
+        if n >= lw + fw and np.nanmax(v) > np.nanmin(v):
+            lo, hi = np.nanmin(v), np.nanmax(v)
+            sym = np.minimum(((v - lo) / (hi - lo) * p).astype(np.int64), p - 1)
+            # word id of the chunk ENDING at i (base-p encoding)
+            words = np.full(n, -1, dtype=np.int64)
+            if n >= cs:
+                w = np.zeros(n - cs + 1, dtype=np.int64)
+                for j in range(cs):
+                    w = w * p + sym[j : j + n - cs + 1]
+                words[cs - 1 :] = w
+            n_words = p**cs
+            # prefix counts of each word id → O(n · p^cs) bitmap windows
+            onehot = np.zeros((n + 1, n_words), dtype=np.int32)
+            valid = words >= 0
+            onehot[1:][valid, words[valid]] = 1
+            prefix = np.cumsum(onehot, axis=0)
+            for i in range(lw, n - fw):
+                lag = prefix[i] - prefix[max(0, i - lw)]
+                fut = prefix[min(n, i + fw)] - prefix[i]
+                ls, fs = lag.sum(), fut.sum()
+                if ls > 0 and fs > 0:
+                    diff = lag / ls - fut / fs
+                    scores[i] = float(np.dot(diff, diff))
+        pdf["score"] = scores
+        return pdf
+
+    return _per_series(df, kernel)

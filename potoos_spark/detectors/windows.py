@@ -1,0 +1,111 @@
+"""D10: score series → anomaly windows (gaps-and-islands), plus D9 refine.
+
+The reference delegates this to Luminol's threshold/window extraction
+(scores above an absolute ``score_threshold`` or a
+``score_percent_threshold`` fraction of the series max become contiguous
+anomaly windows, each carrying its peak point). Spark-first: one ranked
+window per series for the island ids, one hash aggregation for the
+window rows — classic ``rn - rn_above`` segment keying, no Python.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+from .base import get_detector
+
+ANOMALY_COLS = (
+    "series_key",
+    "start_ts_ms",
+    "end_ts_ms",
+    "exact_ts_ms",
+    "anomaly_score",
+)
+
+
+def extract_anomalies(
+    scores: DataFrame,
+    score_threshold: Optional[float] = None,
+    score_percent_threshold: Optional[float] = None,
+) -> DataFrame:
+    """Contiguous runs of above-threshold scores → one row per window:
+    (series_key, start_ts_ms, end_ts_ms, exact_ts_ms, anomaly_score)
+    where exact is the peak point (ties → earliest peak, deterministic).
+
+    Absolute threshold wins when both are given (reference config.py:84-85);
+    with neither, any strictly-positive score is anomalous.
+    """
+    w_series = W.partitionBy("series_key")
+    w_ordered = w_series.orderBy("ts_ms")
+
+    if score_threshold is not None:
+        above = F.col("score") >= float(score_threshold)
+    elif score_percent_threshold is not None:
+        thr = F.max("score").over(w_series) * float(score_percent_threshold)
+        above = (F.col("score") >= thr) & (F.col("score") > 0)
+    else:
+        above = F.col("score") > 0
+
+    flagged = scores.withColumn("__above", above).withColumn(
+        "__rn", F.row_number().over(w_ordered)
+    )
+    islands = flagged.filter(F.col("__above")).withColumn(
+        "__island",
+        F.col("__rn")
+        - F.row_number().over(w_ordered),
+    )
+    return islands.groupBy("series_key", "__island").agg(
+        F.min("ts_ms").alias("start_ts_ms"),
+        F.max("ts_ms").alias("end_ts_ms"),
+        F.max_by("ts_ms", F.struct(F.col("score"), -F.col("ts_ms"))).alias(
+            "exact_ts_ms"
+        ),
+        F.max("score").alias("anomaly_score"),
+    ).drop("__island")
+
+
+def refine_anomalies(
+    points: DataFrame,
+    anomalies: DataFrame,
+    refine_algorithm_name: str,
+    refine_algorithm_params: Optional[dict] = None,
+) -> DataFrame:
+    """D9: re-score the points inside each anomaly window with a second
+    algorithm; the window keeps its extent but its peak
+    (exact_ts_ms/anomaly_score) is recomputed from the refined scores.
+
+    The anomaly set is tiny relative to the points, so the window
+    assignment is a broadcast range join — no extra shuffle of the
+    points beyond the refine algorithm's own per-series pass.
+    """
+    refine = get_detector(refine_algorithm_name)
+    win = anomalies.select(
+        "series_key",
+        F.col("start_ts_ms").alias("__w_start"),
+        F.col("end_ts_ms").alias("__w_end"),
+    )
+    in_windows = points.join(F.broadcast(win), "series_key").filter(
+        F.col("ts_ms").between(F.col("__w_start"), F.col("__w_end"))
+    )
+    rescored = refine(
+        in_windows.select("series_key", "ts_ms", "value"),
+        **(refine_algorithm_params or {}),
+    )
+    rejoined = rescored.join(F.broadcast(win), "series_key").filter(
+        F.col("ts_ms").between(F.col("__w_start"), F.col("__w_end"))
+    )
+    peaks = rejoined.groupBy("series_key", "__w_start", "__w_end").agg(
+        F.max_by("ts_ms", F.struct(F.col("score"), -F.col("ts_ms"))).alias(
+            "exact_ts_ms"
+        ),
+        F.max("score").alias("anomaly_score"),
+    )
+    return peaks.select(
+        "series_key",
+        F.col("__w_start").alias("start_ts_ms"),
+        F.col("__w_end").alias("end_ts_ms"),
+        "exact_ts_ms",
+        "anomaly_score",
+    )

@@ -1,0 +1,97 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Implemented as a composition of built-in ops (SURVEY.md custom-operator
+rule (a)): union both sides tagged, one sort per key partition, then
+``last(..., ignoreNulls)`` over an unbounded-preceding window carries the
+most recent right-side values forward onto left rows. Cost: ONE shuffle
+on the key (same as any join) and one per-partition sort — no range
+explosion, no cross product, robust to arbitrary skew between the two
+sides' timestamps. This scales linearly: at 100 TB it behaves like a
+sort-merge join keyed on ``on`` with time-major merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts_ms",
+    right_ts: str = "ts_ms",
+    direction: str = "backward",
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' gives
+    smallest >=). Right-side payload columns keep their names; collisions
+    with left columns are an error (alias beforehand).
+
+    ``tolerance_ms`` nulls out matches farther than the given gap.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    payload = [c for c in right.columns if c not in keys and c != right_ts]
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+
+    l = left.withColumn("__side", F.lit(1)).withColumn("__t", F.col(left_ts))
+    r = right.withColumn("__side", F.lit(0)).withColumn("__t", F.col(right_ts))
+    for c in left.columns:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in payload:
+        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    cols = keys + ["__t", "__side"] + [
+        c for c in left.columns if c not in keys
+    ] + payload
+    both = l.select(*cols).unionByName(r.select(*cols))
+
+    if direction == "backward":
+        # right rows (__side=0) sort before left rows at equal ts so an
+        # exactly-aligned baseline point matches its own timestamp
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
+        match_ts = F.last(
+            F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
+        ).over(w)
+    else:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("__t").desc(), F.col("__side").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
+        match_ts = F.last(
+            F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
+        ).over(w)
+
+    out = both.select(
+        *keys,
+        "__t",
+        "__side",
+        *[c for c in left.columns if c not in keys],
+        *carried,
+        match_ts.alias("__match_t"),
+    ).filter(F.col("__side") == 1)
+
+    if tolerance_ms is not None:
+        gap = F.abs(F.col("__t") - F.col("__match_t"))
+        out = out.select(
+            *[
+                F.when(gap <= int(tolerance_ms), F.col(c)).otherwise(F.lit(None)).alias(c)
+                if c in payload
+                else F.col(c)
+                for c in out.columns
+            ]
+        )
+    return out.drop("__side", "__t", "__match_t")

@@ -1,0 +1,251 @@
+"""Time-series retrieval operators (SURVEY.md §2.1-2.3), Spark-first.
+
+The reference pushes its whole retrieval config server-side into
+RedisTimeSeries (``TS.RANGE``, /root/reference/potoos/client.py:56-59).
+Here the same surface is expressed as declarative DataFrame
+transformations so Catalyst does the pushdown: time/value filters reach
+the Parquet scan as ``PushedFilters``, bucket aggregation runs as
+partial→final hash aggregation (map-side combine before the shuffle),
+and the per-series sample cap compiles to a ranked window.
+
+Canonical frame: ``(series_key string, ts_ms bigint, value double [, seq bigint])``
+— one DataFrame carries *many* series; one reference ``monitor(key)`` call
+corresponds to one ``series_key`` group. ``seq`` is an optional ingestion
+tiebreaker used by the ``latest`` dedup (A15).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F, Window as W
+
+from ..config import TimeSeriesConfig
+
+SERIES_COLS = ("series_key", "ts_ms", "value")
+
+
+def series_frame(
+    df: DataFrame,
+    series_key: str | Column,
+    ts: str | Column,
+    value: str | Column,
+    seq: str | Column | None = None,
+) -> DataFrame:
+    """Normalize any source DataFrame into the canonical series frame.
+
+    ``ts`` may be a TimestampType column (converted to epoch ms) or an
+    integral column already in ms.
+    """
+    key_col = F.col(series_key) if isinstance(series_key, str) else series_key
+    ts_col = F.col(ts) if isinstance(ts, str) else ts
+    val_col = F.col(value) if isinstance(value, str) else value
+    ts_field = df.select(ts_col.alias("__ts")).schema[0].dataType.typeName()
+    if ts_field in ("timestamp", "timestamp_ntz"):
+        ts_ms = F.unix_millis(ts_col)
+    else:
+        ts_ms = ts_col.cast("bigint")
+    cols = [
+        key_col.cast("string").alias("series_key"),
+        ts_ms.alias("ts_ms"),
+        val_col.cast("double").alias("value"),
+    ]
+    if seq is not None:
+        seq_col = F.col(seq) if isinstance(seq, str) else seq
+        cols.append(seq_col.cast("bigint").alias("seq"))
+    return df.select(*cols)
+
+
+def events_series(spark, sf_dir: str) -> DataFrame:
+    """The driver ``events`` table reshaped to the canonical frame
+    (series_key = event_type, per FIXTURES.md §2): many series, one scan.
+
+    The table stores TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read nanos as long and floor-divide to ms (same truncation
+    DuckDB applies via epoch_ms)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return series_frame(
+        ev, "event_type", F.expr("ts DIV 1000000"), "value", seq="event_id"
+    )
+
+
+def bucket_start(ts_ms: Column, bucket_ms: int, offset_ms: int = 0) -> Column:
+    """Tumbling-bucket start label in ms: floor((ts - offset)/b)*b + offset.
+
+    ``pmod`` keeps the math correct for pre-epoch timestamps; offset
+    implements RTS ``ALIGN`` (A13).
+    """
+    shifted = ts_ms - F.lit(offset_ms)
+    return (shifted - F.pmod(shifted, F.lit(bucket_ms)) + F.lit(offset_ms)).cast(
+        "bigint"
+    )
+
+
+_AGG_EXPRS = {
+    # A1-A12: the 12 RTS bucket aggregators (reference config.py:41).
+    "avg": lambda: F.avg("value"),
+    "sum": lambda: F.sum("value"),
+    "min": lambda: F.min("value"),
+    "max": lambda: F.max("value"),
+    "range": lambda: F.max("value") - F.min("value"),
+    "count": lambda: F.count("value").cast("double"),
+    # first/last = value at earliest/latest ts — min_by/max_by, NOT first()
+    # (which is partition-order-nondeterministic). Ties on ts broken by seq
+    # when present so results are deterministic under parallel scan.
+    "first": lambda: F.min_by("value", F.struct("ts_ms", "__tie")),
+    "last": lambda: F.max_by("value", F.struct("ts_ms", "__tie")),
+    "std.p": lambda: F.stddev_pop("value"),
+    "std.s": lambda: F.stddev_samp("value"),
+    "var.p": lambda: F.var_pop("value"),
+    "var.s": lambda: F.var_samp("value"),
+}
+
+
+def apply_filters(df: DataFrame, cfg: TimeSeriesConfig) -> DataFrame:
+    """F1 time range + F2 ts IN-list + F3 value range.
+
+    All plain comparisons on scan columns → Catalyst pushes them into the
+    Parquet reader (min/max row-group skipping), which is the Spark
+    equivalent of the reference's server-side pushdown.
+    """
+    lo, hi = cfg.lower_ms(), cfg.upper_ms()
+    if lo is not None:
+        df = df.filter(F.col("ts_ms") >= lo)
+    if hi is not None:
+        df = df.filter(F.col("ts_ms") <= hi)
+    if cfg.filter_by_ts is not None:
+        df = df.filter(F.col("ts_ms").isin(*[int(t) for t in cfg.filter_by_ts]))
+    if cfg.filter_by_min_value is not None:
+        df = df.filter(F.col("value") >= float(cfg.filter_by_min_value))
+    if cfg.filter_by_max_value is not None:
+        df = df.filter(F.col("value") <= float(cfg.filter_by_max_value))
+    return df
+
+
+def apply_latest(df: DataFrame, cfg: TimeSeriesConfig) -> DataFrame:
+    """A15: keep only the latest ingested value per (series_key, ts_ms).
+
+    Expressed as max_by over the ingestion sequence — a single hash
+    aggregation (partial→final), cheaper at scale than a ranked window
+    because it combines map-side.
+    """
+    if not cfg.latest:
+        return df
+    tie = "seq" if "seq" in df.columns else "value"
+    return df.groupBy("series_key", "ts_ms").agg(
+        F.max_by("value", F.col(tie)).alias("value")
+    )
+
+
+def apply_aggregation(df: DataFrame, cfg: TimeSeriesConfig) -> DataFrame:
+    """A1-A14: tumbling-bucket aggregation with align + bucket labeling.
+
+    Output: (series_key, ts_ms = bucket label, value). One shuffle on
+    (series_key, bucket) with map-side partial aggregation.
+    """
+    if cfg.aggregation_type is None:
+        return df
+    b = int(cfg.bucket_size_msec)
+    offset = cfg.align_offset_ms()
+    tie = F.col("seq") if "seq" in df.columns else F.col("value")
+    agg_expr = _AGG_EXPRS[cfg.aggregation_type]()
+    if cfg.aggregation_type in ("std.s", "var.s"):
+        # Spark yields NaN for a single-element sample stddev/variance;
+        # SQL engines yield NULL — normalize to NULL.
+        agg_expr = F.when(~F.isnan(agg_expr), agg_expr)
+    bucket = bucket_start(F.col("ts_ms"), b, offset)
+    out = (
+        df.withColumn("__tie", tie)
+        .groupBy("series_key", bucket.alias("bucket_ms"))
+        .agg(agg_expr.cast("double").alias("value"))
+    )
+    # A14: which timestamp labels the bucket (RTS '-' start, '~' mid, '+' end)
+    label = F.col("bucket_ms")
+    if cfg.bucket_timestamp == "~":
+        label = F.col("bucket_ms") + F.lit(b // 2)
+    elif cfg.bucket_timestamp == "+":
+        label = F.col("bucket_ms") + F.lit(b)
+    return out.select(
+        "series_key", label.cast("bigint").alias("ts_ms"), "value"
+    )
+
+
+def apply_count_limit(df: DataFrame, cfg: TimeSeriesConfig) -> DataFrame:
+    """A16: per-series sample cap in scan direction (reversed → newest
+    first). Ranked window per series_key; at scale each series ranks
+    locally after the hash partition on series_key."""
+    if cfg.count is None:
+        return df
+    order = F.col("ts_ms").desc() if cfg.reversed else F.col("ts_ms").asc()
+    w = W.partitionBy("series_key").orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(cfg.count))
+        .drop("__rn")
+    )
+
+
+def apply_order(df: DataFrame, cfg: TimeSeriesConfig) -> DataFrame:
+    """S2: presentation ordering (reference `reversed`, config.py:55)."""
+    order = F.col("ts_ms").desc() if cfg.reversed else F.col("ts_ms").asc()
+    return df.orderBy("series_key", order)
+
+
+def read_series(df: DataFrame, cfg: Optional[TimeSeriesConfig] = None) -> DataFrame:
+    """The full retrieval query (reference ``_get_time_series``,
+    /root/reference/potoos/client.py:37-65): filter → latest-dedup →
+    bucket-agg → per-series cap → order."""
+    cfg = cfg or TimeSeriesConfig()
+    df = apply_filters(df, cfg)
+    df = apply_latest(df, cfg)
+    df = apply_aggregation(df, cfg)
+    df = apply_count_limit(df, cfg)
+    return apply_order(df, cfg)
+
+
+def min_points_guard(df: DataFrame, min_points: int = 4) -> DataFrame:
+    """F4: the reference raises on series shorter than 4 points
+    (/root/reference/potoos/client.py:84-85). Set-oriented version:
+    drop short series (a window count beats a groupBy+join — no second
+    shuffle once partitioned by series_key)."""
+    w = W.partitionBy("series_key")
+    return (
+        df.withColumn("__n", F.count("*").over(w))
+        .filter(F.col("__n") >= min_points)
+        .drop("__n")
+    )
+
+
+def series_metadata(points: DataFrame, anomalies: Optional[DataFrame] = None) -> DataFrame:
+    """A17: per-series run metadata (reference client.py:97-108).
+
+    Implements the *intent* of the reference's ``if max and min`` check
+    (a builtins-truthiness bug, SURVEY.md §2.3): duration is null when
+    either bound is null, not when builtins are truthy.
+    """
+    meta = points.groupBy("series_key").agg(
+        F.count("*").alias("data_points_analyzed"),
+        F.min("ts_ms").alias("start_ts_ms"),
+        F.max("ts_ms").alias("end_ts_ms"),
+    )
+    meta = meta.withColumn(
+        "duration_ms", F.col("end_ts_ms") - F.col("start_ts_ms")
+    )
+    if anomalies is not None:
+        counts = anomalies.groupBy("series_key").agg(
+            F.count("*").alias("anomalies_found")
+        )
+        meta = meta.join(counts, "series_key", "left").withColumn(
+            "anomalies_found", F.coalesce(F.col("anomalies_found"), F.lit(0))
+        )
+    else:
+        meta = meta.withColumn("anomalies_found", F.lit(0).cast("bigint"))
+    return meta.select(
+        "series_key",
+        "data_points_analyzed",
+        "anomalies_found",
+        "start_ts_ms",
+        "end_ts_ms",
+        "duration_ms",
+    )
