@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship end-to-end pipeline (Phase-0 slice from
+SURVEY.md §7) at sf0.001. ``queries``/``oracle_sql`` expose the
+operator catalog from ``potoos_spark.catalog`` — one entry per
+implemented operator from SURVEY.md §2, each with its DuckDB oracle
+where SQL-expressible.
 """
 
 from __future__ import annotations
@@ -13,26 +13,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from potoos_spark.catalog import CATALOG
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: scan events → time filter (F1) → hourly avg
+    buckets (A1) → derivative detector (D1) → threshold windows (D10)
+    joined with per-series metadata (A17). Exercises every layer:
+    scan → filter → agg → window → sequential-UDF → result."""
+    from potoos_spark import DetectorConfig, PotoosSession, TimeSeriesConfig
+    from potoos_spark.catalog.common import events_frame
+
+    sess = PotoosSession(spark)
+    series = events_frame(spark, "/root/testdata/sf0.001")
+    cfg = TimeSeriesConfig(aggregation_type="avg", bucket_size_msec=3_600_000)
+    res = sess.monitor(series, cfg, DetectorConfig(score_percent_threshold=0.9))
+    meta = res.meta.withColumnsRenamed(
+        {"start_ts_ms": "series_start_ms", "end_ts_ms": "series_end_ms"}
+    )
+    return res.anomalies.join(meta, "series_key")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.sql for name, spec in CATALOG.items() if spec.sql is not None
+    }

@@ -1,0 +1,10 @@
+"""The oracle-checked query catalog: one entry per implemented operator
+(SURVEY.md §2 + the LLM-data-pipeline extensions)."""
+
+from __future__ import annotations
+
+from .common import QuerySpec
+from . import timeseries
+
+CATALOG: dict[str, QuerySpec] = {}
+CATALOG.update(timeseries.QUERIES)

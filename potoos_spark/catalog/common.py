@@ -1,0 +1,67 @@
+"""Shared plumbing for the oracle-checked query catalog.
+
+Every catalog entry is a ``QuerySpec``: a Spark callable
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) the
+equivalent DuckDB SQL the driver runs side-by-side. The driver
+hash-compares values, so every query here is engineered for
+**bit-exact cross-engine equality**:
+
+* sums/averages/variances accumulate in DECIMAL (exact, order-free),
+  then derive doubles with the identical formula in both engines;
+* sequential scores (EMA) use the same float64 recurrence on both
+  sides (numpy loop ↔ recursive CTE);
+* outputs are only string / bigint / double — no decimals, no arrays,
+  no raw timestamps (epoch-ms bigints or formatted date strings avoid
+  engine timezone semantics entirely).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # DuckDB oracle; None → driver does rows-only check
+
+
+def _normalize(spark: SparkSession) -> SparkSession:
+    # The driver supplies its own session; pin the semantics we assume.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _normalize(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical many-series frame from ``events``; ns → ms floor division
+    on both engines (DuckDB's epoch_ms truncates the same way)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("series_key"),
+        F.expr("ts DIV 1000000").alias("ts_ms"),
+        F.col("value"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+# DuckDB mirror of events_frame (driver pre-registers the `events` view).
+EVENTS_SQL = (
+    "SELECT event_type AS series_key, epoch_ms(ts) AS ts_ms, value, "
+    "event_id AS seq FROM events"
+)
+
+# Exact money-ish decimal: the synthetic data carries 2 fractional digits.
+DEC = "decimal(18,2)"
+
+
+def dec(col):  # Spark-side decimal cast for exact accumulation
+    return (F.col(col) if isinstance(col, str) else col).cast(DEC)

@@ -1,0 +1,268 @@
+"""Oracle-checked catalog: the reference retrieval surface
+(SURVEY.md §2.1-2.3 — S1/S2, F1-F4, A1-A17) over the ``events`` table
+reshaped to the canonical many-series frame.
+
+Exactness notes: min/max/count/first/last/range go through the engine's
+``read_series`` directly (their doubles are exact — no accumulation);
+sum/avg/std/var accumulate in DECIMAL on both engines and derive the
+final doubles with the identical formula, so hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F, Window as W
+
+from ..config import TimeSeriesConfig
+from ..operators import retrieval as R
+from ..operators.retrieval import bucket_start
+from .common import DEC, EVENTS_SQL, QuerySpec, dec, events_frame
+
+HOUR = 3_600_000
+T_LO = 1_704_412_800_000  # 2024-01-05
+T_HI = 1_705_276_800_000  # 2024-01-15
+
+# F2 IN-list: literal timestamps present in the sf0.01 events table
+# (IN-list pushdown semantics need literals, mirroring RTS FILTER_BY_TS).
+TS_IN_LIST = [
+    1704067207179,
+    1704067432824,
+    1704067589165,
+    1704067705002,
+    1704067706640,
+    1704067942992,
+    1704067945325,
+    1704068081845,
+    1704068127760,
+    1704068534297,
+]
+
+_S = f"WITH series AS ({EVENTS_SQL})"
+
+
+def _engine(cfg: TimeSeriesConfig):
+    def fn(spark, sf_dir):
+        return R.read_series(events_frame(spark, sf_dir), cfg)
+
+    return fn
+
+
+def _bucket_sql(expr: str, bucket: int = HOUR, offset: int = 0, label_shift: int = 0) -> str:
+    b = (
+        f"(ts_ms - {offset}) - (ts_ms - {offset}) % {bucket} + {offset}"
+        if offset
+        else f"ts_ms - ts_ms % {bucket}"
+    )
+    return (
+        f"{_S} SELECT series_key, {b} + {label_shift} AS ts_ms, {expr} AS value "
+        f"FROM series GROUP BY series_key, {b}"
+    )
+
+
+def _decimal_agg(final_expr, bucket: int = HOUR, offset: int = 0, label_shift: int = 0):
+    """Spark side of the exact-decimal aggregations: shared bucketing code
+    (``bucket_start``) + decimal accumulation + double finalization."""
+
+    def fn(spark, sf_dir):
+        df = events_frame(spark, sf_dir)
+        bcol = bucket_start(F.col("ts_ms"), bucket, offset)
+        g = df.groupBy("series_key", (bcol + F.lit(label_shift)).alias("ts_ms")).agg(
+            F.sum(dec("value")).cast("double").alias("s"),
+            F.sum(dec("value") * dec("value")).cast("double").alias("q"),
+            F.count("value").cast("double").alias("n"),
+        )
+        return g.select(
+            "series_key", "ts_ms", final_expr().cast("double").alias("value")
+        )
+
+    return fn
+
+
+_VAR_P = "(q - s*s/n)/n"
+_VAR_S = "CASE WHEN n > 1 THEN (q - s*s/n)/(n-1) END"
+_DEC_SQL = {
+    "s": f"CAST(SUM(CAST(value AS {DEC})) AS DOUBLE)",
+    "q": f"CAST(SUM(CAST(value AS {DEC}) * CAST(value AS {DEC})) AS DOUBLE)",
+    "n": "CAST(COUNT(value) AS DOUBLE)",
+}
+
+
+def _dec_sql(final: str, bucket: int = HOUR, offset: int = 0, label_shift: int = 0) -> str:
+    b = (
+        f"(ts_ms - {offset}) - (ts_ms - {offset}) % {bucket} + {offset}"
+        if offset
+        else f"ts_ms - ts_ms % {bucket}"
+    )
+    inner = (
+        f"SELECT series_key, {b} + {label_shift} AS ts_ms, {_DEC_SQL['s']} AS s, "
+        f"{_DEC_SQL['q']} AS q, {_DEC_SQL['n']} AS n FROM series GROUP BY series_key, {b}"
+    )
+    return f"{_S}, g AS ({inner}) SELECT series_key, ts_ms, CAST({final} AS DOUBLE) AS value FROM g"
+
+
+def _first_last_sql(desc: bool) -> str:
+    order = "ts_ms DESC, seq DESC" if desc else "ts_ms, seq"
+    return (
+        f"{_S}, b AS (SELECT series_key, ts_ms - ts_ms % {HOUR} AS bucket_ms, value, "
+        f"ROW_NUMBER() OVER (PARTITION BY series_key, ts_ms - ts_ms % {HOUR} "
+        f"ORDER BY {order}) AS rn FROM series) "
+        "SELECT series_key, bucket_ms AS ts_ms, value FROM b WHERE rn = 1"
+    )
+
+
+def _count_limit_fn(reverse: bool):
+    cfg = TimeSeriesConfig(count=50, reversed=reverse)
+    return _engine(cfg)
+
+
+def _count_limit_sql(reverse: bool) -> str:
+    order = "ts_ms DESC" if reverse else "ts_ms"
+    return (
+        f"{_S}, r AS (SELECT series_key, ts_ms, value, ROW_NUMBER() OVER "
+        f"(PARTITION BY series_key ORDER BY {order}) AS rn FROM series) "
+        "SELECT series_key, ts_ms, value FROM r WHERE rn <= 50"
+    )
+
+
+def _meta_fn(spark, sf_dir):
+    return R.series_metadata(events_frame(spark, sf_dir)).select(
+        "series_key",
+        "data_points_analyzed",
+        "anomalies_found",
+        "start_ts_ms",
+        "end_ts_ms",
+        "duration_ms",
+    )
+
+
+def _guard_fn(spark, sf_dir):
+    df = events_frame(spark, sf_dir).filter(F.col("value") > 200.0)
+    kept = R.min_points_guard(df.select("series_key", "ts_ms", "value"), 30)
+    return kept.groupBy("series_key").agg(F.count("*").alias("n"))
+
+
+QUERIES: dict[str, QuerySpec] = {
+    # S1/F1: bounded range scan — pushed to the parquet reader
+    "ts_scan_range": QuerySpec(
+        _engine(TimeSeriesConfig(from_time=T_LO, to_time=T_HI)),
+        f"{_S} SELECT series_key, ts_ms, value FROM series "
+        f"WHERE ts_ms BETWEEN {T_LO} AND {T_HI}",
+    ),
+    # F2: timestamp IN-list
+    "ts_filter_by_ts": QuerySpec(
+        _engine(TimeSeriesConfig(filter_by_ts=TS_IN_LIST)),
+        f"{_S} SELECT series_key, ts_ms, value FROM series "
+        f"WHERE ts_ms IN ({', '.join(map(str, TS_IN_LIST))})",
+    ),
+    # F3: value range
+    "ts_filter_value": QuerySpec(
+        _engine(TimeSeriesConfig(filter_by_min_value=100.0, filter_by_max_value=300.0)),
+        f"{_S} SELECT series_key, ts_ms, value FROM series "
+        "WHERE value BETWEEN 100.0 AND 300.0",
+    ),
+    # A15: latest-value dedup per (series, ts)
+    "ts_latest_dedup": QuerySpec(
+        _engine(TimeSeriesConfig(latest=True)),
+        f"{_S} SELECT series_key, ts_ms, arg_max(value, seq) AS value "
+        "FROM series GROUP BY series_key, ts_ms",
+    ),
+    # A16 (+S2): per-series sample cap, scan direction fwd/rev
+    "ts_count_limit": QuerySpec(_count_limit_fn(False), _count_limit_sql(False)),
+    "ts_count_limit_rev": QuerySpec(_count_limit_fn(True), _count_limit_sql(True)),
+    # A3/A4/A6: exact built-ins straight through the engine
+    "ts_agg_min": QuerySpec(
+        _engine(TimeSeriesConfig(aggregation_type="min", bucket_size_msec=HOUR)),
+        _bucket_sql("MIN(value)"),
+    ),
+    "ts_agg_max": QuerySpec(
+        _engine(TimeSeriesConfig(aggregation_type="max", bucket_size_msec=HOUR)),
+        _bucket_sql("MAX(value)"),
+    ),
+    "ts_agg_count": QuerySpec(
+        _engine(TimeSeriesConfig(aggregation_type="count", bucket_size_msec=HOUR)),
+        _bucket_sql("CAST(COUNT(value) AS DOUBLE)"),
+    ),
+    # A5: range = max-min (exact doubles)
+    "ts_agg_range": QuerySpec(
+        _engine(TimeSeriesConfig(aggregation_type="range", bucket_size_msec=HOUR)),
+        _bucket_sql("MAX(value) - MIN(value)"),
+    ),
+    # A7/A8: first/last by timestamp (seq tiebreak)
+    "ts_agg_first": QuerySpec(
+        _engine(TimeSeriesConfig(aggregation_type="first", bucket_size_msec=HOUR)),
+        _first_last_sql(desc=False),
+    ),
+    "ts_agg_last": QuerySpec(
+        _engine(TimeSeriesConfig(aggregation_type="last", bucket_size_msec=HOUR)),
+        _first_last_sql(desc=True),
+    ),
+    # A1/A2/A9-A12: decimal-exact accumulation on both engines
+    "ts_agg_sum": QuerySpec(
+        _decimal_agg(lambda: F.col("s")), _dec_sql("s")
+    ),
+    "ts_agg_avg": QuerySpec(
+        _decimal_agg(lambda: F.col("s") / F.col("n")), _dec_sql("s/n")
+    ),
+    "ts_agg_varp": QuerySpec(
+        _decimal_agg(lambda: (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")),
+        _dec_sql(_VAR_P),
+    ),
+    "ts_agg_vars": QuerySpec(
+        _decimal_agg(
+            lambda: F.when(
+                F.col("n") > 1,
+                (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1),
+            )
+        ),
+        _dec_sql(_VAR_S),
+    ),
+    "ts_agg_stdp": QuerySpec(
+        _decimal_agg(
+            lambda: F.sqrt(
+                F.greatest((F.col("q") - F.col("s") * F.col("s") / F.col("n")) / F.col("n"), F.lit(0.0))
+            )
+        ),
+        _dec_sql(f"SQRT(GREATEST({_VAR_P}, 0.0))"),
+    ),
+    "ts_agg_stds": QuerySpec(
+        _decimal_agg(
+            lambda: F.when(
+                F.col("n") > 1,
+                F.sqrt(
+                    F.greatest(
+                        (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1),
+                        F.lit(0.0),
+                    )
+                ),
+            )
+        ),
+        _dec_sql(f"CASE WHEN n > 1 THEN SQRT(GREATEST((q - s*s/n)/(n-1), 0.0)) END"),
+    ),
+    # A13: align shifts bucket boundaries by 30 min
+    "ts_agg_align": QuerySpec(
+        _decimal_agg(lambda: F.col("s"), offset=HOUR // 2),
+        _dec_sql("s", offset=HOUR // 2),
+    ),
+    # A14: '~' mid / '+' end bucket labels
+    "ts_bucket_mid": QuerySpec(
+        _decimal_agg(lambda: F.col("s") / F.col("n"), label_shift=HOUR // 2),
+        _dec_sql("s/n", label_shift=HOUR // 2),
+    ),
+    "ts_bucket_end": QuerySpec(
+        _decimal_agg(lambda: F.col("s") / F.col("n"), label_shift=HOUR),
+        _dec_sql("s/n", label_shift=HOUR),
+    ),
+    # A17: per-series run metadata
+    "ts_meta": QuerySpec(
+        _meta_fn,
+        f"{_S} SELECT series_key, COUNT(*) AS data_points_analyzed, "
+        "CAST(0 AS BIGINT) AS anomalies_found, MIN(ts_ms) AS start_ts_ms, "
+        "MAX(ts_ms) AS end_ts_ms, MAX(ts_ms) - MIN(ts_ms) AS duration_ms "
+        "FROM series GROUP BY series_key",
+    ),
+    # F4: min-points guard after a selective filter
+    "ts_guard_min_points": QuerySpec(
+        _guard_fn,
+        f"{_S} SELECT series_key, COUNT(*) AS n FROM series "
+        "WHERE value > 200.0 GROUP BY series_key HAVING COUNT(*) >= 30",
+    ),
+}

@@ -201,7 +201,7 @@ def read_series(df: DataFrame, cfg: Optional[TimeSeriesConfig] = None) -> DataFr
     df = apply_latest(df, cfg)
     df = apply_aggregation(df, cfg)
     df = apply_count_limit(df, cfg)
-    return apply_order(df, cfg)
+    return apply_order(df.select(*SERIES_COLS), cfg)
 
 
 def min_points_guard(df: DataFrame, min_points: int = 4) -> DataFrame:

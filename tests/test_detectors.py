@@ -1,0 +1,170 @@
+"""Detector-tier tests (SURVEY.md §2.4 D1-D10) on the canonical
+reference fixtures (monotonic / spike / short / empty)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from potoos_spark import DetectorConfig, PotoosSession, register_detector, score
+from potoos_spark.detectors.windows import extract_anomalies
+from potoos_spark.operators.asof import asof_join
+
+
+def by_ts(df):
+    return {r.ts_ms: r.score for r in df.collect()}
+
+
+def test_absolute_threshold_scores(spike4):
+    cfg = DetectorConfig(
+        algorithm_name="absolute_threshold",
+        algorithm_params={"absolute_threshold_value_upper": 50.0,
+                          "absolute_threshold_value_lower": 15.0},
+    )
+    got = by_ts(score(spike4, cfg))
+    assert got == {1000: 5.0, 2000: 0.0, 3000: 0.0, 4000: 50.0}
+
+
+def test_exp_avg_scores_match_recurrence(spike4):
+    got = by_ts(score(spike4, DetectorConfig(algorithm_name="exp_avg_detector")))
+    # ema (alpha=.2): 10, 12, 15.6, 32.48 ; std = stddev_samp([10,20,30,100])
+    vals = [10.0, 20.0, 30.0, 100.0]
+    mean = sum(vals) / 4
+    std = math.sqrt(sum((v - mean) ** 2 for v in vals) / 3)
+    ema = [10.0]
+    for v in vals[1:]:
+        ema.append(0.2 * v + 0.8 * ema[-1])
+    expected = {t: abs(v - e) / std for t, v, e in zip((1000, 2000, 3000, 4000), vals, ema)}
+    assert got == pytest.approx(expected)
+    # spike scores highest
+    assert max(got, key=got.get) == 4000
+
+
+def test_derivative_flags_spike(spike4, series4):
+    got = by_ts(score(spike4, DetectorConfig()))  # default = derivative_detector
+    assert max(got, key=got.get) == 4000
+    # monotonic ramp has constant derivative → scores all ~equal and small
+    mono = by_ts(score(series4.drop("seq"), DetectorConfig()))
+    assert max(mono.values()) < max(got.values())
+
+
+def test_default_detector_is_ensemble(spike4):
+    s_def = by_ts(score(spike4, DetectorConfig(algorithm_name="default_detector")))
+    s_exp = by_ts(score(spike4, DetectorConfig(algorithm_name="exp_avg_detector")))
+    s_der = by_ts(score(spike4, DetectorConfig(algorithm_name="derivative_detector")))
+    for t in s_def:
+        assert s_def[t] == pytest.approx((s_exp[t] + s_der[t]) / 2)
+
+
+def test_diff_percent_threshold_with_baseline(spark, spike4):
+    baseline = spark.createDataFrame(
+        [("k", 1000, 10.0), ("k", 2000, 20.0), ("k", 3000, 30.0), ("k", 4000, 40.0)],
+        "series_key string, ts_ms bigint, value double",
+    )
+    cfg = DetectorConfig(
+        algorithm_name="diff_percent_threshold",
+        algorithm_params={"percent_threshold_upper": 50.0},
+    )
+    got = by_ts(score(spike4, cfg, baseline=baseline))
+    # only the spike deviates >50%: (100-40)/40 = 150% → score 100
+    assert got == pytest.approx({1000: 0.0, 2000: 0.0, 3000: 0.0, 4000: 100.0})
+
+
+def test_sign_test_detects_sustained_shift(spark):
+    pts = [("k", i * 1000, 10.0 if i < 10 else 30.0) for i in range(20)]
+    base = [("k", i * 1000, 10.0) for i in range(20)]
+    df = spark.createDataFrame(pts, "series_key string, ts_ms bigint, value double")
+    bl = spark.createDataFrame(base, "series_key string, ts_ms bigint, value double")
+    cfg = DetectorConfig(algorithm_name="sign_test",
+                         algorithm_params={"window_size": 5})
+    got = by_ts(score(df, cfg, baseline=bl))
+    assert got[19000] > 0  # sustained exceedance late in series
+    assert got[4000] == 0.0  # warm-up window scores 0
+
+
+def test_bitmap_detector_runs_and_flags_shift(spark):
+    vals = [10.0] * 60 + [50.0] * 10 + [10.0] * 60
+    pts = [("k", i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(pts, "series_key string, ts_ms bigint, value double")
+    cfg = DetectorConfig(
+        algorithm_name="bitmap_detector",
+        algorithm_params={"lag_window_size": 20, "future_window_size": 20},
+    )
+    got = by_ts(score(df, cfg))
+    peak = max(got, key=got.get)
+    assert 50_000 <= peak <= 80_000  # near the level shift
+    assert got[0] == 0.0  # outside full windows
+
+
+def test_window_extraction_islands(spark):
+    scores = [
+        ("k", 1000, 1.0, 0.0),
+        ("k", 2000, 1.0, 5.0),
+        ("k", 3000, 1.0, 7.0),
+        ("k", 4000, 1.0, 0.0),
+        ("k", 5000, 1.0, 4.0),
+    ]
+    df = spark.createDataFrame(scores, "series_key string, ts_ms bigint, value double, score double")
+    got = sorted(
+        [tuple(r) for r in extract_anomalies(df, score_threshold=3.0).collect()]
+    )
+    assert got == [("k", 2000, 3000, 3000, 7.0), ("k", 5000, 5000, 5000, 4.0)]
+    # percent threshold: 50% of max(7) = 3.5 → same islands
+    got_pct = sorted(
+        [tuple(r) for r in extract_anomalies(df, score_percent_threshold=0.5).collect()]
+    )
+    assert got_pct == got
+
+
+def test_refine_pass(spark):
+    pts = [("k", t, v) for t, v in
+           [(1000, 10.0), (2000, 20.0), (3000, 90.0), (4000, 80.0), (5000, 10.0)]]
+    df = spark.createDataFrame(pts, "series_key string, ts_ms bigint, value double")
+    sess = PotoosSession(spark)
+    cfg = DetectorConfig(
+        algorithm_name="absolute_threshold",
+        algorithm_params={"absolute_threshold_value_upper": 50.0},
+        score_threshold=1.0,
+        refine_algorithm_name="absolute_threshold",
+        refine_algorithm_params={"absolute_threshold_value_upper": 0.0},
+    )
+    res = sess.detect(df, cfg)
+    rows = res.anomalies.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.start_ts_ms, r.end_ts_ms) == (3000, 4000)
+    assert r.exact_ts_ms == 3000  # refined peak = max raw value
+    assert r.anomaly_score == 90.0
+
+
+def test_score_only_skips_windows(spark, spike4):
+    sess = PotoosSession(spark)
+    cfg = DetectorConfig(score_only=True)
+    res = sess.detect(spike4, cfg)
+    assert res.anomalies is None
+    assert res.scores.count() == 4
+
+
+def test_asof_join_backward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [("k", 1500, 1.0), ("k", 3500, 2.0), ("k", 900, 3.0)],
+        "series_key string, ts_ms bigint, value double",
+    )
+    right = spark.createDataFrame(
+        [("k", 1000, 10.0), ("k", 3000, 30.0)],
+        "series_key string, ts_ms bigint, base double",
+    )
+    got = {r.ts_ms: r.base for r in asof_join(left, right, on="series_key").collect()}
+    assert got == {900: None, 1500: 10.0, 3500: 30.0}
+    got_tol = {
+        r.ts_ms: r.base
+        for r in asof_join(left, right, on="series_key", tolerance_ms=400).collect()
+    }
+    assert got_tol == {900: None, 1500: None, 3500: None}
+
+    fwd = {r.ts_ms: r.base
+           for r in asof_join(left, right, on="series_key", direction="forward").collect()}
+    assert fwd == {900: 10.0, 1500: 30.0, 3500: None}
