@@ -4,7 +4,8 @@
 from __future__ import annotations
 
 from .common import QuerySpec
-from . import timeseries
+from . import detectors, timeseries
 
 CATALOG: dict[str, QuerySpec] = {}
 CATALOG.update(timeseries.QUERIES)
+CATALOG.update(detectors.QUERIES)

@@ -65,3 +65,25 @@ DEC = "decimal(18,2)"
 
 def dec(col):  # Spark-side decimal cast for exact accumulation
     return (F.col(col) if isinstance(col, str) else col).cast(DEC)
+
+
+HOUR_MS = 3_600_000
+
+
+def hourly_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hourly-average series — the canonical detector input.
+    Decimal accumulation → identical doubles on both engines."""
+    df = events_frame(spark, sf_dir)
+    bucket = F.col("ts_ms") - F.pmod(F.col("ts_ms"), F.lit(HOUR_MS))
+    return (
+        df.groupBy("series_key", bucket.alias("ts_ms"))
+        .agg((F.sum(dec("value")).cast("double") / F.count("value")).alias("value"))
+    )
+
+
+# DuckDB mirror of hourly_avg_frame; compose as f"WITH series AS (...), g AS ({G_SQL}) ..."
+G_SQL = (
+    f"SELECT series_key, ts_ms - ts_ms % {HOUR_MS} AS ts_ms, "
+    f"CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / COUNT(value) AS value "
+    f"FROM series GROUP BY series_key, ts_ms - ts_ms % {HOUR_MS}"
+)

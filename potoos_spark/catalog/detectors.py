@@ -1,0 +1,234 @@
+"""Oracle-checked catalog: the detector suite (SURVEY.md §2.4 D1-D10)
+over the exact hourly-average series.
+
+Cross-engine exactness: detector inputs are the decimal-exact hourly
+averages; EMA detectors use the explicit recurrence (numpy loop ↔
+recursive CTE — identical float64 op order); normalization uses the
+range (max-min: no accumulation) instead of the stddev so every score
+is bit-identical on both engines. The engine's default 'std'
+normalizer stays Luminol-faithful; 'range' is the oracle-exact mode.
+``bitmap_detector`` (D3) is not SQL-expressible → rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..config import DetectorConfig
+from ..detectors.base import score as detect_score
+from ..detectors.windows import extract_anomalies
+from .common import EVENTS_SQL, G_SQL, QuerySpec, hourly_avg_frame
+
+ALPHA = 0.2
+BETA = repr(1.0 - ALPHA)  # repr roundtrips the exact double
+DAY_MS = 86_400_000
+
+_BASE = f"WITH RECURSIVE series AS ({EVENTS_SQL}), g AS ({G_SQL})"
+
+# --- shared SQL fragments -------------------------------------------------
+
+# EMA over a (series_key, ts_ms, value) relation named {rel}, column {col}.
+def _ema_cte(rel: str, col: str, out: str) -> str:
+    return (
+        f"o_{out} AS (SELECT series_key, ts_ms, {col} AS v, ROW_NUMBER() OVER "
+        f"(PARTITION BY series_key ORDER BY ts_ms) AS rn FROM {rel}), "
+        f"{out} AS ("
+        f"SELECT series_key, ts_ms, v, rn, v AS ema FROM o_{out} WHERE rn = 1 "
+        "UNION ALL "
+        f"SELECT o.series_key, o.ts_ms, o.v, o.rn, {ALPHA}*o.v + {BETA}*e.ema "
+        f"FROM o_{out} o JOIN {out} e ON o.series_key = e.series_key AND o.rn = e.rn + 1)"
+    )
+
+
+_RANGE = "SELECT series_key, MAX(v) - MIN(v) AS r FROM {src} GROUP BY series_key"
+
+_EXP_AVG_SQL = (
+    f"{_BASE}, {_ema_cte('g', 'value', 'e')}, "
+    f"rng AS ({_RANGE.format(src='o_e')}) "
+    "SELECT e.series_key, e.ts_ms, e.v AS value, "
+    "CASE WHEN rng.r > 0 THEN ABS(e.v - e.ema)/rng.r ELSE 0.0 END AS score "
+    "FROM e JOIN rng USING (series_key)"
+)
+
+# derivative: d_i = |Δv| / (Δt/1000), d_1 copied from d_2, then EMA + range.
+_DERIV_REL = (
+    "dd AS (SELECT series_key, ts_ms, value, "
+    "ABS(value - LAG(value) OVER w) / "
+    "(CASE WHEN (ts_ms - LAG(ts_ms) OVER w) = 0 THEN 1000 "
+    "ELSE ts_ms - LAG(ts_ms) OVER w END / 1000.0) AS d_raw "
+    "FROM g WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms)), "
+    "d AS (SELECT series_key, ts_ms, value, "
+    "COALESCE(d_raw, LEAD(d_raw) OVER (PARTITION BY series_key ORDER BY ts_ms)) AS d "
+    "FROM dd)"
+)
+
+_DERIV_SQL = (
+    f"{_BASE}, {_DERIV_REL}, {_ema_cte('d', 'd', 'e')}, "
+    f"rng AS ({_RANGE.format(src='o_e')}), "
+    "v AS (SELECT series_key, ts_ms, value FROM d) "
+    "SELECT e.series_key, e.ts_ms, v.value, "
+    "CASE WHEN rng.r > 0 THEN ABS(e.v - e.ema)/rng.r ELSE 0.0 END AS score "
+    "FROM e JOIN rng USING (series_key) "
+    "JOIN v ON v.series_key = e.series_key AND v.ts_ms = e.ts_ms"
+)
+
+_ABS_SCORE = (
+    "CASE WHEN value > 250.0 THEN value - 250.0 "
+    "WHEN value < 5.0 THEN 5.0 - value ELSE 0.0 END"
+)
+
+_ABS_SQL = (
+    f"{_BASE} SELECT series_key, ts_ms, value, {_ABS_SCORE} AS score FROM g"
+)
+
+# D10 gaps-and-islands over absolute-threshold scores (threshold 2.0);
+# peak = earliest ts among max-score rows (mirrors max_by(ts, (score,-ts))).
+_WINDOWS_SQL = (
+    f"{_BASE}, sc AS (SELECT series_key, ts_ms, {_ABS_SCORE} AS score FROM g), "
+    "fl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY ts_ms) AS rn FROM sc), "
+    "ab AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY ts_ms) AS isl "
+    "FROM fl WHERE score >= 2.0), "
+    "agg AS (SELECT series_key, isl, MIN(ts_ms) AS start_ts_ms, MAX(ts_ms) AS end_ts_ms, "
+    "MAX(score) AS anomaly_score FROM ab GROUP BY series_key, isl) "
+    "SELECT a.series_key, a.start_ts_ms, a.end_ts_ms, "
+    "MIN(b.ts_ms) AS exact_ts_ms, a.anomaly_score "
+    "FROM agg a JOIN ab b ON b.series_key = a.series_key AND b.isl = a.isl "
+    "AND b.score = a.anomaly_score "
+    "GROUP BY a.series_key, a.start_ts_ms, a.end_ts_ms, a.anomaly_score"
+)
+
+# D6: baseline = the same series shifted forward one day (yesterday's
+# value, as-of matched); score = percent-diff exceedance over 20%.
+_DIFF_PCT_SQL = (
+    f"{_BASE}, base AS (SELECT series_key, ts_ms + {DAY_MS} AS ts_ms, value AS base_value FROM g), "
+    "j AS (SELECT s.series_key, s.ts_ms, s.value, b.base_value "
+    "FROM g s ASOF LEFT JOIN base b ON s.series_key = b.series_key AND s.ts_ms >= b.ts_ms) "
+    "SELECT series_key, ts_ms, value, "
+    "CASE WHEN base_value IS NOT NULL AND base_value <> 0 "
+    "AND (value - base_value)/ABS(base_value)*100.0 > 20.0 "
+    "THEN (value - base_value)/ABS(base_value)*100.0 - 20.0 ELSE 0.0 END AS score "
+    "FROM j"
+)
+
+# D7: trailing-10 sign test vs the day-shifted baseline.
+_SIGN_SQL = (
+    f"{_BASE}, base AS (SELECT series_key, ts_ms + {DAY_MS} AS ts_ms, value AS base_value FROM g), "
+    "j AS (SELECT s.series_key, s.ts_ms, s.value, b.base_value "
+    "FROM g s ASOF LEFT JOIN base b ON s.series_key = b.series_key AND s.ts_ms >= b.ts_ms), "
+    "k AS (SELECT series_key, ts_ms, value, "
+    "CASE WHEN base_value IS NOT NULL AND value > base_value * 1.0 THEN 1 ELSE 0 END AS sgn FROM j), "
+    "r AS (SELECT series_key, ts_ms, value, "
+    "CAST(SUM(sgn) OVER w AS DOUBLE) AS s, CAST(COUNT(*) OVER w AS DOUBLE) AS n FROM k "
+    "WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) "
+    "SELECT series_key, ts_ms, value, "
+    "CASE WHEN n >= 10.0 THEN GREATEST((s - n/2.0)/SQRT(n/4.0), 0.0) ELSE 0.0 END AS score FROM r"
+)
+
+
+# --- Spark sides ----------------------------------------------------------
+
+def _scored(algorithm: str, params: dict, with_baseline: bool = False):
+    def fn(spark, sf_dir):
+        g = hourly_avg_frame(spark, sf_dir)
+        baseline = None
+        if with_baseline:
+            baseline = g.select(
+                "series_key", (F.col("ts_ms") + DAY_MS).alias("ts_ms"), "value"
+            )
+        cfg = DetectorConfig(algorithm_name=algorithm, algorithm_params=params)
+        return detect_score(g, cfg, baseline=baseline)
+
+    return fn
+
+
+def _windows_fn(spark, sf_dir):
+    g = hourly_avg_frame(spark, sf_dir)
+    scores = detect_score(
+        g,
+        DetectorConfig(
+            algorithm_name="absolute_threshold",
+            algorithm_params={
+                "absolute_threshold_value_upper": 250.0,
+                "absolute_threshold_value_lower": 5.0,
+            },
+        ),
+    )
+    return extract_anomalies(scores, score_threshold=2.0)
+
+
+def _ensemble_fn(spark, sf_dir):
+    g = hourly_avg_frame(spark, sf_dir)
+    return detect_score(
+        g,
+        DetectorConfig(
+            algorithm_name="default_detector",
+            algorithm_params={"normalizer": "range"},
+        ),
+    )
+
+
+_ENSEMBLE_SQL = (
+    f"{_BASE}, {_ema_cte('g', 'value', 'e1')}, rng1 AS ({_RANGE.format(src='o_e1')}), "
+    f"s1 AS (SELECT e1.series_key, e1.ts_ms, e1.v AS value, "
+    "CASE WHEN rng1.r > 0 THEN ABS(e1.v - e1.ema)/rng1.r ELSE 0.0 END AS score "
+    "FROM e1 JOIN rng1 USING (series_key)), "
+    f"{_DERIV_REL}, {_ema_cte('d', 'd', 'e2')}, rng2 AS ({_RANGE.format(src='o_e2')}), "
+    "s2 AS (SELECT e2.series_key, e2.ts_ms, "
+    "CASE WHEN rng2.r > 0 THEN ABS(e2.v - e2.ema)/rng2.r ELSE 0.0 END AS score "
+    "FROM e2 JOIN rng2 USING (series_key)) "
+    "SELECT s1.series_key, s1.ts_ms, s1.value, (s1.score + s2.score)/2.0 AS score "
+    "FROM s1 JOIN s2 ON s1.series_key = s2.series_key AND s1.ts_ms = s2.ts_ms"
+)
+
+
+def _bitmap_fn(spark, sf_dir):
+    g = hourly_avg_frame(spark, sf_dir)
+    return detect_score(
+        g,
+        DetectorConfig(
+            algorithm_name="bitmap_detector",
+            algorithm_params={"lag_window_size": 24, "future_window_size": 24},
+        ),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    # D5: absolute threshold — pure column expressions
+    "det_absolute_threshold": QuerySpec(
+        _scored(
+            "absolute_threshold",
+            {
+                "absolute_threshold_value_upper": 250.0,
+                "absolute_threshold_value_lower": 5.0,
+            },
+        ),
+        _ABS_SQL,
+    ),
+    # D2: exp-avg EMA detector (range-normalized oracle mode)
+    "det_exp_avg": QuerySpec(
+        _scored("exp_avg_detector", {"normalizer": "range"}), _EXP_AVG_SQL
+    ),
+    # D1: derivative detector (the reference default)
+    "det_derivative": QuerySpec(
+        _scored("derivative_detector", {"normalizer": "range"}), _DERIV_SQL
+    ),
+    # D4: ensemble of D1+D2
+    "det_ensemble": QuerySpec(_ensemble_fn, _ENSEMBLE_SQL),
+    # D6: percent deviation vs as-of-aligned baseline (yesterday's value)
+    "det_diff_percent": QuerySpec(
+        _scored(
+            "diff_percent_threshold",
+            {"percent_threshold_upper": 20.0},
+            with_baseline=True,
+        ),
+        _DIFF_PCT_SQL,
+    ),
+    # D7: rolling sign test vs baseline
+    "det_sign_test": QuerySpec(
+        _scored("sign_test", {"window_size": 10}, with_baseline=True), _SIGN_SQL
+    ),
+    # D10: threshold → contiguous anomaly windows with peak point
+    "det_windows": QuerySpec(_windows_fn, _WINDOWS_SQL),
+    # D3: SAX-bitmap — not SQL-expressible; driver does a rows-only check
+    "det_bitmap": QuerySpec(_bitmap_fn, None),
+}

@@ -49,11 +49,20 @@ def _per_series(df: DataFrame, kernel: Callable[[pd.DataFrame], pd.DataFrame]) -
 
 
 def _ema(values: np.ndarray, alpha: float) -> np.ndarray:
-    # adjust=False recurrence; identical arithmetic to the documented
-    # closed recurrence (and to a SQL recursive-CTE oracle)
-    return (
-        pd.Series(values).ewm(alpha=alpha, adjust=False).mean().to_numpy()
-    )
+    """Explicit recurrence ``ema_i = a*v_i + (1-a)*ema_{i-1}`` with
+    ``ema_0 = v_0``. Written as a plain loop (not pandas ewm) so the
+    float64 operation order is *exactly* the documented recurrence —
+    a SQL recursive-CTE oracle reproduces it bit-for-bit."""
+    beta = 1.0 - alpha
+    out = np.empty(len(values), dtype=np.float64)
+    if len(values) == 0:
+        return out
+    e = values[0]
+    out[0] = e
+    for i in range(1, len(values)):
+        e = alpha * values[i] + beta * e
+        out[i] = e
+    return out
 
 
 def _safe_div(num: np.ndarray, denom: float) -> np.ndarray:
@@ -62,7 +71,17 @@ def _safe_div(num: np.ndarray, denom: float) -> np.ndarray:
     return num / denom
 
 
-def _exp_avg_kernel(alpha: float, lag_window_size: int | None):
+def _norm_denom(sample: np.ndarray, normalizer: str) -> float:
+    """'std' (Luminol-style, default) or 'range' (max-min; exactly
+    reproducible cross-engine since no accumulation is involved)."""
+    if len(sample) < 2:
+        return 0.0
+    if normalizer == "range":
+        return float(np.max(sample) - np.min(sample))
+    return float(np.std(sample, ddof=1))
+
+
+def _exp_avg_kernel(alpha: float, lag_window_size: int | None, normalizer: str = "std"):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"].to_numpy(dtype=np.float64)
         if len(v) == 0:
@@ -76,15 +95,14 @@ def _exp_avg_kernel(alpha: float, lag_window_size: int | None):
             score = np.where((std > 0) & ~np.isnan(std), score / std, 0.0)
         else:
             ema = _ema(v, alpha)
-            std = float(np.std(v, ddof=1)) if len(v) > 1 else 0.0
-            score = _safe_div(np.abs(v - ema), std)
+            score = _safe_div(np.abs(v - ema), _norm_denom(v, normalizer))
         pdf["score"] = score
         return pdf
 
     return kernel
 
 
-def _derivative_kernel(alpha: float):
+def _derivative_kernel(alpha: float, normalizer: str = "std"):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"].to_numpy(dtype=np.float64)
         t = pdf["ts_ms"].to_numpy(dtype=np.float64)
@@ -97,8 +115,7 @@ def _derivative_kernel(alpha: float):
         d = np.abs(np.diff(v)) / dt
         d = np.concatenate([[d[0]], d])  # d_0 = d_1, reference-style copy
         ema = _ema(d, alpha)
-        std = float(np.std(d, ddof=1)) if n > 1 else 0.0
-        pdf["score"] = _safe_div(np.abs(d - ema), std)
+        pdf["score"] = _safe_div(np.abs(d - ema), _norm_denom(d, normalizer))
         return pdf
 
     return kernel
@@ -109,24 +126,31 @@ def exp_avg_detector(
     df: DataFrame,
     smoothing_factor: float = 0.2,
     lag_window_size: int | None = None,
+    normalizer: str = "std",
 ) -> DataFrame:
     """D2: deviation from the exponential moving average."""
-    return _per_series(df, _exp_avg_kernel(float(smoothing_factor), lag_window_size))
+    return _per_series(
+        df, _exp_avg_kernel(float(smoothing_factor), lag_window_size, normalizer)
+    )
 
 
 @register_detector("derivative_detector")
-def derivative_detector(df: DataFrame, smoothing_factor: float = 0.2) -> DataFrame:
+def derivative_detector(
+    df: DataFrame, smoothing_factor: float = 0.2, normalizer: str = "std"
+) -> DataFrame:
     """D1 (the reference's default algorithm, config.py:86): deviation of
     |dv/dt| from its exponential moving average."""
-    return _per_series(df, _derivative_kernel(float(smoothing_factor)))
+    return _per_series(df, _derivative_kernel(float(smoothing_factor), normalizer))
 
 
 @register_detector("default_detector")
-def default_detector(df: DataFrame, smoothing_factor: float = 0.2) -> DataFrame:
+def default_detector(
+    df: DataFrame, smoothing_factor: float = 0.2, normalizer: str = "std"
+) -> DataFrame:
     """D4: ensemble — mean of exp_avg and derivative scores, computed in
     one pandas pass per series (not two Spark jobs)."""
-    exp_k = _exp_avg_kernel(float(smoothing_factor), None)
-    der_k = _derivative_kernel(float(smoothing_factor))
+    exp_k = _exp_avg_kernel(float(smoothing_factor), None, normalizer)
+    der_k = _derivative_kernel(float(smoothing_factor), normalizer)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         a = exp_k(pdf.copy())["score"].to_numpy()
