@@ -4,8 +4,9 @@
 from __future__ import annotations
 
 from .common import QuerySpec
-from . import detectors, timeseries
+from . import detectors, relational, timeseries
 
 CATALOG: dict[str, QuerySpec] = {}
 CATALOG.update(timeseries.QUERIES)
 CATALOG.update(detectors.QUERIES)
+CATALOG.update(relational.QUERIES)
