@@ -4,9 +4,10 @@
 from __future__ import annotations
 
 from .common import QuerySpec
-from . import detectors, relational, timeseries
+from . import detectors, pipeline, relational, timeseries
 
 CATALOG: dict[str, QuerySpec] = {}
 CATALOG.update(timeseries.QUERIES)
 CATALOG.update(detectors.QUERIES)
 CATALOG.update(relational.QUERIES)
+CATALOG.update(pipeline.QUERIES)

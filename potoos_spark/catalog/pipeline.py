@@ -1,0 +1,300 @@
+"""Oracle-checked catalog: the LLM-data-pipeline tier — dedup (exact /
+MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine), similarity
+search (brute-force, LSH-bucketed, IVF), text analysis, and multimodal
+plumbing, over the driver ``documents`` and ``embeddings`` tables.
+
+Exactness: all hashing is md5 hex strings; all set arithmetic is
+integer counts; cosines use integer-scaled vectors — every oracle
+comparison is bit-exact. Thresholds are data-driven: the sf0.01
+documents contain genuine near-dups (max Jaccard ≈ 0.99 vs noise
+p99 ≈ 0.025, so 0.2 separates cleanly); embeddings pair up to
+cosine ≈ 0.51, so 0.4 yields a stable near-dup set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from .common import QuerySpec, table
+
+K_MINHASH = 12
+ROWS_PER_BAND = 2
+N_BANDS = K_MINHASH // ROWS_PER_BAND
+
+# --- shared DuckDB fragments ----------------------------------------------
+
+_TOK = (
+    "tok AS (SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace("
+    "lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS toks FROM documents)"
+)
+_T = (
+    "t AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM tok)"
+)
+_SH = (
+    "sh AS (SELECT DISTINCT a.doc_id, a.tok || '_' || b.tok || '_' || c.tok AS s "
+    "FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    "JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)"
+)
+_BASE_SH = f"WITH {_TOK}, {_T}, {_SH}"
+
+_SIZES = "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)"
+_SHARED = (
+    "shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared "
+    "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)"
+)
+_JACC = (
+    "jac AS (SELECT s.id_a, s.id_b, s.shared, sa.sz + sb.sz - s.shared AS union_size, "
+    "CAST(s.shared AS DOUBLE) / CAST(sa.sz + sb.sz - s.shared AS DOUBLE) AS jaccard "
+    "FROM shared s JOIN sizes sa ON sa.doc_id = s.id_a JOIN sizes sb ON sb.doc_id = s.id_b)"
+)
+
+_SIG_COLS = ", ".join(
+    f"MIN(md5('{j}|' || s)) AS mh{j}" for j in range(K_MINHASH)
+)
+_SIG = f"sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id)"
+_BANDS = "band AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, md5(mh{2 * b} || mh{2 * b + 1}) AS key FROM sig"
+    for b in range(N_BANDS)
+) + ")"
+_CAND = (
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a "
+    "JOIN band b ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id)"
+)
+
+_SCALED_V = (
+    "v AS (SELECT vec_id, [CAST(floor(x * 1000 + 0.5) AS BIGINT) for x in embedding] AS e "
+    "FROM embeddings), "
+    "nrm AS (SELECT vec_id, CAST(list_sum([x * x for x in e]) AS BIGINT) AS nn FROM v)"
+)
+_COS = (
+    "CAST(CAST(list_sum(list_transform(list_zip({a}.e, {b}.e), p -> p[1] * p[2])) AS BIGINT) "
+    "AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE))"
+)
+
+
+# --- Spark sides ----------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings")
+
+
+def _dedup_exact_fn(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def _minhash_fn(spark, sf_dir):
+    return D.minhash_dedup_pairs(
+        _docs(spark, sf_dir), k=K_MINHASH, rows_per_band=ROWS_PER_BAND,
+        jaccard_threshold=0.2,
+    )
+
+
+def _simhash_fn(spark, sf_dir):
+    return D.simhash_dup_groups(_docs(spark, sf_dir))
+
+
+def _ngram_fn(spark, sf_dir):
+    sh = D.shingle_frame(_docs(spark, sf_dir))
+    return D.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.1)
+
+
+def _emb_dup_fn(spark, sf_dir):
+    return D.embedding_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+def _knn_brute_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.cosine_topk(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+def _knn_lsh_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.lsh_bucket_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_bits=8)
+
+
+def _knn_ivf_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+
+
+def _text_tokens_fn(spark, sf_dir):
+    return T.token_stats(_docs(spark, sf_dir))
+
+
+def _text_quality_fn(spark, sf_dir):
+    return T.quality_features(_docs(spark, sf_dir))
+
+
+def _text_langid_fn(spark, sf_dir):
+    return T.language_id(_docs(spark, sf_dir))
+
+
+def _text_fp_fn(spark, sf_dir):
+    return T.fingerprint(_docs(spark, sf_dir))
+
+
+def _mm_meta_fn(spark, sf_dir):
+    b = M.attach_binary(_docs(spark, sf_dir))
+    return b.select(
+        "doc_id",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.checksum").alias("checksum"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+def _mm_decode_fn(spark, sf_dir):
+    return M.decode_features(M.attach_binary(_docs(spark, sf_dir)), fake=True)
+
+
+# --- SQL oracles ----------------------------------------------------------
+
+_DEDUP_EXACT_SQL = (
+    "SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash, "
+    "MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM documents GROUP BY 1"
+)
+
+_MINHASH_SQL = (
+    f"{_BASE_SH}, {_SIG}, {_BANDS}, {_CAND}, {_SIZES}, {_SHARED}, {_JACC} "
+    "SELECT j.id_a, j.id_b, j.shared, j.union_size, j.jaccard FROM jac j "
+    "JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b WHERE j.jaccard >= 0.2"
+)
+
+_NGRAM_SQL = (
+    f"{_BASE_SH}, {_SIZES}, {_SHARED}, {_JACC} "
+    "SELECT id_a, id_b, shared, union_size, jaccard FROM jac WHERE jaccard >= 0.1"
+)
+
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(16)
+)
+_SIMHASH_FP = " + ".join(f"CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(16))
+_SIMHASH_SQL = (
+    f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes) "
+    "SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id FROM fp "
+    "GROUP BY simhash HAVING COUNT(*) >= 2"
+)
+
+_EMB_DUP_SQL = (
+    f"WITH {_SCALED_V} "
+    "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    + _COS.format(a="a", b="b")
+    + " AS cosine FROM v a JOIN v b ON a.vec_id < b.vec_id "
+    "JOIN nrm na ON na.vec_id = a.vec_id JOIN nrm nb ON nb.vec_id = b.vec_id) "
+    "WHERE cosine >= 0.4"
+)
+
+_KNN_BRUTE_SQL = (
+    f"WITH {_SCALED_V}, "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id, "
+    + _COS.format(a="q", b="c")
+    + " AS cosine FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id "
+    "JOIN nrm na ON na.vec_id = q.vec_id JOIN nrm nb ON nb.vec_id = c.vec_id) "
+    "SELECT query_id, match_id, cosine, rank FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank FROM scored) "
+    "WHERE rank <= 10"
+)
+
+_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(8)
+)
+_KNN_LSH_SQL = (
+    f"WITH {_SCALED_V}, "
+    f"bk AS (SELECT vec_id, CAST({_BUCKET} AS BIGINT) AS bucket FROM embeddings), "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id, "
+    + _COS.format(a="qv", b="cv")
+    + " AS cosine "
+    "FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id < 5 AND q.vec_id <> c.vec_id "
+    "JOIN v qv ON qv.vec_id = q.vec_id JOIN v cv ON cv.vec_id = c.vec_id "
+    "JOIN nrm na ON na.vec_id = q.vec_id JOIN nrm nb ON nb.vec_id = c.vec_id) "
+    "SELECT query_id, match_id, cosine, rank FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank FROM scored) "
+    "WHERE rank <= 5"
+)
+
+_TEXT_TOKENS_SQL = (
+    f"WITH {_TOK} SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+    "CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens FROM tok"
+)
+
+_EN_LIST = "['the','a','of','and','to','in','is','it','that','for']"
+_TEXT_QUALITY_SQL = (
+    f"WITH {_TOK}, d AS (SELECT doc_id, toks, text FROM tok JOIN documents USING (doc_id)) "
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+    "CAST(len(toks) AS BIGINT) AS n_tokens, "
+    "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) "
+    "/ CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio, "
+    f"CAST(len(list_filter(toks, x -> list_contains({_EN_LIST}, x))) AS DOUBLE) "
+    "/ CAST(GREATEST(len(toks), 1) AS DOUBLE) AS stopword_ratio, "
+    "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS uniq_ratio "
+    "FROM d"
+)
+
+_LANG_LISTS = {
+    "en": _EN_LIST,
+    "fr": "['le','la','de','et','les','des','un','une','est','que']",
+    "de": "['der','die','das','und','ist','nicht','ein','eine','zu','mit']",
+    "es": "['el','la','de','y','los','que','un','una','es','en']",
+}
+_HITS = ", ".join(
+    f"CAST(len(list_filter(toks, x -> list_contains({lst}, x))) AS BIGINT) AS hits_{lang}"
+    for lang, lst in _LANG_LISTS.items()
+)
+# nested CASE in lexicographic order reproduces the argmax tie-break
+_PRED = (
+    "CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und' "
+    "WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de' "
+    "WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en' "
+    "WHEN hits_es >= hits_fr THEN 'es' ELSE 'fr' END"
+)
+_TEXT_LANGID_SQL = (
+    f"WITH {_TOK}, h AS (SELECT doc_id, {_HITS} FROM tok) "
+    f"SELECT doc_id, hits_en, hits_fr, hits_de, hits_es, {_PRED} AS pred_lang FROM h"
+)
+
+_TEXT_FP_SQL = (
+    f"{_BASE_SH}, km AS (SELECT doc_id, "
+    "md5(array_to_string(list_sort(list(md5(s)))[1:4], '')) AS kmin_fp "
+    "FROM sh GROUP BY doc_id) "
+    "SELECT d.doc_id, md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS exact_fp, "
+    "COALESCE(km.kmin_fp, md5('')) AS kmin_fp "
+    "FROM documents d LEFT JOIN km ON km.doc_id = d.doc_id"
+)
+
+_MM_META_SQL = (
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
+    "md5(text) AS checksum, 'application/octet-stream' AS mime FROM documents"
+)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    # dedup family
+    "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": QuerySpec(_minhash_fn, _MINHASH_SQL),
+    "dedup_simhash": QuerySpec(_simhash_fn, _SIMHASH_SQL),
+    "dedup_ngram_jaccard": QuerySpec(_ngram_fn, _NGRAM_SQL),
+    "dedup_embedding": QuerySpec(_emb_dup_fn, _EMB_DUP_SQL),
+    # similarity search
+    "knn_bruteforce": QuerySpec(_knn_brute_fn, _KNN_BRUTE_SQL),
+    "knn_lsh_bucket": QuerySpec(_knn_lsh_fn, _KNN_LSH_SQL),
+    "knn_ivf": QuerySpec(_knn_ivf_fn, None),  # KMeans quantizer: rows-only
+    # text analysis
+    "text_tokens": QuerySpec(_text_tokens_fn, _TEXT_TOKENS_SQL),
+    "text_quality": QuerySpec(_text_quality_fn, _TEXT_QUALITY_SQL),
+    "text_langid": QuerySpec(_text_langid_fn, _TEXT_LANGID_SQL),
+    "text_fingerprint": QuerySpec(_text_fp_fn, _TEXT_FP_SQL),
+    # multimodal plumbing
+    "multimodal_meta": QuerySpec(_mm_meta_fn, _MM_META_SQL),
+    "multimodal_decode": QuerySpec(_mm_decode_fn, None),  # mapInPandas stub
+}

@@ -1,0 +1,222 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md
+extension tier): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design: everything is expressed as hash-partitioned joins and
+aggregations — no cross product anywhere.
+
+* exact: one hash aggregation on md5(normalized text).
+* MinHash+LSH: shingle explode → k min-aggregations (map-side combine)
+  → band keys → self-join *per band bucket* (the only join touches
+  documents sharing a band) → exact-Jaccard verification on candidates
+  only. At 100 TB the band join is the classic LSH bucket join; band/row
+  counts tune recall vs candidate volume.
+* SimHash: bit-voting over token hashes → equality join on the 16-bit
+  fingerprint (or a banded Hamming join for distance > 0).
+* n-gram Jaccard: inverted-index join on shingles (pairs sharing at
+  least one shingle), count-based exact Jaccard — prunes the quadratic
+  pair space to co-occurring docs.
+* embedding cosine: integer-scaled vectors (floor(x*1000+0.5)) make dot
+  products exact and engine-portable; the pair space is pruned by the
+  caller (LSH buckets / ANN) — the all-pairs form here is the
+  correctness baseline.
+
+MinHash hash family: h_j(s) = md5(j || '|' || s) compared as hex
+strings — deterministic, engine-portable, no seed state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import normalize, shingles, tokens
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content hash
+    with the keeper (min id) and the duplicate count."""
+    h = F.md5(normalize(text_col))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def shingle_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded distinct word-n-gram shingles."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("s")
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", k: int = 12) -> DataFrame:
+    """k-column MinHash signature per doc: one hash aggregation with k
+    conditional mins (combines map-side; no shuffle amplification)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", k: int = 12, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding: docs sharing any band key become a candidate pair.
+    The self-join happens per band bucket — at scale, repartition on
+    (band_id, band_key) keeps buckets co-located."""
+    n_bands = k // rows_per_band
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.posexplode(bands).alias("band_id", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, id_col: str = "doc_id", min_shared: int = 1
+) -> DataFrame:
+    """Inverted-index exact Jaccard: join docs on shared shingles, count
+    intersections, derive |A∪B| from per-doc set sizes. Returns
+    (id_a, id_b, shared, union_size, jaccard) for co-occurring pairs."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    out = (
+        shared.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+        .withColumn(
+            "jaccard", F.col("shared").cast("double") / F.col("union_size").cast("double")
+        )
+    )
+    return out.select("id_a", "id_b", "shared", "union_size", "jaccard")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band join →
+    exact-Jaccard verify on candidates only."""
+    sh = shingle_frame(df, text_col, id_col)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, id_col, k), id_col, k, rows_per_band)
+    verified = jaccard_pairs(sh, id_col).join(cand, ["id_a", "id_b"], "left_semi")
+    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash: bit j votes +1/-1 by the j-th hex digit of each
+    distinct token's md5 (MSB of the nibble); fingerprint is the
+    weighted-majority bit vector as a bigint."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.substring(h, j + 1, 1).between("8", "f"), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = sum(
+        [F.when(F.col(f"v{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(16)],
+        F.lit(0),
+    )
+    return agg.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def simhash_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup groups = docs sharing an identical SimHash fingerprint
+    (Hamming distance 0 buckets; banded fingerprints generalize to
+    distance > 0)."""
+    s = simhash(df, text_col, id_col)
+    return (
+        s.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def scaled_vec(col, scale: int = 1000):
+    """float array → integer-scaled bigint array: floor(x*scale + 0.5).
+    Integer dot products are exact under any summation order, making
+    cosine computations bit-identical across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("bigint")
+    )
+
+
+def cosine_expr(va, vb):
+    """Exact-integer cosine between two scaled vectors."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    na = F.aggregate(
+        F.transform(va, lambda x: x * x), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    nb = F.aggregate(
+        F.transform(vb, lambda x: x * x), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return dot.cast("double") / F.sqrt((na * nb).cast("double"))
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All-pairs embedding near-dup (correctness baseline — the scale
+    path prunes the pair space with LSH buckets first, see
+    similarity.lsh_bucket_topk)."""
+    v = df.select(F.col(id_col), scaled_vec(vec_col).alias("e"))
+    a = v.withColumnsRenamed({id_col: "id_a", "e": "ea"})
+    b = v.withColumnsRenamed({id_col: "id_b", "e": "eb"})
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("ea"), F.col("eb"))
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

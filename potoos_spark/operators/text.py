@@ -1,0 +1,133 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, shingling, quality features, language ID, fingerprints.
+
+All pure JVM column expressions (whole-stage codegen; no Python UDFs):
+at 100 TB these run scan-local with zero shuffles. Hashes are md5 hex
+strings so every derived feature is engine-portable and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small public stopword lists (top function words per language) for the
+# n-gram-free language-ID heuristic and stopword-ratio quality feature.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"],
+    "es": ["el", "la", "de", "y", "los", "que", "un", "una", "es", "en"],
+}
+
+
+def normalize(col: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """array<string> of normalized tokens (empty strings removed)."""
+    return F.filter(F.split(normalize(col), " "), lambda x: x != F.lit(""))
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles joined with '_'. Empty array when the
+    document is shorter than n tokens."""
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.concat_ws("_", *[F.element_at(tok, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(F.size(tok) >= n, make).otherwise(F.array()))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: total and distinct tokens per document."""
+    t = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_uniq_tokens"),
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-scoring features: length, punctuation ratio, stopword
+    ratio, token diversity. All exact-integer-derived doubles."""
+    t = tokens(text_col)
+    raw = F.col(text_col)
+    n_chars = F.length(raw).cast("bigint")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(raw, r"[^a-zA-Z0-9\s]", ""))
+    ).cast("bigint")
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("bigint")
+    n_tok = F.size(t).cast("bigint")
+    n_uniq = F.size(F.array_distinct(t)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")).alias(
+            "punct_ratio"
+        ),
+        (n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")).alias(
+            "stopword_ratio"
+        ),
+        (n_uniq.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")).alias(
+            "uniq_ratio"
+        ),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-voting language ID: count stopword hits per language,
+    argmax with deterministic lexicographic tie-break; 'und'
+    (undetermined) when no list scores a hit."""
+    t = tokens(text_col)
+
+    def _hit_count(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(t, lambda x: F.array_contains(arr, x))).cast("bigint")
+
+    hits = {lang: _hit_count(words) for lang, words in STOPWORDS.items()}
+    # argmax by (hits desc, lang asc) via greatest over structs
+    best = F.greatest(
+        *[
+            F.struct(h.alias("h"), F.lit(-ord(lang[0]) * 256 - ord(lang[1])).alias("o"),
+                     F.lit(lang).alias("lang"))
+            for lang, h in hits.items()
+        ]
+    )
+    out = df.select(
+        F.col(id_col),
+        *[h.alias(f"hits_{lang}") for lang, h in hits.items()],
+        F.when(best["h"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
+    )
+    return out
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text (exact
+    identity) plus a k-min sketch over shingle hashes (winnowing-style
+    robust fingerprint — equal for docs sharing their k smallest
+    shingle hashes)."""
+    t = tokens(text_col)
+    sh = shingles(t, shingle_n)
+    hashes = F.array_sort(F.transform(sh, F.md5))
+    kmin = F.concat_ws("", F.slice(hashes, 1, k))
+    return df.select(
+        F.col(id_col),
+        F.md5(normalize(text_col)).alias("exact_fp"),
+        F.md5(kmin).alias("kmin_fp"),
+    )
