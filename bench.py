@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set spans every tier: TPC-H-style relational aggregation/joins,
+time-series bucket aggregation, sequential anomaly detectors
+(applyInPandas), MinHash-LSH dedup, embedding similarity, and text
+analysis. Queries materialize through the noop sink so the full plan
+executes (no driver collect, no disk write skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from potoos_spark.catalog import CATALOG
+from potoos_spark.session import get_session
+
+HEADLINE = [
+    # relational tier (lineitem 600k @ sf0.1)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "q6_revenue",
+    # time-series retrieval tier (events 100k)
+    "ts_agg_avg",
+    "ts_latest_dedup",
+    # detector tier (sequential applyInPandas over bucketed series)
+    "det_derivative",
+    "det_ensemble",
+    "det_windows",
+    # LLM-pipeline tier (documents 5k, embeddings 2k)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "text_quality",
+    "text_langid",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    fn = CATALOG[name].fn
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    spark = get_session("potoos_bench")
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # queries, not first-touch session costs.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run_one(spark, name, sf_dir), 3)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -54,14 +54,17 @@ def shingle_frame(
     )
 
 
-def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", k: int = 12) -> DataFrame:
-    """k-column MinHash signature per doc: one hash aggregation with k
-    conditional mins (combines map-side; no shuffle amplification)."""
-    aggs = [
+def _minhash_aggs(k: int) -> list:
+    return [
         F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}")
         for j in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", k: int = 12) -> DataFrame:
+    """k-column MinHash signature per doc: one hash aggregation with k
+    conditional mins (combines map-side; no shuffle amplification)."""
+    return sh.groupBy(id_col).agg(*_minhash_aggs(k))
 
 
 def lsh_candidate_pairs(
@@ -99,23 +102,43 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    sh: DataFrame, id_col: str = "doc_id", min_shared: int = 1
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Inverted-index exact Jaccard: join docs on shared shingles, count
-    intersections, derive |A∪B| from per-doc set sizes. Returns
-    (id_a, id_b, shared, union_size, jaccard) for co-occurring pairs."""
+    """Exact Jaccard via inverted-index join: count shared shingles per
+    doc pair, derive |A∪B| from per-doc set sizes. Returns
+    (id_a, id_b, shared, union_size, jaccard).
+
+    With ``candidates`` (an (id_a, id_b) frame, e.g. from LSH banding),
+    only those pairs are verified: the shingle join is pushed through the
+    candidate set, so cost scales with candidate volume — NOT with the
+    full co-occurrence matrix. Without it, all co-occurring pairs are
+    scored (the exact-baseline path; quadratic in bucket sizes)."""
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    if candidates is not None:
+        a_sh = sh.withColumnsRenamed({id_col: "id_a"})
+        b_sh = sh.withColumnsRenamed({id_col: "id_b"})
+        shared = (
+            candidates.join(a_sh, "id_a")
+            .join(b_sh, ["id_b", "s"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= min_shared)
         )
-        .agg(F.count("*").alias("shared"))
-        .filter(F.col("shared") >= min_shared)
-    )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        shared = (
+            a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= min_shared)
+        )
     out = (
         shared.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
@@ -136,11 +159,54 @@ def minhash_dedup_pairs(
     jaccard_threshold: float = 0.2,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band join →
-    exact-Jaccard verify on candidates only."""
-    sh = shingle_frame(df, text_col, id_col)
-    cand = lsh_candidate_pairs(minhash_signatures(sh, id_col, k), id_col, k, rows_per_band)
-    verified = jaccard_pairs(sh, id_col).join(cand, ["id_a", "id_b"], "left_semi")
-    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+    exact-Jaccard verify on candidates only.
+
+    Scale shape — exactly two passes over the corpus:
+
+    1. One ``groupBy(doc_id)`` over the shingle explosion computes the k
+       MinHash columns AND the set size together (map-side combined; the
+       pre-explosion repartition moves the *small* raw documents so the
+       100×-larger explosion is produced already spread out).
+    2. Verification semi-joins the shingles to the (few) docs that
+       appear in an LSH candidate pair, gathers their shingle sets, and
+       scores exact Jaccard with ``array_intersect`` — cost proportional
+       to candidate volume, never the full co-occurrence matrix.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sh = shingle_frame(df.repartition(n_part, id_col), text_col, id_col)
+
+    prof = sh.groupBy(id_col).agg(*_minhash_aggs(k), F.count("*").alias("sz"))
+    # Candidate pairs and per-candidate shingle sets are tiny relative to
+    # the corpus but feed multiple joins below; persist so the corpus
+    # subtree is evaluated exactly twice (sign pass + verify pass), not
+    # once per downstream reference.
+    cand = lsh_candidate_pairs(prof, id_col, k, rows_per_band).persist()
+
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    doc_sets = (
+        sh.join(F.broadcast(cand_ids), id_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("s").alias("ss"), F.count("*").alias("sz"))
+    ).persist()
+    a = doc_sets.withColumnsRenamed({id_col: "id_a", "ss": "ss_a", "sz": "sz_a"})
+    b = doc_sets.withColumnsRenamed({id_col: "id_b", "ss": "ss_b", "sz": "sz_b"})
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("shared", F.size(F.array_intersect("ss_a", "ss_b")).cast("bigint"))
+        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double") / F.col("union_size").cast("double"),
+        )
+    )
+    return scored.select("id_a", "id_b", "shared", "union_size", "jaccard").filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
