@@ -4,10 +4,11 @@
 from __future__ import annotations
 
 from .common import QuerySpec
-from . import detectors, pipeline, relational, timeseries
+from . import detectors, pipeline, relational, streaming, timeseries
 
 CATALOG: dict[str, QuerySpec] = {}
 CATALOG.update(timeseries.QUERIES)
 CATALOG.update(detectors.QUERIES)
 CATALOG.update(relational.QUERIES)
 CATALOG.update(pipeline.QUERIES)
+CATALOG.update(streaming.QUERIES)

@@ -1,0 +1,121 @@
+"""Oracle-checked catalog: the Structured-Streaming tier, exercised by
+replaying the ``events`` table through a file-source stream
+(``availableNow`` trigger → memory sink) and returning the sink table.
+
+The replay produces *batch-identical* results for the windowed
+aggregations (complete output mode emits every window), so those
+entries carry real DuckDB oracles — the streaming plan is held to the
+same bit-exact standard as the batch plan. The stateful EMA scorer is
+prefix-causal floating-point recurrence (Welford normalizer), which is
+not reproducible bit-for-bit in set-oriented SQL → rows-only check
+(tests/test_streaming.py pins its semantics against a pure-python
+reference instead).
+
+Aggregators chosen here (min) are exact doubles — no accumulation —
+so stream/batch/DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import TimeSeriesConfig
+from ..streaming import (
+    stream_bucket_agg,
+    stream_session_agg,
+    streaming_bucket_scores,
+)
+from .common import EVENTS_SQL, QuerySpec
+
+HOUR = 3_600_000
+GAP_MS = 1_800_000  # 30 min session gap
+
+_S = f"WITH series AS ({EVENTS_SQL})"
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table as the canonical series
+    frame (same reshape as the batch events_frame)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # file-source streams take a directory; glob-filter to the events file
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return ev.select(
+        F.col("event_type").alias("series_key"),
+        F.expr("ts DIV 1000000").alias("ts_ms"),
+        F.col("value"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def _replay(sdf: DataFrame, mode: str) -> DataFrame:
+    name = f"replay_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def _stream_agg_fn(spark, sf_dir):
+    cfg = TimeSeriesConfig(aggregation_type="min", bucket_size_msec=HOUR)
+    return _replay(stream_bucket_agg(_events_stream(spark, sf_dir), cfg), "complete")
+
+
+def _stream_session_fn(spark, sf_dir):
+    return _replay(
+        stream_session_agg(
+            _events_stream(spark, sf_dir), gap=f"{GAP_MS} milliseconds", agg_type="min"
+        ),
+        "complete",
+    )
+
+
+def _stream_scores_fn(spark, sf_dir):
+    cfg = TimeSeriesConfig(aggregation_type="avg", bucket_size_msec=HOUR)
+    return _replay(
+        streaming_bucket_scores(_events_stream(spark, sf_dir), cfg), "append"
+    )
+
+
+_STREAM_AGG_SQL = (
+    f"{_S} SELECT series_key, ts_ms - ts_ms % {HOUR} AS ts_ms, "
+    f"MIN(value) AS value FROM series GROUP BY series_key, ts_ms - ts_ms % {HOUR}"
+)
+
+# Session windows as gaps-and-islands: a row starts a new session when
+# its gap to the previous row is >= GAP_MS (Spark merges only strictly
+# overlapping [ts, ts+gap) intervals); session end = last ts + gap.
+_STREAM_SESSION_SQL = (
+    f"{_S}, x AS (SELECT series_key, ts_ms, seq, value, CASE WHEN "
+    f"ts_ms - LAG(ts_ms) OVER w >= {GAP_MS} OR "
+    "LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s FROM series "
+    "WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms, seq)), "
+    "y AS (SELECT *, SUM(new_s) OVER (PARTITION BY series_key ORDER BY ts_ms, seq "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
+    "SELECT series_key, MIN(ts_ms) AS session_start_ms, "
+    f"MAX(ts_ms) + {GAP_MS} AS session_end_ms, COUNT(*) AS n_points, "
+    "MIN(value) AS value FROM y GROUP BY series_key, sid"
+)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_bucket_agg_replay": QuerySpec(_stream_agg_fn, _STREAM_AGG_SQL),
+    "stream_session_agg_replay": QuerySpec(_stream_session_fn, _STREAM_SESSION_SQL),
+    "stream_bucket_scores_replay": QuerySpec(_stream_scores_fn, None),
+}

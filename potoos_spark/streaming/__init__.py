@@ -1,0 +1,30 @@
+"""Structured-Streaming tier: the batch surface over unbounded streams.
+
+``aggregate`` — watermarked tumbling/sliding/session windows + latest
+dedup sharing the batch aggregator table; ``stateful`` — cross-batch
+EMA detector state via applyInPandasWithState; ``monitor`` — the
+reference's polling monitor as foreachBatch, plus a fully incremental
+scoring plan.
+"""
+
+from .aggregate import (
+    DEFAULT_WATERMARK,
+    stream_bucket_agg,
+    stream_latest_dedup,
+    stream_session_agg,
+    with_event_time,
+)
+from .monitor import monitor_stream, score_stream
+from .stateful import streaming_bucket_scores, streaming_scores
+
+__all__ = [
+    "DEFAULT_WATERMARK",
+    "stream_bucket_agg",
+    "stream_latest_dedup",
+    "stream_session_agg",
+    "with_event_time",
+    "monitor_stream",
+    "score_stream",
+    "streaming_bucket_scores",
+    "streaming_scores",
+]

@@ -1,0 +1,139 @@
+"""Structured-Streaming retrieval surface (SURVEY.md §7 Phase 3).
+
+The batch retrieval operators (A1-A16) re-expressed over unbounded
+streams: the same 12 aggregators run inside event-time ``window()``
+groups with watermark-driven state eviction. Batch and streaming share
+one aggregator table (``operators.retrieval._AGG_EXPRS``) so semantics
+cannot drift between the two modes — Structured Streaming's unified
+model is the whole point of the Spark-first rebuild (the reference's
+closest analogue is a driver-side polling loop,
+/root/reference/potoos/client.py:113-139).
+
+Input contract: the canonical series frame ``(series_key, ts_ms, value
+[, seq])`` as a *streaming* DataFrame. ``with_event_time`` derives the
+TimestampType column watermarks require.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..config import TimeSeriesConfig
+from ..operators.retrieval import _AGG_EXPRS
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def with_event_time(sdf: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Attach ``event_time`` (TimestampType from ts_ms) + the watermark.
+
+    The watermark bounds aggregation state: buckets older than
+    max(event_time) - delay are finalized, emitted, and evicted — this is
+    what makes A1-A16 runnable over an unbounded stream with bounded
+    executor memory.
+    """
+    return sdf.withColumn("event_time", F.timestamp_millis(F.col("ts_ms"))).withWatermark(
+        "event_time", watermark
+    )
+
+
+def _agg_value(agg_type: str, tie: Column) -> Column:
+    expr = _AGG_EXPRS[agg_type]()
+    if agg_type in ("std.s", "var.s"):
+        expr = F.when(~F.isnan(expr), expr)
+    return expr.cast("double").alias("value")
+
+
+def _bucket_label(b: int, bucket_timestamp: Optional[str]) -> Column:
+    start = F.unix_millis(F.col("window.start"))
+    if bucket_timestamp == "~":
+        return (start + F.lit(b // 2)).cast("bigint")
+    if bucket_timestamp == "+":
+        return F.unix_millis(F.col("window.end")).cast("bigint")
+    return start.cast("bigint")
+
+
+def stream_bucket_agg(
+    sdf: DataFrame,
+    cfg: Optional[TimeSeriesConfig] = None,
+    watermark: str = DEFAULT_WATERMARK,
+    slide_msec: Optional[int] = None,
+) -> DataFrame:
+    """A1-A14 over a stream: tumbling (or sliding, with ``slide_msec``)
+    event-time windows per series. Align (A13) maps to the window
+    ``startTime`` offset; bucket labeling (A14) reads window.start/end.
+
+    Output: (series_key, ts_ms, value) — identical schema and bucket
+    arithmetic as the batch ``apply_aggregation``, so a stream fed the
+    same rows converges to the batch answer.
+    """
+    cfg = cfg or TimeSeriesConfig()
+    if cfg.aggregation_type is None:
+        raise ValueError("stream_bucket_agg requires cfg.aggregation_type")
+    b = int(cfg.bucket_size_msec)
+    dur = f"{b} milliseconds"
+    slide = f"{int(slide_msec)} milliseconds" if slide_msec else dur
+    offset = f"{cfg.align_offset_ms()} milliseconds"
+
+    if "event_time" not in sdf.columns:
+        sdf = with_event_time(sdf, watermark)
+    tie = F.col("seq") if "seq" in sdf.columns else F.col("value")
+    win = F.window(F.col("event_time"), dur, slide, offset)
+    out = (
+        sdf.withColumn("__tie", tie)
+        .groupBy("series_key", win.alias("window"))
+        .agg(_agg_value(cfg.aggregation_type, tie))
+    )
+    return out.select(
+        "series_key", _bucket_label(b, cfg.bucket_timestamp).alias("ts_ms"), "value"
+    )
+
+
+def stream_session_agg(
+    sdf: DataFrame,
+    gap: str,
+    agg_type: str = "avg",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Session-window aggregation: activity bursts per series separated
+    by ``gap`` of silence (extension — the reference has no session
+    concept). Emits (series_key, session_start_ms, session_end_ms,
+    n_points, value)."""
+    if "event_time" not in sdf.columns:
+        sdf = with_event_time(sdf, watermark)
+    tie = F.col("seq") if "seq" in sdf.columns else F.col("value")
+    out = (
+        sdf.withColumn("__tie", tie)
+        .groupBy("series_key", F.session_window(F.col("event_time"), gap).alias("w"))
+        .agg(F.count("*").alias("n_points"), _agg_value(agg_type, tie))
+    )
+    return out.select(
+        "series_key",
+        F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+        F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+        "n_points",
+        "value",
+    )
+
+
+def stream_latest_dedup(
+    sdf: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """A15 over a stream: latest ingested value per (series_key, ts_ms),
+    ties broken by the ``seq`` ingestion sequence. Grouping on the
+    event-time column itself lets the watermark evict per-timestamp
+    state once no more duplicates can arrive.
+    """
+    if "event_time" not in sdf.columns:
+        sdf = with_event_time(sdf, watermark)
+    tie = F.col("seq") if "seq" in sdf.columns else F.col("value")
+    return (
+        sdf.withColumn("__tie", tie)
+        .groupBy("series_key", "event_time")
+        .agg(F.max_by("value", F.col("__tie")).alias("value"))
+        .select(
+            "series_key", F.unix_millis(F.col("event_time")).alias("ts_ms"), "value"
+        )
+    )

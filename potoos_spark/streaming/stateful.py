@@ -1,0 +1,280 @@
+"""Stateful streaming detectors: cross-micro-batch EMA scoring.
+
+The sequential detectors (D1 derivative / D2 exp_avg,
+detectors/sequential.py) carry per-series recurrence state that must
+survive micro-batch boundaries; ``applyInPandasWithState`` holds that
+state in the streaming state store, keyed by ``series_key``.
+
+Streaming variants are **prefix-causal**: the batch detectors normalize
+scores by the whole-series stddev (which needs the future); a stream
+can only know the past, so the normalizer here is the running sample
+stddev over everything seen so far. The EMA recurrence itself is
+bit-identical to batch (``ema_i = a*v_i + (1-a)*ema_{i-1}``,
+``ema_0 = v_0``); running stats use Welford's algorithm, so results are
+**micro-batch-boundary invariant**: any ordered split of the stream
+into batches yields identical scores (tests/test_streaming.py pins
+this).
+
+``streaming_bucket_scores`` additionally folds the A1-A12 tumbling
+bucket aggregation into the same state machine: Spark forbids chaining
+``applyInPandasWithState`` after a streaming aggregation, and at scale
+one stateful pass beats two stateful operators anyway. The open
+bucket's accumulators (sum/cnt/min/max/first/last/sum-of-squares —
+enough for all 12 aggregators) live in state; a bucket finalizes when
+a point from a later bucket arrives, and the finalized value feeds the
+scoring recurrence.
+
+Arrival contract: rows arrive per-series in ts order (the usual shape
+for metric streams; put ``stream_latest_dedup`` or a watermarked sort
+upstream for out-of-order feeds). Rows within a batch are sorted by
+ts_ms before applying the recurrence.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..config import TimeSeriesConfig
+
+OUT_SCHEMA = "series_key string, ts_ms bigint, value double, score double"
+
+# cnt/ema over the scored quantity; mean/m2 = Welford running stats of it;
+# last_v/last_t support the derivative's dv/dt.
+_SCORE_FIELDS = (
+    "cnt bigint, ema double, mean double, m2 double, last_v double, last_t double"
+)
+SCORE_STATE_SCHEMA = _SCORE_FIELDS
+# + the open bucket's accumulators (bkt = -2^63 sentinel for "no bucket yet").
+BUCKET_STATE_SCHEMA = _SCORE_FIELDS + (
+    ", bkt bigint, a_cnt bigint, a_sum double, a_min double, a_max double,"
+    " a_first double, a_last double, a_sum2 double"
+)
+
+_NO_BUCKET = -(2**63)
+
+
+class _Scorer:
+    """The prefix-causal scoring recurrence shared by both stateful ops."""
+
+    __slots__ = (
+        "alpha", "derivative", "cnt", "ema", "mean", "m2", "last_v", "last_t", "_n"
+    )
+
+    def __init__(self, alpha: float, derivative: bool, packed: Optional[tuple]):
+        self.alpha = alpha
+        self.derivative = derivative
+        if packed is None:
+            self.cnt, self.ema, self.mean, self.m2 = 0, 0.0, 0.0, 0.0
+            self.last_v, self.last_t = 0.0, 0.0
+        else:
+            (self.cnt, self.ema, self.mean, self.m2, self.last_v, self.last_t) = packed
+        # Welford sample count. Both paths keep it equal to cnt (the
+        # derivative's d_0 = d_1 duplicate makes d-count == point count),
+        # so it reconstructs from persisted state for free.
+        self._n = self.cnt
+
+    def packed(self) -> tuple:
+        return (self.cnt, self.ema, self.mean, self.m2, self.last_v, self.last_t)
+
+    def step(self, t: int, v: float) -> float:
+        a, b = self.alpha, 1.0 - self.alpha
+        if self.derivative:
+            if self.cnt == 0:
+                score = 0.0  # batch sets d_0 = d_1 → score_0 ≡ 0
+            else:
+                dt = (t - self.last_t) / 1000.0 or 1.0
+                d = abs(v - self.last_v) / dt
+                if self.cnt == 1:
+                    self.ema = d
+                    # mirror batch's d_0 = d_1 duplicate in the stats
+                    for _ in range(2):
+                        self._add_stat(d)
+                else:
+                    self.ema = a * d + b * self.ema
+                    self._add_stat(d)
+                std = self._std()
+                score = abs(d - self.ema) / std if std > 0 else 0.0
+        else:
+            self.ema = v if self.cnt == 0 else a * v + b * self.ema
+            self._add_stat(v)
+            std = self._std()
+            score = abs(v - self.ema) / std if std > 0 else 0.0
+        self.cnt += 1
+        self.last_v, self.last_t = v, float(t)
+        return score
+
+    def _add_stat(self, x: float) -> None:
+        self._n += 1
+        delta = x - self.mean
+        self.mean += delta / self._n
+        self.m2 += delta * (x - self.mean)
+
+    def _std(self) -> float:
+        if self._n < 2:
+            return 0.0
+        return math.sqrt(self.m2 / (self._n - 1))
+
+
+def _mk_scorer_kwargs(algorithm: str, smoothing_factor: float):
+    if algorithm not in ("exp_avg_detector", "derivative_detector"):
+        raise ValueError(f"unsupported streaming algorithm {algorithm!r}")
+    return float(smoothing_factor), algorithm == "derivative_detector"
+
+
+def streaming_scores(
+    sdf: DataFrame,
+    algorithm: str = "exp_avg_detector",
+    smoothing_factor: float = 0.2,
+) -> DataFrame:
+    """Score a streaming series frame point-by-point with persistent
+    per-series state. ``algorithm`` ∈ {exp_avg_detector,
+    derivative_detector} — the two recurrence-state detectors; the
+    stateless detectors are plain column expressions on the stream."""
+    alpha, derivative = _mk_scorer_kwargs(algorithm, smoothing_factor)
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        sc = _Scorer(alpha, derivative, state.get if state.exists else None)
+        for pdf in batches:
+            pdf = pdf.sort_values("ts_ms").reset_index(drop=True)
+            scores = [
+                sc.step(int(t), float(v))
+                for t, v in zip(pdf["ts_ms"], pdf["value"])
+            ]
+            out = pdf[["ts_ms", "value"]].copy()
+            out.insert(0, "series_key", key[0])
+            out["score"] = scores
+            yield out
+        state.update(sc.packed())
+
+    return (
+        sdf.select("series_key", "ts_ms", "value")
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            fn, OUT_SCHEMA, SCORE_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def _bucket_value(agg: str, cnt, s, mn, mx, first, last, s2) -> Optional[float]:
+    if cnt == 0:
+        return None
+    mean = s / cnt
+    if agg == "avg":
+        return mean
+    if agg == "sum":
+        return s
+    if agg == "min":
+        return mn
+    if agg == "max":
+        return mx
+    if agg == "range":
+        return mx - mn
+    if agg == "count":
+        return float(cnt)
+    if agg == "first":
+        return first
+    if agg == "last":
+        return last
+    var_p = max(s2 / cnt - mean * mean, 0.0)
+    if agg == "var.p":
+        return var_p
+    if agg == "std.p":
+        return math.sqrt(var_p)
+    if cnt < 2:
+        return None  # sample variance of 1 point: NULL (engine convention)
+    var_s = max((s2 - cnt * mean * mean) / (cnt - 1), 0.0)
+    if agg == "var.s":
+        return var_s
+    if agg == "std.s":
+        return math.sqrt(var_s)
+    raise ValueError(f"unknown aggregation_type {agg!r}")
+
+
+def streaming_bucket_scores(
+    sdf: DataFrame,
+    ts_cfg: TimeSeriesConfig,
+    algorithm: str = "derivative_detector",
+    smoothing_factor: float = 0.2,
+) -> DataFrame:
+    """One stateful pass: tumbling-bucket aggregation (A1-A12, with A13
+    align and A14 labels) + prefix-causal EMA scoring of the bucket
+    series. A bucket finalizes when the series' first later-bucket point
+    arrives; the trailing open bucket stays pending (it is still
+    accumulating — emitting it early would re-score history).
+
+    Output rows: (series_key, ts_ms = bucket label, value = bucket
+    aggregate, score)."""
+    if ts_cfg.aggregation_type is None:
+        raise ValueError("streaming_bucket_scores requires cfg.aggregation_type")
+    agg = ts_cfg.aggregation_type
+    b = int(ts_cfg.bucket_size_msec)
+    offset = ts_cfg.align_offset_ms()
+    label_shift = {"~": b // 2, "+": b}.get(ts_cfg.bucket_timestamp or "-", 0)
+    alpha, derivative = _mk_scorer_kwargs(algorithm, smoothing_factor)
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            packed = state.get
+            sc = _Scorer(alpha, derivative, packed[:6])
+            bkt, a_cnt, a_sum, a_min, a_max, a_first, a_last, a_sum2 = packed[6:]
+        else:
+            sc = _Scorer(alpha, derivative, None)
+            bkt, a_cnt = _NO_BUCKET, 0
+            a_sum = a_min = a_max = a_first = a_last = a_sum2 = 0.0
+
+        for pdf in batches:
+            pdf = pdf.sort_values("ts_ms").reset_index(drop=True)
+            out_ts, out_v, out_s = [], [], []
+            for t, v in zip(pdf["ts_ms"], pdf["value"]):
+                t, v = int(t), float(v)
+                cur = t - (t - offset) % b
+                if cur != bkt:
+                    if bkt != _NO_BUCKET:
+                        val = _bucket_value(
+                            agg, a_cnt, a_sum, a_min, a_max, a_first, a_last, a_sum2
+                        )
+                        if val is not None:
+                            label = bkt + label_shift
+                            out_ts.append(label)
+                            out_v.append(val)
+                            out_s.append(sc.step(label, val))
+                    bkt, a_cnt = cur, 0
+                    a_sum = a_sum2 = 0.0
+                    a_min = a_max = a_first = a_last = v
+                a_cnt += 1
+                a_sum += v
+                a_sum2 += v * v
+                a_min = min(a_min, v)
+                a_max = max(a_max, v)
+                a_last = v
+            if out_ts:
+                yield pd.DataFrame(
+                    {
+                        "series_key": key[0],
+                        "ts_ms": pd.Series(out_ts, dtype="int64"),
+                        "value": out_v,
+                        "score": out_s,
+                    }
+                )
+        state.update(
+            sc.packed()
+            + (bkt, a_cnt, a_sum, a_min, a_max, a_first, a_last, a_sum2)
+        )
+
+    return (
+        sdf.select("series_key", "ts_ms", "value")
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            fn, OUT_SCHEMA, BUCKET_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )
