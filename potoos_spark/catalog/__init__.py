@@ -4,11 +4,21 @@
 from __future__ import annotations
 
 from .common import QuerySpec
-from . import detectors, pipeline, relational, streaming, timeseries
+from . import (
+    detectors,
+    mllib,
+    pipeline,
+    relational,
+    relational_ext,
+    streaming,
+    timeseries,
+)
 
 CATALOG: dict[str, QuerySpec] = {}
 CATALOG.update(timeseries.QUERIES)
 CATALOG.update(detectors.QUERIES)
 CATALOG.update(relational.QUERIES)
+CATALOG.update(relational_ext.QUERIES)
 CATALOG.update(pipeline.QUERIES)
 CATALOG.update(streaming.QUERIES)
+CATALOG.update(mllib.QUERIES)

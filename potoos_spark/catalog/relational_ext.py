@@ -1,0 +1,202 @@
+"""Oracle-checked catalog: relational surface extensions — set
+operations, outer joins, correlated subqueries, JSON scalars,
+conditional and multi-distinct aggregation.
+
+Same exactness rules as relational.py: DECIMAL accumulation for money,
+BIGINT keys, string dates. The correlated-subquery threshold compares
+doubles derived from exact decimal sums with the identical formula on
+both engines, so the filter decisions match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import QuerySpec, table
+
+
+# --- set operations ---------------------------------------------------------
+
+def _union_all_fn(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.lit("customer").alias("side"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey"),
+        F.lit("supplier").alias("side"),
+    )
+    return c.unionAll(s).groupBy("nationkey", "side").agg(F.count("*").alias("n"))
+
+
+_UNION_ALL_SQL = (
+    "SELECT nationkey, side, COUNT(*) AS n FROM ("
+    "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, 'customer' AS side FROM customer "
+    "UNION ALL "
+    "SELECT CAST(s_nationkey AS BIGINT) AS nationkey, 'supplier' AS side FROM supplier"
+    ") GROUP BY nationkey, side"
+)
+
+
+def _intersect_fn(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+_INTERSECT_SQL = (
+    "SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer "
+    "INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier"
+)
+
+
+def _except_fn(spark, sf_dir):
+    # customers who placed urgent orders but never low-priority ones
+    # (subtract = SQL EXCEPT set semantics, not exceptAll multiset)
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").cast("bigint").alias("custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").cast("bigint").alias("custkey")
+    )
+    return urgent.subtract(low)
+
+
+_EXCEPT_SQL = (
+    "SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders "
+    "WHERE o_orderpriority = '1-URGENT' "
+    "EXCEPT SELECT CAST(o_custkey AS BIGINT) FROM orders "
+    "WHERE o_orderpriority = '5-LOW'"
+)
+
+
+# --- outer join -------------------------------------------------------------
+
+def _outer_join_fn(spark, sf_dir):
+    """Left outer: every nation with its customer count (0 when none) —
+    the dim side stays complete, the fact side aggregates first so the
+    join is dim × pre-aggregated counts (shuffle-free on the dim)."""
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("nationkey"), "n_name"
+    )
+    counts = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return n.join(counts, "nationkey", "left").select(
+        "nationkey",
+        "n_name",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+    )
+
+
+_OUTER_JOIN_SQL = (
+    "SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name, "
+    "COALESCE(c.n_customers, 0) AS n_customers FROM nation "
+    "LEFT JOIN (SELECT CAST(c_nationkey AS BIGINT) AS k, COUNT(*) AS n_customers "
+    "FROM customer GROUP BY 1) c ON c.k = CAST(n_nationkey AS BIGINT)"
+)
+
+
+# --- correlated scalar subquery (TPC-H Q17 shape) ---------------------------
+
+def _correlated_fn(spark, sf_dir):
+    """Small-quantity-order revenue: lineitems below 50% of their part's
+    average quantity. The correlated subquery decorrelates to a
+    per-part aggregate + equi-join (what Catalyst does to EXISTS /
+    scalar subqueries too)."""
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(8,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity").cast("double") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+_CORRELATED_SQL = (
+    "WITH pp AS (SELECT l_partkey AS pk, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_qty "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price, "
+    "COUNT(*) AS n_small FROM lineitem JOIN pp ON l_partkey = pk "
+    "WHERE CAST(l_quantity AS DOUBLE) < 0.5 * avg_qty"
+)
+
+
+# --- JSON scalar functions ---------------------------------------------------
+
+def _scalar_json_fn(spark, sf_dir):
+    """JSON extraction on the events.props payload column — scan-local
+    string work, zero shuffles besides the final aggregate."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_SCALAR_JSON_SQL = (
+    "SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k, MIN(k) AS min_k, "
+    "MAX(k) AS max_k FROM (SELECT event_type, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
+    "GROUP BY event_type"
+)
+
+
+# --- conditional + multi-distinct aggregation --------------------------------
+
+def _conditional_agg_fn(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    return o.groupBy(F.year("o_orderdate").cast("bigint").alias("yr")).agg(
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", price)).cast("double").alias("rev_f"),
+        F.count_distinct(F.col("o_custkey")).alias("n_custs"),
+        F.count_distinct(F.col("o_orderpriority")).alias("n_prios"),
+    )
+
+
+_CONDITIONAL_AGG_SQL = (
+    "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, "
+    "COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent, "
+    "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) "
+    "AS DOUBLE) AS rev_f, "
+    "COUNT(DISTINCT o_custkey) AS n_custs, "
+    "COUNT(DISTINCT o_orderpriority) AS n_prios "
+    "FROM orders GROUP BY 1"
+)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q_union_all": QuerySpec(_union_all_fn, _UNION_ALL_SQL),
+    "q_intersect": QuerySpec(_intersect_fn, _INTERSECT_SQL),
+    "q_except": QuerySpec(_except_fn, _EXCEPT_SQL),
+    "q_outer_join": QuerySpec(_outer_join_fn, _OUTER_JOIN_SQL),
+    "q_correlated_avg": QuerySpec(_correlated_fn, _CORRELATED_SQL),
+    "q_scalar_json": QuerySpec(_scalar_json_fn, _SCALAR_JSON_SQL),
+    "q_conditional_agg": QuerySpec(_conditional_agg_fn, _CONDITIONAL_AGG_SQL),
+}
