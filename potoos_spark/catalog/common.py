@@ -43,13 +43,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical many-series frame from ``events``; ns → ms floor division
-    on both engines (DuckDB's epoch_ms truncates the same way)."""
+    on both engines (DuckDB's epoch_ms truncates the same way). Carries
+    the raw nano column so time filters push down to the parquet scan
+    (retrieval.RAW_TS_COL unit-conversion rule)."""
+    from ..operators.retrieval import series_frame
+
     ev = table(spark, sf_dir, "events")
-    return ev.select(
-        F.col("event_type").alias("series_key"),
-        F.expr("ts DIV 1000000").alias("ts_ms"),
-        F.col("value"),
-        F.col("event_id").alias("seq"),
+    return series_frame(
+        ev,
+        "event_type",
+        F.expr("ts DIV 1000000"),
+        "value",
+        seq="event_id",
+        raw_ts="ts",
+        raw_units_per_ms=1_000_000,
     )
 
 

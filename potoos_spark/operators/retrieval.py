@@ -24,6 +24,15 @@ from ..config import TimeSeriesConfig
 
 SERIES_COLS = ("series_key", "ts_ms", "value")
 
+# Raw storage-timestamp passthrough: when ts_ms is *derived* (e.g.
+# ``ts DIV 1000000`` over nano storage), parquet can only push plain
+# column references — a filter on the derived column loses row-group
+# skipping. series_frame keeps the raw column as __raw_ts with its
+# units-per-ms factor in column metadata; apply_filters translates time
+# bounds back into raw units so the pushdown reaches the scan.
+RAW_TS_COL = "__raw_ts"
+RAW_TS_SCALE_KEY = "units_per_ms"
+
 
 def series_frame(
     df: DataFrame,
@@ -31,11 +40,15 @@ def series_frame(
     ts: str | Column,
     value: str | Column,
     seq: str | Column | None = None,
+    raw_ts: str | None = None,
+    raw_units_per_ms: int = 1,
 ) -> DataFrame:
     """Normalize any source DataFrame into the canonical series frame.
 
     ``ts`` may be a TimestampType column (converted to epoch ms) or an
-    integral column already in ms.
+    integral column already in ms. Pass ``raw_ts`` (a *storage column
+    name*) + ``raw_units_per_ms`` when ``ts`` is derived from a finer
+    unit, so time filters keep hitting the parquet scan (see RAW_TS_COL).
     """
     key_col = F.col(series_key) if isinstance(series_key, str) else series_key
     ts_col = F.col(ts) if isinstance(ts, str) else ts
@@ -53,6 +66,12 @@ def series_frame(
     if seq is not None:
         seq_col = F.col(seq) if isinstance(seq, str) else seq
         cols.append(seq_col.cast("bigint").alias("seq"))
+    if raw_ts is not None:
+        cols.append(
+            F.col(raw_ts).alias(
+                RAW_TS_COL, metadata={RAW_TS_SCALE_KEY: int(raw_units_per_ms)}
+            )
+        )
     return df.select(*cols)
 
 
@@ -66,7 +85,13 @@ def events_series(spark, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return series_frame(
-        ev, "event_type", F.expr("ts DIV 1000000"), "value", seq="event_id"
+        ev,
+        "event_type",
+        F.expr("ts DIV 1000000"),
+        "value",
+        seq="event_id",
+        raw_ts="ts",
+        raw_units_per_ms=1_000_000,
     )
 
 
@@ -107,13 +132,27 @@ def apply_filters(df: DataFrame, cfg: TimeSeriesConfig) -> DataFrame:
 
     All plain comparisons on scan columns → Catalyst pushes them into the
     Parquet reader (min/max row-group skipping), which is the Spark
-    equivalent of the reference's server-side pushdown.
+    equivalent of the reference's server-side pushdown. When the frame
+    carries a raw storage timestamp (RAW_TS_COL), the time bounds are
+    ALSO applied in raw units — a derived ts_ms (e.g. ``ts DIV 1e6``)
+    is not a plain column reference, so without the raw-unit twin the
+    scan would read every row group.
     """
     lo, hi = cfg.lower_ms(), cfg.upper_ms()
+    raw_scale = None
+    if RAW_TS_COL in df.columns:
+        meta = df.schema[RAW_TS_COL].metadata
+        raw_scale = int(meta.get(RAW_TS_SCALE_KEY, 1))
     if lo is not None:
         df = df.filter(F.col("ts_ms") >= lo)
+        if raw_scale:
+            # ts_ms = raw DIV scale >= lo  ⇔  raw >= lo * scale
+            df = df.filter(F.col(RAW_TS_COL) >= lo * raw_scale)
     if hi is not None:
         df = df.filter(F.col("ts_ms") <= hi)
+        if raw_scale:
+            # ts_ms <= hi  ⇔  raw < (hi+1) * scale
+            df = df.filter(F.col(RAW_TS_COL) <= (hi + 1) * raw_scale - 1)
     if cfg.filter_by_ts is not None:
         df = df.filter(F.col("ts_ms").isin(*[int(t) for t in cfg.filter_by_ts]))
     if cfg.filter_by_min_value is not None:

@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the scale properties SCALE.md claims
+must be visible in `.explain` output, not just asserted in prose.
+
+These pin: predicate pushdown reaching the parquet scan, column
+pruning, broadcast joins for small dims, partial (map-side)
+aggregation, top-k compiling to TakeOrderedAndProject, and
+whole-stage codegen coverage of the scan→agg pipeline.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from potoos_spark.catalog import CATALOG
+from tests.conftest import SF_DIR
+
+
+def _plan(df, mode="formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_time_filter_pushed_to_scan(spark):
+    df = CATALOG["ts_scan_range"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    # the ts bound must appear among the pushed filters, not only post-scan
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+    assert any("GreaterThanOrEqual(ts" in l or "LessThanOrEqual(ts" in l for l in pushed), pushed
+
+
+def test_q6_pushes_all_three_predicates(spark):
+    plan = _plan(CATALOG["q6_revenue"].fn(spark, SF_DIR))
+    pushed = "".join(l for l in plan.splitlines() if "PushedFilters:" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q1_prunes_columns(spark):
+    plan = _plan(CATALOG["q1_pricing_summary"].fn(spark, SF_DIR))
+    read = "".join(l for l in plan.splitlines() if "ReadSchema:" in l)
+    # 7 of lineitem's 16 columns are needed; the rest must not be read
+    assert "l_orderkey" not in read and "l_comment" not in read and "l_shipmode" not in read
+
+
+def test_q5_broadcasts_small_dims(spark):
+    plan = _plan(CATALOG["q5_region_volume"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "small dims should broadcast"
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(CATALOG["q1_pricing_summary"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, "expected partial->final HashAggregate"
+    assert "partial_sum" in plan
+
+
+def test_top_k_is_take_ordered(spark):
+    plan = _plan(CATALOG["q3_shipping_priority"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, "orderBy+limit should compile to top-k"
+
+
+def test_scan_agg_whole_stage_codegen(spark):
+    df = CATALOG["q6_revenue"].fn(spark, SF_DIR)
+    # AQE hides codegen spans until execution; codegen mode shows them up front
+    plan = _plan(df, "codegen")
+    assert "WholeStageCodegen" in plan
+
+
+def test_latest_dedup_is_aggregate_not_window(spark):
+    plan = _plan(CATALOG["ts_latest_dedup"].fn(spark, SF_DIR))
+    assert "max_by" in plan or "HashAggregate" in plan
+    assert "Window" not in plan, "latest dedup must combine map-side, not rank"
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = _plan(CATALOG["knn_bruteforce"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_single_shuffle_bucket_agg(spark):
+    from potoos_spark.config import TimeSeriesConfig
+    from potoos_spark.operators.retrieval import apply_aggregation
+    from potoos_spark.catalog.common import events_frame
+
+    cfg = TimeSeriesConfig(aggregation_type="avg", bucket_size_msec=3_600_000)
+    plan = _plan(apply_aggregation(events_frame(spark, SF_DIR), cfg), "simple")
+    # one exchange: the partial->final agg shuffle; no extra sorts/shuffles
+    assert plan.count("Exchange") == 1, plan

@@ -143,5 +143,7 @@ def test_metadata_arithmetic(series4):
 
 def test_series_frame_from_events(spark):
     df = R.events_series(spark, "/root/testdata/sf0.001")
-    assert df.columns == ["series_key", "ts_ms", "value", "seq"]
+    # __raw_ts: the storage-unit twin column that keeps time filters
+    # pushdown-eligible (dropped by read_series output projection)
+    assert df.columns == ["series_key", "ts_ms", "value", "seq", "__raw_ts"]
     assert df.count() > 0
