@@ -1,0 +1,84 @@
+"""Skew-resistant aggregation (SURVEY.md §7 Phase 5 — 100 TB hardening).
+
+A hot series key (one metric emitting 1000× its peers) turns the
+single hash-partitioned aggregation into one straggler task. AQE's
+skew handling splits skewed *joins* but not aggregation groups, so the
+classic fix is salting: aggregate in two stages —
+
+  stage 1: groupBy(key, salt)  — the hot key's rows spread over
+           ``n_salts`` partitions, each computing a partial aggregate;
+  stage 2: groupBy(key)        — combine the ≤ n_salts partials.
+
+The shuffle after stage 1 carries n_salts rows per key instead of every
+raw row, so the straggler disappears at the cost of one extra (tiny)
+shuffle. Only algebraic aggregates decompose this way; this module
+covers the ones the retrieval surface needs (sum/count/min/max/avg and
+the variance family via (n, Σx, Σx²) partials).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_DECOMPOSABLE = ("sum", "count", "min", "max", "avg", "var.p", "var.s", "std.p", "std.s")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str = "value",
+    agg_type: str = "sum",
+    n_salts: int = 32,
+    out_col: str = "value",
+) -> DataFrame:
+    """Two-stage salted aggregation of ``value_col`` by ``keys``.
+
+    Equivalent to ``df.groupBy(keys).agg(<agg>)`` but immune to hot
+    keys: stage 1 partials are computed per (keys, salt) where salt is
+    a uniform hash of the whole row's position — ``rand``-free
+    (deterministic plans matter for retries) via pmod over
+    ``monotonically_increasing_id``.
+    """
+    if agg_type not in _DECOMPOSABLE:
+        raise ValueError(
+            f"{agg_type!r} does not decompose into partials; "
+            f"supported: {_DECOMPOSABLE}"
+        )
+    keys = list(keys)
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(int(n_salts))).alias("__salt")
+    v = F.col(value_col)
+
+    partial = (
+        df.select(*keys, v.alias("__v"), salt)
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.sum("__v").alias("__s"),
+            F.sum(F.col("__v") * F.col("__v")).alias("__q"),
+            F.count("__v").alias("__n"),
+            F.min("__v").alias("__mn"),
+            F.max("__v").alias("__mx"),
+        )
+    )
+    final = partial.groupBy(*keys).agg(
+        F.sum("__s").alias("__s"),
+        F.sum("__q").alias("__q"),
+        F.sum("__n").alias("__n"),
+        F.min("__mn").alias("__mn"),
+        F.max("__mx").alias("__mx"),
+    )
+
+    s, q, n = F.col("__s"), F.col("__q"), F.col("__n")
+    exprs: dict[str, Column] = {
+        "sum": s,
+        "count": n.cast("double"),
+        "min": F.col("__mn"),
+        "max": F.col("__mx"),
+        "avg": s / n,
+        "var.p": (q - s * s / n) / n,
+        "var.s": F.when(n > 1, (q - s * s / n) / (n - 1)),
+        "std.p": F.sqrt(F.greatest((q - s * s / n) / n, F.lit(0.0))),
+        "std.s": F.when(n > 1, F.sqrt(F.greatest((q - s * s / n) / (n - 1), F.lit(0.0)))),
+    }
+    return final.select(*keys, exprs[agg_type].cast("double").alias(out_col))
