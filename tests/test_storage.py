@@ -1,0 +1,60 @@
+"""The bucketed series store must deliver its scale promises locally:
+round-trip fidelity, partition pruning on date, and shuffle-free
+groupBy/join on the bucketed series_key."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from potoos_spark.operators.retrieval import events_series
+from potoos_spark.operators.storage import read_series_store, write_series_store
+from tests.conftest import SF_DIR
+
+
+def _plan(df, mode="simple") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("series_store")
+    series = events_series(spark, SF_DIR).select("series_key", "ts_ms", "value", "seq")
+    write_series_store(series, "series_store_t", n_buckets=8, path=str(path / "t"))
+    yield "series_store_t"
+    spark.sql("DROP TABLE IF EXISTS series_store_t")
+
+
+def test_round_trip(spark, store):
+    orig = events_series(spark, SF_DIR).select("series_key", "ts_ms", "value", "seq")
+    back = read_series_store(spark, store)
+    assert back.count() == orig.count()
+    a = sorted(map(tuple, orig.collect()))
+    b = sorted(map(tuple, back.select("series_key", "ts_ms", "value", "seq").collect()))
+    assert a == b
+
+
+def test_time_bounds_prune_partitions(spark, store):
+    lo, hi = 1_704_412_800_000, 1_704_499_199_999  # one day
+    df = read_series_store(spark, store, from_ms=lo, to_ms=hi)
+    plan = _plan(df, "formatted")
+    # the date bounds must appear as partition filters, not data filters
+    part = "".join(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "date" in part, plan
+    rows = df.collect()
+    assert rows and all(lo <= r["ts_ms"] <= hi for r in rows)
+
+
+def test_groupby_series_key_is_shuffle_free(spark, store):
+    df = spark.table(store).groupBy("series_key").agg(F.count("*").alias("n"))
+    assert "Exchange" not in _plan(df), _plan(df)
+
+
+def test_self_join_on_series_key_is_shuffle_free(spark, store):
+    t = spark.table(store)
+    a = t.groupBy("series_key").agg(F.max("value").alias("mx"))
+    b = t.groupBy("series_key").agg(F.min("value").alias("mn"))
+    joined = a.join(b, "series_key")
+    assert "Exchange" not in _plan(joined), _plan(joined)
