@@ -147,7 +147,12 @@ class DetectorConfig:
             and self.algorithm_class is None
             and self.algorithm_name not in ALGORITHM_NAMES
         ):
-            raise ValueError(
-                f"unknown algorithm_name {self.algorithm_name!r}; "
-                f"expected one of {ALGORITHM_NAMES}"
-            )
+            # D8: names registered through the plugin registry are valid
+            # (the reference accepts any name and lets Luminol resolve it)
+            from .detectors.base import is_registered
+
+            if not is_registered(self.algorithm_name):
+                raise ValueError(
+                    f"unknown algorithm_name {self.algorithm_name!r}; "
+                    f"expected one of {ALGORITHM_NAMES} or a registered plugin"
+                )

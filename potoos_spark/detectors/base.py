@@ -35,6 +35,10 @@ def register_detector(name: str) -> Callable[[DetectorFn], DetectorFn]:
     return deco
 
 
+def is_registered(name: str) -> bool:
+    return name in _REGISTRY
+
+
 def get_detector(name: str) -> DetectorFn:
     try:
         return _REGISTRY[name]
