@@ -7,6 +7,7 @@ from .common import QuerySpec
 from . import (
     detectors,
     mllib,
+    mrange,
     pipeline,
     relational,
     relational_ext,
@@ -22,3 +23,4 @@ CATALOG.update(relational_ext.QUERIES)
 CATALOG.update(pipeline.QUERIES)
 CATALOG.update(streaming.QUERIES)
 CATALOG.update(mllib.QUERIES)
+CATALOG.update(mrange.QUERIES)

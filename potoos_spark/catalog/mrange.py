@@ -1,0 +1,55 @@
+"""Oracle-checked catalog: cross-series (MRANGE-style) and sliding
+batch aggregation. Exact aggregators only (min/max/count) so
+stream-of-doubles accumulation order can't perturb the hash."""
+
+from __future__ import annotations
+
+from .common import EVENTS_SQL, QuerySpec, events_frame
+from ..operators.mrange import mrange_agg, sliding_bucket_agg
+
+HOUR = 3_600_000
+SLIDE = 1_800_000  # 30 min slide, 1h windows → overlap factor 2
+
+_S = f"WITH series AS ({EVENTS_SQL})"
+
+
+def _mrange_fn(spark, sf_dir):
+    return mrange_agg(
+        events_frame(spark, sf_dir),
+        bucket_ms=HOUR,
+        agg_type="max",
+        reduce_type="min",
+        series_filter=["click", "view", "error"],
+    )
+
+
+# per-(series, hour) max, then per-hour min across the three series
+_MRANGE_SQL = (
+    f"{_S}, ps AS (SELECT series_key, ts_ms - ts_ms % {HOUR} AS ts_ms, "
+    "MAX(value) AS value FROM series "
+    "WHERE series_key IN ('click', 'view', 'error') "
+    f"GROUP BY series_key, ts_ms - ts_ms % {HOUR}) "
+    "SELECT ts_ms, MIN(value) AS value, COUNT(DISTINCT series_key) AS n_series "
+    "FROM ps GROUP BY ts_ms"
+)
+
+
+def _sliding_fn(spark, sf_dir):
+    return sliding_bucket_agg(
+        events_frame(spark, sf_dir), bucket_ms=HOUR, slide_ms=SLIDE, agg_type="min"
+    )
+
+
+# each point lands in 2 overlapping windows: anchor and anchor - slide
+_SLIDING_SQL = (
+    f"{_S}, e AS (SELECT series_key, unnest(["
+    f"ts_ms - ts_ms % {SLIDE}, ts_ms - ts_ms % {SLIDE} - {SLIDE}"
+    "]) AS ts_ms, value FROM series) "
+    "SELECT series_key, ts_ms, MIN(value) AS value FROM e GROUP BY series_key, ts_ms"
+)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ts_mrange_reduce": QuerySpec(_mrange_fn, _MRANGE_SQL),
+    "ts_sliding_window": QuerySpec(_sliding_fn, _SLIDING_SQL),
+}

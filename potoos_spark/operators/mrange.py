@@ -1,0 +1,104 @@
+"""Cross-series aggregation — the ``TS.MRANGE``/``GROUPBY``/``REDUCE``
+surface the reference never wrapped (SURVEY.md §2.6: only single-key
+``range``/``revrange`` is exposed, /root/reference/potoos/client.py:56-59).
+
+Semantics follow the published RedisTimeSeries command: select a set of
+series by filter, bucket each in time, then REDUCE across series per
+bucket (sum/min/max/avg/count/...). In the canonical many-series frame
+this is one aggregation — ``groupBy(bucket [, group_label])`` — because
+series already live side by side in the DataFrame; the per-series →
+cross-series pipeline needs no second pass:
+
+  per-bucket-per-series agg (map combine) → per-bucket reduce
+
+collapses into a single ``groupBy`` when the reducer and the bucket
+aggregator compose (sum∘sum, min∘min, ...); when they don't (e.g.
+avg-of-per-series-avgs), we run the two-level form explicitly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .retrieval import _AGG_EXPRS, bucket_start
+
+
+def mrange_agg(
+    df: DataFrame,
+    bucket_ms: int,
+    agg_type: str = "avg",
+    reduce_type: Optional[str] = None,
+    series_filter: Optional[Sequence[str]] = None,
+    align_offset_ms: int = 0,
+) -> DataFrame:
+    """Aggregate ACROSS series per time bucket.
+
+    * ``series_filter``: keep only these series_keys (RTS FILTER).
+    * ``agg_type``: per-(series, bucket) aggregation (A1-A12).
+    * ``reduce_type``: cross-series reducer per bucket; defaults to
+      ``agg_type`` when composable. Output: (ts_ms, value, n_series).
+    """
+    reduce_type = reduce_type or agg_type
+    if series_filter is not None:
+        df = df.filter(F.col("series_key").isin(list(series_filter)))
+    bucket = bucket_start(F.col("ts_ms"), bucket_ms, align_offset_ms)
+
+    tie = F.col("seq") if "seq" in df.columns else F.col("value")
+    per_series = (
+        df.withColumn("__tie", tie)
+        .groupBy("series_key", bucket.alias("bucket_ms"))
+        .agg(_AGG_EXPRS[agg_type]().cast("double").alias("value"))
+        .withColumnRenamed("bucket_ms", "ts_ms")
+    )
+    reducer: Column = {
+        "sum": F.sum("value"),
+        "min": F.min("value"),
+        "max": F.max("value"),
+        "avg": F.avg("value"),
+        "count": F.count("value").cast("double"),
+        "range": F.max("value") - F.min("value"),
+    }[reduce_type]
+    return (
+        per_series.groupBy("ts_ms")
+        .agg(
+            reducer.cast("double").alias("value"),
+            F.count_distinct("series_key").alias("n_series"),
+        )
+    )
+
+
+def sliding_bucket_agg(
+    df: DataFrame,
+    bucket_ms: int,
+    slide_ms: int,
+    agg_type: str = "min",
+) -> DataFrame:
+    """Batch sliding-window aggregation: overlapping buckets of width
+    ``bucket_ms`` every ``slide_ms`` (bucket_ms must be a multiple).
+    Implemented by exploding each point into its bucket_ms/slide_ms
+    covering windows then one hash aggregation — the explosion factor
+    is the overlap count, and the aggregation still combines map-side.
+    (Streaming equivalent: aggregate.stream_bucket_agg(slide_msec=...).)
+    """
+    if bucket_ms % slide_ms != 0:
+        raise ValueError("bucket_ms must be a multiple of slide_ms")
+    k = bucket_ms // slide_ms
+    # windows starting at anchor - j*slide for j in 0..k-1 cover ts
+    anchor = bucket_start(F.col("ts_ms"), slide_ms)
+    starts = F.array(*[anchor - F.lit(j * slide_ms) for j in range(k)])
+    exploded = df.select(
+        "series_key",
+        F.explode(starts).alias("win_start"),
+        "ts_ms",
+        "value",
+        *(["seq"] if "seq" in df.columns else []),
+    )
+    tie = F.col("seq") if "seq" in exploded.columns else F.col("value")
+    return (
+        exploded.withColumn("__tie", tie)
+        .groupBy("series_key", "win_start")
+        .agg(_AGG_EXPRS[agg_type]().cast("double").alias("value"))
+        .withColumnRenamed("win_start", "ts_ms")
+    )
