@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from .common import QuerySpec
 from . import (
+    correlate,
     detectors,
     mllib,
     mrange,
@@ -24,3 +25,4 @@ CATALOG.update(pipeline.QUERIES)
 CATALOG.update(streaming.QUERIES)
 CATALOG.update(mllib.QUERIES)
 CATALOG.update(mrange.QUERIES)
+CATALOG.update(correlate.QUERIES)

@@ -1,0 +1,88 @@
+"""Source/sink surface (SURVEY.md §2.1) beyond the parquet test path.
+
+The reference's only source is RedisTimeSeries (S1/S2); its sink is an
+in-memory dataclass (S4). Spark-side, a source is anything that yields
+the canonical series frame and a sink is any DataFrame writer — these
+helpers pin the conversions so every format lands in the same frame:
+
+* batch: parquet / csv / json readers → ``series_frame``
+* streaming: file-directory stream (schema-required), rate source for
+  load tests / demos
+* sink: parquet append (batch), and the streaming sinks live with the
+  streaming tier (memory / foreachBatch, streaming/monitor.py)
+
+Kafka's reader is API-compatible with the file stream
+(``readStream.format("kafka")`` + JSON/Avro decode into series_frame);
+it is not exercised here because the test environment has no broker.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .retrieval import series_frame
+
+
+def read_batch(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    series_key: str = "series_key",
+    ts: str = "ts_ms",
+    value: str = "value",
+    seq: Optional[str] = None,
+    schema: Optional[str] = None,
+    **options,
+) -> DataFrame:
+    """Read any batch format into the canonical series frame. CSV/JSON
+    should pass an explicit ``schema`` (inference costs an extra scan
+    and is banned at 100 TB)."""
+    reader = spark.read.format(fmt).options(**options)
+    if fmt == "csv":
+        reader = reader.option("header", options.get("header", "true"))
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        reader = reader.option("inferSchema", "true")
+    return series_frame(reader.load(path), series_key, ts, value, seq=seq)
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "parquet",
+    series_key: str = "series_key",
+    ts: str = "ts_ms",
+    value: str = "value",
+    seq: Optional[str] = None,
+    **options,
+) -> DataFrame:
+    """File-directory stream → canonical series frame (streaming sources
+    always need an explicit schema)."""
+    sdf = spark.readStream.format(fmt).schema(schema).options(**options).load(path)
+    return series_frame(sdf, series_key, ts, value, seq=seq)
+
+
+def rate_series(
+    spark: SparkSession, rows_per_second: int = 100, n_series: int = 5
+) -> DataFrame:
+    """Synthetic unbounded series stream from the built-in rate source —
+    deterministic keys, sinusoid-free integer values; for load tests
+    and streaming demos without external infrastructure."""
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    return rate.select(
+        F.concat(F.lit("s"), (F.col("value") % n_series)).alias("series_key"),
+        F.unix_millis(F.col("timestamp")).alias("ts_ms"),
+        (F.col("value") % 97).cast("double").alias("value"),
+        F.col("value").alias("seq"),
+    )
+
+
+def write_batch(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "append") -> None:
+    """S4 batch sink."""
+    df.write.format(fmt).mode(mode).save(path)
