@@ -27,9 +27,12 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_volume",
     "q6_revenue",
+    "q_correlated_avg",
     # time-series retrieval tier (events 100k)
     "ts_agg_avg",
     "ts_latest_dedup",
+    "ts_mrange_reduce",
+    "ts_sliding_window",
     # detector tier (sequential applyInPandas over bucketed series)
     "det_derivative",
     "det_ensemble",

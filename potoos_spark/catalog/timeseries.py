@@ -140,6 +140,25 @@ def _guard_fn(spark, sf_dir):
     return kept.groupBy("series_key").agg(F.count("*").alias("n"))
 
 
+def _zip_ingest_fn(spark, sf_dir):
+    """S5: round-trip through the array-payload shape — pack each series
+    into parallel (timestamps[], values[]) arrays (the Redis reply
+    format, reference client.py:62-63), then zip_ingest back out."""
+    from ..operators.sources import zip_ingest
+
+    df = events_frame(spark, sf_dir)
+    packed = (
+        df.groupBy("series_key")
+        .agg(F.sort_array(F.collect_list(F.struct("ts_ms", "seq", "value"))).alias("pts"))
+        .select(
+            "series_key",
+            F.col("pts.ts_ms").alias("timestamps"),
+            F.col("pts.value").alias("values"),
+        )
+    )
+    return zip_ingest(packed)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # S1/F1: bounded range scan — pushed to the parquet reader
     "ts_scan_range": QuerySpec(
@@ -264,5 +283,10 @@ QUERIES: dict[str, QuerySpec] = {
         _guard_fn,
         f"{_S} SELECT series_key, COUNT(*) AS n FROM series "
         "WHERE value > 200.0 GROUP BY series_key HAVING COUNT(*) >= 30",
+    ),
+    # S5: array-payload (Redis-reply-shaped) ingestion round-trip
+    "ts_zip_ingest": QuerySpec(
+        _zip_ingest_fn,
+        f"{_S} SELECT series_key, ts_ms, value FROM series",
     ),
 }

@@ -86,3 +86,23 @@ def rate_series(
 def write_batch(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "append") -> None:
     """S4 batch sink."""
     df.write.format(fmt).mode(mode).save(path)
+
+
+def zip_ingest(
+    df: DataFrame,
+    series_key: str = "series_key",
+    ts_array: str = "timestamps",
+    value_array: str = "values",
+) -> DataFrame:
+    """S5: ingest array-shaped payloads — one row per series carrying
+    parallel (timestamps[], values[]) arrays, the exact reply shape of
+    the reference's Redis scan (zipped row-by-row in driver Python at
+    /root/reference/potoos/client.py:62-63). Spark-side this is
+    ``arrays_zip`` + ``explode``: columnar, executor-local, no driver
+    materialization."""
+    zipped = F.explode(F.arrays_zip(F.col(ts_array), F.col(value_array))).alias("p")
+    return df.select(F.col(series_key).cast("string").alias("series_key"), zipped).select(
+        "series_key",
+        F.col(f"p.{ts_array}").cast("bigint").alias("ts_ms"),
+        F.col(f"p.{value_array}").cast("double").alias("value"),
+    )
