@@ -53,20 +53,35 @@ def cosine_topk(
     return _ranked_topk(scored, k)
 
 
-def sign_bucket(vec_col, n_bits: int = 8):
-    """Deterministic LSH bucket id: sign pattern of the first n_bits
-    dimensions (axis-aligned hyperplanes — engine-portable; swap in
-    seeded random hyperplanes for production recall)."""
+def sign_bucket(vec_col, n_bits: int = 8, offset: int = 0):
+    """Deterministic LSH bucket id: sign pattern of ``n_bits``
+    dimensions starting at ``offset`` (axis-aligned hyperplanes —
+    engine-portable; swap in seeded random hyperplanes for production
+    recall). Different offsets give independent hash tables."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return F.aggregate(
         F.zip_with(
-            F.slice(c, 1, n_bits),
+            F.slice(c, offset + 1, n_bits),
             F.array([F.lit(2 ** i) for i in range(n_bits)]),
             lambda x, w: F.when(x >= 0, w).otherwise(F.lit(0)),
         ),
         F.lit(0),
         lambda a, x: a + x,
     ).cast("bigint")
+
+
+def sign_buckets_multi(vec_col, n_bits: int, n_tables: int):
+    """array of (table_id, bucket) structs — one bucket per hash table,
+    table t reading dimensions [t*n_bits, (t+1)*n_bits)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                sign_bucket(vec_col, n_bits, t * n_bits).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
 
 
 def lsh_bucket_topk(
@@ -76,21 +91,35 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     k: int = 5,
     n_bits: int = 8,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """ANN top-k within the query's LSH bucket: equality join on the
-    bucket id prunes the corpus scan to ~1/2^n_bits."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        scaled_vec(vec_col).alias("qe"),
-        sign_bucket(vec_col, n_bits).alias("bucket"),
+    """ANN top-k within the query's LSH bucket(s): equality join on
+    (table, bucket) prunes the corpus scan to ~n_tables/2^n_bits.
+
+    ``n_tables > 1`` is the recall lever: each table buckets on an
+    independent dimension slice; a true neighbor is missed only if it
+    disagrees with the query in EVERY table. Candidates are unioned
+    (distinct) before exact re-ranking, so cost grows linearly in
+    tables while misses shrink geometrically."""
+    def prep(d, out_id, vec_alias):
+        return d.select(
+            F.col(out_id),
+            scaled_vec(vec_col).alias(vec_alias),
+            F.explode(sign_buckets_multi(vec_col, n_bits, n_tables)).alias("tb"),
+        ).select(out_id, vec_alias, "tb.table_id", "tb.bucket")
+
+    q = prep(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "query_id", "qe"
     )
-    c = corpus.select(
-        F.col(id_col).alias("match_id"),
-        scaled_vec(vec_col).alias("ce"),
-        sign_bucket(vec_col, n_bits).alias("bucket"),
+    c = prep(
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col)), "match_id", "ce"
     )
-    pairs = F.broadcast(q).join(c, "bucket").filter(
-        F.col("query_id") != F.col("match_id")
+    pairs = (
+        F.broadcast(q)
+        .join(c, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "qe", "match_id", "ce")
+        .distinct()
     )
     scored = pairs.select(
         "query_id", "match_id", cosine_expr(F.col("qe"), F.col("ce")).alias("cosine")

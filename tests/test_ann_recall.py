@@ -1,0 +1,65 @@
+"""ANN quality: the pruned similarity paths must actually find
+neighbors — recall@k against the brute-force exact answer, measured on
+the real embeddings table. (Recall bounds are data-dependent; these
+thresholds pin today's behavior so a regression in bucketing or probing
+is caught, while documenting the recall/cost trade the scale paths
+make.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from potoos_spark.operators.similarity import cosine_topk, ivf_topk, lsh_bucket_topk
+from tests.conftest import SF_ORACLE_DIR
+
+K = 10
+N_QUERIES = 20
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def exact(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    rows = cosine_topk(q, embeddings, k=K).collect()
+    return {
+        (r["query_id"], r["match_id"]) for r in rows
+    }
+
+
+def _recall(approx_rows, exact_pairs):
+    hit = sum(1 for r in approx_rows if (r["query_id"], r["match_id"]) in exact_pairs)
+    return hit / len(exact_pairs)
+
+
+def test_ivf_recall(spark, embeddings, exact):
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    rows = ivf_topk(q, embeddings, k=K, n_cells=8, n_probe=4).collect()
+    r = _recall(rows, exact)
+    assert r >= 0.5, f"IVF recall@{K} collapsed to {r:.2f}"
+
+
+def test_lsh_multi_table_recall(spark, embeddings, exact):
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    rows = lsh_bucket_topk(q, embeddings, k=K, n_bits=4, n_tables=8).collect()
+    r = _recall(rows, exact)
+    assert r >= 0.5, f"multi-table LSH recall@{K} collapsed to {r:.2f}"
+
+
+def test_lsh_tables_raise_recall(spark, embeddings, exact):
+    # the documented recall lever must actually lever
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    one = _recall(lsh_bucket_topk(q, embeddings, k=K, n_bits=4, n_tables=1).collect(), exact)
+    many = _recall(lsh_bucket_topk(q, embeddings, k=K, n_bits=4, n_tables=8).collect(), exact)
+    assert many > one
+
+
+def test_brute_force_is_self_consistent(spark, embeddings, exact):
+    # every query returns exactly K neighbors, none of them itself
+    assert len(exact) == N_QUERIES * K
+    assert all(q != m for q, m in exact)

@@ -1,0 +1,86 @@
+"""Fault tolerance: stateful streaming scores must survive a query
+restart — the state store (EMA recurrence + Welford stats) resumes from
+the checkpoint and the resumed run produces exactly the scores the
+uninterrupted run would have."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from potoos_spark.streaming import streaming_scores
+
+SCHEMA = "series_key string, ts_ms bigint, value double, seq bigint"
+
+
+def _rows(lo, hi):
+    return [
+        ("a", 1_700_000_000_000 + i * 1_000, float((i % 13) + (i % 7)), i)
+        for i in range(lo, hi)
+    ]
+
+
+def test_stateful_scores_resume_from_checkpoint(spark, tmp_path):
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")  # file sink: the fault-tolerant sink
+
+    def run_available():
+        sdf = streaming_scores(
+            spark.readStream.schema(SCHEMA).parquet(str(src)), "exp_avg_detector"
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+
+    # phase 1: first half, then the query STOPS (availableNow drains)
+    spark.createDataFrame(_rows(0, 100), SCHEMA).repartition(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_available()
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 100
+
+    # phase 2: more data arrives; a NEW query restarts from the checkpoint
+    time.sleep(1.1)
+    spark.createDataFrame(_rows(100, 200), SCHEMA).repartition(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_available()
+    total = spark.read.parquet(out).collect()
+    # only the new rows were appended (checkpoint skips processed files)
+    assert len(total) == 200
+    second = [r for r in total if r["ts_ms"] >= 1_700_000_000_000 + 100_000]
+    assert {r["ts_ms"] for r in second} == {r[1] for r in _rows(100, 200)}
+
+    # the resumed scores equal an uninterrupted single run over all rows
+    whole_src = tmp_path / "whole"
+    spark.createDataFrame(_rows(0, 200), SCHEMA).repartition(1).write.parquet(
+        str(whole_src)
+    )
+    sdf = streaming_scores(
+        spark.readStream.schema(SCHEMA).parquet(str(whole_src)), "exp_avg_detector"
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("restart_whole")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    whole = {
+        (r["series_key"], r["ts_ms"]): r["score"]
+        for r in spark.table("restart_whole").collect()
+    }
+    resumed = {(r["series_key"], r["ts_ms"]): r["score"] for r in total}
+    assert set(resumed) == set(whole)
+    for k in whole:
+        assert resumed[k] == pytest.approx(whole[k], abs=1e-12), k
