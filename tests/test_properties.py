@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis): randomized inputs against
+brute-force Python references. Few examples, deadline off — each
+example is a full Spark round-trip; the value is the randomized edge
+shapes (duplicate timestamps, empty sides, single points, ties), not
+the example count."""
+
+from __future__ import annotations
+
+import pytest
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from potoos_spark.operators.asof import asof_join
+from potoos_spark.operators.rollup import combine_partials, finalize, rollup_partials
+
+TS = st.integers(min_value=0, max_value=50)
+VAL = st.integers(min_value=-5, max_value=5)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _asof_reference(left, right, direction="backward", tolerance=None):
+    out = []
+    for lt, lv in left:
+        if direction == "backward":
+            cands = [(rt, rv) for rt, rv in right if rt <= lt]
+            best = max(cands, key=lambda p: p[0]) if cands else None
+        else:
+            cands = [(rt, rv) for rt, rv in right if rt >= lt]
+            best = min(cands, key=lambda p: p[0]) if cands else None
+        if best is not None and tolerance is not None and abs(best[0] - lt) > tolerance:
+            best = None
+        out.append((lt, lv, best[1] if best else None))
+    return sorted(out)
+
+
+@given(
+    left=st.lists(st.tuples(TS, VAL), min_size=1, max_size=15, unique_by=lambda p: p[0]),
+    right=st.lists(st.tuples(TS, VAL), min_size=0, max_size=15, unique_by=lambda p: p[0]),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 0, 3, 10]),
+)
+@SETTINGS
+def test_asof_join_matches_bruteforce(spark, left, right, direction, tolerance):
+    l = spark.createDataFrame(
+        [("k", t, float(v)) for t, v in left], "k string, ts_ms bigint, lv double"
+    )
+    r = spark.createDataFrame(
+        [("k", t, float(v)) for t, v in right], "k string, ts_ms bigint, rv double"
+    ) if right else spark.createDataFrame([], "k string, ts_ms bigint, rv double")
+    got = sorted(
+        (row["ts_ms"], row["lv"], row["rv"])
+        for row in asof_join(
+            l, r, on="k", direction=direction, tolerance_ms=tolerance
+        ).collect()
+    )
+    want = [
+        (t, float(v), float(rv) if rv is not None else None)
+        for t, v, rv in _asof_reference(left, right, direction, tolerance)
+    ]
+    assert got == want
+
+
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 99), VAL), min_size=1, max_size=40,
+        unique_by=lambda p: p[0],
+    ),
+    agg=st.sampled_from(["min", "max", "count", "first", "last", "range"]),
+)
+@SETTINGS
+def test_rollup_combine_equals_direct_partials(spark, points, agg):
+    """Combining fine partials into coarse buckets must equal computing
+    the coarse partials directly from raw points (algebraic closure)."""
+    df = spark.createDataFrame(
+        [("k", t, float(v), i) for i, (t, v) in enumerate(points)],
+        "series_key string, ts_ms bigint, value double, seq bigint",
+    )
+    fine = rollup_partials(df, 10)
+    combined = finalize(combine_partials(fine, 30), agg)
+    direct = finalize(rollup_partials(df, 30), agg)
+    a = sorted(map(tuple, combined.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
