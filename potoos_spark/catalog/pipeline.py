@@ -129,6 +129,10 @@ def _text_tokens_fn(spark, sf_dir):
     return T.token_stats(_docs(spark, sf_dir))
 
 
+def _text_bpe_fn(spark, sf_dir):
+    return T.bpe_token_stats(_docs(spark, sf_dir))
+
+
 def _text_quality_fn(spark, sf_dir):
     return T.quality_features(_docs(spark, sf_dir))
 
@@ -228,6 +232,16 @@ _TEXT_TOKENS_SQL = (
     "CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens FROM tok"
 )
 
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+_TEXT_BPE_SQL = (
+    f"WITH {_TOK}, b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
+    "CAST(len(regexp_extract_all(text, '" + _BPE_RE.replace("'", "''") + "')) AS BIGINT) "
+    "AS n_bpe_tokens FROM documents JOIN tok USING (doc_id)) "
+    "SELECT doc_id, n_words, n_bpe_tokens, "
+    "CAST(n_bpe_tokens AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS tokens_per_word "
+    "FROM b"
+)
+
 _EN_LIST = "['the','a','of','and','to','in','is','it','that','for']"
 _TEXT_QUALITY_SQL = (
     f"WITH {_TOK}, d AS (SELECT doc_id, toks, text FROM tok JOIN documents USING (doc_id)) "
@@ -291,6 +305,7 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_ivf": QuerySpec(_knn_ivf_fn, None),  # KMeans quantizer: rows-only
     # text analysis
     "text_tokens": QuerySpec(_text_tokens_fn, _TEXT_TOKENS_SQL),
+    "text_bpe_tokens": QuerySpec(_text_bpe_fn, _TEXT_BPE_SQL),
     "text_quality": QuerySpec(_text_quality_fn, _TEXT_QUALITY_SQL),
     "text_langid": QuerySpec(_text_langid_fn, _TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(_text_fp_fn, _TEXT_FP_SQL),

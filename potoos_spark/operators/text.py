@@ -51,6 +51,38 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to RE2-safe
+# constructs): contraction suffixes, letter runs, digit runs, non-space
+# punctuation runs — each with an optional leading space, the shape BPE
+# vocabularies are trained on. Counting these approximates LLM token
+# counts far better than whitespace splitting (punctuation and numbers
+# tokenize separately).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))).cast("bigint")
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting, LLM-budget flavor: whitespace words vs BPE-ish
+    pre-tokens per document, plus their ratio (tokens-per-word is the
+    usual cost multiplier when budgeting a corpus)."""
+    words = F.size(tokens(text_col)).cast("bigint")
+    bpe = bpe_token_count(text_col)
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        bpe.alias("n_bpe_tokens"),
+        (bpe.cast("double") / F.greatest(words, F.lit(1)).cast("double")).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
 def quality_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
