@@ -15,6 +15,7 @@ from .aggregate import (
     with_event_time,
 )
 from .monitor import monitor_stream, score_stream
+from .rollup_sink import compact_rollup_log, read_rollup_log, rollup_log_sink
 from .stateful import streaming_bucket_scores, streaming_scores
 
 __all__ = [
@@ -25,6 +26,9 @@ __all__ = [
     "with_event_time",
     "monitor_stream",
     "score_stream",
+    "rollup_log_sink",
+    "read_rollup_log",
+    "compact_rollup_log",
     "streaming_bucket_scores",
     "streaming_scores",
 ]
