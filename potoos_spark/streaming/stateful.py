@@ -127,38 +127,112 @@ def _mk_scorer_kwargs(algorithm: str, smoothing_factor: float):
     return float(smoothing_factor), algorithm == "derivative_detector"
 
 
+REORDER_STATE_SCHEMA = _SCORE_FIELDS + ", pend_ts array<bigint>, pend_v array<double>"
+
+
 def streaming_scores(
     sdf: DataFrame,
     algorithm: str = "exp_avg_detector",
     smoothing_factor: float = 0.2,
+    ordered: bool = True,
+    watermark: str = "10 minutes",
 ) -> DataFrame:
     """Score a streaming series frame point-by-point with persistent
     per-series state. ``algorithm`` ∈ {exp_avg_detector,
     derivative_detector} — the two recurrence-state detectors; the
-    stateless detectors are plain column expressions on the stream."""
+    stateless detectors are plain column expressions on the stream.
+
+    ``ordered=False`` handles out-of-order arrival with an event-time
+    reorder buffer folded into the SAME state machine (chaining a
+    second stateful operator is both forbidden by Spark and wasteful):
+    rows buffer in state and are scored in ts order only once the
+    watermark passes them; rows later than the watermark are dropped
+    (standard late-data policy). The trailing unflushed buffer stays
+    pending until the watermark advances past it."""
     alpha, derivative = _mk_scorer_kwargs(algorithm, smoothing_factor)
 
-    def fn(
+    if ordered:
+
+        def fn(
+            key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            sc = _Scorer(alpha, derivative, state.get if state.exists else None)
+            for pdf in batches:
+                pdf = pdf.sort_values("ts_ms").reset_index(drop=True)
+                scores = [
+                    sc.step(int(t), float(v))
+                    for t, v in zip(pdf["ts_ms"], pdf["value"])
+                ]
+                out = pdf[["ts_ms", "value"]].copy()
+                out.insert(0, "series_key", key[0])
+                out["score"] = scores
+                yield out
+            state.update(sc.packed())
+
+        return (
+            sdf.select("series_key", "ts_ms", "value")
+            .groupBy("series_key")
+            .applyInPandasWithState(
+                fn, OUT_SCHEMA, SCORE_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+            )
+        )
+
+    from pyspark.sql import functions as F
+
+    def fn_buffered(
         key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        sc = _Scorer(alpha, derivative, state.get if state.exists else None)
+        if state.exists:
+            packed = state.get
+            sc = _Scorer(alpha, derivative, packed[:6])
+            pend_ts = list(packed[6] or [])
+            pend_v = list(packed[7] or [])
+        else:
+            sc = _Scorer(alpha, derivative, None)
+            pend_ts, pend_v = [], []
+        wm = state.getCurrentWatermarkMs()
+        high = sc.last_t  # never score behind what's already scored
+        seen = set(pend_ts)  # one score per (series, ts): first arrival wins
         for pdf in batches:
-            pdf = pdf.sort_values("ts_ms").reset_index(drop=True)
-            scores = [
-                sc.step(int(t), float(v))
-                for t, v in zip(pdf["ts_ms"], pdf["value"])
-            ]
-            out = pdf[["ts_ms", "value"]].copy()
-            out.insert(0, "series_key", key[0])
-            out["score"] = scores
-            yield out
-        state.update(sc.packed())
+            for t, v in zip(pdf["ts_ms"], pdf["value"]):
+                t = int(t)
+                if (sc.cnt and t <= high) or t in seen:
+                    continue  # behind emitted history, or duplicate ts
+                seen.add(t)
+                pend_ts.append(t)
+                pend_v.append(float(v))
+        order = sorted(range(len(pend_ts)), key=lambda i: pend_ts[i])
+        emit_idx = [i for i in order if pend_ts[i] <= wm]
+        keep_idx = [i for i in order if pend_ts[i] > wm]
+        if emit_idx:
+            ts = [pend_ts[i] for i in emit_idx]
+            vs = [pend_v[i] for i in emit_idx]
+            scores = [sc.step(t, v) for t, v in zip(ts, vs)]
+            yield pd.DataFrame(
+                {
+                    "series_key": key[0],
+                    "ts_ms": pd.Series(ts, dtype="int64"),
+                    "value": vs,
+                    "score": scores,
+                }
+            )
+        state.update(
+            sc.packed()
+            + ([pend_ts[i] for i in keep_idx], [pend_v[i] for i in keep_idx])
+        )
 
+    if "event_time" not in sdf.columns:
+        sdf = sdf.withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    sdf = sdf.withWatermark("event_time", watermark)
     return (
-        sdf.select("series_key", "ts_ms", "value")
+        sdf.select("series_key", "ts_ms", "value", "event_time")
         .groupBy("series_key")
         .applyInPandasWithState(
-            fn, OUT_SCHEMA, SCORE_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+            fn_buffered,
+            OUT_SCHEMA,
+            REORDER_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
         )
     )
 
