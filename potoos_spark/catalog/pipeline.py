@@ -145,6 +145,43 @@ def _text_fp_fn(spark, sf_dir):
     return T.fingerprint(_docs(spark, sf_dir))
 
 
+def _quality_filter_fn(spark, sf_dir):
+    passed = T.quality_filter(_docs(spark, sf_dir))
+    return passed.select("doc_id")
+
+
+def _stream_dedup_fn(spark, sf_dir):
+    """Replay documents as a stream; survivors of the watermarked exact
+    dedup = one per distinct content hash (hash set is deterministic;
+    which duplicate passes first is arrival order, so only the hash is
+    emitted)."""
+    import uuid
+
+    from ..operators.dedup import streaming_exact_dedup
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    docs = docs.withColumn(
+        "ingest_time", F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("doc_id"))
+    )
+    out = streaming_exact_dedup(docs).select("content_hash")
+    name = f"sdedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _mm_meta_fn(spark, sf_dir):
     b = M.attach_binary(_docs(spark, sf_dir))
     return b.select(
@@ -286,6 +323,25 @@ _TEXT_FP_SQL = (
     "FROM documents d LEFT JOIN km ON km.doc_id = d.doc_id"
 )
 
+# thresholds mirror T.quality_filter defaults
+_QUALITY_FILTER_SQL = (
+    f"WITH {_TOK}, d AS (SELECT doc_id, toks, text FROM tok JOIN documents USING (doc_id)), "
+    "f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+    "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) "
+    "/ CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio, "
+    f"CAST(len(list_filter(toks, x -> list_contains({_EN_LIST}, x))) AS DOUBLE) "
+    "/ CAST(GREATEST(len(toks), 1) AS DOUBLE) AS stopword_ratio, "
+    "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS uniq_ratio "
+    "FROM d) "
+    "SELECT doc_id FROM f WHERE n_tokens >= 5 AND punct_ratio <= 0.3 "
+    "AND stopword_ratio >= 0.01 AND uniq_ratio >= 0.3"
+)
+
+_STREAM_DEDUP_SQL = (
+    "SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) "
+    "AS content_hash FROM documents"
+)
+
 _MM_META_SQL = (
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
     "md5(text) AS checksum, 'application/octet-stream' AS mime FROM documents"
@@ -307,6 +363,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_tokens": QuerySpec(_text_tokens_fn, _TEXT_TOKENS_SQL),
     "text_bpe_tokens": QuerySpec(_text_bpe_fn, _TEXT_BPE_SQL),
     "text_quality": QuerySpec(_text_quality_fn, _TEXT_QUALITY_SQL),
+    "text_quality_filter": QuerySpec(_quality_filter_fn, _QUALITY_FILTER_SQL),
+    "dedup_exact_streaming": QuerySpec(_stream_dedup_fn, _STREAM_DEDUP_SQL),
     "text_langid": QuerySpec(_text_langid_fn, _TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(_text_fp_fn, _TEXT_FP_SQL),
     # multimodal plumbing

@@ -45,6 +45,27 @@ def exact_dedup(
     )
 
 
+def streaming_exact_dedup(
+    sdf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time_col: str = "ingest_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup over an unbounded document stream: first-seen doc per
+    content hash passes, later duplicates drop. State = one row per
+    distinct hash, evicted once the watermark guarantees no duplicate
+    can still arrive (dedup horizon = the watermark delay). This is the
+    ingest-time guard in front of a training-data store; the batch
+    ``exact_dedup`` is the retroactive sweep."""
+    h = F.md5(normalize(text_col)).alias("content_hash")
+    return (
+        sdf.select(F.col(id_col), F.col(event_time_col), h)
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
 def shingle_frame(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

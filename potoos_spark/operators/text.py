@@ -114,6 +114,39 @@ def quality_features(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.01,
+    min_uniq_ratio: float = 0.3,
+) -> DataFrame:
+    """Corpus curation gate: the standard cheap-heuristic quality
+    filter for training data (C4/Gopher-style thresholds on length,
+    punctuation density, stopword presence, and token diversity), built
+    on quality_features. Returns the input rows that pass, plus the
+    computed ``quality_flags`` struct for audit (which rule would have
+    rejected). All scan-local column math — at 100 TB this gates the
+    corpus in the same pass that reads it."""
+    feats = quality_features(df, text_col, id_col)
+    flags = F.struct(
+        (F.col("n_tokens") >= min_tokens).alias("len_ok"),
+        (F.col("punct_ratio") <= max_punct_ratio).alias("punct_ok"),
+        (F.col("stopword_ratio") >= min_stopword_ratio).alias("stopword_ok"),
+        (F.col("uniq_ratio") >= min_uniq_ratio).alias("uniq_ok"),
+    )
+    scored = feats.select(F.col(id_col), flags.alias("quality_flags"))
+    passed = scored.filter(
+        F.col("quality_flags.len_ok")
+        & F.col("quality_flags.punct_ok")
+        & F.col("quality_flags.stopword_ok")
+        & F.col("quality_flags.uniq_ok")
+    )
+    return df.join(passed, id_col).select(*df.columns, "quality_flags")
+
+
 def language_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
