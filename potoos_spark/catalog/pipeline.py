@@ -65,9 +65,12 @@ _CAND = (
     "JOIN band b ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id)"
 )
 
+# NB: cast each float32 component to DOUBLE before scaling — DuckDB
+# would otherwise multiply in float32 while Spark scales in double,
+# and boundary values round to different integers.
 _SCALED_V = (
-    "v AS (SELECT vec_id, [CAST(floor(x * 1000 + 0.5) AS BIGINT) for x in embedding] AS e "
-    "FROM embeddings), "
+    "v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+    "for x in embedding] AS e FROM embeddings), "
     "nrm AS (SELECT vec_id, CAST(list_sum([x * x for x in e]) AS BIGINT) AS nn FROM v)"
 )
 _COS = (
