@@ -7,6 +7,7 @@ from .common import QuerySpec
 from . import (
     correlate,
     detectors,
+    gapfill,
     mllib,
     mrange,
     pipeline,
@@ -26,3 +27,4 @@ CATALOG.update(streaming.QUERIES)
 CATALOG.update(mllib.QUERIES)
 CATALOG.update(mrange.QUERIES)
 CATALOG.update(correlate.QUERIES)
+CATALOG.update(gapfill.QUERIES)
