@@ -66,6 +66,27 @@ def read_stream(
     return series_frame(sdf, series_key, ts, value, seq=seq)
 
 
+def decode_json_payloads(
+    sdf: DataFrame,
+    payload_col: str = "value",
+    payload_schema: str = "series_key string, ts_ms bigint, value double, seq bigint",
+    series_key: str = "series_key",
+    ts: str = "ts_ms",
+    value: str = "value",
+    seq: Optional[str] = "seq",
+) -> DataFrame:
+    """Decode a message-bus-shaped stream — rows carrying an opaque
+    binary/string payload column (the wire shape of
+    ``readStream.format("kafka")``'s ``value``) — into the canonical
+    series frame via ``from_json``. Works identically on a file/socket
+    stream for broker-less testing; point it at a Kafka reader in
+    production."""
+    decoded = sdf.select(
+        F.from_json(F.col(payload_col).cast("string"), payload_schema).alias("j")
+    ).select("j.*")
+    return series_frame(decoded, series_key, ts, value, seq=seq)
+
+
 def rate_series(
     spark: SparkSession, rows_per_second: int = 100, n_series: int = 5
 ) -> DataFrame:

@@ -53,6 +53,42 @@ def test_stream_source_matches_batch(spark, sample, tmp_path):
     assert got == _expected(spark, sample)
 
 
+def test_decode_json_payloads_stream(spark, sample, tmp_path):
+    """Kafka-wire-shaped decode: (key, value-binary) rows -> canonical
+    frame, exercised through a broker-less file stream."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.sources import decode_json_payloads
+
+    rows = [tuple(x) for x in sample.collect()]
+    payloads = [
+        (
+            str(i),
+            json.dumps(
+                {"series_key": k, "ts_ms": t, "value": v, "seq": s}
+            ).encode(),
+        )
+        for i, (k, t, v, s) in enumerate(rows)
+    ]
+    src = str(tmp_path / "wire")
+    spark.createDataFrame(payloads, "key string, value binary").write.parquet(src)
+    sdf = decode_json_payloads(
+        spark.readStream.schema("key string, value binary").parquet(src)
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("wire_decode")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=60)
+    got = sorted(tuple(r) for r in spark.table("wire_decode").collect())
+    assert got == _expected(spark, sample)
+
+
 def test_write_batch_roundtrip(spark, sample, tmp_path):
     from potoos_spark.operators.retrieval import series_frame
 
