@@ -41,10 +41,18 @@ def shingles(tok: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(tok) >= n, make).otherwise(F.array()))
 
 
+def _with_tokens(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
+    """Project the token array ONCE into a ``_t`` column. Tokenization
+    (regex replace + split) is the dominant per-row cost; higher-order-
+    function lambdas defeat Catalyst subexpression elimination, so every
+    downstream consumer must read ``_t`` rather than re-derive it."""
+    return df.select(*keep, tokens(text_col).alias("_t"))
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting: total and distinct tokens per document."""
-    t = tokens(text_col)
-    return df.select(
+    t = F.col("_t")
+    return _with_tokens(df, text_col, [id_col]).select(
         F.col(id_col),
         F.size(t).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(t)).cast("bigint").alias("n_uniq_tokens"),
@@ -88,7 +96,8 @@ def quality_features(
 ) -> DataFrame:
     """Quality-scoring features: length, punctuation ratio, stopword
     ratio, token diversity. All exact-integer-derived doubles."""
-    t = tokens(text_col)
+    staged = _with_tokens(df, text_col, [id_col, text_col])
+    t = F.col("_t")
     raw = F.col(text_col)
     n_chars = F.length(raw).cast("bigint")
     n_punct = (
@@ -98,7 +107,7 @@ def quality_features(
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("bigint")
     n_tok = F.size(t).cast("bigint")
     n_uniq = F.size(F.array_distinct(t)).cast("bigint")
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
@@ -153,7 +162,8 @@ def language_id(
     """Stopword-voting language ID: count stopword hits per language,
     argmax with deterministic lexicographic tie-break; 'und'
     (undetermined) when no list scores a hit."""
-    t = tokens(text_col)
+    staged = _with_tokens(df, text_col, [id_col])
+    t = F.col("_t")
 
     def _hit_count(words: list[str]) -> Column:
         arr = F.array(*[F.lit(w) for w in words])
@@ -168,7 +178,7 @@ def language_id(
             for lang, h in hits.items()
         ]
     )
-    out = df.select(
+    out = staged.select(
         F.col(id_col),
         *[h.alias(f"hits_{lang}") for lang, h in hits.items()],
         F.when(best["h"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
