@@ -13,6 +13,7 @@ from . import (
     pipeline,
     relational,
     relational_ext,
+    relational_tpch,
     streaming,
     timeseries,
 )
@@ -22,6 +23,7 @@ CATALOG.update(timeseries.QUERIES)
 CATALOG.update(detectors.QUERIES)
 CATALOG.update(relational.QUERIES)
 CATALOG.update(relational_ext.QUERIES)
+CATALOG.update(relational_tpch.QUERIES)
 CATALOG.update(pipeline.QUERIES)
 CATALOG.update(streaming.QUERIES)
 CATALOG.update(mllib.QUERIES)

@@ -1,0 +1,333 @@
+"""Oracle-checked catalog: deeper TPC-H-shaped coverage.
+
+Second tranche of relational operators beyond ``relational.py`` /
+``relational_ext.py`` (reference gap list, SURVEY.md §2.6): correlated
+EXISTS (semi join with a non-equi conjunct), join + conditional-ratio
+aggregation, HAVING over a grouped join, disjunctive multi-predicate
+join pushdown, GROUPING SETS, lead/lag/ntile analytics, multi
+COUNT(DISTINCT), an event-time range join, and batch session windows
+(``session_window`` — the batch twin of the streaming session agg).
+
+Same bit-exactness discipline as the rest of the catalog: money math
+accumulates in DECIMAL, doubles are pass-through or derived with the
+identical formula on both engines, dates become formatted strings, and
+keys are BIGINT.
+
+Scale notes (100 TB): q4/q18 group or semi-join on ``l_orderkey`` —
+co-partitioned by the storage layout's bucketing (SCALE.md), so the
+shuffle is avoidable; q14/q19 broadcast ``part`` (a dimension);
+the range join is an equi-join on ``user_id`` with a bounded time
+predicate, so rows co-locate by user and the window bound caps the
+per-key fan-out; session windows shuffle once on the series key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F, Window as W
+
+from .common import EVENTS_SQL, QuerySpec, dec, table
+
+
+def _qty(c):
+    return F.col(c).cast("decimal(8,2)")
+
+
+def _price(c):
+    return F.col(c).cast("decimal(12,2)")
+
+
+def _pct(c):
+    return F.col(c).cast("decimal(4,2)")
+
+
+_ONE = "CAST(1 AS DECIMAL(4,2))"
+_REV = f"CAST(l_extendedprice AS DECIMAL(12,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+def _rev():
+    return _price("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _pct("l_discount"))
+
+
+# --- Q4: order priority via EXISTS (semi join with non-equi conjunct) -----
+
+def _q4_fn(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > orders["o_orderdate"]
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q14: promo revenue ratio (broadcast dim join + conditional agg) ------
+
+def _q14_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev()
+    promo = F.when(F.col("p_type") == "PROMO", rev)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            (
+                F.sum(promo).cast("double") * F.lit(100.0) / F.sum(rev).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+_Q14_SQL = f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} END) AS DOUBLE) * 100.0
+       / CAST(SUM({_REV}) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+# --- Q18: large-volume orders (grouped HAVING feeding a join) -------------
+
+def _q18_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_qty("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("sum_qty"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(8,2))) > 250
+)
+SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- Q19: disjunctive multi-predicate join (OR-of-ANDs pushdown) ----------
+
+def _q19_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    pred = (
+        ((F.col("p_brand") == "Brand#4") & sz.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(10, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#19") & sz.between(20, 50) & q.between(20, 40))
+    )
+    return j.filter(pred).agg(F.sum(_rev()).cast("double").alias("revenue"))
+
+
+_Q19_SQL = f"""
+SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# --- GROUPING SETS (beyond rollup/cube: explicit set list) ----------------
+
+def _grouping_sets_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.sum(_qty("l_quantity")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# --- lead/lag/ntile/first_value analytics ---------------------------------
+
+def _lead_lag_fn(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    )
+
+
+_LEAD_LAG_SQL = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --- multi COUNT(DISTINCT) (expand-based distinct aggregation) ------------
+
+def _count_distinct_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_COUNT_DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- event-time range join (equi key + bounded time predicate) ------------
+
+_DAY_MS = 86_400_000
+
+
+def _range_join_fn(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000000").alias("ms"), "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ms").alias("c_ms")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ms").alias("e_ms")
+    )
+    j = clicks.join(
+        errors,
+        (clicks["user_id"] == errors["e_user"])
+        & errors["e_ms"].between(clicks["c_ms"] - _DAY_MS, clicks["c_ms"]),
+    )
+    return j.groupBy("click_id").agg(F.count("*").alias("n_errors"))
+
+
+_RANGE_JOIN_SQL = f"""
+WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type FROM events)
+SELECT c.event_id AS click_id, COUNT(*) AS n_errors
+FROM e c JOIN e r
+  ON r.user_id = c.user_id AND r.ms BETWEEN c.ms - {_DAY_MS} AND c.ms
+WHERE c.event_type = 'click' AND r.event_type = 'error'
+GROUP BY c.event_id
+"""
+
+
+# --- batch session windows (session_window; gaps-and-islands oracle) ------
+
+_GAP_MS = 1_800_000  # 30 minutes
+
+
+def _session_window_fn(spark, sf_dir):
+    from .common import events_frame
+
+    ev = events_frame(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "series_key",
+            F.session_window(F.timestamp_millis("ts_ms"), "30 minutes").alias("sw"),
+        )
+        .agg(
+            F.min("ts_ms").alias("start_ms"),
+            F.max("ts_ms").alias("end_ms"),
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select("series_key", "start_ms", "end_ms", "n_events", "sum_value")
+    )
+
+
+# Spark merges an event into the current session iff ts < last_ts + gap,
+# so a new island starts exactly when ts - prev_ts >= gap.
+_SESSION_WINDOW_SQL = f"""
+WITH series AS ({EVENTS_SQL}),
+g AS (
+  SELECT series_key, ts_ms, value, seq,
+         CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY series_key ORDER BY ts_ms, seq)
+                   >= {_GAP_MS} THEN 1 ELSE 0 END AS brk
+  FROM series
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY series_key ORDER BY ts_ms, seq
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT series_key, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s GROUP BY series_key, sid
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q4_order_priority": QuerySpec(_q4_fn, _Q4_SQL),
+    "q14_promo_revenue": QuerySpec(_q14_fn, _Q14_SQL),
+    "q18_large_orders": QuerySpec(_q18_fn, _Q18_SQL),
+    "q19_disjunctive_join": QuerySpec(_q19_fn, _Q19_SQL),
+    "q_grouping_sets": QuerySpec(_grouping_sets_fn, _GROUPING_SETS_SQL),
+    "q_window_lead_lag": QuerySpec(_lead_lag_fn, _LEAD_LAG_SQL),
+    "q_count_distinct": QuerySpec(_count_distinct_fn, _COUNT_DISTINCT_SQL),
+    "q_range_join": QuerySpec(_range_join_fn, _RANGE_JOIN_SQL),
+    "ts_session_window": QuerySpec(_session_window_fn, _SESSION_WINDOW_SQL),
+}
