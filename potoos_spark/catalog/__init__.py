@@ -14,6 +14,7 @@ from . import (
     relational,
     relational_ext,
     relational_tpch,
+    sketch,
     streaming,
     timeseries,
 )
@@ -24,6 +25,7 @@ CATALOG.update(detectors.QUERIES)
 CATALOG.update(relational.QUERIES)
 CATALOG.update(relational_ext.QUERIES)
 CATALOG.update(relational_tpch.QUERIES)
+CATALOG.update(sketch.QUERIES)
 CATALOG.update(pipeline.QUERIES)
 CATALOG.update(streaming.QUERIES)
 CATALOG.update(mllib.QUERIES)

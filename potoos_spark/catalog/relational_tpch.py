@@ -168,6 +168,69 @@ WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 
 """
 
 
+# --- Q10: returned-item revenue, deterministic top-20 ---------------------
+
+def _q10_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# both engines sort identical doubles (exact decimal sums), custkey
+# breaks ties → the top-20 set is deterministic across engines
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# --- argmax/argmin (max_by/min_by at the grouped-query surface) -----------
+
+def _argmax_fn(spark, sf_dir):
+    supp = table(spark, sf_dir, "supplier")
+    key = F.struct(F.col("s_acctbal"), F.col("s_suppkey"))  # unique → deterministic
+    return supp.groupBy(F.col("s_nationkey").cast("bigint").alias("nation")).agg(
+        F.max_by("s_name", key).alias("top_supplier"),
+        F.min_by("s_name", key).alias("bottom_supplier"),
+        F.max("s_acctbal").alias("max_bal"),
+    )
+
+
+# DuckDB's arg_max can't order by a composite, so the oracle spells the
+# same (acctbal, suppkey) lexicographic argmax with ranked windows.
+_ARGMAX_SQL = """
+WITH r AS (
+  SELECT s_nationkey, s_name, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey DESC) AS rmax,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal ASC, s_suppkey ASC) AS rmin
+  FROM supplier
+)
+SELECT CAST(s_nationkey AS BIGINT) AS nation,
+       MAX(CASE WHEN rmax = 1 THEN s_name END) AS top_supplier,
+       MAX(CASE WHEN rmin = 1 THEN s_name END) AS bottom_supplier,
+       MAX(s_acctbal) AS max_bal
+FROM r GROUP BY s_nationkey
+"""
+
+
 # --- GROUPING SETS (beyond rollup/cube: explicit set list) ----------------
 
 def _grouping_sets_fn(spark, sf_dir):
@@ -325,6 +388,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q14_promo_revenue": QuerySpec(_q14_fn, _Q14_SQL),
     "q18_large_orders": QuerySpec(_q18_fn, _Q18_SQL),
     "q19_disjunctive_join": QuerySpec(_q19_fn, _Q19_SQL),
+    "q10_returned_items": QuerySpec(_q10_fn, _Q10_SQL),
+    "q_argmax": QuerySpec(_argmax_fn, _ARGMAX_SQL),
     "q_grouping_sets": QuerySpec(_grouping_sets_fn, _GROUPING_SETS_SQL),
     "q_window_lead_lag": QuerySpec(_lead_lag_fn, _LEAD_LAG_SQL),
     "q_count_distinct": QuerySpec(_count_distinct_fn, _COUNT_DISTINCT_SQL),

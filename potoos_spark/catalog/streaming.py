@@ -86,6 +86,17 @@ def _stream_session_fn(spark, sf_dir):
     )
 
 
+SLIDE_MS = 1_800_000  # 30 min slide over 1h windows → overlap factor 2
+
+
+def _stream_sliding_fn(spark, sf_dir):
+    cfg = TimeSeriesConfig(aggregation_type="min", bucket_size_msec=HOUR)
+    return _replay(
+        stream_bucket_agg(_events_stream(spark, sf_dir), cfg, slide_msec=SLIDE_MS),
+        "complete",
+    )
+
+
 def _stream_scores_fn(spark, sf_dir):
     cfg = TimeSeriesConfig(aggregation_type="avg", bucket_size_msec=HOUR)
     return _replay(
@@ -114,8 +125,19 @@ _STREAM_SESSION_SQL = (
 )
 
 
+# each point lands in 2 overlapping hourly windows: its 30-min anchor
+# and the one before (same shape as the batch ts_sliding_window oracle)
+_STREAM_SLIDING_SQL = (
+    f"{_S}, e AS (SELECT series_key, unnest(["
+    f"ts_ms - ts_ms % {SLIDE_MS}, ts_ms - ts_ms % {SLIDE_MS} - {SLIDE_MS}"
+    "]) AS ts_ms, value FROM series) "
+    "SELECT series_key, ts_ms, MIN(value) AS value FROM e GROUP BY series_key, ts_ms"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_bucket_agg_replay": QuerySpec(_stream_agg_fn, _STREAM_AGG_SQL),
+    "stream_sliding_agg_replay": QuerySpec(_stream_sliding_fn, _STREAM_SLIDING_SQL),
     "stream_session_agg_replay": QuerySpec(_stream_session_fn, _STREAM_SESSION_SQL),
     "stream_bucket_scores_replay": QuerySpec(_stream_scores_fn, None),
 }
