@@ -383,6 +383,168 @@ FROM s GROUP BY series_key, sid
 """
 
 
+# --- NULL semantics: NULLIF/COALESCE, count(col) vs count(*) --------------
+
+def _null_handling_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    d0 = F.when(F.col("l_discount") != 0, _pct("l_discount"))  # NULL at zero
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count(d0).alias("n_nonzero"),
+        (F.sum(d0).cast("double") / F.count(d0)).alias("avg_nonzero_disc"),
+        F.sum(F.coalesce(d0, F.lit(0).cast("decimal(4,2)")))
+        .cast("double")
+        .alias("total_disc"),
+    )
+
+
+_NULL_HANDLING_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       COUNT(NULLIF(CAST(l_discount AS DECIMAL(4,2)), 0)) AS n_nonzero,
+       CAST(SUM(NULLIF(CAST(l_discount AS DECIMAL(4,2)), 0)) AS DOUBLE)
+         / COUNT(NULLIF(CAST(l_discount AS DECIMAL(4,2)), 0)) AS avg_nonzero_disc,
+       CAST(SUM(COALESCE(NULLIF(CAST(l_discount AS DECIMAL(4,2)), 0),
+                         CAST(0 AS DECIMAL(4,2)))) AS DOUBLE) AS total_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- correlation from exact decimal co-moments ----------------------------
+# corr()/covar() builtins accumulate floats in partition order (not
+# reproducible across engines); deriving from DECIMAL sums is exact and
+# still one partial-aggregable pass — the same trick works at any scale.
+
+def _corr_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    x, y = _qty("l_quantity"), _price("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select("l_returnflag", corr.alias("corr_qty_price"))
+
+
+_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+         AS corr_qty_price
+FROM m
+"""
+
+
+# --- time-RANGE frame moving aggregate (windowed, not bucketed) -----------
+
+_HOUR_MS = 3_600_000
+
+
+def _moving_avg_fn(spark, sf_dir):
+    from .common import events_frame
+
+    ev = events_frame(spark, sf_dir)
+    w = (
+        W.partitionBy("series_key")
+        .orderBy("ts_ms")
+        .rangeBetween(-_HOUR_MS, 0)
+    )
+    return ev.select(
+        "series_key",
+        "ts_ms",
+        "seq",
+        F.count("*").over(w).alias("n_in_hour"),
+        (F.sum(dec("value")).over(w).cast("double") / F.count("*").over(w)).alias(
+            "avg_in_hour"
+        ),
+    )
+
+
+_MOVING_AVG_SQL = f"""
+WITH series AS ({EVENTS_SQL})
+SELECT series_key, ts_ms, seq,
+       COUNT(*) OVER w AS n_in_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS avg_in_hour
+FROM series
+WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms
+             RANGE BETWEEN {_HOUR_MS} PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- fixed-width histogram ------------------------------------------------
+
+_BIN = 25_000  # o_totalprice ∈ [1013, 499979] → 20 bins
+
+
+def _histogram_fn(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / _BIN), F.lit(19)).cast("bigint")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_HISTOGRAM_SQL = f"""
+SELECT CAST(LEAST(FLOOR(o_totalprice / {_BIN}), 19) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+# --- regex / split scalar functions ---------------------------------------
+
+def _scalar_regex_fn(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("digits"),
+        F.split("c_name", "#").getItem(0).alias("prefix"),
+        F.col("c_name").rlike("00$").cast("bigint").alias("ends_00"),
+    )
+
+
+_SCALAR_REGEX_SQL = """
+SELECT c_custkey,
+       COALESCE(regexp_extract(c_name, '[0-9]+'), '') AS digits,
+       split_part(c_name, '#', 1) AS prefix,
+       CAST(regexp_matches(c_name, '00$') AS BIGINT) AS ends_00
+FROM customer
+"""
+
+
+# --- UNION DISTINCT -------------------------------------------------------
+
+def _union_distinct_fn(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.union(b).distinct()
+
+
+_UNION_DISTINCT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(_q4_fn, _Q4_SQL),
     "q14_promo_revenue": QuerySpec(_q14_fn, _Q14_SQL),
@@ -395,4 +557,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q_count_distinct": QuerySpec(_count_distinct_fn, _COUNT_DISTINCT_SQL),
     "q_range_join": QuerySpec(_range_join_fn, _RANGE_JOIN_SQL),
     "ts_session_window": QuerySpec(_session_window_fn, _SESSION_WINDOW_SQL),
+    "q_null_handling": QuerySpec(_null_handling_fn, _NULL_HANDLING_SQL),
+    "q_corr_exact": QuerySpec(_corr_fn, _CORR_SQL),
+    "ts_moving_avg_range": QuerySpec(_moving_avg_fn, _MOVING_AVG_SQL),
+    "q_histogram": QuerySpec(_histogram_fn, _HISTOGRAM_SQL),
+    "q_scalar_regex": QuerySpec(_scalar_regex_fn, _SCALAR_REGEX_SQL),
+    "q_union_distinct": QuerySpec(_union_distinct_fn, _UNION_DISTINCT_SQL),
 }
