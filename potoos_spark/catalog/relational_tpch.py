@@ -529,6 +529,34 @@ FROM customer
 """
 
 
+# --- UNPIVOT (wide → long) ------------------------------------------------
+
+def _unpivot_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(_qty("l_quantity")).cast("double").alias("qty"),
+        F.sum(_price("l_extendedprice")).cast("double").alias("base_price"),
+        F.sum(_pct("l_discount")).cast("double").alias("discount"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["qty", "base_price", "discount"], "measure", "amount"
+    )
+
+
+_UNPIVOT_SQL = """
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS base_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS discount
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS measure, qty AS amount FROM w
+UNION ALL SELECT l_returnflag, 'base_price', base_price FROM w
+UNION ALL SELECT l_returnflag, 'discount', discount FROM w
+"""
+
+
 # --- UNION DISTINCT -------------------------------------------------------
 
 def _union_distinct_fn(spark, sf_dir):
@@ -563,4 +591,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q_histogram": QuerySpec(_histogram_fn, _HISTOGRAM_SQL),
     "q_scalar_regex": QuerySpec(_scalar_regex_fn, _SCALAR_REGEX_SQL),
     "q_union_distinct": QuerySpec(_union_distinct_fn, _UNION_DISTINCT_SQL),
+    "q_unpivot": QuerySpec(_unpivot_fn, _UNPIVOT_SQL),
 }
