@@ -351,6 +351,47 @@ _MM_META_SQL = (
 )
 
 
+# --- array higher-order functions over embeddings -------------------------
+# transform/filter/aggregate/sort/slice on the vector column, all on the
+# integer-scaled representation so arithmetic is bit-exact cross-engine.
+
+def _array_hof_fn(spark, sf_dir):
+    emb = _embs(spark, sf_dir)
+    scaled = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("bigint"),
+    )
+    e = emb.withColumn("e", scaled)
+    top = F.slice(F.sort_array("e", asc=False), 1, 3)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.aggregate(
+            "e", F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x)
+        ).alias("l1_milli"),
+        top.getItem(0).alias("top1"),
+        top.getItem(1).alias("top2"),
+        top.getItem(2).alias("top3"),
+    )
+
+
+_ARRAY_HOF_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) for x in embedding] AS e
+  FROM embeddings
+),
+s AS (SELECT vec_id, embedding, e, list_reverse_sort(e) AS srt FROM v)
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       CAST(list_sum([abs(x) for x in e]) AS BIGINT) AS l1_milli,
+       srt[1] AS top1, srt[2] AS top2, srt[3] AS top3
+FROM s
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
@@ -370,6 +411,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact_streaming": QuerySpec(_stream_dedup_fn, _STREAM_DEDUP_SQL),
     "text_langid": QuerySpec(_text_langid_fn, _TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(_text_fp_fn, _TEXT_FP_SQL),
+    "q_array_hof": QuerySpec(_array_hof_fn, _ARRAY_HOF_SQL),
     # multimodal plumbing
     "multimodal_meta": QuerySpec(_mm_meta_fn, _MM_META_SQL),
     "multimodal_decode": QuerySpec(_mm_decode_fn, None),  # mapInPandas stub
