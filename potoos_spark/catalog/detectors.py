@@ -97,6 +97,35 @@ _WINDOWS_SQL = (
     "GROUP BY a.series_key, a.start_ts_ms, a.end_ts_ms, a.anomaly_score"
 )
 
+# D9 refine: absolute-threshold windows (as in _WINDOWS_SQL), then a
+# second absolute-threshold pass (200/10) re-scores only the points
+# inside each window; extent is kept, peak recomputed from refined
+# scores (earliest among max — mirrors max_by(ts, (score, -ts))).
+_REFINE_SCORE = (
+    "CASE WHEN value > 200.0 THEN value - 200.0 "
+    "WHEN value < 10.0 THEN 10.0 - value ELSE 0.0 END"
+)
+
+_REFINE_SQL = (
+    f"{_BASE}, sc AS (SELECT series_key, ts_ms, {_ABS_SCORE} AS score FROM g), "
+    "fl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY ts_ms) AS rn FROM sc), "
+    "ab AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY ts_ms) AS isl "
+    "FROM fl WHERE score >= 2.0), "
+    "agg AS (SELECT series_key, isl, MIN(ts_ms) AS start_ts_ms, MAX(ts_ms) AS end_ts_ms "
+    "FROM ab GROUP BY series_key, isl), "
+    f"rsc AS (SELECT series_key, ts_ms, {_REFINE_SCORE} AS score FROM g), "
+    "rj AS (SELECT a.series_key, a.start_ts_ms, a.end_ts_ms, r.ts_ms, r.score "
+    "FROM agg a JOIN rsc r ON r.series_key = a.series_key "
+    "AND r.ts_ms BETWEEN a.start_ts_ms AND a.end_ts_ms), "
+    "pk AS (SELECT series_key, start_ts_ms, end_ts_ms, MAX(score) AS anomaly_score "
+    "FROM rj GROUP BY series_key, start_ts_ms, end_ts_ms) "
+    "SELECT p.series_key, p.start_ts_ms, p.end_ts_ms, MIN(r.ts_ms) AS exact_ts_ms, "
+    "p.anomaly_score FROM pk p JOIN rj r ON r.series_key = p.series_key "
+    "AND r.start_ts_ms = p.start_ts_ms AND r.end_ts_ms = p.end_ts_ms "
+    "AND r.score = p.anomaly_score "
+    "GROUP BY p.series_key, p.start_ts_ms, p.end_ts_ms, p.anomaly_score"
+)
+
 # D6: baseline = the same series shifted forward one day (yesterday's
 # value, as-of matched); score = percent-diff exceedance over 20%.
 _DIFF_PCT_SQL = (
@@ -154,6 +183,32 @@ def _windows_fn(spark, sf_dir):
         ),
     )
     return extract_anomalies(scores, score_threshold=2.0)
+
+
+def _refine_fn(spark, sf_dir):
+    from ..detectors.windows import refine_anomalies
+
+    g = hourly_avg_frame(spark, sf_dir)
+    scores = detect_score(
+        g,
+        DetectorConfig(
+            algorithm_name="absolute_threshold",
+            algorithm_params={
+                "absolute_threshold_value_upper": 250.0,
+                "absolute_threshold_value_lower": 5.0,
+            },
+        ),
+    )
+    anomalies = extract_anomalies(scores, score_threshold=2.0)
+    return refine_anomalies(
+        g,
+        anomalies,
+        "absolute_threshold",
+        {
+            "absolute_threshold_value_upper": 200.0,
+            "absolute_threshold_value_lower": 10.0,
+        },
+    )
 
 
 def _ensemble_fn(spark, sf_dir):
@@ -229,6 +284,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # D10: threshold → contiguous anomaly windows with peak point
     "det_windows": QuerySpec(_windows_fn, _WINDOWS_SQL),
+    # D9: refine pass — second algorithm re-scores within found windows
+    "det_refine": QuerySpec(_refine_fn, _REFINE_SQL),
     # D3: SAX-bitmap — not SQL-expressible; driver does a rows-only check
     "det_bitmap": QuerySpec(_bitmap_fn, None),
 }
