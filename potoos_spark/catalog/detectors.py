@@ -236,6 +236,35 @@ _ENSEMBLE_SQL = (
 )
 
 
+# D8: plugin registry exercised through the catalog — a user-registered
+# closed-form scorer (percent-of-series-max) dispatched by name exactly
+# like a built-in, and simple enough to hold to the SQL oracle standard.
+from ..detectors.base import is_registered, register_detector
+
+if not is_registered("percent_of_max"):
+
+    @register_detector("percent_of_max")
+    def _percent_of_max(df, **_params):
+        from pyspark.sql import Window as W
+
+        mx = F.max("value").over(W.partitionBy("series_key"))
+        score = F.when(mx > 0, F.col("value") / mx).otherwise(F.lit(0.0))
+        return df.select("series_key", "ts_ms", "value", score.alias("score"))
+
+
+_PLUGIN_SQL = (
+    f"{_BASE}, mx AS (SELECT series_key, MAX(value) AS m FROM g GROUP BY series_key) "
+    "SELECT g.series_key, g.ts_ms, g.value, "
+    "CASE WHEN mx.m > 0 THEN g.value / mx.m ELSE 0.0 END AS score "
+    "FROM g JOIN mx USING (series_key)"
+)
+
+
+def _plugin_fn(spark, sf_dir):
+    g = hourly_avg_frame(spark, sf_dir)
+    return detect_score(g, DetectorConfig(algorithm_name="percent_of_max"))
+
+
 def _bitmap_fn(spark, sf_dir):
     g = hourly_avg_frame(spark, sf_dir)
     return detect_score(
@@ -286,6 +315,8 @@ QUERIES: dict[str, QuerySpec] = {
     "det_windows": QuerySpec(_windows_fn, _WINDOWS_SQL),
     # D9: refine pass — second algorithm re-scores within found windows
     "det_refine": QuerySpec(_refine_fn, _REFINE_SQL),
+    # D8: plugin-registered custom algorithm, dispatched by name
+    "det_custom_plugin": QuerySpec(_plugin_fn, _PLUGIN_SQL),
     # D3: SAX-bitmap — not SQL-expressible; driver does a rows-only check
     "det_bitmap": QuerySpec(_bitmap_fn, None),
 }

@@ -97,6 +97,12 @@ def _stream_sliding_fn(spark, sf_dir):
     )
 
 
+def _stream_latest_fn(spark, sf_dir):
+    from ..streaming import stream_latest_dedup
+
+    return _replay(stream_latest_dedup(_events_stream(spark, sf_dir)), "complete")
+
+
 def _stream_scores_fn(spark, sf_dir):
     cfg = TimeSeriesConfig(aggregation_type="avg", bucket_size_msec=HOUR)
     return _replay(
@@ -138,6 +144,12 @@ _STREAM_SLIDING_SQL = (
 QUERIES: dict[str, QuerySpec] = {
     "stream_bucket_agg_replay": QuerySpec(_stream_agg_fn, _STREAM_AGG_SQL),
     "stream_sliding_agg_replay": QuerySpec(_stream_sliding_fn, _STREAM_SLIDING_SQL),
+    "stream_latest_dedup_replay": QuerySpec(
+        _stream_latest_fn,
+        # A15 semantics — identical to the batch ts_latest_dedup oracle
+        f"{_S} SELECT series_key, ts_ms, arg_max(value, seq) AS value "
+        "FROM series GROUP BY series_key, ts_ms",
+    ),
     "stream_session_agg_replay": QuerySpec(_stream_session_fn, _STREAM_SESSION_SQL),
     "stream_bucket_scores_replay": QuerySpec(_stream_scores_fn, None),
 }
