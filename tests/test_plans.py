@@ -88,3 +88,49 @@ def test_single_shuffle_bucket_agg(spark):
     plan = _plan(apply_aggregation(events_frame(spark, SF_DIR), cfg), "simple")
     # one exchange: the partial->final agg shuffle; no extra sorts/shuffles
     assert plan.count("Exchange") == 1, plan
+
+
+def test_q14_broadcasts_part_and_pushes_shipdate(spark):
+    plan = _plan(CATALOG["q14_promo_revenue"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "part dim should broadcast"
+    pushed = "".join(l for l in plan.splitlines() if "PushedFilters:" in l)
+    assert "l_shipdate" in pushed, f"shipdate not pushed: {pushed}"
+
+
+def test_q19_pushes_disjunctive_predicate(spark):
+    plan = _plan(CATALOG["q19_disjunctive_join"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the OR-of-ANDs must at least push the quantity envelope Or(...) down
+    pushed = "".join(l for l in plan.splitlines() if "PushedFilters:" in l)
+    assert "l_quantity" in pushed or "Or(" in pushed, pushed
+
+
+def test_range_join_is_hash_join_on_user(spark):
+    plan = _plan(CATALOG["q_range_join"].fn(spark, SF_DIR))
+    # equi key must drive a hash join; the band is a post-join condition,
+    # never a cartesian/nested-loop over the full tables
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_not_aggregate_dedup(spark):
+    plan = _plan(CATALOG["q4_order_priority"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, "EXISTS should compile to a semi join"
+
+
+def test_grouping_sets_expand_once(spark):
+    plan = _plan(CATALOG["q_grouping_sets"].fn(spark, SF_DIR), "simple")
+    assert plan.count("Expand") == 1, "grouping sets = one map-side Expand"
+    assert plan.count("HashAggregate") >= 2, "partial->final over the expand"
+
+
+def test_moving_range_frame_single_sort(spark):
+    plan = _plan(CATALOG["ts_moving_avg_range"].fn(spark, SF_DIR), "simple")
+    # one shuffle to co-locate each series, one sort for the frame scan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
+
+
+def test_hll_sketch_partial_aggregation(spark):
+    plan = _plan(CATALOG["sketch_distinct_hll"].fn(spark, SF_DIR))
+    assert "partial_hll_sketch_agg" in plan, "sketch must combine map-side"
