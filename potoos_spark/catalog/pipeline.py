@@ -392,6 +392,85 @@ FROM s
 """
 
 
+# --- corpus stats per source ----------------------------------------------
+
+def _corpus_stats_fn(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+_CORPUS_STATS_SQL = """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
+# --- embedding centroids per label (posexplode + integer-scaled sums) -----
+
+def _centroid_fn(spark, sf_dir):
+    emb = _embs(spark, sf_dir)
+    e = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("dim", "milli"),
+    )
+    return e.groupBy(F.col("label").cast("bigint").alias("label"), "dim").agg(
+        F.sum("milli").alias("sum_milli"),
+        F.count("*").alias("n"),
+        (F.sum("milli").cast("double") / F.count("*") / F.lit(1000.0)).alias(
+            "centroid"
+        ),
+    )
+
+
+_CENTROID_SQL = """
+WITH v AS (
+  SELECT label, [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) for x in embedding] AS e
+  FROM embeddings
+),
+u AS (SELECT label, generate_subscripts(e, 1) - 1 AS dim, unnest(e) AS milli FROM v)
+SELECT CAST(label AS BIGINT) AS label, dim,
+       CAST(SUM(milli) AS BIGINT) AS sum_milli, COUNT(*) AS n,
+       CAST(SUM(milli) AS DOUBLE) / COUNT(*) / 1000.0 AS centroid
+FROM u GROUP BY label, dim
+"""
+
+
+# --- deterministic hash split (reproducible train/val sampling) -----------
+# Split membership = first two hex chars of md5(doc_id): content-stable,
+# engine-independent, and rerunnable on any cluster size — the pattern
+# for reproducible dataset splits at 100 TB (no rand(), no seed drift).
+
+def _sample_split_fn(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(h2 < "e6", "train").otherwise("val").alias("split"),
+    )
+
+
+_SAMPLE_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
@@ -412,6 +491,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_langid": QuerySpec(_text_langid_fn, _TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(_text_fp_fn, _TEXT_FP_SQL),
     "q_array_hof": QuerySpec(_array_hof_fn, _ARRAY_HOF_SQL),
+    "corpus_stats": QuerySpec(_corpus_stats_fn, _CORPUS_STATS_SQL),
+    "emb_centroid": QuerySpec(_centroid_fn, _CENTROID_SQL),
+    "corpus_sample_split": QuerySpec(_sample_split_fn, _SAMPLE_SPLIT_SQL),
     # multimodal plumbing
     "multimodal_meta": QuerySpec(_mm_meta_fn, _MM_META_SQL),
     "multimodal_decode": QuerySpec(_mm_decode_fn, None),  # mapInPandas stub
