@@ -62,6 +62,53 @@ def hll_union_distinct(
     )
 
 
+def kll_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Approximate quantiles per group via a KLL sketch (DataSketches):
+    fixed-size mergeable state per group, so percentiles over 100 TB
+    are one partial→final pass — and per-partition/day sketches can be
+    merged later (``kll_merge_agg_double``) like the HLL rollup."""
+    sk = F.kll_sketch_agg_double(F.col(value_col).cast("double"))
+    qs = F.kll_sketch_get_quantile_double(
+        sk, F.array(*[F.lit(float(p)) for p in probs])
+    )
+    out = df.groupBy(*group_cols).agg(qs.alias("__qs"))
+    cols = [F.col("__qs").getItem(i).alias(f"p{int(p * 100)}") for i, p in enumerate(probs)]
+    return out.select(*group_cols, *cols)
+
+
+def theta_overlap(
+    df: DataFrame,
+    part_col: str,
+    key_col: str,
+    part_a,
+    part_b,
+) -> DataFrame:
+    """Set algebra on sketches: estimate |A|, |B|, |A∩B|, |A\\B| of the
+    distinct ``key_col`` sets of two partitions without materializing
+    either set — theta sketches support intersection/difference, which
+    HLL cannot. The audience-overlap / leakage-check primitive: at
+    100 TB each side reduces to a KB-scale sketch before they meet."""
+    sk = df.groupBy(part_col).agg(F.theta_sketch_agg(key_col).alias("sk"))
+    a = sk.filter(F.col(part_col) == part_a).select(F.col("sk").alias("sk_a"))
+    b = sk.filter(F.col(part_col) == part_b).select(F.col("sk").alias("sk_b"))
+    j = a.crossJoin(b)
+    return j.select(
+        F.theta_sketch_estimate("sk_a").cast("bigint").alias("n_a"),
+        F.theta_sketch_estimate("sk_b").cast("bigint").alias("n_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_a", "sk_b")
+        ).cast("bigint").alias("n_intersection"),
+        F.theta_sketch_estimate(
+            F.theta_difference("sk_a", "sk_b")
+        ).cast("bigint").alias("n_only_a"),
+    )
+
+
 def approx_distinct(
     df: DataFrame, group_cols: Sequence[str], value_col: str, rsd: float = 0.05
 ) -> DataFrame:

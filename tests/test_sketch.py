@@ -69,3 +69,56 @@ def test_approx_count_distinct_within_rsd(spark, exact_by_flag):
         for r in approx_distinct(li, ["l_returnflag"], "l_partkey").collect()
     }
     _assert_close(got, exact_by_flag)
+
+
+def test_kll_quantiles_rank_error(spark):
+    """KLL guarantees rank accuracy: the estimated p50/p95/p99 values
+    must sit within ±4% *rank* of the target (default k ⇒ ~1.7% 1σ)."""
+    import bisect
+
+    from potoos_spark.catalog.common import events_frame
+    from potoos_spark.operators.sketch import kll_quantiles
+
+    ev = events_frame(spark, SF_ORACLE_DIR)
+    got = {
+        r["series_key"]: (r["p50"], r["p95"], r["p99"])
+        for r in kll_quantiles(ev, ["series_key"], "value").collect()
+    }
+    con = duckdb.connect()
+    exact = con.sql(
+        "SELECT event_type, list_sort(list(value)) FROM "
+        f"'{SF_ORACLE_DIR}/events.parquet' GROUP BY 1"
+    ).fetchall()
+    con.close()
+    for key, values in exact:
+        n = len(values)
+        for est, target in zip(got[key], (0.5, 0.95, 0.99)):
+            rank = bisect.bisect_left(values, est) / n
+            assert abs(rank - target) <= 0.04, (key, target, rank)
+
+
+def test_theta_overlap_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.sketch import theta_overlap
+
+    li = table(spark, SF_ORACLE_DIR, "lineitem").select(
+        F.year("l_shipdate").alias("yr"), "l_partkey"
+    )
+    row = theta_overlap(li, "yr", "l_partkey", 1996, 1997).collect()[0]
+    con = duckdb.connect()
+    na, nb, ni = con.sql(
+        f"""
+        WITH a AS (SELECT DISTINCT l_partkey FROM '{SF_ORACLE_DIR}/lineitem.parquet'
+                   WHERE year(l_shipdate) = 1996),
+             b AS (SELECT DISTINCT l_partkey FROM '{SF_ORACLE_DIR}/lineitem.parquet'
+                   WHERE year(l_shipdate) = 1997)
+        SELECT (SELECT COUNT(*) FROM a), (SELECT COUNT(*) FROM b),
+               (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+        """
+    ).fetchall()[0]
+    con.close()
+    assert abs(row["n_a"] - na) <= 0.05 * na
+    assert abs(row["n_b"] - nb) <= 0.05 * nb
+    assert abs(row["n_intersection"] - ni) <= 0.10 * max(ni, 1)
+    assert abs(row["n_only_a"] - (na - ni)) <= 0.10 * max(na - ni, 1)
