@@ -383,6 +383,84 @@ FROM s GROUP BY series_key, sid
 """
 
 
+# --- Q15: top supplier by quarter revenue (scalar subquery over agg) ------
+
+def _q15_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("rev_dec"))
+        .select("l_suppkey", F.col("rev_dec").cast("double").alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev["total_revenue"] == top["mx"])
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+# --- Q7: bilateral nation volume (one dim joined twice, aliased) ----------
+
+def _q7_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(_rev()).cast("double").alias("volume"))
+    )
+
+
+_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(SUM({_REV}) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name
+"""
+
+
 # --- NULL semantics: NULLIF/COALESCE, count(col) vs count(*) --------------
 
 def _null_handling_fn(spark, sf_dir):
@@ -579,6 +657,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q18_large_orders": QuerySpec(_q18_fn, _Q18_SQL),
     "q19_disjunctive_join": QuerySpec(_q19_fn, _Q19_SQL),
     "q10_returned_items": QuerySpec(_q10_fn, _Q10_SQL),
+    "q15_top_supplier": QuerySpec(_q15_fn, _Q15_SQL),
+    "q7_nation_volume": QuerySpec(_q7_fn, _Q7_SQL),
     "q_argmax": QuerySpec(_argmax_fn, _ARGMAX_SQL),
     "q_grouping_sets": QuerySpec(_grouping_sets_fn, _GROUPING_SETS_SQL),
     "q_window_lead_lag": QuerySpec(_lead_lag_fn, _LEAD_LAG_SQL),
