@@ -361,14 +361,16 @@ def _session_window_fn(spark, sf_dir):
     )
 
 
-# Spark merges an event into the current session iff ts < last_ts + gap,
-# so a new island starts exactly when ts - prev_ts >= gap.
+# Spark merges an event into the current session iff ts <= last_ts + gap
+# (the boundary event extends the session — pinned by the property test
+# tests/test_properties.py::test_session_window_islands_match_reference),
+# so a new island starts exactly when ts - prev_ts > gap.
 _SESSION_WINDOW_SQL = f"""
 WITH series AS ({EVENTS_SQL}),
 g AS (
   SELECT series_key, ts_ms, value, seq,
          CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY series_key ORDER BY ts_ms, seq)
-                   >= {_GAP_MS} THEN 1 ELSE 0 END AS brk
+                   > {_GAP_MS} THEN 1 ELSE 0 END AS brk
   FROM series
 ),
 s AS (

@@ -116,11 +116,13 @@ _STREAM_AGG_SQL = (
 )
 
 # Session windows as gaps-and-islands: a row starts a new session when
-# its gap to the previous row is >= GAP_MS (Spark merges only strictly
-# overlapping [ts, ts+gap) intervals); session end = last ts + gap.
+# its gap to the previous row is > GAP_MS (Spark merges inclusively — an
+# event exactly GAP_MS after the last one extends the session; pinned by
+# tests/test_properties.py::test_session_window_islands_match_reference);
+# session end = last ts + gap.
 _STREAM_SESSION_SQL = (
     f"{_S}, x AS (SELECT series_key, ts_ms, seq, value, CASE WHEN "
-    f"ts_ms - LAG(ts_ms) OVER w >= {GAP_MS} OR "
+    f"ts_ms - LAG(ts_ms) OVER w > {GAP_MS} OR "
     "LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s FROM series "
     "WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms, seq)), "
     "y AS (SELECT *, SUM(new_s) OVER (PARTITION BY series_key ORDER BY ts_ms, seq "

@@ -88,3 +88,41 @@ def test_rollup_combine_equals_direct_partials(spark, points, agg):
     a = sorted(map(tuple, combined.collect()))
     b = sorted(map(tuple, direct.collect()))
     assert a == b
+
+
+def _session_reference(ts_list, gap):
+    """Islands: a new session starts when ts - prev_ts > gap (Spark
+    merges inclusively: an event exactly `gap` after the last one
+    extends the session)."""
+    out = []
+    for t in sorted(ts_list):
+        if out and t - out[-1][-1] <= gap:
+            out[-1].append(t)
+        else:
+            out.append([t])
+    return sorted((s[0], s[-1], len(s)) for s in out)
+
+
+@given(
+    ts_list=st.lists(
+        st.integers(min_value=0, max_value=200), min_size=1, max_size=25, unique=True
+    ),
+    gap=st.sampled_from([1, 5, 17]),
+)
+@SETTINGS
+def test_session_window_islands_match_reference(spark, ts_list, gap):
+    """Pins the boundary rule the DuckDB session oracles rely on:
+    an event exactly `gap` after the previous one MERGES into the
+    current session (inclusive boundary)."""
+    df = spark.createDataFrame(
+        [("k", t, 1.0) for t in ts_list], "series_key string, ts_ms bigint, value double"
+    )
+    sess = (
+        df.groupBy(
+            "series_key",
+            F.session_window(F.timestamp_millis("ts_ms"), f"{gap} milliseconds"),
+        )
+        .agg(F.min("ts_ms").alias("s"), F.max("ts_ms").alias("e"), F.count("*").alias("n"))
+    )
+    got = sorted((r["s"], r["e"], r["n"]) for r in sess.collect())
+    assert got == _session_reference(ts_list, gap)
