@@ -392,6 +392,14 @@ FROM s
 """
 
 
+# --- end-to-end curation: quality → exact dedup → near-dup → split --------
+
+def _curate_fn(spark, sf_dir):
+    from ..operators.curate import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))
+
+
 # --- corpus stats per source ----------------------------------------------
 
 def _corpus_stats_fn(spark, sf_dir):
@@ -471,6 +479,32 @@ FROM documents
 """
 
 
+# End-to-end curation oracle: same stage chain as curate_corpus, each
+# stage the same SQL as its standalone oracle, composed over CTEs.
+_CURATE_SQL = (
+    f"WITH {_TOK}, {_T}, "
+    "d AS (SELECT doc_id, toks, text FROM tok JOIN documents USING (doc_id)), "
+    "f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+    "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) "
+    "/ CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio, "
+    f"CAST(len(list_filter(toks, x -> list_contains({_EN_LIST}, x))) AS DOUBLE) "
+    "/ CAST(GREATEST(len(toks), 1) AS DOUBLE) AS stopword_ratio, "
+    "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS uniq_ratio "
+    "FROM d), "
+    "q AS (SELECT doc_id FROM f WHERE n_tokens >= 5 AND punct_ratio <= 0.3 "
+    "AND stopword_ratio >= 0.01 AND uniq_ratio >= 0.3), "
+    "dq AS (SELECT documents.doc_id, text FROM documents JOIN q USING (doc_id)), "
+    "e AS (SELECT MIN(doc_id) AS doc_id FROM dq "
+    "GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))), "
+    "dt AS (SELECT DISTINCT t.doc_id, t.tok FROM t JOIN e USING (doc_id)), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes), "
+    "k2 AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY simhash) "
+    "SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' "
+    "THEN 'train' ELSE 'val' END AS split FROM k2"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
@@ -491,6 +525,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_langid": QuerySpec(_text_langid_fn, _TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(_text_fp_fn, _TEXT_FP_SQL),
     "q_array_hof": QuerySpec(_array_hof_fn, _ARRAY_HOF_SQL),
+    "corpus_curate_e2e": QuerySpec(_curate_fn, _CURATE_SQL),
     "corpus_stats": QuerySpec(_corpus_stats_fn, _CORPUS_STATS_SQL),
     "emb_centroid": QuerySpec(_centroid_fn, _CENTROID_SQL),
     "corpus_sample_split": QuerySpec(_sample_split_fn, _SAMPLE_SPLIT_SQL),
