@@ -103,6 +103,47 @@ def _stream_latest_fn(spark, sf_dir):
     return _replay(stream_latest_dedup(_events_stream(spark, sf_dir)), "complete")
 
 
+# Streaming D10 replay: append-mode output holds back sessions still
+# inside the watermark horizon at end-of-replay, so both engines keep
+# only windows ending before a fixed cutoff well clear of the stream
+# tail (events span Jan 2024; horizon = 1h bucket + 10min watermark).
+CUTOFF_MS = 1_706_227_200_000  # 2024-01-26T00:00:00Z
+
+
+def _stream_windows_fn(spark, sf_dir):
+    from ..streaming import stream_anomaly_windows
+
+    cfg = TimeSeriesConfig(aggregation_type="min", bucket_size_msec=HOUR)
+    out = stream_anomaly_windows(
+        _events_stream(spark, sf_dir), cfg, upper=250.0, lower=5.0,
+        score_threshold=2.0,
+    )
+    return _replay(out, "append").filter(F.col("end_ts_ms") < CUTOFF_MS)
+
+
+# Islands are TIME-based (split when the bucket gap exceeds one bucket),
+# not row-based: a missing in-between bucket (hour with no events) splits
+# the window, exactly as the session gap does in the streaming plan.
+_STREAM_WINDOWS_SQL = (
+    f"{_S}, g AS (SELECT series_key, ts_ms - ts_ms % {HOUR} AS ts_ms, "
+    f"MIN(value) AS value FROM series GROUP BY series_key, ts_ms - ts_ms % {HOUR}), "
+    "sc AS (SELECT series_key, ts_ms, CASE WHEN value > 250.0 THEN value - 250.0 "
+    "WHEN value < 5.0 THEN 5.0 - value ELSE 0.0 END AS score FROM g), "
+    "an AS (SELECT * FROM sc WHERE score >= 2.0), "
+    "br AS (SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER "
+    f"(PARTITION BY series_key ORDER BY ts_ms) > {HOUR} THEN 1 ELSE 0 END AS brk FROM an), "
+    "ab AS (SELECT *, SUM(brk) OVER (PARTITION BY series_key ORDER BY ts_ms "
+    "ROWS UNBOUNDED PRECEDING) AS isl FROM br), "
+    "agg AS (SELECT series_key, isl, MIN(ts_ms) AS start_ts_ms, MAX(ts_ms) AS end_ts_ms, "
+    "MAX(score) AS anomaly_score FROM ab GROUP BY series_key, isl) "
+    "SELECT a.series_key, a.start_ts_ms, a.end_ts_ms, MIN(b.ts_ms) AS exact_ts_ms, "
+    "a.anomaly_score FROM agg a JOIN ab b ON b.series_key = a.series_key "
+    "AND b.isl = a.isl AND b.score = a.anomaly_score "
+    f"WHERE a.end_ts_ms < {CUTOFF_MS} "
+    "GROUP BY a.series_key, a.start_ts_ms, a.end_ts_ms, a.anomaly_score"
+)
+
+
 def _stream_scores_fn(spark, sf_dir):
     cfg = TimeSeriesConfig(aggregation_type="avg", bucket_size_msec=HOUR)
     return _replay(
@@ -146,6 +187,9 @@ _STREAM_SLIDING_SQL = (
 QUERIES: dict[str, QuerySpec] = {
     "stream_bucket_agg_replay": QuerySpec(_stream_agg_fn, _STREAM_AGG_SQL),
     "stream_sliding_agg_replay": QuerySpec(_stream_sliding_fn, _STREAM_SLIDING_SQL),
+    "stream_anomaly_windows_replay": QuerySpec(
+        _stream_windows_fn, _STREAM_WINDOWS_SQL
+    ),
     "stream_latest_dedup_replay": QuerySpec(
         _stream_latest_fn,
         # A15 semantics — identical to the batch ts_latest_dedup oracle

@@ -9,6 +9,7 @@ scoring plan.
 
 from .aggregate import (
     DEFAULT_WATERMARK,
+    stream_anomaly_windows,
     stream_bucket_agg,
     stream_latest_dedup,
     stream_session_agg,
@@ -20,6 +21,7 @@ from .stateful import streaming_bucket_scores, streaming_scores
 
 __all__ = [
     "DEFAULT_WATERMARK",
+    "stream_anomaly_windows",
     "stream_bucket_agg",
     "stream_latest_dedup",
     "stream_session_agg",

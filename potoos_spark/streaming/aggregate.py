@@ -118,6 +118,68 @@ def stream_session_agg(
     )
 
 
+def stream_anomaly_windows(
+    sdf: DataFrame,
+    cfg: TimeSeriesConfig,
+    upper: float,
+    lower: float,
+    score_threshold: float,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming D10: incremental anomaly-*window* extraction, fully
+    inside Structured Streaming — two chained stateful operators:
+
+      bucket agg (event-time window) → absolute-threshold score →
+      session_window islands (gap = bucket size)
+
+    Consecutive anomalous buckets sit exactly one bucket apart and the
+    session merge is inclusive at the gap, so the sessions are precisely
+    the batch gaps-and-islands of ``extract_anomalies``. The chain needs
+    ``window_time`` of the first agg's window column as the second
+    operator's event time (Spark's chained-window contract); output is
+    append-mode — a window emits once its session closes past the
+    watermark, i.e. alerts fire incrementally with bounded state.
+
+    Output: (series_key, start_ts_ms, end_ts_ms, exact_ts_ms,
+    anomaly_score) — batch anomaly schema.
+    """
+    if cfg.aggregation_type is None:
+        raise ValueError("stream_anomaly_windows requires cfg.aggregation_type")
+    b = int(cfg.bucket_size_msec)
+    dur = f"{b} milliseconds"
+    if "event_time" not in sdf.columns:
+        sdf = with_event_time(sdf, watermark)
+    tie = F.col("seq") if "seq" in sdf.columns else F.col("value")
+    agg = (
+        sdf.withColumn("__tie", tie)
+        .groupBy("series_key", F.window("event_time", dur).alias("window"))
+        .agg(_agg_value(cfg.aggregation_type, tie))
+    )
+    score = (
+        F.when(F.col("value") > upper, F.col("value") - upper)
+        .when(F.col("value") < lower, lower - F.col("value"))
+        .otherwise(F.lit(0.0))
+    )
+    anom = (
+        agg.withColumn("score", score)
+        .filter(F.col("score") >= float(score_threshold))
+        .withColumn("ts_ms", F.unix_millis(F.col("window.start")))
+    )
+    sess = anom.groupBy(
+        "series_key", F.session_window(F.window_time("window"), dur).alias("__w")
+    ).agg(
+        F.min("ts_ms").alias("start_ts_ms"),
+        F.max("ts_ms").alias("end_ts_ms"),
+        F.max_by("ts_ms", F.struct(F.col("score"), -F.col("ts_ms"))).alias(
+            "exact_ts_ms"
+        ),
+        F.max("score").alias("anomaly_score"),
+    )
+    return sess.select(
+        "series_key", "start_ts_ms", "end_ts_ms", "exact_ts_ms", "anomaly_score"
+    )
+
+
 def stream_latest_dedup(
     sdf: DataFrame, watermark: str = DEFAULT_WATERMARK
 ) -> DataFrame:
