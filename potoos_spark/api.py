@@ -109,3 +109,21 @@ class PotoosSession:
         client.py:134-135; vacuous in set-oriented form)."""
         points = self.read_series(df, ts_config)
         return self.detect(points, detector_config, baseline=baseline)
+
+    def register_tables(self, data_dir: str, names=None) -> dict:
+        """Register each ``<data_dir>/<name>.parquet`` as a temp view so
+        the whole surface is also reachable via ``spark.sql`` (the SQL
+        front door the reference never had). Returns {name: DataFrame}.
+        Default names are the driver-fixture tables (FIXTURES.md §2)."""
+        names = names or [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]
+        # events carries TIMESTAMP(NANOS) — read as raw int64 ns
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        out = {}
+        for n in names:
+            df = self.spark.read.parquet(f"{data_dir}/{n}.parquet")
+            df.createOrReplaceTempView(n)
+            out[n] = df
+        return out

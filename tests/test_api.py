@@ -73,3 +73,19 @@ def test_error_propagation_through_monitor(spark):
     sess = PotoosSession(spark)
     with pytest.raises(RuntimeError):
         sess.monitor(spark.createDataFrame([(1,)], "x int"))
+
+
+def test_register_tables_enables_sql(spark):
+    from potoos_spark import PotoosSession
+
+    from tests.conftest import SF_DIR
+
+    sess = PotoosSession(spark)
+    tables = sess.register_tables(SF_DIR)
+    assert set(tables) >= {"lineitem", "orders", "events"}
+    n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n == tables["lineitem"].count() > 0
+    joined = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).collect()[0]["n"]
+    assert joined > 0

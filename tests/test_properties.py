@@ -126,3 +126,58 @@ def test_session_window_islands_match_reference(spark, ts_list, gap):
     )
     got = sorted((r["s"], r["e"], r["n"]) for r in sess.collect())
     assert got == _session_reference(ts_list, gap)
+
+
+def _bucket_reference(points, b, offset, label, agg):
+    """Brute-force A1-A16 core: floor((ts-offset)/b)*b + offset buckets,
+    exact aggregators, bucket_timestamp label shift."""
+    buckets = {}
+    for t, v in points:
+        s = t - offset
+        start = s - (s % b) + offset  # python % is a true mod, like pmod
+        buckets.setdefault(start, []).append((t, v))
+    shift = {"-": 0, "~": b // 2, "+": b}[label]
+    out = []
+    for start, pts in buckets.items():
+        vals = [v for _, v in pts]
+        if agg == "min":
+            r = float(min(vals))
+        elif agg == "max":
+            r = float(max(vals))
+        elif agg == "count":
+            r = float(len(vals))
+        elif agg == "first":
+            r = float(min(pts)[1])  # earliest ts (unique ts per input)
+        else:  # last
+            r = float(max(pts)[1])
+        out.append((start + shift, r))
+    return sorted(out)
+
+
+@given(
+    points=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=500), VAL),
+        min_size=1, max_size=30, unique_by=lambda p: p[0],
+    ),
+    b=st.sampled_from([1, 7, 60]),
+    offset=st.sampled_from([0, 3, 59]),
+    label=st.sampled_from(["-", "~", "+"]),
+    agg=st.sampled_from(["min", "max", "count", "first", "last"]),
+)
+@SETTINGS
+def test_bucket_aggregation_matches_bruteforce(spark, points, b, offset, label, agg):
+    from potoos_spark.config import TimeSeriesConfig
+    from potoos_spark.operators.retrieval import apply_aggregation
+
+    cfg = TimeSeriesConfig(
+        aggregation_type=agg,
+        bucket_size_msec=b,
+        align=offset,
+        bucket_timestamp=label,
+    )
+    df = spark.createDataFrame(
+        [("k", t, float(v)) for t, v in points],
+        "series_key string, ts_ms bigint, value double",
+    )
+    got = sorted((r["ts_ms"], r["value"]) for r in apply_aggregation(df, cfg).collect())
+    assert got == _bucket_reference(points, b, offset % b, label, agg)
