@@ -37,12 +37,16 @@ HEADLINE = [
     "det_derivative",
     "det_ensemble",
     "det_windows",
+    # sessionization + range join
+    "ts_session_window",
+    "q_range_join",
     # LLM-pipeline tier (documents 5k, embeddings 2k)
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_bruteforce",
     "text_quality",
     "text_langid",
+    "corpus_curate_e2e",
 ]
 
 
