@@ -53,3 +53,24 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_mrange_reduce": QuerySpec(_mrange_fn, _MRANGE_SQL),
     "ts_sliding_window": QuerySpec(_sliding_fn, _SLIDING_SQL),
 }
+
+
+TWO_HOURS = 7_200_000
+
+
+def _rollup_route_fn(spark, sf_dir):
+    """Hypertable rollup path: hourly algebraic partials combined up to
+    2h buckets, finalized as max — must equal a direct 2h aggregation
+    (the algebraic-closure contract, here held to the DuckDB oracle)."""
+    from ..operators.rollup import combine_partials, finalize, rollup_partials
+
+    partials = rollup_partials(events_frame(spark, sf_dir), HOUR)
+    return finalize(combine_partials(partials, TWO_HOURS), "max")
+
+
+_ROLLUP_ROUTE_SQL = (
+    f"{_S} SELECT series_key, ts_ms - ts_ms % {TWO_HOURS} AS ts_ms, "
+    f"MAX(value) AS value FROM series GROUP BY series_key, ts_ms - ts_ms % {TWO_HOURS}"
+)
+
+QUERIES["ts_rollup_route"] = QuerySpec(_rollup_route_fn, _ROLLUP_ROUTE_SQL)
