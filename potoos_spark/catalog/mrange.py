@@ -4,6 +4,8 @@ stream-of-doubles accumulation order can't perturb the hash."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from .common import EVENTS_SQL, QuerySpec, events_frame
 from ..operators.mrange import mrange_agg, sliding_bucket_agg
 
@@ -74,3 +76,25 @@ _ROLLUP_ROUTE_SQL = (
 )
 
 QUERIES["ts_rollup_route"] = QuerySpec(_rollup_route_fn, _ROLLUP_ROUTE_SQL)
+
+
+def _salted_agg_fn(spark, sf_dir):
+    """Skew-hardened two-stage aggregation — identical result contract
+    to a plain groupBy (max/count are order-free exact), held to the
+    oracle to prove salting never changes answers."""
+    from ..operators.skew import salted_agg
+
+    ev = events_frame(spark, sf_dir)
+    mx = salted_agg(ev, ["series_key"], agg_type="max", out_col="max_value")
+    n = salted_agg(ev, ["series_key"], agg_type="count", out_col="n_points")
+    return mx.join(n, "series_key").select(
+        "series_key", "max_value", F.col("n_points").cast("bigint").alias("n_points")
+    )
+
+
+_SALTED_AGG_SQL = (
+    f"{_S} SELECT series_key, MAX(value) AS max_value, "
+    "CAST(COUNT(value) AS BIGINT) AS n_points FROM series GROUP BY series_key"
+)
+
+QUERIES["ts_salted_agg"] = QuerySpec(_salted_agg_fn, _SALTED_AGG_SQL)
