@@ -3,24 +3,54 @@
 
     quality gate → exact dedup → near-dup dedup → deterministic split
 
-Every stage is one of this engine's deterministic operators, so the
-whole pipeline is reproducible run-to-run and cluster-size-independent
-(min-id keeper rules, md5-derived split) — and therefore holds to the
-same DuckDB hash-match standard as a single operator.
+Every stage is deterministic (min-id keeper rules, md5-derived split),
+so the pipeline is reproducible run-to-run and cluster-size-independent
+— and holds to the same DuckDB hash-match standard as a single operator
+(catalog ``corpus_curate_e2e``).
 
-Scale shape (100 TB): the quality gate is scan-local column math; the
-exact dedup is one hash-groupBy; the SimHash near-dup pass is one
-explode + groupBy per doc (linear, no pair join); the split is a
-scan-local expression. Three shuffles total, each on a key that
-partitions evenly (content hash / doc id / fingerprint).
+Physical shape (the 100 TB story): ONE scan computes tokens, quality
+features, the content hash, and a SimHash fingerprint via array
+higher-order functions (no explode, no self-join — the fingerprint is
+16 in-row array folds); the two keeper stages are ranked windows over
+the content-hash and fingerprint partitions. Total: one scan + two
+window shuffles, versus the naive five-shuffle aggregate-and-join-back
+chain. Quality thresholds mirror ``text.quality_filter`` defaults.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from .dedup import exact_dedup, simhash
-from .text import quality_filter
+from .text import STOPWORDS, normalize, tokens
+
+
+def simhash_fingerprint(hashes: Column) -> Column:
+    """16-bit SimHash from a pre-materialized md5-per-distinct-token
+    array column, explode-free: bit j votes +1/-1 by the j-th hex digit
+    of each hash (same fingerprint definition as ``dedup.simhash``).
+    ONE fold computes all 16 votes as an accumulator array — pass the
+    hash array as a real column (not an inline expression) so it is
+    computed once, not per vote."""
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda a, j: a
+            + F.when(F.substring(x, j, 1).between("8", "f"), 1).otherwise(-1),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j)).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return fp.cast("bigint")
 
 
 def curate_corpus(
@@ -32,19 +62,55 @@ def curate_corpus(
     """Returns (id_col, split) for the surviving corpus: documents that
     pass the quality gate, are the min-id keeper of their exact-content
     group, and the min-id keeper of their SimHash near-dup group."""
-    passed = quality_filter(df, text_col, id_col).select(id_col)
-    docs_q = df.join(passed, id_col)
-
-    keepers = exact_dedup(docs_q, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+    raw = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(text_col).alias("__toks"),
     )
-    docs_e = docs_q.join(keepers, id_col)
+    n_tok = F.size("__toks").cast("bigint")
+    n_chars = F.length(raw)
+    punct_ratio = (
+        (n_chars - F.length(F.regexp_replace(raw, r"[^a-zA-Z0-9\s]", ""))).cast(
+            "double"
+        )
+        / F.greatest(n_chars, F.lit(1)).cast("double")
+    )
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = (
+        F.size(F.filter("__toks", lambda x: F.array_contains(sw, x))).cast("double")
+        / F.greatest(n_tok, F.lit(1)).cast("double")
+    )
+    uniq_ratio = (
+        F.size(F.array_distinct("__toks")).cast("double")
+        / F.greatest(n_tok, F.lit(1)).cast("double")
+    )
+    passed = staged.filter(
+        (n_tok >= 5)
+        & (punct_ratio <= 0.3)
+        & (stop_ratio >= 0.01)
+        & (uniq_ratio >= 0.3)
+    )
 
-    near = simhash(docs_e, text_col, id_col)
-    keep2 = near.groupBy("simhash").agg(F.min(id_col).alias(id_col))
+    hashed = passed.select(
+        F.col(id_col),
+        F.md5(normalize(text_col)).alias("__h"),
+        F.transform(F.array_distinct("__toks"), F.md5).alias("__hs"),
+    ).select(
+        F.col(id_col),
+        "__h",
+        simhash_fingerprint(F.col("__hs")).alias("__fp"),
+    )
+
+    exact_keep = hashed.withColumn(
+        "__keep", F.min(id_col).over(W.partitionBy("__h"))
+    ).filter(F.col("__keep") == F.col(id_col))
+    near_keep = exact_keep.withColumn(
+        "__keep2", F.min(id_col).over(W.partitionBy("__fp"))
+    ).filter(F.col("__keep2") == F.col(id_col))
 
     h2 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
-    return keep2.select(
-        id_col,
+    return near_keep.select(
+        F.col(id_col),
         F.when(h2 < train_frac_hex, "train").otherwise("val").alias("split"),
     )
