@@ -19,38 +19,10 @@ chain. Quality thresholds mirror ``text.quality_filter`` defaults.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
+from .dedup import simhash_fingerprint
 from .text import STOPWORDS, normalize, tokens
-
-
-def simhash_fingerprint(hashes: Column) -> Column:
-    """16-bit SimHash from a pre-materialized md5-per-distinct-token
-    array column, explode-free: bit j votes +1/-1 by the j-th hex digit
-    of each hash (same fingerprint definition as ``dedup.simhash``).
-    ONE fold computes all 16 votes as an accumulator array — pass the
-    hash array as a real column (not an inline expression) so it is
-    computed once, not per vote."""
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 16),
-        lambda acc, x: F.zip_with(
-            acc,
-            F.sequence(F.lit(1), F.lit(16)),
-            lambda a, j: a
-            + F.when(F.substring(x, j, 1).between("8", "f"), 1).otherwise(-1),
-        ),
-    )
-    fp = F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(15)),
-            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j)).otherwise(F.lit(0.0)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return fp.cast("bigint")
 
 
 def curate_corpus(

@@ -27,7 +27,7 @@ strings — deterministic, engine-portable, no seed state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import normalize, shingles, tokens
 
@@ -230,26 +230,45 @@ def minhash_dedup_pairs(
     )
 
 
+def simhash_fingerprint(hashes: Column) -> Column:
+    """16-bit SimHash from a pre-materialized md5-per-distinct-token
+    array column, explode-free: bit j votes +1/-1 by the j-th hex digit
+    of each hash (same fingerprint definition as ``dedup.simhash``).
+    ONE fold computes all 16 votes as an accumulator array — pass the
+    hash array as a real column (not an inline expression) so it is
+    computed once, not per vote."""
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda a, j: a
+            + F.when(F.substring(x, j, 1).between("8", "f"), 1).otherwise(-1),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j)).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return fp.cast("bigint")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash: bit j votes +1/-1 by the j-th hex digit of each
-    distinct token's md5 (MSB of the nibble); fingerprint is the
-    weighted-majority bit vector as a bigint."""
-    tok = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    """16-bit SimHash per document, computed fully in-row (one fold over
+    the distinct-token md5 array — no explode, no shuffle): bit j votes
+    +1/-1 by the j-th hex digit of each distinct token's md5 (MSB of the
+    nibble); fingerprint is the weighted-majority bit vector as bigint."""
+    hs = F.transform(F.array_distinct(tokens(text_col)), F.md5)
+    staged = df.select(F.col(id_col), hs.alias("__hs"))
+    return staged.select(
+        F.col(id_col), simhash_fingerprint(F.col("__hs")).alias("simhash")
     )
-    h = F.md5(F.col("tok"))
-    votes = [
-        F.sum(
-            F.when(F.substring(h, j + 1, 1).between("8", "f"), 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(16)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
-    fp = sum(
-        [F.when(F.col(f"v{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(16)],
-        F.lit(0),
-    )
-    return agg.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
 def simhash_dup_groups(
