@@ -181,3 +181,31 @@ def test_bucket_aggregation_matches_bruteforce(spark, points, b, offset, label, 
     )
     got = sorted((r["ts_ms"], r["value"]) for r in apply_aggregation(df, cfg).collect())
     assert got == _bucket_reference(points, b, offset % b, label, agg)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(TS, VAL, st.integers(min_value=0, max_value=99)),
+        min_size=1, max_size=30, unique_by=lambda r: r[2],
+    ),
+)
+@SETTINGS
+def test_latest_dedup_matches_bruteforce(spark, rows):
+    """A15: latest-per-timestamp keeps the value with the max ingestion
+    seq — duplicate timestamps (the whole point) are generated freely."""
+    from potoos_spark.config import TimeSeriesConfig
+    from potoos_spark.operators.retrieval import apply_latest
+
+    df = spark.createDataFrame(
+        [("k", t, float(v), s) for t, v, s in rows],
+        "series_key string, ts_ms bigint, value double, seq bigint",
+    )
+    got = sorted(
+        (r["ts_ms"], r["value"])
+        for r in apply_latest(df, TimeSeriesConfig(latest=True)).collect()
+    )
+    ref = {}
+    for t, v, s in rows:
+        if t not in ref or s > ref[t][0]:
+            ref[t] = (s, float(v))
+    assert got == sorted((t, v) for t, (_, v) in ref.items())
