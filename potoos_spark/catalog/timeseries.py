@@ -115,7 +115,7 @@ def _count_limit_fn(reverse: bool):
 
 
 def _count_limit_sql(reverse: bool) -> str:
-    order = "ts_ms DESC" if reverse else "ts_ms"
+    order = "ts_ms DESC, seq DESC" if reverse else "ts_ms, seq"
     return (
         f"{_S}, r AS (SELECT series_key, ts_ms, value, ROW_NUMBER() OVER "
         f"(PARTITION BY series_key ORDER BY {order}) AS rn FROM series) "

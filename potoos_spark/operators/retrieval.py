@@ -216,8 +216,15 @@ def apply_count_limit(df: DataFrame, cfg: TimeSeriesConfig) -> DataFrame:
     locally after the hash partition on series_key."""
     if cfg.count is None:
         return df
-    order = F.col("ts_ms").desc() if cfg.reversed else F.col("ts_ms").asc()
-    w = W.partitionBy("series_key").orderBy(order)
+    # seq tie-break: duplicate timestamps must rank deterministically
+    # (scan order is not reproducible across partitionings)
+    tie = F.col("seq") if "seq" in df.columns else F.col("value")
+    order = (
+        [F.col("ts_ms").desc(), tie.desc()]
+        if cfg.reversed
+        else [F.col("ts_ms").asc(), tie.asc()]
+    )
+    w = W.partitionBy("series_key").orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= int(cfg.count))

@@ -209,3 +209,30 @@ def test_latest_dedup_matches_bruteforce(spark, rows):
         if t not in ref or s > ref[t][0]:
             ref[t] = (s, float(v))
     assert got == sorted((t, v) for t, (_, v) in ref.items())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(TS, VAL, st.integers(min_value=0, max_value=99)),
+        min_size=1, max_size=30, unique_by=lambda r: r[2],
+    ),
+    count=st.sampled_from([1, 3, 10]),
+    reverse=st.booleans(),
+)
+@SETTINGS
+def test_count_limit_matches_bruteforce(spark, rows, count, reverse):
+    """A16 with duplicate timestamps: rank by (ts, seq) in scan
+    direction — deterministic under any partitioning."""
+    from potoos_spark.config import TimeSeriesConfig
+    from potoos_spark.operators.retrieval import apply_count_limit
+
+    df = spark.createDataFrame(
+        [("k", t, float(v), s) for t, v, s in rows],
+        "series_key string, ts_ms bigint, value double, seq bigint",
+    ).repartition(5)
+    cfg = TimeSeriesConfig(count=count, reversed=reverse)
+    got = sorted(
+        (r["ts_ms"], r["seq"]) for r in apply_count_limit(df, cfg).collect()
+    )
+    ordered = sorted(((t, s) for t, _, s in rows), reverse=reverse)
+    assert got == sorted(ordered[:count])
