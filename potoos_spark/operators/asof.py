@@ -23,6 +23,7 @@ def asof_join(
     right_ts: str = "ts_ms",
     direction: str = "backward",
     tolerance_ms: int | None = None,
+    right_seq: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' gives
@@ -30,6 +31,10 @@ def asof_join(
     with left columns are an error (alias beforehand).
 
     ``tolerance_ms`` nulls out matches farther than the given gap.
+    ``right_seq`` names an ingestion-sequence column on the right used
+    to break duplicate-timestamp ties deterministically (max seq wins,
+    the A15 latest-ingested rule); without it, equal right timestamps
+    are matched in an unspecified order.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
@@ -42,12 +47,15 @@ def asof_join(
 
     l = left.withColumn("__side", F.lit(1)).withColumn("__t", F.col(left_ts))
     r = right.withColumn("__side", F.lit(0)).withColumn("__t", F.col(right_ts))
+    seq = F.col(right_seq) if right_seq else F.lit(0)
+    l = l.withColumn("__seq", F.lit(0))
+    r = r.withColumn("__seq", seq)
     for c in left.columns:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     for c in payload:
         l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    cols = keys + ["__t", "__side"] + [
+    cols = keys + ["__t", "__side", "__seq"] + [
         c for c in left.columns if c not in keys
     ] + payload
     both = l.select(*cols).unionByName(r.select(*cols))
@@ -57,7 +65,7 @@ def asof_join(
         # exactly-aligned baseline point matches its own timestamp
         w = (
             W.partitionBy(*keys)
-            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__seq").asc())
             .rowsBetween(W.unboundedPreceding, 0)
         )
         carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
@@ -67,7 +75,7 @@ def asof_join(
     else:
         w = (
             W.partitionBy(*keys)
-            .orderBy(F.col("__t").desc(), F.col("__side").asc())
+            .orderBy(F.col("__t").desc(), F.col("__side").asc(), F.col("__seq").asc())
             .rowsBetween(W.unboundedPreceding, 0)
         )
         carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]

@@ -236,3 +236,23 @@ def test_count_limit_matches_bruteforce(spark, rows, count, reverse):
     )
     ordered = sorted(((t, s) for t, _, s in rows), reverse=reverse)
     assert got == sorted(ordered[:count])
+
+
+def test_asof_join_dup_right_ts_latest_seq_wins(spark):
+    """Duplicate right timestamps: with right_seq, the max-seq (latest
+    ingested) row wins deterministically, in both directions."""
+    from potoos_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [("k", 10, 1.0)], "k string, ts_ms bigint, lv double"
+    )
+    r = spark.createDataFrame(
+        [("k", 10, 100.0, 1), ("k", 10, 200.0, 2), ("k", 10, 150.0, 0)],
+        "k string, ts_ms bigint, rv double, ingest bigint",
+    ).repartition(3)
+    for direction in ("backward", "forward"):
+        got = asof_join(
+            l, r.drop("ingest").withColumn("ingest", F.col("rv").cast("bigint")),
+            on="k", direction=direction, right_seq="ingest",
+        ).collect()
+        assert len(got) == 1 and got[0]["rv"] == 200.0, (direction, got)
