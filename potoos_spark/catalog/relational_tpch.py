@@ -463,6 +463,105 @@ GROUP BY n1.n_name, n2.n_name
 """
 
 
+# --- Q8: market share (conditional ratio inside grouped agg) --------------
+
+def _q8_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _rev()
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+    )
+    target = F.when(F.col("n_name") == "CHINA", rev)
+    return (
+        j.groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            (
+                F.coalesce(F.sum(target), F.lit(0).cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q8_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(COALESCE(SUM(CASE WHEN n_name = 'CHINA' THEN {_REV} END),
+                     CAST(0 AS DECIMAL(18,4))) AS DOUBLE)
+         / CAST(SUM({_REV}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# --- year-over-year growth (lag over an aggregate) ------------------------
+
+def _yoy_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(_rev()).cast("double").alias("revenue"))
+    w = W.orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("revenue_prior_year"),
+        F.when(prev > 0, F.col("revenue") / prev - 1.0).alias("yoy_growth"),
+    )
+
+
+_YOY_SQL = f"""
+WITH m AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(SUM({_REV}) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT month, revenue,
+       LAG(revenue, 12) OVER (ORDER BY month) AS revenue_prior_year,
+       CASE WHEN LAG(revenue, 12) OVER (ORDER BY month) > 0
+            THEN revenue / LAG(revenue, 12) OVER (ORDER BY month) - 1.0 END
+         AS yoy_growth
+FROM m
+"""
+
+
+# --- rank family: dense_rank / percent_rank / cume_dist -------------------
+# rank functions are tie-stable: equal sort keys get equal outputs, so
+# no extra tie-break column is needed for determinism.
+
+def _rank_family_fn(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+_RANK_FAMILY_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(DENSE_RANK()  OVER w AS BIGINT) AS drank,
+       PERCENT_RANK() OVER w AS prank,
+       CUME_DIST()    OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+"""
+
+
 # --- NULL semantics: NULLIF/COALESCE, count(col) vs count(*) --------------
 
 def _null_handling_fn(spark, sf_dir):
@@ -660,6 +759,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q19_disjunctive_join": QuerySpec(_q19_fn, _Q19_SQL),
     "q10_returned_items": QuerySpec(_q10_fn, _Q10_SQL),
     "q15_top_supplier": QuerySpec(_q15_fn, _Q15_SQL),
+    "q8_market_share": QuerySpec(_q8_fn, _Q8_SQL),
+    "q_yoy_growth": QuerySpec(_yoy_fn, _YOY_SQL),
+    "q_rank_family": QuerySpec(_rank_family_fn, _RANK_FAMILY_SQL),
     "q7_nation_volume": QuerySpec(_q7_fn, _Q7_SQL),
     "q_argmax": QuerySpec(_argmax_fn, _ARGMAX_SQL),
     "q_grouping_sets": QuerySpec(_grouping_sets_fn, _GROUPING_SETS_SQL),
