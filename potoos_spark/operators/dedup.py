@@ -295,18 +295,29 @@ def scaled_vec(col, scale: int = 1000):
     )
 
 
-def cosine_expr(va, vb):
-    """Exact-integer cosine between two scaled vectors."""
+def sqnorm_expr(v):
+    """Exact-integer squared norm of a scaled vector."""
+    return F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+
+
+def cosine_from_norms(va, vb, na, nb):
+    """Exact-integer cosine given each side's precomputed squared norm.
+
+    Higher-order-function folds are interpreted (no codegen), so inside
+    a pairwise join the norms must be computed once per VECTOR before
+    the join, not once per PAIR — identical float64 result (the inputs
+    are exact integers either way), ~3x less lambda work."""
     dot = F.aggregate(
         F.zip_with(va, vb, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda a, x: a + x
     )
-    na = F.aggregate(
-        F.transform(va, lambda x: x * x), F.lit(0).cast("bigint"), lambda a, x: a + x
-    )
-    nb = F.aggregate(
-        F.transform(vb, lambda x: x * x), F.lit(0).cast("bigint"), lambda a, x: a + x
-    )
     return dot.cast("double") / F.sqrt((na * nb).cast("double"))
+
+
+def cosine_expr(va, vb):
+    """Exact-integer cosine between two scaled vectors."""
+    return cosine_from_norms(va, vb, sqnorm_expr(va), sqnorm_expr(vb))
 
 
 def embedding_dup_pairs(
@@ -318,11 +329,13 @@ def embedding_dup_pairs(
     """All-pairs embedding near-dup (correctness baseline — the scale
     path prunes the pair space with LSH buckets first, see
     similarity.lsh_bucket_topk)."""
-    v = df.select(F.col(id_col), scaled_vec(vec_col).alias("e"))
-    a = v.withColumnsRenamed({id_col: "id_a", "e": "ea"})
-    b = v.withColumnsRenamed({id_col: "id_b", "e": "eb"})
+    v = df.select(F.col(id_col), scaled_vec(vec_col).alias("e")).withColumn(
+        "n", sqnorm_expr(F.col("e"))
+    )
+    a = v.withColumnsRenamed({id_col: "id_a", "e": "ea", "n": "na"})
+    b = v.withColumnsRenamed({id_col: "id_b", "e": "eb", "n": "nb"})
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = cosine_expr(F.col("ea"), F.col("eb"))
+    cos = cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

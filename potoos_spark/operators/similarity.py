@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from .dedup import cosine_expr, scaled_vec
+from .dedup import cosine_expr, cosine_from_norms, scaled_vec, sqnorm_expr
 
 
 def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
@@ -44,11 +44,17 @@ def cosine_topk(
     """Exact brute-force top-k neighbors (self-matches excluded)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), scaled_vec(vec_col).alias("qe")
-    )
-    c = corpus.select(F.col(id_col).alias("match_id"), scaled_vec(vec_col).alias("ce"))
+    ).withColumn("qn", sqnorm_expr(F.col("qe")))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), scaled_vec(vec_col).alias("ce")
+    ).withColumn("cn", sqnorm_expr(F.col("ce")))
     pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("match_id"))
     scored = pairs.select(
-        "query_id", "match_id", cosine_expr(F.col("qe"), F.col("ce")).alias("cosine")
+        "query_id",
+        "match_id",
+        cosine_from_norms(
+            F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
     )
     return _ranked_topk(scored, k)
 
@@ -101,28 +107,38 @@ def lsh_bucket_topk(
     disagrees with the query in EVERY table. Candidates are unioned
     (distinct) before exact re-ranking, so cost grows linearly in
     tables while misses shrink geometrically."""
-    def prep(d, out_id, vec_alias):
-        return d.select(
-            F.col(out_id),
-            scaled_vec(vec_col).alias(vec_alias),
-            F.explode(sign_buckets_multi(vec_col, n_bits, n_tables)).alias("tb"),
-        ).select(out_id, vec_alias, "tb.table_id", "tb.bucket")
+    def prep(d, out_id, vec_alias, norm_alias):
+        return (
+            d.select(
+                F.col(out_id),
+                scaled_vec(vec_col).alias(vec_alias),
+                F.explode(sign_buckets_multi(vec_col, n_bits, n_tables)).alias("tb"),
+            )
+            .withColumn(norm_alias, sqnorm_expr(F.col(vec_alias)))
+            .select(out_id, vec_alias, norm_alias, "tb.table_id", "tb.bucket")
+        )
 
     q = prep(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "query_id", "qe"
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        "query_id", "qe", "qn",
     )
     c = prep(
-        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col)), "match_id", "ce"
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col)),
+        "match_id", "ce", "cn",
     )
     pairs = (
         F.broadcast(q)
         .join(c, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "qe", "match_id", "ce")
+        .select("query_id", "qe", "qn", "match_id", "ce", "cn")
         .distinct()
     )
     scored = pairs.select(
-        "query_id", "match_id", cosine_expr(F.col("qe"), F.col("ce")).alias("cosine")
+        "query_id",
+        "match_id",
+        cosine_from_norms(
+            F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
     )
     return _ranked_topk(scored, k)
 
@@ -151,15 +167,21 @@ def ivf_topk(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    assigned = model.transform(train).select(
-        "match_id", "emb", F.col("prediction").alias("cell")
+    assigned = (
+        model.transform(train)
+        .select("match_id", scaled_vec("emb").alias("ce"), F.col("prediction").alias("cell"))
+        .withColumn("cn", sqnorm_expr(F.col("ce")))
     )
 
     centers = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, center array<double>",
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qemb"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qemb"),
+        scaled_vec(vec_col).alias("qe"),
+    ).withColumn("qn", sqnorm_expr(F.col("qe")))
     # rank cells per query by exact centroid distance, probe the best n_probe
     qc = q.crossJoin(F.broadcast(centers)).withColumn(
         "dist",
@@ -178,13 +200,15 @@ def ivf_topk(
     wq = W.partitionBy("query_id").orderBy("dist", "cell")
     probed = qc.withColumn("r", F.row_number().over(wq)).filter(F.col("r") <= n_probe)
     cand = (
-        F.broadcast(probed.select("query_id", "qemb", "cell"))
+        F.broadcast(probed.select("query_id", "qe", "qn", "cell"))
         .join(assigned, "cell")
         .filter(F.col("query_id") != F.col("match_id"))
     )
     scored = cand.select(
         "query_id",
         "match_id",
-        cosine_expr(scaled_vec("qemb"), scaled_vec("emb")).alias("cosine"),
+        cosine_from_norms(
+            F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
     )
     return _ranked_topk(scored, k)
