@@ -6,10 +6,13 @@ The replay produces *batch-identical* results for the windowed
 aggregations (complete output mode emits every window), so those
 entries carry real DuckDB oracles — the streaming plan is held to the
 same bit-exact standard as the batch plan. The stateful EMA scorer is
-prefix-causal floating-point recurrence (Welford normalizer), which is
-not reproducible bit-for-bit in set-oriented SQL → rows-only check
-(tests/test_streaming.py pins its semantics against a pure-python
-reference instead).
+a prefix-causal floating-point recurrence (EMA + Welford running
+stddev); its oracle replays the SAME recurrence in a DuckDB recursive
+CTE, carrying (ema, n, mean, m2) through the recursion so every float64
+op happens in the identical order — DuckDB's built-in windowed
+STDDEV_SAMP is NOT bit-identical to Welford (last-ulp drift), the
+explicit recursion is. tests/test_streaming.py additionally pins the
+scorer against a pure-python reference.
 
 Aggregators chosen here (min) are exact doubles — no accumulation —
 so stream/batch/DuckDB agree bit-for-bit.
@@ -145,10 +148,53 @@ _STREAM_WINDOWS_SQL = (
 
 
 def _stream_scores_fn(spark, sf_dir):
-    cfg = TimeSeriesConfig(aggregation_type="avg", bucket_size_msec=HOUR)
+    # min buckets: order-free exact doubles, so the scoring recurrence's
+    # inputs (and hence its float64 trajectory) are engine-portable
+    cfg = TimeSeriesConfig(aggregation_type="min", bucket_size_msec=HOUR)
     return _replay(
         streaming_bucket_scores(_events_stream(spark, sf_dir), cfg), "append"
     )
+
+
+# Oracle for the fused stateful op (bucket min → derivative EMA score,
+# trailing open bucket withheld): the scorer's exact recurrence as a
+# recursive CTE. Base case duplicates d_1 into d_0 (batch convention);
+# Welford state (wn, wmean, wm2) advances with the same op order as
+# streaming/stateful.py::_Scorer._add_stat, so scores match bit-for-bit.
+# CAST(0.0 AS DOUBLE): a bare 0.0 literal types the recursion's wm2
+# column as DECIMAL and silently truncates every accumulation.
+_ALPHA = 0.2
+_BETA = repr(1.0 - _ALPHA)
+
+_STREAM_SCORES_SQL = (
+    f"WITH RECURSIVE series AS ({EVENTS_SQL}), "
+    f"gm AS (SELECT series_key, ts_ms - ts_ms % {HOUR} AS ts_ms, "
+    f"MIN(value) AS value FROM series GROUP BY 1, 2), "
+    "gn AS (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY series_key ORDER BY ts_ms) AS rn, "
+    "COUNT(*) OVER (PARTITION BY series_key) AS n FROM gm), "
+    "gf AS (SELECT series_key, ts_ms, value, rn FROM gn WHERE rn < n), "
+    "dd AS (SELECT series_key, ts_ms, value, rn, "
+    "ABS(value - LAG(value) OVER w) / "
+    "(CASE WHEN (ts_ms - LAG(ts_ms) OVER w) = 0 THEN 1000 "
+    "ELSE ts_ms - LAG(ts_ms) OVER w END / 1000.0) AS d_raw "
+    "FROM gf WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms)), "
+    "d AS (SELECT *, COALESCE(d_raw, LEAD(d_raw) OVER "
+    "(PARTITION BY series_key ORDER BY ts_ms)) AS d FROM dd), "
+    "e AS (SELECT series_key, ts_ms, value, rn, d, d AS ema, "
+    "CAST(1 AS BIGINT) AS wn, d AS wmean, CAST(0.0 AS DOUBLE) AS wm2 "
+    "FROM d WHERE rn = 1 "
+    "UNION ALL "
+    f"SELECT o.series_key, o.ts_ms, o.value, o.rn, o.d, "
+    f"{_ALPHA}*o.d + {_BETA}*e.ema, e.wn + 1, "
+    "e.wmean + (o.d - e.wmean)/(e.wn + 1), "
+    "e.wm2 + (o.d - e.wmean)*(o.d - (e.wmean + (o.d - e.wmean)/(e.wn + 1))) "
+    "FROM d o JOIN e ON o.series_key = e.series_key AND o.rn = e.rn + 1) "
+    "SELECT series_key, ts_ms, value, "
+    "CASE WHEN wn >= 2 AND SQRT(wm2/(wn - 1)) > 0 "
+    "THEN ABS(d - ema)/SQRT(wm2/(wn - 1)) ELSE 0.0 END AS score "
+    "FROM e"
+)
 
 
 _STREAM_AGG_SQL = (
@@ -197,5 +243,5 @@ QUERIES: dict[str, QuerySpec] = {
         "FROM series GROUP BY series_key, ts_ms",
     ),
     "stream_session_agg_replay": QuerySpec(_stream_session_fn, _STREAM_SESSION_SQL),
-    "stream_bucket_scores_replay": QuerySpec(_stream_scores_fn, None),
+    "stream_bucket_scores_replay": QuerySpec(_stream_scores_fn, _STREAM_SCORES_SQL),
 }
