@@ -7,7 +7,10 @@ recursive CTE — identical float64 op order); normalization uses the
 range (max-min: no accumulation) instead of the stddev so every score
 is bit-identical on both engines. The engine's default 'std'
 normalizer stays Luminol-faithful; 'range' is the oracle-exact mode.
-``bitmap_detector`` (D3) is not SQL-expressible → rows-only check.
+``bitmap_detector`` (D3) is window-function SQL end-to-end: equal-width
+SAX symbols, base-p chunk words, per-word lag/future frame counts, and
+a left-associative normalized-bitmap distance (same op order as the
+kernel) — bit-exact like the rest.
 """
 
 from __future__ import annotations
@@ -265,6 +268,62 @@ def _plugin_fn(spark, sf_dir):
     return detect_score(g, DetectorConfig(algorithm_name="percent_of_max"))
 
 
+# D3 bitmap oracle: the SAX-bitmap pipeline is window-function SQL.
+# Equal-width bins over the per-series range → base-p word of each
+# chunk_size-symbol chunk → per-word counts in the 24-row lagging /
+# future frames → squared distance of the normalized bitmaps summed
+# LEFT-ASSOCIATIVELY in word order (mirrors the kernel's loop; see
+# sequential.py bitmap_detector). Scores outside full-window reach, or
+# for flat/short series, are 0 — same guards as the kernel.
+_BM_P, _BM_CS, _BM_W = 4, 2, 24  # precision, chunk_size, lag/future window
+
+
+def _bitmap_sql() -> str:
+    p, cs, w = _BM_P, _BM_CS, _BM_W
+    n_words = p ** cs
+    lag_f = f"ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING"
+    fut_f = f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING"
+    cnts = ", ".join(
+        f"SUM(CASE WHEN word = {k} THEN 1 ELSE 0 END) OVER (wl {lag_f}) AS l{k}, "
+        f"SUM(CASE WHEN word = {k} THEN 1 ELSE 0 END) OVER (wl {fut_f}) AS f{k}"
+        for k in range(n_words)
+    )
+    dist = " + ".join(
+        f"(l{k}/CAST(ls AS DOUBLE) - f{k}/CAST(fs AS DOUBLE))"
+        f"*(l{k}/CAST(ls AS DOUBLE) - f{k}/CAST(fs AS DOUBLE))"
+        for k in range(n_words)
+    )
+    return (
+        f"{_BASE}, "
+        "st AS (SELECT *, MIN(value) OVER ws AS lo, MAX(value) OVER ws AS hi, "
+        "COUNT(*) OVER ws AS n, "
+        "ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY ts_ms) - 1 AS i "
+        "FROM g WINDOW ws AS (PARTITION BY series_key)), "
+        # sym = least(floor((v-lo)/(hi-lo)*p), p-1); word = base-p chunk code
+        "sy AS (SELECT *, CASE WHEN hi > lo THEN "
+        f"LEAST(CAST(FLOOR((value - lo)/(hi - lo)*{p}) AS BIGINT), {p - 1}) "
+        "END AS sym FROM st), "
+        "wd AS (SELECT *, CASE WHEN i >= " + str(cs - 1) + " THEN "
+        + " + ".join(
+            f"LAG(sym, {cs - 1 - j}) OVER (PARTITION BY series_key ORDER BY ts_ms)"
+            f" * {p ** (cs - 1 - j)}"
+            for j in range(cs)
+        ).replace(f"LAG(sym, 0) OVER (PARTITION BY series_key ORDER BY ts_ms) * 1", "sym")
+        + " END AS word FROM sy), "
+        f"ct AS (SELECT *, {cnts}, "
+        f"SUM(CASE WHEN word IS NOT NULL THEN 1 ELSE 0 END) OVER (wl {lag_f}) AS ls, "
+        f"SUM(CASE WHEN word IS NOT NULL THEN 1 ELSE 0 END) OVER (wl {fut_f}) AS fs "
+        "FROM wd WINDOW wl AS (PARTITION BY series_key ORDER BY ts_ms)) "
+        "SELECT series_key, ts_ms, value, "
+        f"CASE WHEN n >= {2 * w} AND hi > lo AND i >= {w} AND i < n - {w} "
+        f"AND ls > 0 AND fs > 0 THEN {dist} ELSE 0.0 END AS score "
+        "FROM ct"
+    )
+
+
+_BITMAP_SQL = _bitmap_sql()
+
+
 def _bitmap_fn(spark, sf_dir):
     g = hourly_avg_frame(spark, sf_dir)
     return detect_score(
@@ -318,5 +377,5 @@ QUERIES: dict[str, QuerySpec] = {
     # D8: plugin-registered custom algorithm, dispatched by name
     "det_custom_plugin": QuerySpec(_plugin_fn, _PLUGIN_SQL),
     # D3: SAX-bitmap — not SQL-expressible; driver does a rows-only check
-    "det_bitmap": QuerySpec(_bitmap_fn, None),
+    "det_bitmap": QuerySpec(_bitmap_fn, _BITMAP_SQL),
 }

@@ -207,7 +207,13 @@ def bitmap_detector(
                 ls, fs = lag.sum(), fut.sum()
                 if ls > 0 and fs > 0:
                     diff = lag / ls - fut / fs
-                    scores[i] = float(np.dot(diff, diff))
+                    # left-associative sum in word order (np.dot's SIMD
+                    # reduction reorders additions) so the score is
+                    # bit-reproducible in the word-indexed SQL oracle
+                    s = 0.0
+                    for x in diff:
+                        s += x * x
+                    scores[i] = s
         pdf["score"] = scores
         return pdf
 
