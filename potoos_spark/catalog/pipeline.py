@@ -350,6 +350,23 @@ _MM_META_SQL = (
     "md5(text) AS checksum, 'application/octet-stream' AS mime FROM documents"
 )
 
+# The decode stub's fake features are pure functions of the payload
+# bytes, so the mapInPandas plumbing gets a real value-hash oracle:
+# mean_byte sums UTF-8 bytes via hex-pair parsing ('0x'||pair casts),
+# mode_guess is the octet-vs-codepoint length test (equal iff ASCII —
+# same predicate as "any byte > 127" on UTF-8).
+_MM_DECODE_SQL = (
+    "WITH b AS (SELECT doc_id, encode(text) AS p, "
+    "octet_length(encode(text)) AS bl, length(text) AS cl, text "
+    "FROM documents) "
+    "SELECT doc_id, CAST(bl AS BIGINT) AS byte_len, md5(text) AS checksum, "
+    "CASE WHEN bl = cl THEN 'ascii' ELSE 'binary' END AS mode_guess, "
+    "CAST(COALESCE(list_aggregate(list_transform(range(1, bl + 1), "
+    "i -> CAST('0x' || substr(hex(p), 2*i - 1, 2) AS INTEGER)), 'sum'), 0) "
+    "AS DOUBLE) / GREATEST(bl, 1) AS mean_byte, "
+    "CAST(GREATEST(1, bl // 64) AS BIGINT) AS frames FROM b"
+)
+
 
 # --- array higher-order functions over embeddings -------------------------
 # transform/filter/aggregate/sort/slice on the vector column, all on the
@@ -531,5 +548,5 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_sample_split": QuerySpec(_sample_split_fn, _SAMPLE_SPLIT_SQL),
     # multimodal plumbing
     "multimodal_meta": QuerySpec(_mm_meta_fn, _MM_META_SQL),
-    "multimodal_decode": QuerySpec(_mm_decode_fn, None),  # mapInPandas stub
+    "multimodal_decode": QuerySpec(_mm_decode_fn, _MM_DECODE_SQL),
 }
