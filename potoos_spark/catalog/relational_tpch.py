@@ -19,6 +19,13 @@ shuffle is avoidable; q14/q19 broadcast ``part`` (a dimension);
 the range join is an equi-join on ``user_id`` with a bounded time
 predicate, so rows co-locate by user and the window bound caps the
 per-key fan-out; session windows shuffle once on the series key.
+q13 left-joins on ``o_custkey`` (one shuffle, then a tiny
+count-of-counts regroup); q17's per-part average and probe co-locate
+on ``l_partkey``; q21's semi/anti self-joins all key on
+``l_orderkey`` — one co-partitioning serves every stage (broadcast at
+test SF, sort-merge reusing the same exchange at 100 TB); q22
+broadcasts a 1-row scalar aggregate and anti-joins the recent-orders
+projection.
 """
 
 from __future__ import annotations
@@ -752,8 +759,189 @@ SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 
+# --- Q13: customer order-count distribution (left outer + count-of-counts)
+
+def _q13_fn(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+# --- Q17: small-quantity-order revenue (per-part avg threshold) -----------
+# The 0.2*avg(qty) threshold is kept in exact integer/decimal space:
+# qty < 0.2 * (sum/cnt)  ⟺  qty * 5 * cnt < sum  (all positive) — no
+# float division on either engine, so the row set matches bit-for-bit.
+
+def _q17_fn(spark, sf_dir):
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.sum(_qty("l_quantity")).alias("sum_qty"),
+        F.count("l_quantity").alias("cnt_qty"),
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(per_part, li["l_partkey"] == F.col("ap_partkey"))
+        .filter(
+            _qty("l_quantity") * F.lit(5) * F.col("cnt_qty") < F.col("sum_qty")
+        )
+    )
+    total = j.agg(F.sum(_price("l_extendedprice")).alias("s"))
+    return total.select(
+        (F.col("s").cast("double") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+_Q17_SQL = """
+WITH ap AS (SELECT l_partkey AS ap_partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(8,2))) AS sum_qty,
+                   COUNT(l_quantity) AS cnt_qty
+            FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#1'
+JOIN ap ON ap_partkey = l_partkey
+WHERE CAST(l_quantity AS DECIMAL(8,2)) * 5 * cnt_qty < sum_qty
+"""
+
+
+# --- Q21: suppliers who kept multi-supplier orders waiting ----------------
+# "Late" is adapted to this schema (no l_commitdate/l_receiptdate):
+# shipped more than 60 days after the order date. Shape preserved from
+# TPC-H Q21: finished orders where THIS supplier shipped late, at least
+# one OTHER supplier participated (left-semi self-join), and no other
+# supplier shipped late (left-anti self-join).
+
+def _q21_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    others = (l1["l_orderkey"] == l2["x_orderkey"]) & (
+        l1["l_suppkey"] != l2["x_suppkey"]
+    )
+    with_other = l1.join(l2, others, "left_semi")
+    l3 = li.select(
+        F.col("l_orderkey").alias("y_orderkey"),
+        F.col("l_suppkey").alias("y_suppkey"),
+        F.col("l_shipdate").alias("y_shipdate"),
+    )
+    other_late = (
+        (with_other["l_orderkey"] == l3["y_orderkey"])
+        & (with_other["l_suppkey"] != l3["y_suppkey"])
+        & (l3["y_shipdate"] > with_other["o_orderdate"] + F.expr("INTERVAL 60 DAYS"))
+    )
+    sole_late = with_other.join(l3, other_late, "left_anti")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+# --- Q22: idle customers with above-average balance (scalar subquery +
+# anti join, grouped by nation — c_phone country codes aren't in this
+# schema, and every customer has SOME order, so "idle" means no order
+# since 2001-05-01, the last quarter of the data). The avg-balance
+# threshold reuses the exact-decimal trick:
+# acctbal * cnt > sum  ⟺  acctbal > sum/cnt, no float division.
+
+_Q22_CUTOFF = "2001-05-01"
+
+
+def _q22_fn(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("bal_sum"),
+        F.count("c_acctbal").alias("bal_cnt"),
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _Q22_CUTOFF)
+        .select("o_custkey")
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast("decimal(12,2)") * F.col("bal_cnt")
+        > F.col("bal_sum")
+    )
+    idle = rich.join(orders, rich["c_custkey"] == orders["o_custkey"], "left_anti")
+    return (
+        idle.join(F.broadcast(nation), idle["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+_Q22_SQL = """
+WITH pos AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum,
+                    COUNT(c_acctbal) AS bal_cnt
+             FROM customer WHERE c_acctbal > 0.0)
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer, pos
+JOIN nation ON n_nationkey = c_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * bal_cnt > bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-05-01 00:00:00')
+GROUP BY n_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(_q4_fn, _Q4_SQL),
+    "q13_cust_distribution": QuerySpec(_q13_fn, _Q13_SQL),
+    "q17_small_qty_revenue": QuerySpec(_q17_fn, _Q17_SQL),
+    "q21_waiting_supplier": QuerySpec(_q21_fn, _Q21_SQL),
+    "q22_idle_customers": QuerySpec(_q22_fn, _Q22_SQL),
     "q14_promo_revenue": QuerySpec(_q14_fn, _Q14_SQL),
     "q18_large_orders": QuerySpec(_q18_fn, _Q18_SQL),
     "q19_disjunctive_join": QuerySpec(_q19_fn, _Q19_SQL),
