@@ -134,3 +134,33 @@ def test_moving_range_frame_single_sort(spark):
 def test_hll_sketch_partial_aggregation(spark):
     plan = _plan(CATALOG["sketch_distinct_hll"].fn(spark, SF_DIR))
     assert "partial_hll_sketch_agg" in plan, "sketch must combine map-side"
+
+
+def test_q21_self_joins_compile_to_semi_and_anti(spark):
+    plan = _plan(CATALOG["q21_waiting_supplier"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, "the other-supplier EXISTS should be a semi join"
+    assert "LeftAnti" in plan, "the no-other-late NOT EXISTS should be an anti join"
+    # order-status filter must reach the orders scan
+    pushed = "".join(l for l in plan.splitlines() if "PushedFilters:" in l)
+    assert "o_orderstatus" in pushed, pushed
+
+
+def test_q13_left_outer_preserved(spark):
+    plan = _plan(CATALOG["q13_cust_distribution"].fn(spark, SF_DIR), "simple")
+    assert "LeftOuter" in plan, "customers without orders must survive the join"
+
+
+def test_q17_single_lineitem_shuffle_key(spark):
+    # the per-part average and the probe co-locate on l_partkey; part is
+    # a broadcast dim — no shuffle keyed on anything else
+    plan = _plan(CATALOG["q17_small_qty_revenue"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "part dim should broadcast"
+    pushed = "".join(l for l in plan.splitlines() if "PushedFilters:" in l)
+    assert "p_brand" in pushed, pushed
+
+
+def test_q22_anti_join_with_pushed_cutoff(spark):
+    plan = _plan(CATALOG["q22_idle_customers"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    pushed = "".join(l for l in plan.splitlines() if "PushedFilters:" in l)
+    assert "o_orderdate" in pushed, "recent-order cutoff must reach the orders scan"
