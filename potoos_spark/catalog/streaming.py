@@ -185,8 +185,11 @@ _STREAM_SCORES_SQL = (
     "CAST(1 AS BIGINT) AS wn, d AS wmean, CAST(0.0 AS DOUBLE) AS wm2 "
     "FROM d WHERE rn = 1 "
     "UNION ALL "
+    # rn=2 copies d into the EMA (scorer's cnt==1 branch assigns, not
+    # blends: a*d + (1-a)*d rounds differently from d for some doubles)
     f"SELECT o.series_key, o.ts_ms, o.value, o.rn, o.d, "
-    f"{_ALPHA}*o.d + {_BETA}*e.ema, e.wn + 1, "
+    f"CASE WHEN e.rn = 1 THEN o.d ELSE {_ALPHA}*o.d + {_BETA}*e.ema END, "
+    "e.wn + 1, "
     "e.wmean + (o.d - e.wmean)/(e.wn + 1), "
     "e.wm2 + (o.d - e.wmean)*(o.d - (e.wmean + (o.d - e.wmean)/(e.wn + 1))) "
     "FROM d o JOIN e ON o.series_key = e.series_key AND o.rn = e.rn + 1) "
