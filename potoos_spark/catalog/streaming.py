@@ -158,7 +158,13 @@ def _stream_scores_fn(spark, sf_dir):
 
 # Oracle for the fused stateful op (bucket min → derivative EMA score,
 # trailing open bucket withheld): the scorer's exact recurrence as a
-# recursive CTE. Base case duplicates d_1 into d_0 (batch convention);
+# recursive CTE. The per-series ``rn < n`` exclusion mirrors the engine
+# exactly: streaming_bucket_scores finalizes a bucket only when THAT
+# series receives a point from a later bucket (arrival-driven, no
+# watermark involved), so each series' final bucket is withheld at
+# end-of-replay regardless of where the series ends relative to the
+# stream tail. The recurrence is prefix-causal, so the exclusion
+# cannot perturb earlier scores. Base case duplicates d_1 into d_0 (batch convention);
 # Welford state (wn, wmean, wm2) advances with the same op order as
 # streaming/stateful.py::_Scorer._add_stat, so scores match bit-for-bit.
 # CAST(0.0 AS DOUBLE): a bare 0.0 literal types the recursion's wm2

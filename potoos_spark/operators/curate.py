@@ -34,6 +34,13 @@ def curate_corpus(
     """Returns (id_col, split) for the surviving corpus: documents that
     pass the quality gate, are the min-id keeper of their exact-content
     group, and the min-id keeper of their SimHash near-dup group."""
+    train_frac_hex = train_frac_hex.lower()
+    if len(train_frac_hex) != 2 or any(
+        c not in "0123456789abcdef" for c in train_frac_hex
+    ):
+        raise ValueError(
+            f"train_frac_hex must be two lowercase hex digits, got {train_frac_hex!r}"
+        )
     raw = F.col(text_col)
     staged = df.select(
         F.col(id_col),

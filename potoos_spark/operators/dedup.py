@@ -263,9 +263,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """16-bit SimHash per document, computed fully in-row (one fold over
     the distinct-token md5 array — no explode, no shuffle): bit j votes
     +1/-1 by the j-th hex digit of each distinct token's md5 (MSB of the
-    nibble); fingerprint is the weighted-majority bit vector as bigint."""
+    nibble); fingerprint is the weighted-majority bit vector as bigint.
+
+    Token-less documents (empty/punctuation-only text) are dropped —
+    they have no fingerprint, matching the per-token SQL oracle and
+    preventing a spurious fp=0 near-dup group."""
     hs = F.transform(F.array_distinct(tokens(text_col)), F.md5)
-    staged = df.select(F.col(id_col), hs.alias("__hs"))
+    staged = df.select(F.col(id_col), hs.alias("__hs")).filter(
+        F.size("__hs") > 0
+    )
     return staged.select(
         F.col(id_col), simhash_fingerprint(F.col("__hs")).alias("simhash")
     )

@@ -39,7 +39,10 @@ def with_event_time(sdf: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataF
     )
 
 
-def _agg_value(agg_type: str, tie: Column) -> Column:
+def _agg_value(agg_type: str) -> Column:
+    """Aggregate expression for one A1-A12 aggregator. The first/last
+    aggregators in _AGG_EXPRS read the caller-provided ``__tie`` column
+    by name — every caller must attach it before aggregating."""
     expr = _AGG_EXPRS[agg_type]()
     if agg_type in ("std.s", "var.s"):
         expr = F.when(~F.isnan(expr), expr)
@@ -84,7 +87,7 @@ def stream_bucket_agg(
     out = (
         sdf.withColumn("__tie", tie)
         .groupBy("series_key", win.alias("window"))
-        .agg(_agg_value(cfg.aggregation_type, tie))
+        .agg(_agg_value(cfg.aggregation_type))
     )
     return out.select(
         "series_key", _bucket_label(b, cfg.bucket_timestamp).alias("ts_ms"), "value"
@@ -107,7 +110,7 @@ def stream_session_agg(
     out = (
         sdf.withColumn("__tie", tie)
         .groupBy("series_key", F.session_window(F.col("event_time"), gap).alias("w"))
-        .agg(F.count("*").alias("n_points"), _agg_value(agg_type, tie))
+        .agg(F.count("*").alias("n_points"), _agg_value(agg_type))
     )
     return out.select(
         "series_key",
@@ -153,7 +156,7 @@ def stream_anomaly_windows(
     agg = (
         sdf.withColumn("__tie", tie)
         .groupBy("series_key", F.window("event_time", dur).alias("window"))
-        .agg(_agg_value(cfg.aggregation_type, tie))
+        .agg(_agg_value(cfg.aggregation_type))
     )
     score = (
         F.when(F.col("value") > upper, F.col("value") - upper)
