@@ -42,21 +42,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical many-series frame from ``events``; ns → ms floor division
-    on both engines (DuckDB's epoch_ms truncates the same way). Carries
-    the raw nano column so time filters push down to the parquet scan
-    (retrieval.RAW_TS_COL unit-conversion rule)."""
-    from ..operators.retrieval import series_frame
+    """Canonical many-series frame from ``events``; ns → ms flooring on
+    both engines (DuckDB's epoch_ms truncates the same way). Carries
+    the raw storage column so time filters push down to the parquet scan
+    (retrieval.RAW_TS_COL rule); handles both parquet-nanos reader
+    shapes (int64 ns / TIMESTAMP_NTZ — see retrieval.events_ts_parts)."""
+    from ..operators.retrieval import events_ts_parts, series_frame
 
     ev = table(spark, sf_dir, "events")
+    ts_expr, units = events_ts_parts(ev)
     return series_frame(
         ev,
         "event_type",
-        F.expr("ts DIV 1000000"),
+        ts_expr,
         "value",
         seq="event_id",
         raw_ts="ts",
-        raw_units_per_ms=1_000_000,
+        raw_units_per_ms=units,
     )
 
 

@@ -335,6 +335,31 @@ def _bitmap_fn(spark, sf_dir):
     )
 
 
+# Extension: robust MAD detector. LOW median (rank ceil(n/2), ordered
+# by (value, ts_ms)) on both engines — no interpolation, so scores are
+# bit-exact. Score op order mirrors detectors/builtin.py::mad_detector:
+# dev / (scale * mad).
+_MAD_SQL = (
+    f"{_BASE}, "
+    "r1 AS (SELECT series_key, ts_ms, value, ROW_NUMBER() OVER "
+    "(PARTITION BY series_key ORDER BY value, ts_ms) AS rn, "
+    "COUNT(*) OVER (PARTITION BY series_key) AS n FROM g), "
+    "med AS (SELECT series_key, MIN(value) AS med FROM r1 "
+    "WHERE rn = (n + 1) // 2 GROUP BY series_key), "
+    "dv AS (SELECT g.series_key, g.ts_ms, g.value, "
+    "ABS(g.value - med.med) AS dev FROM g JOIN med USING (series_key)), "
+    "r2 AS (SELECT series_key, ts_ms, dev, ROW_NUMBER() OVER "
+    "(PARTITION BY series_key ORDER BY dev, ts_ms) AS rn, "
+    "COUNT(*) OVER (PARTITION BY series_key) AS n FROM dv), "
+    "mad AS (SELECT series_key, MIN(dev) AS mad FROM r2 "
+    "WHERE rn = (n + 1) // 2 GROUP BY series_key) "
+    "SELECT dv.series_key, dv.ts_ms, dv.value, "
+    "CASE WHEN CAST(1.4826 AS DOUBLE) * mad.mad > 0 "
+    "THEN dv.dev / (CAST(1.4826 AS DOUBLE) * mad.mad) ELSE 0.0 END AS score "
+    "FROM dv JOIN mad USING (series_key)"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # D5: absolute threshold — pure column expressions
     "det_absolute_threshold": QuerySpec(
@@ -378,4 +403,6 @@ QUERIES: dict[str, QuerySpec] = {
     "det_custom_plugin": QuerySpec(_plugin_fn, _PLUGIN_SQL),
     # D3: SAX-bitmap — not SQL-expressible; driver does a rows-only check
     "det_bitmap": QuerySpec(_bitmap_fn, _BITMAP_SQL),
+    # extension: robust MAD scorer (low-median — no interpolation, exact)
+    "det_mad": QuerySpec(_scored("mad", {}), _MAD_SQL),
 }

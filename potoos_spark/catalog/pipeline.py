@@ -148,6 +148,10 @@ def _text_fp_fn(spark, sf_dir):
     return T.fingerprint(_docs(spark, sf_dir))
 
 
+def _text_rep_fn(spark, sf_dir):
+    return T.repetition_stats(_docs(spark, sf_dir))
+
+
 def _quality_filter_fn(spark, sf_dir):
     passed = T.quality_filter(_docs(spark, sf_dir))
     return passed.select("doc_id")
@@ -315,6 +319,28 @@ _PRED = (
 _TEXT_LANGID_SQL = (
     f"WITH {_TOK}, h AS (SELECT doc_id, {_HITS} FROM tok) "
     f"SELECT doc_id, hits_en, hits_fr, hits_de, hits_es, {_PRED} AS pred_lang FROM h"
+)
+
+# Gopher-style repetition: bigram mode via (doc, bigram) counts, trigram
+# dup fraction as (total-distinct)/total; docs with <2 tokens emit no
+# row, docs with exactly 2 have no trigrams → 0.0 (LEFT JOIN/COALESCE).
+_TEXT_REP_SQL = (
+    f"WITH {_TOK}, {_T}, "
+    "bgp AS (SELECT a.doc_id, a.tok || '_' || b.tok AS bg "
+    "FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+    "bgc AS (SELECT doc_id, bg, COUNT(*) AS n FROM bgp GROUP BY 1, 2), "
+    "bga AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, "
+    "CAST(MAX(n) AS BIGINT) AS top_bigram_n FROM bgc GROUP BY doc_id), "
+    "tgp AS (SELECT a.doc_id, a.tok || '_' || b.tok || '_' || c.tok AS tg "
+    "FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    "JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2), "
+    "tga AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT tg) AS dis "
+    "FROM tgp GROUP BY doc_id) "
+    "SELECT b.doc_id, b.n_bigrams, b.top_bigram_n, "
+    "CAST(b.top_bigram_n AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE) AS top_bigram_frac, "
+    "COALESCE(CAST(t.total - t.dis AS DOUBLE) / CAST(t.total AS DOUBLE), 0.0) "
+    "AS dup_trigram_frac "
+    "FROM bga b LEFT JOIN tga t USING (doc_id)"
 )
 
 _TEXT_FP_SQL = (
@@ -541,6 +567,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact_streaming": QuerySpec(_stream_dedup_fn, _STREAM_DEDUP_SQL),
     "text_langid": QuerySpec(_text_langid_fn, _TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(_text_fp_fn, _TEXT_FP_SQL),
+    "text_repetition": QuerySpec(_text_rep_fn, _TEXT_REP_SQL),
     "q_array_hof": QuerySpec(_array_hof_fn, _ARRAY_HOF_SQL),
     "corpus_curate_e2e": QuerySpec(_curate_fn, _CURATE_SQL),
     "corpus_stats": QuerySpec(_corpus_stats_fn, _CORPUS_STATS_SQL),

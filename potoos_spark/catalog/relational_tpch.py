@@ -317,9 +317,10 @@ _DAY_MS = 86_400_000
 
 
 def _range_join_fn(spark, sf_dir):
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr("ts DIV 1000000").alias("ms"), "event_type"
-    )
+    from ..operators.retrieval import events_ts_ms
+
+    raw = table(spark, sf_dir, "events")
+    ev = raw.select("event_id", "user_id", events_ts_ms(raw).alias("ms"), "event_type")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("ms").alias("c_ms")
     )

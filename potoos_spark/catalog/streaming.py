@@ -37,26 +37,28 @@ GAP_MS = 1_800_000  # 30 min session gap
 
 _S = f"WITH series AS ({EVENTS_SQL})"
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events table as the canonical series
-    frame (same reshape as the batch events_frame)."""
+    frame (same reshape as the batch events_frame). The stream schema is
+    probed from a batch footer read so both parquet-nanos reader shapes
+    work (int64 ns / TIMESTAMP_NTZ — see retrieval.events_ts_parts)."""
+    from ..operators.retrieval import events_ts_ms
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
+    ts_ms = events_ts_ms(batch)
     # file-source streams take a directory; glob-filter to the events file
     ev = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     return ev.select(
         F.col("event_type").alias("series_key"),
-        F.expr("ts DIV 1000000").alias("ts_ms"),
+        ts_ms.alias("ts_ms"),
         F.col("value"),
         F.col("event_id").alias("seq"),
     )
@@ -239,6 +241,44 @@ _STREAM_SLIDING_SQL = (
 )
 
 
+def _stream_enrich_fn(spark, sf_dir):
+    """Stream-static enrichment join: the unbounded events stream joined
+    to the static ``customer`` dimension (broadcast — the classic
+    fact-stream × dimension shape; the static side is re-read per
+    micro-batch by Spark, no state involved), then aggregated per
+    (event_type, market segment). Decimal accumulation keeps the sum
+    order-free exact."""
+    from ..operators.retrieval import events_ts_ms
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    ev = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cust = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    j = ev.join(cust, ev["user_id"] == cust["c_custkey"])
+    agg = j.groupBy("event_type", "c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return _replay(agg, "complete")
+
+
+_STREAM_ENRICH_SQL = (
+    "SELECT event_type, c_mktsegment, COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM events JOIN customer ON user_id = c_custkey "
+    "GROUP BY event_type, c_mktsegment"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_bucket_agg_replay": QuerySpec(_stream_agg_fn, _STREAM_AGG_SQL),
     "stream_sliding_agg_replay": QuerySpec(_stream_sliding_fn, _STREAM_SLIDING_SQL),
@@ -253,4 +293,5 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "stream_session_agg_replay": QuerySpec(_stream_session_fn, _STREAM_SESSION_SQL),
     "stream_bucket_scores_replay": QuerySpec(_stream_scores_fn, _STREAM_SCORES_SQL),
+    "stream_static_join_replay": QuerySpec(_stream_enrich_fn, _STREAM_ENRICH_SQL),
 }

@@ -116,3 +116,43 @@ def sign_test(
     return joined.select(
         "series_key", "ts_ms", "value", score.cast("double").alias("score")
     )
+
+
+@register_detector("mad")
+def mad_detector(df: DataFrame, scale: float = 1.4826) -> DataFrame:
+    """Robust per-series scoring via Median Absolute Deviation (extension
+    tier — no reference file:line; standard robust alternative to the
+    z-score detectors, immune to the outliers it is hunting).
+
+    score = |value - median| / (scale * MAD), 0 when MAD == 0.
+
+    Both medians are the LOW median (element at rank ceil(n/2), ordered
+    with a deterministic (value, ts_ms) tie-break) — no interpolation,
+    so the score is bit-exact across engines and cluster sizes. Two
+    ranked windows + one thin broadcast-ready join per pass; everything
+    stays in whole-stage codegen."""
+
+    def _low_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        # rank ceil(n/2) == floor((n+1)/2); row_number is unique, so the
+        # filter keeps exactly one row per series
+        w = W.partitionBy("series_key").orderBy(col, "ts_ms")
+        ranked = frame.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count("*").over(W.partitionBy("series_key"))
+        )
+        return (
+            ranked.filter(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+            .groupBy("series_key")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = _low_median(df, "value", "__med")
+    dev = df.join(med, "series_key").withColumn(
+        "__dev", F.abs(F.col("value") - F.col("__med"))
+    )
+    mad = _low_median(dev, "__dev", "__mad")
+    scored = dev.join(mad, "series_key")
+    denom = F.lit(float(scale)) * F.col("__mad")
+    score = F.when(denom > 0, F.col("__dev") / denom).otherwise(F.lit(0.0))
+    return scored.select(
+        "series_key", "ts_ms", "value", score.cast("double").alias("score")
+    )

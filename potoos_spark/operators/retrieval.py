@@ -54,7 +54,11 @@ def series_frame(
     ts_col = F.col(ts) if isinstance(ts, str) else ts
     val_col = F.col(value) if isinstance(value, str) else value
     ts_field = df.select(ts_col.alias("__ts")).schema[0].dataType.typeName()
-    if ts_field in ("timestamp", "timestamp_ntz"):
+    if ts_field == "timestamp_ntz":
+        # unix_millis only accepts TIMESTAMP; under the UTC session this
+        # engine pins, the cast is an exact wall-clock reinterpretation.
+        ts_ms = F.unix_millis(ts_col.cast("timestamp"))
+    elif ts_field == "timestamp":
         ts_ms = F.unix_millis(ts_col)
     else:
         ts_ms = ts_col.cast("bigint")
@@ -75,23 +79,51 @@ def series_frame(
     return df.select(*cols)
 
 
+def events_ts_parts(ev: DataFrame) -> tuple[Column, int]:
+    """(ms expression, raw units-per-ms) for the events ``ts`` column,
+    whichever way this Spark build reads TIMESTAMP(NANOS) parquet:
+
+    * legacy ``nanosAsLong`` honored → int64 nanos → ``ts DIV 1e6``;
+    * modern reader → TIMESTAMP_NTZ (micros, truncated from nanos) →
+      ``unix_millis`` after the exact UTC cast.
+
+    Both floor toward ms exactly like DuckDB's ``epoch_ms(ts)``, so the
+    oracles are unaffected by which reader is active."""
+    t = ev.schema["ts"].dataType.typeName()
+    if t in ("timestamp", "timestamp_ntz"):
+        return F.col("ts"), 1
+    return F.expr("ts DIV 1000000"), 1_000_000
+
+
+def events_ts_ms(ev: DataFrame) -> Column:
+    """The events ``ts`` column as epoch-ms bigint, whichever reader
+    shape is active (see ``events_ts_parts``)."""
+    t = ev.schema["ts"].dataType.typeName()
+    if t == "timestamp_ntz":
+        return F.unix_millis(F.col("ts").cast("timestamp"))
+    if t == "timestamp":
+        return F.unix_millis(F.col("ts"))
+    return F.expr("ts DIV 1000000")
+
+
 def events_series(spark, sf_dir: str) -> DataFrame:
     """The driver ``events`` table reshaped to the canonical frame
     (series_key = event_type, per FIXTURES.md §2): many series, one scan.
 
-    The table stores TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; read nanos as long and floor-divide to ms (same truncation
-    DuckDB applies via epoch_ms)."""
+    The table stores TIMESTAMP(NANOS); see ``events_ts_parts`` for the
+    two reader shapes handled."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_expr, units = events_ts_parts(ev)
     return series_frame(
         ev,
         "event_type",
-        F.expr("ts DIV 1000000"),
+        ts_expr,
         "value",
         seq="event_id",
         raw_ts="ts",
-        raw_units_per_ms=1_000_000,
+        raw_units_per_ms=units,
     )
 
 
@@ -140,17 +172,32 @@ def apply_filters(df: DataFrame, cfg: TimeSeriesConfig) -> DataFrame:
     """
     lo, hi = cfg.lower_ms(), cfg.upper_ms()
     raw_scale = None
+    raw_is_ts = False
     if RAW_TS_COL in df.columns:
         meta = df.schema[RAW_TS_COL].metadata
         raw_scale = int(meta.get(RAW_TS_SCALE_KEY, 1))
+        raw_type = df.schema[RAW_TS_COL].dataType.typeName()
+        raw_is_ts = raw_type in ("timestamp", "timestamp_ntz")
+        if raw_is_ts:
+            raw_cast = raw_type  # literal bounds cast to the column's type
+
+    def _raw_bound_ms(ms: int) -> Column:
+        return F.timestamp_millis(F.lit(ms)).cast(raw_cast)
+
     if lo is not None:
         df = df.filter(F.col("ts_ms") >= lo)
-        if raw_scale:
+        if raw_is_ts:
+            # ts_ms = floor(raw in ms) >= lo  ⇔  raw >= lo as an instant
+            df = df.filter(F.col(RAW_TS_COL) >= _raw_bound_ms(lo))
+        elif raw_scale:
             # ts_ms = raw DIV scale >= lo  ⇔  raw >= lo * scale
             df = df.filter(F.col(RAW_TS_COL) >= lo * raw_scale)
     if hi is not None:
         df = df.filter(F.col("ts_ms") <= hi)
-        if raw_scale:
+        if raw_is_ts:
+            # ts_ms <= hi  ⇔  raw < (hi+1) as an instant
+            df = df.filter(F.col(RAW_TS_COL) < _raw_bound_ms(hi + 1))
+        elif raw_scale:
             # ts_ms <= hi  ⇔  raw < (hi+1) * scale
             df = df.filter(F.col(RAW_TS_COL) <= (hi + 1) * raw_scale - 1)
     if cfg.filter_by_ts is not None:

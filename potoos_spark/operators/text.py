@@ -206,3 +206,70 @@ def fingerprint(
         F.md5(normalize(text_col)).alias("exact_fp"),
         F.md5(kmin).alias("kmin_fp"),
     )
+
+
+def _gram_list(tok: Column, n: int) -> Column:
+    """NON-distinct word n-grams in order (cf. ``shingles`` which
+    distincts for set semantics): repetition metrics need multiplicity."""
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.concat_ws("_", *[F.element_at(tok, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(tok) >= n, make).otherwise(F.array())
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (extension tier —
+    training-data quality filtering; published in the Gopher/MassiveText
+    data-curation literature):
+
+    * ``top_bigram_frac``  — occurrences of the most frequent word
+      bigram over all bigram occurrences (boilerplate detector);
+    * ``dup_trigram_frac`` — fraction of trigram occurrences that are
+      repeats: (total - distinct) / total (template/spam detector).
+
+    Documents with fewer than 2 tokens emit no row (no bigrams to
+    measure). Physical shape: the trigram ratio is computed fully
+    in-row (array fold, scan-local); the bigram mode needs a
+    (doc, bigram) count — one explode + two hash aggregations keyed by
+    doc_id, the scalable shape for billion-doc corpora (an in-row mode
+    would be O(len²) per document)."""
+    t = F.col("_t")
+    staged = (
+        _with_tokens(df, text_col, [id_col])
+        .filter(F.size(t) >= 2)
+        .select(
+            F.col(id_col),
+            _gram_list(t, 2).alias("_bg"),
+            _gram_list(t, 3).alias("_tg"),
+        )
+    )
+    tri_total = F.size("_tg").cast("bigint")
+    tri_dis = F.size(F.array_distinct("_tg")).cast("bigint")
+    tri = staged.select(
+        F.col(id_col),
+        F.when(
+            tri_total > 0,
+            (tri_total - tri_dis).cast("double") / tri_total.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+    bg_counts = (
+        staged.select(F.col(id_col), F.explode("_bg").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("n"))
+    )
+    bg = bg_counts.groupBy(id_col).agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        F.max("n").cast("bigint").alias("top_bigram_n"),
+    )
+    out = bg.join(tri, id_col).withColumn(
+        "top_bigram_frac",
+        F.col("top_bigram_n").cast("double") / F.col("n_bigrams").cast("double"),
+    )
+    return out.select(
+        id_col, "n_bigrams", "top_bigram_n", "top_bigram_frac", "dup_trigram_frac"
+    )

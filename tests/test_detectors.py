@@ -168,3 +168,19 @@ def test_asof_join_backward_and_tolerance(spark):
     fwd = {r.ts_ms: r.base
            for r in asof_join(left, right, on="series_key", direction="forward").collect()}
     assert fwd == {900: 10.0, 1500: 30.0, 3500: None}
+
+
+def test_mad_scores(series4):
+    # values [10,20,30,40]: low median = 20; devs [10,0,10,20] → MAD = 10
+    got = by_ts(score(series4.drop("seq"), DetectorConfig(algorithm_name="mad")))
+    denom = 1.4826 * 10.0
+    expected = {1000: 10.0 / denom, 2000: 0.0, 3000: 10.0 / denom, 4000: 20.0 / denom}
+    assert got == pytest.approx(expected)
+
+
+def test_mad_zero_mad_scores_zero(spark):
+    # constant series: median = v, all devs 0 → MAD 0 → all scores 0
+    rows = [("k", t, 5.0) for t in (1000, 2000, 3000)]
+    df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
+    got = by_ts(score(df, DetectorConfig(algorithm_name="mad")))
+    assert got == {1000: 0.0, 2000: 0.0, 3000: 0.0}
