@@ -271,6 +271,72 @@ def _stream_enrich_fn(spark, sf_dir):
     return _replay(agg, "complete")
 
 
+def _stream_stream_join_fn(spark, sf_dir):
+    """Stream-stream self-join with a time-interval condition: each
+    click joined to the same user's error events in the trailing day.
+    Both sides carry watermarks and the join bound is on event-time
+    columns, so Spark can evict join state as the watermark advances —
+    the 100 TB shape for correlating two unbounded streams. Inner joins
+    emit matches as both sides arrive; the availableNow replay therefore
+    produces the complete (batch-identical) pair set."""
+    from ..operators.retrieval import events_ts_ms
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    ev = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ms = events_ts_ms(batch)
+    base = ev.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        ms.alias("ms"),
+        F.timestamp_millis(ms).alias("event_time"),
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .withWatermark("event_time", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ms").alias("c_ms"),
+            F.col("event_time").alias("c_time"),
+        )
+    )
+    errors = (
+        base.filter(F.col("event_type") == "error")
+        .withWatermark("event_time", "10 minutes")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ms").alias("e_ms"),
+            F.col("event_time").alias("e_time"),
+        )
+    )
+    j = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_time") >= F.col("c_time") - F.expr("INTERVAL 1 DAY"))
+        & (F.col("e_time") <= F.col("c_time")),
+    )
+    out = j.select("click_id", "err_id", "c_ms", "e_ms")
+    return _replay(out, "append")
+
+
+_STREAM_SS_JOIN_SQL = (
+    "WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type "
+    "FROM events) "
+    "SELECT c.event_id AS click_id, r.event_id AS err_id, c.ms AS c_ms, "
+    "r.ms AS e_ms FROM e c JOIN e r ON c.event_type = 'click' "
+    "AND r.event_type = 'error' AND r.user_id = c.user_id "
+    f"AND r.ms BETWEEN c.ms - {86_400_000} AND c.ms"
+)
+
+
 _STREAM_ENRICH_SQL = (
     "SELECT event_type, c_mktsegment, COUNT(*) AS n_events, "
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
@@ -294,4 +360,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_session_agg_replay": QuerySpec(_stream_session_fn, _STREAM_SESSION_SQL),
     "stream_bucket_scores_replay": QuerySpec(_stream_scores_fn, _STREAM_SCORES_SQL),
     "stream_static_join_replay": QuerySpec(_stream_enrich_fn, _STREAM_ENRICH_SQL),
+    "stream_stream_join_replay": QuerySpec(
+        _stream_stream_join_fn, _STREAM_SS_JOIN_SQL
+    ),
 }
