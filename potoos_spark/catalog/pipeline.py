@@ -189,6 +189,34 @@ def _stream_dedup_fn(spark, sf_dir):
     return spark.table(name)
 
 
+def _stream_quality_fn(spark, sf_dir):
+    """Ingest-time quality gate: the batch quality_filter applied to an
+    unbounded documents stream. Stateless (pure column predicates), so
+    it runs per-arriving-row with zero state — the shape of a filter
+    stage in a streaming training-data pipeline; batch and stream share
+    the same predicate expressions by construction."""
+    import uuid
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = T.quality_filter(docs).select("doc_id")
+    name = f"squal_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _mm_meta_fn(spark, sf_dir):
     b = M.attach_binary(_docs(spark, sf_dir))
     return b.select(
@@ -565,6 +593,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(_text_quality_fn, _TEXT_QUALITY_SQL),
     "text_quality_filter": QuerySpec(_quality_filter_fn, _QUALITY_FILTER_SQL),
     "dedup_exact_streaming": QuerySpec(_stream_dedup_fn, _STREAM_DEDUP_SQL),
+    "stream_quality_filter": QuerySpec(_stream_quality_fn, _QUALITY_FILTER_SQL),
     "text_langid": QuerySpec(_text_langid_fn, _TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(_text_fp_fn, _TEXT_FP_SQL),
     "text_repetition": QuerySpec(_text_rep_fn, _TEXT_REP_SQL),

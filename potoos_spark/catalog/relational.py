@@ -392,6 +392,65 @@ FROM c ASOF LEFT JOIN e ON c.ts_ms >= e.e_ts
 """
 
 
+def _asof_forward_fn(spark, sf_dir):
+    """Forward as-of: each click matched to the next error at-or-after
+    it (same union+window composition, descending carry)."""
+    from .common import events_frame
+
+    ev = events_frame(spark, sf_dir)
+    clicks = ev.filter(F.col("series_key") == "click").select(
+        F.lit("x").alias("k"), "ts_ms", F.col("value").alias("click_value")
+    )
+    errors = ev.filter(F.col("series_key") == "error").select(
+        F.lit("x").alias("k"), "ts_ms", F.col("value").alias("error_value")
+    )
+    out = asof_join(
+        clicks, errors, on="k", left_ts="ts_ms", right_ts="ts_ms",
+        direction="forward",
+    )
+    return out.select("ts_ms", "click_value", "error_value")
+
+
+_ASOF_FORWARD_SQL = f"""
+WITH series AS ({EVENTS_SQL}),
+c AS (SELECT ts_ms, value AS click_value FROM series WHERE series_key = 'click'),
+e AS (SELECT ts_ms AS e_ts, value AS error_value FROM series WHERE series_key = 'error')
+SELECT c.ts_ms, c.click_value, e.error_value
+FROM c ASOF LEFT JOIN e ON c.ts_ms <= e.e_ts
+"""
+
+
+def _lateral_topk_fn(spark, sf_dir):
+    """Correlated LATERAL subquery (top-2 customers by balance per
+    nation) through the SQL front door — Catalyst decorrelates the
+    per-row limit into a ranked window, so the physical plan is one
+    shuffle, not nested execution."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("pv_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("pv_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM pv_nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM pv_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        """
+    )
+
+
+_LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
 def _scalar_string_fn(spark, sf_dir):
     cust = table(spark, sf_dir, "customer")
     return cust.select(
@@ -445,6 +504,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_pivot": QuerySpec(_pivot_fn, _PIVOT_SQL),
     "q_percentile": QuerySpec(_percentile_fn, _PERCENTILE_SQL),
     "q_asof_events": QuerySpec(_asof_events_fn, _ASOF_EVENTS_SQL),
+    "q_asof_forward": QuerySpec(_asof_forward_fn, _ASOF_FORWARD_SQL),
+    "q_lateral_topk": QuerySpec(_lateral_topk_fn, _LATERAL_TOPK_SQL),
     "q_scalar_string": QuerySpec(_scalar_string_fn, _SCALAR_STRING_SQL),
     "q_scalar_date": QuerySpec(_scalar_date_fn, _SCALAR_DATE_SQL),
 }

@@ -39,6 +39,12 @@ TS_IN_LIST = [
 _S = f"WITH series AS ({EVENTS_SQL})"
 
 
+def _m4_fn(spark, sf_dir):
+    from ..operators.downsample import m4_downsample
+
+    return m4_downsample(events_frame(spark, sf_dir), 6 * HOUR)
+
+
 def _engine(cfg: TimeSeriesConfig):
     def fn(spark, sf_dir):
         return R.read_series(events_frame(spark, sf_dir), cfg)
@@ -288,5 +294,30 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_zip_ingest": QuerySpec(
         _zip_ingest_fn,
         f"{_S} SELECT series_key, ts_ms, value FROM series",
+    ),
+    # extension: M4 visualization downsampling (VLDB 2014) — first/last/
+    # min/max point per (series, pixel bucket), one hash aggregation
+    "ts_downsample_m4": QuerySpec(
+        _m4_fn,
+        # tie-breaks mirror the engine exactly: (ts, seq) for first/last,
+        # (value, ts) / (value DESC, ts) for min/max
+        f"{_S}, pt AS (SELECT series_key, ts_ms - ts_ms % {6 * HOUR} AS b, "
+        "ts_ms, value, seq FROM series), "
+        "r AS (SELECT *, "
+        "ROW_NUMBER() OVER (PARTITION BY series_key, b ORDER BY ts_ms, seq) AS rf, "
+        "ROW_NUMBER() OVER (PARTITION BY series_key, b ORDER BY ts_ms DESC, seq DESC) AS rl, "
+        "ROW_NUMBER() OVER (PARTITION BY series_key, b ORDER BY value, ts_ms) AS rmin, "
+        "ROW_NUMBER() OVER (PARTITION BY series_key, b ORDER BY value DESC, ts_ms) AS rmax "
+        "FROM pt) "
+        "SELECT series_key, b AS bucket_ms, "
+        "MIN(CASE WHEN rf = 1 THEN ts_ms END) AS ts_first, "
+        "MIN(CASE WHEN rf = 1 THEN value END) AS v_first, "
+        "MIN(CASE WHEN rl = 1 THEN ts_ms END) AS ts_last, "
+        "MIN(CASE WHEN rl = 1 THEN value END) AS v_last, "
+        "MIN(CASE WHEN rmin = 1 THEN ts_ms END) AS ts_min, "
+        "MIN(CASE WHEN rmin = 1 THEN value END) AS v_min, "
+        "MIN(CASE WHEN rmax = 1 THEN ts_ms END) AS ts_max, "
+        "MIN(CASE WHEN rmax = 1 THEN value END) AS v_max "
+        "FROM r GROUP BY series_key, b",
     ),
 }
