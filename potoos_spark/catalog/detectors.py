@@ -360,6 +360,39 @@ _MAD_SQL = (
 )
 
 
+
+
+# Extension: seasonal-naive scorer — forecast = value one season (24
+# hourly buckets) earlier; score = |value - base| / per-series range.
+# Pure lag/max/min windows: no accumulation, bit-exact.
+_SEASONAL_SQL = (
+    f"{_BASE}, w1 AS (SELECT series_key, ts_ms, value, "
+    "LAG(value, 24) OVER (PARTITION BY series_key ORDER BY ts_ms) AS base, "
+    "MAX(value) OVER (PARTITION BY series_key) - "
+    "MIN(value) OVER (PARTITION BY series_key) AS r FROM g) "
+    "SELECT series_key, ts_ms, value, "
+    "CASE WHEN base IS NOT NULL AND r > 0 THEN ABS(value - base)/r "
+    "ELSE 0.0 END AS score FROM w1"
+)
+
+
+# Extension: Hampel filter — rolling (5 preceding..5 following) LOW
+# median + LOW MAD, both read in-row from the sorted window list (no
+# interpolation, no accumulation → bit-exact). Mirrors
+# detectors/builtin.py::hampel op order: dev / (scale * mad).
+_HAMPEL_SQL = (
+    f"{_BASE}, l AS (SELECT series_key, ts_ms, value, "
+    "list_sort(list(value) OVER (PARTITION BY series_key ORDER BY ts_ms "
+    "ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS lst FROM g), "
+    "m AS (SELECT *, lst[CAST((len(lst) + 1) // 2 AS INT)] AS med FROM l), "
+    "d AS (SELECT *, list_sort(list_transform(lst, x -> ABS(x - med))) AS dl FROM m) "
+    "SELECT series_key, ts_ms, value, "
+    "CASE WHEN CAST(1.4826 AS DOUBLE) * dl[CAST((len(dl) + 1) // 2 AS INT)] > 0 "
+    "THEN ABS(value - med) / (CAST(1.4826 AS DOUBLE) * dl[CAST((len(dl) + 1) // 2 AS INT)]) "
+    "ELSE 0.0 END AS score FROM d"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # D5: absolute threshold — pure column expressions
     "det_absolute_threshold": QuerySpec(
@@ -405,4 +438,12 @@ QUERIES: dict[str, QuerySpec] = {
     "det_bitmap": QuerySpec(_bitmap_fn, _BITMAP_SQL),
     # extension: robust MAD scorer (low-median — no interpolation, exact)
     "det_mad": QuerySpec(_scored("mad", {}), _MAD_SQL),
+    # extension: seasonal-naive baseline scorer (daily season over hourly buckets)
+    "det_seasonal_naive": QuerySpec(
+        _scored("seasonal_naive", {"period": 24}), _SEASONAL_SQL
+    ),
+    # extension: Hampel rolling robust outlier filter
+    "det_hampel": QuerySpec(
+        _scored("hampel", {"half_window": 5}), _HAMPEL_SQL
+    ),
 }

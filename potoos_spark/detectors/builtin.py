@@ -156,3 +156,66 @@ def mad_detector(df: DataFrame, scale: float = 1.4826) -> DataFrame:
     return scored.select(
         "series_key", "ts_ms", "value", score.cast("double").alias("score")
     )
+
+
+@register_detector("seasonal_naive")
+def seasonal_naive(
+    df: DataFrame, period: int = 24, normalizer: str = "range"
+) -> DataFrame:
+    """Seasonal-naive scoring (extension tier — no reference file:line;
+    the standard first-line seasonal baseline): the forecast for point i
+    is the value one season earlier, score = |value - lag(value, period)|
+    normalized by the per-series range. Rows with no seasonal reference
+    (the first ``period`` rows of each series) score 0.
+
+    ``period`` counts ROWS, not wall-clock — feed it regularly bucketed
+    series (e.g. hourly averages with period=24 for daily seasonality).
+    One window sort per series, everything in whole-stage codegen; the
+    range normalizer is max-min (no accumulation), so scores are
+    bit-exact across engines and partitionings."""
+    w = _series_w()
+    sw = W.partitionBy("series_key")
+    base = F.lag("value", int(period)).over(w)
+    rng = F.max("value").over(sw) - F.min("value").over(sw)
+    dev = F.abs(F.col("value") - base)
+    score = F.when(base.isNotNull() & (rng > 0), dev / rng).otherwise(F.lit(0.0))
+    return df.select(
+        "series_key", "ts_ms", "value", score.cast("double").alias("score")
+    )
+
+
+@register_detector("hampel")
+def hampel(
+    df: DataFrame, half_window: int = 5, scale: float = 1.4826
+) -> DataFrame:
+    """Hampel filter scoring (extension tier — no reference file:line;
+    the classic rolling robust outlier detector): over a centered
+    rows-window of 2*half_window+1 points, score =
+    |value - rolling_low_median| / (scale * rolling_low_MAD), 0 when the
+    MAD is 0.
+
+    Both medians are LOW medians (rank floor((n+1)/2) of the sorted
+    window — no interpolation), computed IN-ROW from the window's
+    collect_list via array HOFs: one window sort per series, no
+    self-join, no second pass — at 100 TB the frame never leaves its
+    series partition. Truncated edge windows use whatever the frame
+    holds (standard Hampel edge behavior). Bit-exact across engines:
+    sort + element_at + one float division, no accumulation."""
+    w = _series_w().rowsBetween(-int(half_window), int(half_window))
+    lst = F.array_sort(F.collect_list("value").over(w))
+    mid = F.floor((F.size(lst) + 1) / 2).cast("int")
+    staged = df.select(
+        "series_key", "ts_ms", "value", F.element_at(lst, mid).alias("__med"),
+        lst.alias("__lst"),
+    )
+    dev_lst = F.array_sort(
+        F.transform("__lst", lambda x: F.abs(x - F.col("__med")))
+    )
+    mad = F.element_at(dev_lst, F.floor((F.size(dev_lst) + 1) / 2).cast("int"))
+    denom = F.lit(float(scale)) * mad
+    score = F.when(
+        denom > 0, F.abs(F.col("value") - F.col("__med")) / denom
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "series_key", "ts_ms", "value", score.cast("double").alias("score")
+    )

@@ -184,3 +184,50 @@ def test_mad_zero_mad_scores_zero(spark):
     df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
     got = by_ts(score(df, DetectorConfig(algorithm_name="mad")))
     assert got == {1000: 0.0, 2000: 0.0, 3000: 0.0}
+
+
+def test_seasonal_naive_scores(spark):
+    # period=2: rows 3,4 compare to rows 1,2; range = 40-10 = 30
+    rows = [("k", 1000, 10.0), ("k", 2000, 20.0), ("k", 3000, 30.0), ("k", 4000, 40.0)]
+    df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
+    got = by_ts(
+        score(
+            df,
+            DetectorConfig(
+                algorithm_name="seasonal_naive", algorithm_params={"period": 2}
+            ),
+        )
+    )
+    assert got == pytest.approx(
+        {1000: 0.0, 2000: 0.0, 3000: 20.0 / 30.0, 4000: 20.0 / 30.0}
+    )
+
+
+def test_hampel_flags_isolated_spike(spark):
+    # flat series with one spike; rolling low-median is 5.0 everywhere,
+    # MAD > 0 only in windows containing the spike
+    rows = [("k", t * 1000, 5.0) for t in range(1, 10)]
+    rows[4] = ("k", 5000, 50.0)
+    df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
+    got = by_ts(
+        score(
+            df,
+            DetectorConfig(algorithm_name="hampel", algorithm_params={"half_window": 2}),
+        )
+    )
+    # at the spike: window [3000..7000] sorted = [5,5,5,5,50], med=5,
+    # devs sorted = [0,0,0,0,45], MAD = 0 → score 0 by the zero-MAD guard;
+    # neighbors (windows of 5 containing one 50) likewise MAD 0.
+    assert all(v == 0.0 for v in got.values())
+    # a noisier window gives nonzero MAD: alternate values
+    rows = [("k", t * 1000, float(5 + (t % 2))) for t in range(1, 10)]
+    rows[4] = ("k", 5000, 50.0)
+    df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
+    got = by_ts(
+        score(
+            df,
+            DetectorConfig(algorithm_name="hampel", algorithm_params={"half_window": 2}),
+        )
+    )
+    assert got[5000] > 3.0  # spike stands out against MAD≈1 noise
+    assert got[2000] < 3.0
