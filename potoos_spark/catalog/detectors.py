@@ -393,6 +393,40 @@ _HAMPEL_SQL = (
 )
 
 
+
+
+# Extension: two-sided CUSUM — the recurrence as a recursive CTE. mu =
+# LOW median (rank (n+1)//2 by (value, ts)), k = 0.05 * range: exact
+# inputs, so GREATEST(s + dev, 0.0) replays the kernel's
+# max(s + dev, 0.0) float64 trajectory bit-for-bit (same association:
+# dev = (value - mu) - k on both sides).
+_CUSUM_SQL = (
+    f"{_BASE}, "
+    "st AS (SELECT series_key, ts_ms, value, "
+    "ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY value, ts_ms) AS vr, "
+    "ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY ts_ms) AS rn, "
+    "COUNT(*) OVER (PARTITION BY series_key) AS n, "
+    "MAX(value) OVER (PARTITION BY series_key) - "
+    "MIN(value) OVER (PARTITION BY series_key) AS rng FROM g), "
+    "med AS (SELECT series_key, MIN(value) AS mu FROM st "
+    "WHERE vr = (n + 1) // 2 GROUP BY series_key), "
+    "d AS (SELECT st.series_key, st.ts_ms, st.value, st.rn, st.rng, "
+    "(st.value - med.mu) - 0.05 * st.rng AS dp, "
+    "(med.mu - st.value) - 0.05 * st.rng AS dn "
+    "FROM st JOIN med USING (series_key)), "
+    "r AS (SELECT series_key, ts_ms, value, rn, rng, "
+    "GREATEST(0.0 + dp, 0.0) AS sp, GREATEST(0.0 + dn, 0.0) AS sn "
+    "FROM d WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT o.series_key, o.ts_ms, o.value, o.rn, o.rng, "
+    "GREATEST(r.sp + o.dp, 0.0), GREATEST(r.sn + o.dn, 0.0) "
+    "FROM d o JOIN r ON o.series_key = r.series_key AND o.rn = r.rn + 1) "
+    "SELECT series_key, ts_ms, value, "
+    "CASE WHEN rng > 0 THEN GREATEST(sp, sn) / rng ELSE 0.0 END AS score "
+    "FROM r"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # D5: absolute threshold — pure column expressions
     "det_absolute_threshold": QuerySpec(
@@ -446,4 +480,6 @@ QUERIES: dict[str, QuerySpec] = {
     "det_hampel": QuerySpec(
         _scored("hampel", {"half_window": 5}), _HAMPEL_SQL
     ),
+    # extension: two-sided CUSUM change-point scorer (recursive-CTE oracle)
+    "det_cusum": QuerySpec(_scored("cusum", {}), _CUSUM_SQL),
 }

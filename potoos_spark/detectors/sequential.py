@@ -218,3 +218,48 @@ def bitmap_detector(
         return pdf
 
     return _per_series(df, kernel)
+
+
+def _cusum_kernel(allowance_frac: float):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(v)
+        if n == 0:
+            pdf["score"] = np.zeros(0)
+            return pdf
+        sv = np.sort(v)
+        mu = sv[(n + 1) // 2 - 1]  # LOW median: exact, no accumulation
+        rng = float(np.max(v) - np.min(v))
+        k = allowance_frac * rng
+        # explicit loop: the float64 op order IS the documented
+        # recurrence, so the recursive-CTE oracle matches bit-for-bit
+        dp = (v - mu) - k
+        dn = (mu - v) - k
+        sp = sn = 0.0
+        out = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            sp = max(sp + dp[i], 0.0)
+            sn = max(sn + dn[i], 0.0)
+            out[i] = max(sp, sn)
+        pdf["score"] = out / rng if rng > 0 else np.zeros(n)
+        return pdf
+
+    return kernel
+
+
+@register_detector("cusum")
+def cusum_detector(df: DataFrame, allowance_frac: float = 0.05) -> DataFrame:
+    """Two-sided CUSUM change-point scorer (extension tier — no reference
+    file:line; Page 1954, the standard sequential change detector):
+
+        s+_i = max(s+_{i-1} + ((x_i - mu) - k), 0)
+        s-_i = max(s-_{i-1} + ((mu - x_i) - k), 0)
+        score_i = max(s+_i, s-_i) / range
+
+    mu is the per-series LOW median and k = allowance_frac * range —
+    both exact (sort/extremes, no float accumulation), so the only
+    sequential float path is the recurrence itself, reproduced
+    bit-for-bit by a recursive-CTE SQL oracle. Sustained level shifts
+    accumulate score linearly; isolated spikes decay — complements the
+    point-wise EMA/MAD detectors."""
+    return _per_series(df, _cusum_kernel(float(allowance_frac)))

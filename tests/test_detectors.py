@@ -231,3 +231,27 @@ def test_hampel_flags_isolated_spike(spark):
     )
     assert got[5000] > 3.0  # spike stands out against MAD≈1 noise
     assert got[2000] < 3.0
+
+
+def test_cusum_accumulates_on_level_shift(spark):
+    # flat at 10 then shifted to 20: score grows through the shifted
+    # run (cumulative), unlike point-wise detectors
+    rows = [("k", t * 1000, 10.0) for t in range(1, 7)] + [
+        ("k", t * 1000, 20.0) for t in range(7, 13)
+    ]
+    df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
+    got = by_ts(score(df, DetectorConfig(algorithm_name="cusum")))
+    # mu (low median) = 10, range = 10, k = 0.5 → dev_pos = (20-10)-0.5 = 9.5
+    # per shifted point; score_i = cumulative/10
+    assert got[7000] == pytest.approx(0.95)
+    assert got[12000] == pytest.approx(0.95 * 6)
+    # pre-shift: dev_pos = -0.5 → clamped to 0; negative side (10-10)-0.5 < 0
+    assert got[3000] == 0.0
+
+
+def test_cusum_constant_series_scores_zero(spark):
+    rows = [("k", t, 7.0) for t in (1000, 2000, 3000, 4000)]
+    df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
+    assert by_ts(score(df, DetectorConfig(algorithm_name="cusum"))) == {
+        1000: 0.0, 2000: 0.0, 3000: 0.0, 4000: 0.0
+    }
