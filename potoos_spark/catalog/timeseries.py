@@ -165,6 +165,56 @@ def _zip_ingest_fn(spark, sf_dir):
     return zip_ingest(packed)
 
 
+
+
+def _twa_fn(spark, sf_dir):
+    from ..operators.rate import time_weighted_avg
+
+    return time_weighted_avg(events_frame(spark, sf_dir), HOUR)
+
+
+# LOCF time-weighted average: LEAD within (series, bucket), decimal-
+# exact weighted sum, zero-span buckets fall back to the earliest
+# point's value ((ts, seq) tie-break — same as the engine's min_by).
+_TWA_SQL = (
+    f"{_S}, p AS (SELECT series_key, ts_ms, value, seq, "
+    f"ts_ms - ts_ms % {HOUR} AS b, "
+    f"LEAD(ts_ms) OVER (PARTITION BY series_key, ts_ms - ts_ms % {HOUR} "
+    "ORDER BY ts_ms, seq) AS nxt, "
+    f"ROW_NUMBER() OVER (PARTITION BY series_key, ts_ms - ts_ms % {HOUR} "
+    "ORDER BY ts_ms, seq) AS rn FROM series), "
+    "g AS (SELECT series_key, b AS ts_ms, "
+    f"SUM(CAST(value AS {DEC}) * (nxt - ts_ms)) AS s, "
+    "MIN(ts_ms) AS t0, MAX(ts_ms) AS t1, "
+    "MIN(CASE WHEN rn = 1 THEN value END) AS v0 "
+    "FROM p GROUP BY series_key, b) "
+    "SELECT series_key, ts_ms, CASE WHEN t1 > t0 "
+    "THEN CAST(s AS DOUBLE) / CAST(t1 - t0 AS DOUBLE) ELSE v0 END AS value "
+    "FROM g"
+)
+
+
+def _counter_rate_fn(spark, sf_dir):
+    from ..operators.rate import counter_rate
+
+    return counter_rate(events_frame(spark, sf_dir), HOUR)
+
+
+# Reset-aware counter increase/rate: decimal-exact deltas vs the
+# previous point per series, summed into the later point's bucket.
+_COUNTER_RATE_SQL = (
+    f"{_S}, d AS (SELECT series_key, ts_ms, CAST(value AS {DEC}) AS v, "
+    f"LAG(CAST(value AS {DEC})) OVER (PARTITION BY series_key "
+    "ORDER BY ts_ms, seq) AS pv FROM series), "
+    f"i AS (SELECT series_key, ts_ms - ts_ms % {HOUR} AS b, "
+    "CASE WHEN pv IS NULL THEN NULL WHEN v >= pv THEN v - pv ELSE v END AS inc "
+    "FROM d) "
+    "SELECT series_key, b AS ts_ms, CAST(SUM(inc) AS DOUBLE) AS increase, "
+    "CAST(SUM(inc) AS DOUBLE) / 3600.0 AS rate_per_sec "
+    "FROM i WHERE inc IS NOT NULL GROUP BY series_key, b"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # S1/F1: bounded range scan — pushed to the parquet reader
     "ts_scan_range": QuerySpec(
@@ -320,4 +370,10 @@ QUERIES: dict[str, QuerySpec] = {
         "MIN(CASE WHEN rmax = 1 THEN value END) AS v_max "
         "FROM r GROUP BY series_key, b",
     ),
+    # extension: LOCF time-weighted average per bucket (TimescaleDB
+    # time_weight family) — decimal-exact weighted sums
+    "ts_time_weighted_avg": QuerySpec(_twa_fn, _TWA_SQL),
+    # extension: reset-aware counter increase/rate per bucket (PromQL
+    # increase/rate family) — decimal-exact deltas
+    "ts_counter_rate": QuerySpec(_counter_rate_fn, _COUNTER_RATE_SQL),
 }

@@ -1,0 +1,105 @@
+"""Counter/rate and time-weighted bucket operators (extension tier —
+no reference file:line; the TimescaleDB ``time_weight`` / PromQL
+``increase``/``rate`` family, rebuilt set-oriented for many series).
+
+Physical shape for 100 TB: both operators are ONE window sort per
+series (the lag/lead over (series_key, ts)) followed by a hash
+aggregation whose partial combines map-side — the shuffle carries one
+row per (series, bucket), never the raw points. No Python in the path.
+
+Exactness: every accumulation happens in DECIMAL (the synthetic data
+carries two fractional digits, so decimal casts are lossless); doubles
+appear only in the final division, which is correctly rounded and
+hence bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .retrieval import bucket_start
+
+DEC = "decimal(18,2)"
+
+
+def _dec(col) -> F.Column:
+    return (F.col(col) if isinstance(col, str) else col).cast(DEC)
+
+
+def time_weighted_avg(
+    df: DataFrame, bucket_ms: int, offset_ms: int = 0
+) -> DataFrame:
+    """Per-bucket time-weighted average under LOCF (last-observation-
+    carried-forward) weighting: each point's value holds until the next
+    point *in the same bucket*, and
+
+        twa = sum(v_i * (t_{i+1} - t_i)) / (t_last - t_first)
+
+    over the bucket's points. Buckets whose points span zero time (a
+    single point, or all points at one timestamp) yield their earliest
+    point's value. Segments do not cross bucket boundaries, so every
+    bucket is computable from its own partition slice — the operator
+    scales embarrassingly.
+
+    Output: (series_key, ts_ms, value) — drop-in for the A1-A12 bucket
+    aggregator family.
+    """
+    b = bucket_start(F.col("ts_ms"), int(bucket_ms), int(offset_ms))
+    tie = F.col("seq") if "seq" in df.columns else F.col("value")
+    staged = df.select(
+        "series_key", "ts_ms", "value", tie.alias("__tie"), b.alias("__bucket")
+    )
+    w = W.partitionBy("series_key", "__bucket").orderBy("ts_ms", "__tie")
+    nxt = F.lead("ts_ms").over(w)
+    seg = staged.withColumn(
+        "__w", _dec("value") * (nxt - F.col("ts_ms")).cast("bigint")
+    )
+    g = seg.groupBy("series_key", F.col("__bucket").alias("ts_ms")).agg(
+        F.sum("__w").alias("s"),
+        F.min("ts_ms").alias("t0"),
+        F.max("ts_ms").alias("t1"),
+        F.min_by("value", F.struct("ts_ms", "__tie")).alias("v0"),
+    )
+    value = F.when(
+        F.col("t1") > F.col("t0"),
+        F.col("s").cast("double") / (F.col("t1") - F.col("t0")).cast("double"),
+    ).otherwise(F.col("v0"))
+    return g.select("series_key", "ts_ms", value.cast("double").alias("value"))
+
+
+def counter_rate(df: DataFrame, bucket_ms: int, offset_ms: int = 0) -> DataFrame:
+    """Reset-aware counter increase and rate per bucket (PromQL
+    ``increase``/``rate`` semantics): per series, each point contributes
+
+        inc_i = v_i - v_{i-1}   if v_i >= v_{i-1}   (monotone step)
+                v_i             otherwise           (counter reset to 0)
+
+    into the bucket of the *later* point; the series' first point
+    contributes nothing. increase = sum(inc), rate = increase /
+    bucket_seconds. Deltas are computed in DECIMAL (exact — no float
+    accumulation anywhere).
+
+    Output: (series_key, ts_ms, increase, rate_per_sec).
+    """
+    tie = F.col("seq") if "seq" in df.columns else F.col("value")
+    staged = df.select("series_key", "ts_ms", "value", tie.alias("__tie"))
+    w = W.partitionBy("series_key").orderBy("ts_ms", "__tie")
+    prev = F.lag(_dec("value")).over(w)
+    inc = F.when(prev.isNull(), F.lit(None).cast(DEC)).otherwise(
+        F.when(_dec("value") >= prev, _dec("value") - prev).otherwise(_dec("value"))
+    )
+    b = bucket_start(F.col("ts_ms"), int(bucket_ms), int(offset_ms))
+    g = (
+        staged.withColumn("__inc", inc)
+        .filter(F.col("__inc").isNotNull())
+        .groupBy("series_key", b.alias("ts_ms"))
+        .agg(F.sum("__inc").alias("s"))
+    )
+    return g.select(
+        "series_key",
+        "ts_ms",
+        F.col("s").cast("double").alias("increase"),
+        (F.col("s").cast("double") / F.lit(int(bucket_ms) / 1000.0)).alias(
+            "rate_per_sec"
+        ),
+    )

@@ -1,0 +1,54 @@
+"""Unit semantics for operators/rate.py (time-weighted avg, counter rate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from potoos_spark.operators.rate import counter_rate, time_weighted_avg
+
+SCHEMA = "series_key string, ts_ms bigint, value double, seq bigint"
+
+
+def test_twa_weights_by_hold_time(spark):
+    # bucket [0, 10000): v=10 holds 1000ms, v=20 holds 8000ms, last point
+    # v=30 holds nothing → twa = (10*1000 + 20*8000)/(9000-0)
+    rows = [("k", 0, 10.0, 1), ("k", 1000, 20.0, 2), ("k", 9000, 30.0, 3)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["ts_ms"]: r["value"] for r in time_weighted_avg(df, 10_000).collect()}
+    assert got == {0: pytest.approx((10.0 * 1000 + 20.0 * 8000) / 9000)}
+
+
+def test_twa_single_point_bucket_is_value(spark):
+    df = spark.createDataFrame([("k", 12_000, 7.5, 1)], SCHEMA)
+    got = {r["ts_ms"]: r["value"] for r in time_weighted_avg(df, 10_000).collect()}
+    assert got == {10_000: 7.5}
+
+
+def test_twa_segments_do_not_cross_buckets(spark):
+    # two buckets, one point each: both fall back to their own value
+    rows = [("k", 0, 10.0, 1), ("k", 10_000, 50.0, 2)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["ts_ms"]: r["value"] for r in time_weighted_avg(df, 10_000).collect()}
+    assert got == {0: 10.0, 10_000: 50.0}
+
+
+def test_counter_rate_monotone_and_reset(spark):
+    # 0→5→12 in bucket of the later points (increase 5+7), reset 12→3
+    # contributes 3 (counter restarted), then 3→10 adds 7
+    rows = [
+        ("k", 0, 0.0, 1),
+        ("k", 1000, 5.0, 2),
+        ("k", 2000, 12.0, 3),
+        ("k", 11_000, 3.0, 4),
+        ("k", 12_000, 10.0, 5),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r["ts_ms"]: (r["increase"], r["rate_per_sec"]) for r in
+           counter_rate(df, 10_000).collect()}
+    assert out[0] == (pytest.approx(12.0), pytest.approx(1.2))
+    assert out[10_000] == (pytest.approx(10.0), pytest.approx(1.0))
+
+
+def test_counter_rate_first_point_contributes_nothing(spark):
+    df = spark.createDataFrame([("k", 0, 100.0, 1)], SCHEMA)
+    assert counter_rate(df, 10_000).count() == 0
