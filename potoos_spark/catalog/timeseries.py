@@ -215,6 +215,46 @@ _COUNTER_RATE_SQL = (
 )
 
 
+
+
+def _lttb_fn(spark, sf_dir):
+    from ..operators.downsample import lttb_fixed
+
+    return lttb_fixed(events_frame(spark, sf_dir), 6 * HOUR)
+
+
+# Fixed-anchor LTTB: A = prev bucket's last point, C = next bucket's
+# decimal-exact mean point; area comparison and tie-breaks mirror the
+# engine exactly (earliest ts among equal areas, endpoint rule at the
+# series edges).
+_B6 = 6 * HOUR
+_LTTB_SQL = (
+    f"{_S}, pt AS (SELECT series_key, ts_ms, value, seq, "
+    f"ts_ms - ts_ms % {_B6} AS b FROM series), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY series_key, b "
+    "ORDER BY ts_ms DESC, seq DESC) AS rl FROM pt), "
+    "pb AS (SELECT series_key, b, "
+    "SUM(CAST(ts_ms AS DECIMAL(38,0))) AS ts_sum, "
+    f"SUM(CAST(value AS {DEC})) AS v_sum, COUNT(*) AS n, "
+    "MIN(CASE WHEN rl = 1 THEN ts_ms END) AS lt, "
+    "MIN(CASE WHEN rl = 1 THEN value END) AS lv "
+    "FROM r GROUP BY series_key, b), "
+    "an AS (SELECT series_key, b, LAG(lt) OVER wb AS ax, LAG(lv) OVER wb AS ay, "
+    "CAST(LEAD(ts_sum) OVER wb AS DOUBLE)/CAST(LEAD(n) OVER wb AS DOUBLE) AS cx, "
+    "CAST(LEAD(v_sum) OVER wb AS DOUBLE)/CAST(LEAD(n) OVER wb AS DOUBLE) AS cy "
+    "FROM pb WINDOW wb AS (PARTITION BY series_key ORDER BY b)), "
+    "j AS (SELECT p.series_key, p.b, p.ts_ms, p.value, p.seq, an.ax, an.cx, "
+    "ABS((CAST(an.ax AS DOUBLE) - an.cx)*(p.value - an.ay) - "
+    "(CAST(an.ax AS DOUBLE) - CAST(p.ts_ms AS DOUBLE))*(an.cy - an.ay)) AS area2 "
+    "FROM pt p JOIN an ON p.series_key = an.series_key AND p.b = an.b), "
+    "k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY series_key, b ORDER BY "
+    "CASE WHEN ax IS NULL THEN CAST(ts_ms AS DOUBLE) "
+    "WHEN cx IS NULL THEN -CAST(ts_ms AS DOUBLE) ELSE -area2 END, ts_ms, seq) AS rn "
+    "FROM j) "
+    "SELECT series_key, b AS bucket_ms, ts_ms, value FROM k WHERE rn = 1"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # S1/F1: bounded range scan — pushed to the parquet reader
     "ts_scan_range": QuerySpec(
@@ -376,4 +416,6 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: reset-aware counter increase/rate per bucket (PromQL
     # increase/rate family) — decimal-exact deltas
     "ts_counter_rate": QuerySpec(_counter_rate_fn, _COUNTER_RATE_SQL),
+    # extension: fixed-anchor LTTB downsampling (parallel one-pass variant)
+    "ts_downsample_lttb": QuerySpec(_lttb_fn, _LTTB_SQL),
 }

@@ -17,7 +17,7 @@ partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .retrieval import bucket_start
 
@@ -46,5 +46,80 @@ def m4_downsample(df: DataFrame, bucket_ms: int, offset_ms: int = 0) -> DataFram
             F.min(v).alias("v_min"),
             F.min_by(ts, F.struct(-v, ts)).alias("ts_max"),
             F.max(v).alias("v_max"),
+        )
+    )
+
+
+def lttb_fixed(df: DataFrame, bucket_ms: int, offset_ms: int = 0) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
+    public thesis), fixed-anchor variant: per (series, time bucket) keep
+    the point with the largest triangle area against
+
+        A = the LAST point of the previous bucket   (left anchor)
+        C = the MEAN point of the next bucket       (right anchor)
+
+    Classic LTTB anchors A at the previously *selected* point, which
+    makes the pass inherently sequential per series; fixing A to the
+    previous bucket's last point removes the dependency, so the whole
+    operator is ONE window pass over (series, bucket) — at 100 TB every
+    bucket ranks its own points in parallel, no serial chain. The first
+    bucket keeps its earliest point and the last bucket its latest
+    (classic LTTB's endpoint rule).
+
+    Determinism: bucket means accumulate in DECIMAL (exact, order-free);
+    the area comparison is per-point IEEE arithmetic with an earliest-ts
+    tie-break — bit-identical across engines and partitionings.
+
+    Output: (series_key, bucket_ms, ts_ms, value).
+    """
+    dec_v = F.col("value").cast("decimal(18,2)")
+    dec_t = F.col("ts_ms").cast("decimal(38,0)")
+    tie = F.col("seq") if "seq" in df.columns else F.col("value")
+    b = bucket_start(F.col("ts_ms"), int(bucket_ms), int(offset_ms))
+    staged = df.select(
+        "series_key", "ts_ms", "value", tie.alias("__tie"), b.alias("__b")
+    )
+    per_bucket = staged.groupBy("series_key", "__b").agg(
+        F.sum(dec_t).alias("ts_sum"),
+        F.sum(dec_v).alias("v_sum"),
+        F.count("*").alias("n"),
+        F.max_by(
+            F.struct(F.col("ts_ms").alias("t"), F.col("value").alias("v")),
+            F.struct("ts_ms", "__tie"),
+        ).alias("last_pt"),
+    )
+    wb = W.partitionBy("series_key").orderBy("__b")
+    anchors = per_bucket.select(
+        "series_key",
+        "__b",
+        F.lag("last_pt.t").over(wb).alias("ax"),
+        F.lag("last_pt.v").over(wb).alias("ay"),
+        (F.lead("ts_sum").over(wb).cast("double")
+         / F.lead("n").over(wb).cast("double")).alias("cx"),
+        (F.lead("v_sum").over(wb).cast("double")
+         / F.lead("n").over(wb).cast("double")).alias("cy"),
+    )
+    j = staged.join(anchors, ["series_key", "__b"])
+    bx = F.col("ts_ms").cast("double")
+    by = F.col("value")
+    ax = F.col("ax").cast("double")
+    area2 = F.abs(
+        (ax - F.col("cx")) * (by - F.col("ay"))
+        - (ax - bx) * (F.col("cy") - F.col("ay"))
+    )
+    # first bucket (no A): earliest point; last bucket (no C): latest
+    # point; otherwise max-area with earliest-ts tie-break
+    rank_w = W.partitionBy("series_key", "__b").orderBy(
+        F.when(F.col("ax").isNull(), F.col("ts_ms"))
+        .when(F.col("cx").isNull(), -F.col("ts_ms"))
+        .otherwise(-area2),
+        "ts_ms",
+        "__tie",
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "series_key", F.col("__b").alias("bucket_ms"), "ts_ms", "value"
         )
     )
