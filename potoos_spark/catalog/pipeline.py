@@ -576,6 +576,60 @@ _CURATE_SQL = (
 )
 
 
+
+
+def _text_clean_fn(spark, sf_dir):
+    return T.clean_html(_docs(spark, sf_dir))
+
+
+# Same op order as operators/text.py::clean_html: tags -> entities
+# (&amp; decoded last) -> whitespace collapse -> trim.
+_TEXT_CLEAN_SQL = (
+    "WITH c AS (SELECT doc_id, trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace("
+    "regexp_replace(text, '<[^>]*>', ' ', 'g'), "
+    "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), "
+    "'&nbsp;', ' '), '&amp;', '&'), "
+    "'\\s+', ' ', 'g')) AS text FROM documents) "
+    "SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars FROM c"
+)
+
+
+def _text_pii_fn(spark, sf_dir):
+    return T.pii_mask(_docs(spark, sf_dir))
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_NUM = "[0-9]{7,}"
+
+_TEXT_PII_SQL = (
+    "SELECT doc_id, regexp_replace(regexp_replace(text, "
+    f"'{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_NUM}', '<NUM>', 'g') AS text, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails, "
+    f"CAST(len(regexp_extract_all(text, '{_PII_NUM}')) AS BIGINT) AS n_longnums "
+    "FROM documents"
+)
+
+
+def _text_top_terms_fn(spark, sf_dir):
+    return T.top_terms(_docs(spark, sf_dir))
+
+
+# rel-freq score tf/df: one exact-integer double division -- no
+# transcendental whose last ulp could differ between runtimes.
+_TEXT_TOP_TERMS_SQL = (
+    f"WITH {_TOK}, tt AS (SELECT doc_id, unnest(toks) AS term FROM tok), "
+    "pairs AS (SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY doc_id, term), "
+    "d AS (SELECT term, COUNT(*) AS df FROM pairs GROUP BY term), "
+    "s AS (SELECT p.doc_id, p.term, p.tf, d.df, "
+    "CAST(p.tf AS DOUBLE)/CAST(d.df AS DOUBLE) AS score, "
+    "ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY "
+    "CAST(p.tf AS DOUBLE)/CAST(d.df AS DOUBLE) DESC, p.term) AS rn "
+    "FROM pairs p JOIN d USING (term)) "
+    "SELECT doc_id, term, tf, df, score FROM s WHERE rn <= 3"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
@@ -597,6 +651,12 @@ QUERIES: dict[str, QuerySpec] = {
     "text_langid": QuerySpec(_text_langid_fn, _TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(_text_fp_fn, _TEXT_FP_SQL),
     "text_repetition": QuerySpec(_text_rep_fn, _TEXT_REP_SQL),
+    # extension: C4-style markup cleaning (per-row regex chain)
+    "text_clean_html": QuerySpec(_text_clean_fn, _TEXT_CLEAN_SQL),
+    # extension: PII masking + masked-entity counts (engine-portable regex subset)
+    "text_pii_mask": QuerySpec(_text_pii_fn, _TEXT_PII_SQL),
+    # extension: per-doc top-k salient terms by rel-freq tf/df
+    "text_top_terms": QuerySpec(_text_top_terms_fn, _TEXT_TOP_TERMS_SQL),
     "q_array_hof": QuerySpec(_array_hof_fn, _ARRAY_HOF_SQL),
     "corpus_curate_e2e": QuerySpec(_curate_fn, _CURATE_SQL),
     "corpus_stats": QuerySpec(_corpus_stats_fn, _CORPUS_STATS_SQL),

@@ -8,7 +8,7 @@ strings so every derived feature is engine-portable and deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 # Small public stopword lists (top function words per language) for the
 # n-gram-free language-ID heuristic and stopword-ratio quality feature.
@@ -272,4 +272,92 @@ def repetition_stats(
     )
     return out.select(
         id_col, "n_bigrams", "top_bigram_n", "top_bigram_frac", "dup_trigram_frac"
+    )
+
+
+_HTML_ENTITIES = (  # decode &amp; LAST so "&amp;lt;" → "&lt;", not "<"
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def clean_html(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style markup cleaning (extension tier — no reference
+    file:line): strip HTML/XML tags, decode the common entities, and
+    collapse whitespace. Pure per-row regex/replace chain — no shuffle,
+    no Python; the 100 TB cost is one codegen'd projection over the
+    corpus scan.
+
+    Output: (id_col, text, n_chars) with the cleaned text."""
+    c = F.regexp_replace(F.col(text_col), "<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        c.alias("text"),
+        F.length(c).cast("bigint").alias("n_chars"),
+    )
+
+
+def pii_mask(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing for training corpora (extension tier): mask email
+    addresses and long digit runs (phone/account/card numbers), and
+    count what was masked. The two patterns are deliberately in the
+    common regex subset (no lookaround, no backrefs) so Java regex and
+    RE2 engines agree byte-for-byte. Per-row projection — shuffle-free.
+
+    Output: (id_col, text, n_emails, n_longnums)."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    longnum = "[0-9]{7,}"
+    t = F.col(text_col)
+    masked = F.regexp_replace(
+        F.regexp_replace(t, email, "<EMAIL>"), longnum, "<NUM>"
+    )
+    return df.select(
+        F.col(id_col),
+        masked.alias("text"),
+        F.regexp_count(t, F.lit(email)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(longnum)).cast("bigint").alias("n_longnums"),
+    )
+
+
+def top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k salient terms ranked by rel-freq score
+    tf / df (term frequency in the doc over corpus document frequency —
+    rare-in-corpus terms win, the tf-idf ordering with an
+    engine-portable score: one exact-integer division instead of a
+    transcendental log whose last ulp differs between runtimes).
+
+    Physical shape: explode → (doc, term) count → term df (the term
+    dimension aggregates map-side and is small) → broadcast back →
+    per-doc top-k window. Two shuffles total, both on pre-aggregated
+    rows. Ties break lexicographically on the term.
+
+    Output: (id_col, term, tf, df, score) — ≤ k rows per document."""
+    t = _with_tokens(df, text_col, [id_col])
+    pairs = (
+        t.select(F.col(id_col), F.explode("_t").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    scored = pairs.join(F.broadcast(dfreq), "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .select(F.col(id_col), "term", "tf", "df", "score")
     )

@@ -42,3 +42,54 @@ def test_repetition_flags_boilerplate(spark):
     assert got[0]["dup_trigram_frac"] > 0.7
     assert got[1]["top_bigram_frac"] == pytest.approx(1.0 / 5.0)
     assert got[1]["dup_trigram_frac"] == 0.0
+
+
+def test_clean_html_strips_tags_and_decodes_entities(spark):
+    from potoos_spark.operators.text import clean_html
+
+    rows = [
+        (1, "<p>Hello <b>world</b></p>"),
+        (2, "a &amp;lt; b &nbsp; c&#39;s &quot;q&quot;"),
+        (3, "no markup   here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["text"] for r in clean_html(df).collect()}
+    assert got[1] == "Hello world"
+    # &amp; decodes LAST: "&amp;lt;" becomes the literal "&lt;", not "<"
+    assert got[2] == "a &lt; b c's \"q\""
+    assert got[3] == "no markup here"
+
+
+def test_pii_mask_masks_and_counts(spark):
+    from potoos_spark.operators.text import pii_mask
+
+    rows = [
+        (1, "mail a@b.co and c.d+e@f-g.org now"),
+        (2, "card 4111111111111111 short 12345"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in pii_mask(df).collect()}
+    assert got[1]["text"] == "mail <EMAIL> and <EMAIL> now"
+    assert got[1]["n_emails"] == 2 and got[1]["n_longnums"] == 0
+    assert got[2]["text"] == "card <NUM> short 12345"  # <7 digits kept
+    assert got[2]["n_longnums"] == 1
+
+
+def test_top_terms_ranks_rare_terms_first(spark):
+    from potoos_spark.operators.text import top_terms
+
+    rows = [
+        (1, "zebra zebra common"),
+        (2, "common plain"),
+        (3, "common plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {}
+    for r in top_terms(df, k=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["term"], r["tf"], r["df"]))
+    # doc 1: zebra tf=2 df=1 → score 2.0 beats common (1/3)
+    assert got[1][0] == ("zebra", 2, 1)
+    assert got[1][1] == ("common", 1, 3)
+    # docs 2/3: plain (1/2) beats common (1/3); ≤ k rows each
+    assert got[2][0] == ("plain", 1, 2)
+    assert all(len(v) <= 2 for v in got.values())
