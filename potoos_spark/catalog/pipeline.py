@@ -630,6 +630,46 @@ _TEXT_TOP_TERMS_SQL = (
 )
 
 
+
+
+def _emb_quantize_fn(spark, sf_dir):
+    q = S.quantize_embeddings(_embs(spark, sf_dir))
+    qv = F.col("qvec")
+    return q.select(
+        "vec_id",
+        "scale",
+        "n_dims",
+        F.aggregate(
+            F.transform(qv, lambda v: F.abs(v)),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).alias("q_l1"),
+        F.aggregate(
+            F.transform(qv, lambda v: v * v),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).alias("q_dot_self"),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+    )
+
+
+# int8 lattice pinned by exact-integer invariants (L1, self-dot,
+# extremes) + the float scale; floor(x*127/amax + 0.5) on both engines.
+_EMB_QUANTIZE_SQL = (
+    "WITH a AS (SELECT vec_id, embedding, "
+    "list_max([ABS(CAST(x AS DOUBLE)) for x in embedding]) AS amax FROM embeddings), "
+    "q AS (SELECT vec_id, amax, CASE WHEN amax > 0 THEN "
+    "[CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) for x in embedding] "
+    "ELSE [CAST(0 AS BIGINT) for x in embedding] END AS qv, "
+    "CAST(len(embedding) AS BIGINT) AS n_dims FROM a) "
+    "SELECT vec_id, CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scale, "
+    "n_dims, CAST(list_sum([ABS(x) for x in qv]) AS BIGINT) AS q_l1, "
+    "CAST(list_sum([x * x for x in qv]) AS BIGINT) AS q_dot_self, "
+    "list_min(qv) AS q_min, list_max(qv) AS q_max FROM q"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
@@ -658,6 +698,8 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: per-doc top-k salient terms by rel-freq tf/df
     "text_top_terms": QuerySpec(_text_top_terms_fn, _TEXT_TOP_TERMS_SQL),
     "q_array_hof": QuerySpec(_array_hof_fn, _ARRAY_HOF_SQL),
+    # extension: symmetric int8 embedding quantization (in-row HOFs)
+    "emb_quantize": QuerySpec(_emb_quantize_fn, _EMB_QUANTIZE_SQL),
     "corpus_curate_e2e": QuerySpec(_curate_fn, _CURATE_SQL),
     "corpus_stats": QuerySpec(_corpus_stats_fn, _CORPUS_STATS_SQL),
     "emb_centroid": QuerySpec(_centroid_fn, _CENTROID_SQL),

@@ -63,3 +63,23 @@ def test_brute_force_is_self_consistent(spark, embeddings, exact):
     # every query returns exactly K neighbors, none of them itself
     assert len(exact) == N_QUERIES * K
     assert all(q != m for q, m in exact)
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    from potoos_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # all-zero vector
+        (3, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert got[1]["qvec"] == [127, -63, 32, 0]  # floor(x*127/1 + .5)
+    assert got[1]["scale"] == 1.0 / 127.0
+    assert got[2]["qvec"] == [0, 0, 0, 0] and got[2]["scale"] == 0.0
+    # dequantized error bounded by scale/2 per element
+    q, s = got[3]["qvec"], got[3]["scale"]
+    for orig, qi in zip([-2.0, 2.0, 1.0, -1.0], q):
+        assert abs(qi * s - orig) <= s / 2 + 1e-12
+    assert all(-127 <= v <= 127 for v in q)
