@@ -937,6 +937,40 @@ GROUP BY n_name
 """
 
 
+
+
+# --- value-family window functions over explicit frames -------------------
+
+def _value_family_fn(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    trail3 = wo.rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.last("o_totalprice").over(full).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.min("o_totalprice").over(trail3).alias("trail3_min"),
+        F.max("o_totalprice").over(trail3).alias("trail3_max"),
+    )
+
+
+_VALUE_FAMILY_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       LAST_VALUE(o_totalprice) OVER wf AS latest_price,
+       NTH_VALUE(o_totalprice, 2) OVER wf AS second_price,
+       MIN(o_totalprice) OVER wt AS trail3_min,
+       MAX(o_totalprice) OVER wt AS trail3_max
+FROM orders
+WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(_q4_fn, _Q4_SQL),
     "q13_cust_distribution": QuerySpec(_q13_fn, _Q13_SQL),
@@ -955,6 +989,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_argmax": QuerySpec(_argmax_fn, _ARGMAX_SQL),
     "q_grouping_sets": QuerySpec(_grouping_sets_fn, _GROUPING_SETS_SQL),
     "q_window_lead_lag": QuerySpec(_lead_lag_fn, _LEAD_LAG_SQL),
+    "q_window_value_family": QuerySpec(_value_family_fn, _VALUE_FAMILY_SQL),
     "q_count_distinct": QuerySpec(_count_distinct_fn, _COUNT_DISTINCT_SQL),
     "q_range_join": QuerySpec(_range_join_fn, _RANGE_JOIN_SQL),
     "ts_session_window": QuerySpec(_session_window_fn, _SESSION_WINDOW_SQL),
