@@ -345,6 +345,36 @@ _STREAM_ENRICH_SQL = (
 )
 
 
+
+
+def _stream_counter_rate_fn(spark, sf_dir):
+    from ..streaming import streaming_counter_rate
+
+    return _replay(
+        streaming_counter_rate(_events_stream(spark, sf_dir), HOUR), "append"
+    )
+
+
+# Oracle for the stateful counter rate: per-bucket MAX (order-free,
+# exact), per-series final bucket withheld (arrival-driven finalize,
+# same rn < n exclusion as the stateful scorer), first finalized bucket
+# seeds the baseline and emits nothing (pv IS NULL filter). increase is
+# one subtraction of exact doubles; rate one division — bit-exact.
+_STREAM_COUNTER_RATE_SQL = (
+    f"{_S}, g AS (SELECT series_key, ts_ms - ts_ms % {HOUR} AS ts_ms, "
+    f"MAX(value) AS value FROM series GROUP BY 1, 2), "
+    "gn AS (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY series_key ORDER BY ts_ms) AS rn, "
+    "COUNT(*) OVER (PARTITION BY series_key) AS n FROM g), "
+    "d AS (SELECT series_key, ts_ms, value, LAG(value) OVER "
+    "(PARTITION BY series_key ORDER BY ts_ms) AS pv FROM gn WHERE rn < n) "
+    "SELECT series_key, ts_ms, value, "
+    "CASE WHEN value >= pv THEN value - pv ELSE value END AS increase, "
+    "(CASE WHEN value >= pv THEN value - pv ELSE value END) / 3600.0 "
+    "AS rate_per_sec FROM d WHERE pv IS NOT NULL"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_bucket_agg_replay": QuerySpec(_stream_agg_fn, _STREAM_AGG_SQL),
     "stream_sliding_agg_replay": QuerySpec(_stream_sliding_fn, _STREAM_SLIDING_SQL),
@@ -362,5 +392,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_static_join_replay": QuerySpec(_stream_enrich_fn, _STREAM_ENRICH_SQL),
     "stream_stream_join_replay": QuerySpec(
         _stream_stream_join_fn, _STREAM_SS_JOIN_SQL
+    ),
+    # extension: stateful streaming counter rate over bucket maxima
+    "stream_counter_rate_replay": QuerySpec(
+        _stream_counter_rate_fn, _STREAM_COUNTER_RATE_SQL
     ),
 }

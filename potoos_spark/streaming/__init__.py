@@ -17,7 +17,11 @@ from .aggregate import (
 )
 from .monitor import monitor_stream, score_stream
 from .rollup_sink import compact_rollup_log, read_rollup_log, rollup_log_sink
-from .stateful import streaming_bucket_scores, streaming_scores
+from .stateful import (
+    streaming_bucket_scores,
+    streaming_counter_rate,
+    streaming_scores,
+)
 
 __all__ = [
     "DEFAULT_WATERMARK",
@@ -32,5 +36,6 @@ __all__ = [
     "read_rollup_log",
     "compact_rollup_log",
     "streaming_bucket_scores",
+    "streaming_counter_rate",
     "streaming_scores",
 ]

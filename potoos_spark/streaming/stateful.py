@@ -352,3 +352,84 @@ def streaming_bucket_scores(
             fn, OUT_SCHEMA, BUCKET_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+RATE_STATE_SCHEMA = "bkt bigint, a_max double, prev_max double, has_prev bigint"
+
+
+def streaming_counter_rate(
+    sdf: DataFrame, bucket_ms: int, offset_ms: int = 0
+) -> DataFrame:
+    """Stateful streaming counter rate over bucket maxima (the scrape-
+    style variant of ``operators.rate.counter_rate``): per series, each
+    finalized bucket's MAX is compared against the previous finalized
+    bucket's MAX —
+
+        increase = cur - prev   if cur >= prev   (monotone counter)
+                   cur          otherwise        (reset to 0)
+
+    and rate = increase / bucket_seconds. Using the per-bucket MAX
+    (order-free, exact — no accumulation) makes the result independent
+    of arrival order *within* a bucket, so the stream replay is
+    bit-identical to the batch SQL regardless of micro-batch splits.
+
+    Like ``streaming_bucket_scores``, a bucket finalizes when the
+    series' first later-bucket point arrives (arrival-driven); the
+    trailing open bucket stays pending. The first finalized bucket
+    seeds the baseline and emits nothing.
+
+    Output: (series_key, ts_ms = bucket start, value = bucket max,
+    increase, rate_per_sec).
+    """
+    b = int(bucket_ms)
+    offset = int(offset_ms)
+    out_schema = (
+        "series_key string, ts_ms bigint, value double, "
+        "increase double, rate_per_sec double"
+    )
+    bucket_sec = b / 1000.0
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bkt, a_max, prev_max, has_prev = state.get
+        else:
+            bkt, a_max, prev_max, has_prev = _NO_BUCKET, 0.0, 0.0, 0
+
+        for pdf in batches:
+            pdf = pdf.sort_values("ts_ms").reset_index(drop=True)
+            out_ts, out_v, out_inc = [], [], []
+            for t, v in zip(pdf["ts_ms"], pdf["value"]):
+                t, v = int(t), float(v)
+                cur = t - (t - offset) % b
+                if cur != bkt:
+                    if bkt != _NO_BUCKET:
+                        if has_prev:
+                            inc = a_max - prev_max if a_max >= prev_max else a_max
+                            out_ts.append(bkt)
+                            out_v.append(a_max)
+                            out_inc.append(inc)
+                        prev_max, has_prev = a_max, 1
+                    bkt, a_max = cur, v
+                elif v > a_max:
+                    a_max = v
+            if out_ts:
+                yield pd.DataFrame(
+                    {
+                        "series_key": key[0],
+                        "ts_ms": pd.Series(out_ts, dtype="int64"),
+                        "value": out_v,
+                        "increase": out_inc,
+                        "rate_per_sec": [x / bucket_sec for x in out_inc],
+                    }
+                )
+        state.update((bkt, a_max, prev_max, has_prev))
+
+    return (
+        sdf.select("series_key", "ts_ms", "value")
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            fn, out_schema, RATE_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )

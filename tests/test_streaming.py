@@ -286,3 +286,46 @@ def test_monitor_stream_foreachbatch(spark, chunked):
         ).count()
     )
     assert total == want
+
+
+def test_streaming_counter_rate_boundary_invariant_and_matches_batch(spark, chunked):
+    """Multi-batch replay == single-batch replay == batch SQL semantics:
+    per-bucket max deltas, final open bucket withheld, first finalized
+    bucket seeds silently."""
+    from pyspark.sql import Window as W
+
+    from potoos_spark.streaming import streaming_counter_rate
+
+    tmpdir, batch_df = chunked
+    outs = []
+    for chunked_read in (True, False):
+        sdf = _read_stream(spark, tmpdir, one_file_per_batch=chunked_read)
+        name = _run_to_memory(
+            streaming_counter_rate(sdf, BUCKET),
+            f"cr_{int(chunked_read)}",
+            "append",
+        )
+        outs.append(_collect_sorted(spark.table(name)))
+    assert outs[0] == outs[1] and outs[0]
+
+    g = batch_df.groupBy(
+        "series_key", (F.col("ts_ms") - F.col("ts_ms") % BUCKET).alias("ts_ms")
+    ).agg(F.max("value").alias("value"))
+    w = W.partitionBy("series_key").orderBy("ts_ms")
+    gn = g.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(W.partitionBy("series_key"))
+    )
+    d = gn.filter(F.col("rn") < F.col("n")).withColumn(
+        "pv", F.lag("value").over(w)
+    )
+    inc = F.when(F.col("value") >= F.col("pv"), F.col("value") - F.col("pv")).otherwise(
+        F.col("value")
+    )
+    expected = _collect_sorted(
+        d.filter(F.col("pv").isNotNull()).select(
+            "series_key", "ts_ms", "value",
+            inc.alias("increase"),
+            (inc / (BUCKET / 1000.0)).alias("rate_per_sec"),
+        )
+    )
+    assert outs[0] == expected
