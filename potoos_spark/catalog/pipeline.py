@@ -670,6 +670,32 @@ _EMB_QUANTIZE_SQL = (
 )
 
 
+
+
+def _token_budget_fn(spark, sf_dir):
+    from ..operators.curate import token_budget_sample
+
+    kept = token_budget_sample(_docs(spark, sf_dir), budget_tokens=600)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+
+
+# Deterministic per-source token-budget sampling: md5(doc_id) shuffle
+# order, inclusive running sum capped at 600 tokens. Integer arithmetic
+# end to end.
+_TOKEN_BUDGET_SQL = (
+    f"WITH {_TOK}, "
+    "w AS (SELECT d.source, d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, "
+    "md5(CAST(d.doc_id AS VARCHAR)) AS h "
+    "FROM documents d JOIN tok t USING (doc_id)), "
+    "c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id "
+    "ROWS UNBOUNDED PRECEDING) AS cum FROM w) "
+    "SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens "
+    "FROM c WHERE cum <= 600 GROUP BY source"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
@@ -704,6 +730,8 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_stats": QuerySpec(_corpus_stats_fn, _CORPUS_STATS_SQL),
     "emb_centroid": QuerySpec(_centroid_fn, _CENTROID_SQL),
     "corpus_sample_split": QuerySpec(_sample_split_fn, _SAMPLE_SPLIT_SQL),
+    # extension: per-source token-budget sampling (data mixing)
+    "corpus_token_budget": QuerySpec(_token_budget_fn, _TOKEN_BUDGET_SQL),
     # multimodal plumbing
     "multimodal_meta": QuerySpec(_mm_meta_fn, _MM_META_SQL),
     "multimodal_decode": QuerySpec(_mm_decode_fn, _MM_DECODE_SQL),

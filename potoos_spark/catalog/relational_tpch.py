@@ -971,6 +971,36 @@ WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+
+
+# --- quantified ALL subquery (decorrelated to a per-group max join) -------
+
+def _quantified_all_fn(spark, sf_dir):
+    """Customers whose balance beats EVERY supplier balance in their
+    nation. The SQL front door is a correlated ``> ALL`` subquery; the
+    Spark plan decorrelates it to a per-nation MAX + left join (empty
+    nations pass vacuously, matching ALL-over-empty-set = TRUE)."""
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    smax = supp.groupBy("s_nationkey").agg(F.max("s_acctbal").alias("smax"))
+    j = cust.join(
+        F.broadcast(smax),
+        cust["c_nationkey"] == smax["s_nationkey"],
+        "left",
+    )
+    return j.filter(
+        F.col("smax").isNull() | (F.col("c_acctbal") > F.col("smax"))
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+_QUANTIFIED_ALL_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > ALL (SELECT s_acctbal FROM supplier
+                       WHERE s_nationkey = c_nationkey)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(_q4_fn, _Q4_SQL),
     "q13_cust_distribution": QuerySpec(_q13_fn, _Q13_SQL),
@@ -990,6 +1020,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_grouping_sets": QuerySpec(_grouping_sets_fn, _GROUPING_SETS_SQL),
     "q_window_lead_lag": QuerySpec(_lead_lag_fn, _LEAD_LAG_SQL),
     "q_window_value_family": QuerySpec(_value_family_fn, _VALUE_FAMILY_SQL),
+    "q_quantified_all": QuerySpec(_quantified_all_fn, _QUANTIFIED_ALL_SQL),
     "q_count_distinct": QuerySpec(_count_distinct_fn, _COUNT_DISTINCT_SQL),
     "q_range_join": QuerySpec(_range_join_fn, _RANGE_JOIN_SQL),
     "ts_session_window": QuerySpec(_session_window_fn, _SESSION_WINDOW_SQL),

@@ -255,6 +255,32 @@ _LTTB_SQL = (
 )
 
 
+
+
+def _irate_fn(spark, sf_dir):
+    from ..operators.rate import irate
+
+    return irate(events_frame(spark, sf_dir), HOUR)
+
+
+# PromQL-style irate: last reset-aware sample step ending in each
+# bucket; the step's left end may sit in the previous bucket. One
+# subtraction + one division — no accumulation, bit-exact.
+_IRATE_SQL = (
+    f"{_S}, d AS (SELECT series_key, ts_ms, value, seq, "
+    f"ts_ms - ts_ms % {HOUR} AS b, "
+    "LAG(value) OVER w AS pv, LAG(ts_ms) OVER w AS pt, "
+    f"ROW_NUMBER() OVER (PARTITION BY series_key, ts_ms - ts_ms % {HOUR} "
+    "ORDER BY ts_ms DESC, seq DESC) AS rn FROM series "
+    "WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms, seq)) "
+    "SELECT series_key, b AS ts_ms, "
+    "(CASE WHEN value >= pv THEN value - pv ELSE value END) / "
+    "(CAST(CASE WHEN ts_ms - pt = 0 THEN 1000 ELSE ts_ms - pt END AS DOUBLE) "
+    "/ 1000.0) AS irate_per_sec "
+    "FROM d WHERE rn = 1 AND pv IS NOT NULL"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # S1/F1: bounded range scan — pushed to the parquet reader
     "ts_scan_range": QuerySpec(
@@ -418,4 +444,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_counter_rate": QuerySpec(_counter_rate_fn, _COUNTER_RATE_SQL),
     # extension: fixed-anchor LTTB downsampling (parallel one-pass variant)
     "ts_downsample_lttb": QuerySpec(_lttb_fn, _LTTB_SQL),
+    # extension: instantaneous rate (last reset-aware step per bucket)
+    "ts_irate": QuerySpec(_irate_fn, _IRATE_SQL),
 }

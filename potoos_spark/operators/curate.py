@@ -93,3 +93,37 @@ def curate_corpus(
         F.col(id_col),
         F.when(h2 < train_frac_hex, "train").otherwise("val").alias("split"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "source",
+) -> DataFrame:
+    """Deterministic token-budget sampling per group (the data-mixing
+    step of a training pipeline: cap each source's contribution at a
+    token budget). Documents are ordered by md5(id) — a stable
+    pseudo-random shuffle, reproducible across runs and cluster sizes —
+    and kept while the running token total (inclusive) stays within
+    ``budget_tokens``.
+
+    One scan + one window sort per group; the running sum is exact
+    integer arithmetic. Output: (by, id_col, n_tokens) for the kept
+    documents."""
+    t = df.select(
+        F.col(by),
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    )
+    w = (
+        W.partitionBy(by)
+        .orderBy("__h", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.withColumn("__cum", F.sum("n_tokens").over(w))
+    return c.filter(F.col("__cum") <= int(budget_tokens)).select(
+        by, id_col, "n_tokens"
+    )

@@ -103,3 +103,56 @@ def counter_rate(df: DataFrame, bucket_ms: int, offset_ms: int = 0) -> DataFrame
             "rate_per_sec"
         ),
     )
+
+
+def irate(df: DataFrame, bucket_ms: int, offset_ms: int = 0) -> DataFrame:
+    """Instantaneous rate per bucket (PromQL ``irate``): the rate of the
+    LAST sample step ending in each bucket — reset-aware like
+    ``counter_rate`` but using only the final delta, so spiky counters
+    report their most recent behavior rather than the bucket average.
+
+        irate = inc_last / ((t_last - t_prev) / 1000)
+
+    where inc is v-v_prev (or v on reset) and prev is the previous
+    sample of the series regardless of bucket. Zero-duration steps
+    (duplicate timestamps) fall back to a 1s step like the derivative
+    detector. One window sort + one ranked reduction per series.
+
+    Output: (series_key, ts_ms = bucket start, irate_per_sec).
+    """
+    tie = F.col("seq") if "seq" in df.columns else F.col("value")
+    staged = df.select("series_key", "ts_ms", "value", tie.alias("__tie"))
+    w = W.partitionBy("series_key").orderBy("ts_ms", "__tie")
+    pv = F.lag("value").over(w)
+    pt = F.lag("ts_ms").over(w)
+    b = bucket_start(F.col("ts_ms"), int(bucket_ms), int(offset_ms))
+    d = staged.select(
+        "series_key",
+        "ts_ms",
+        "value",
+        "__tie",
+        b.alias("__b"),
+        pv.alias("__pv"),
+        pt.alias("__pt"),
+    )
+    rank_w = W.partitionBy("series_key", "__b").orderBy(
+        F.col("ts_ms").desc(), F.col("__tie").desc()
+    )
+    last = (
+        d.withColumn("__rn", F.row_number().over(rank_w))
+        .filter((F.col("__rn") == 1) & F.col("__pv").isNotNull())
+    )
+    # NB: __pv/__pt come from the point-level lag BEFORE the per-bucket
+    # reduction, so the step may start in the previous bucket
+    inc = F.when(
+        F.col("value") >= F.col("__pv"), F.col("value") - F.col("__pv")
+    ).otherwise(F.col("value"))
+    dt_ms = F.col("ts_ms") - F.col("__pt")
+    dt_sec = (
+        F.when(dt_ms == 0, F.lit(1000)).otherwise(dt_ms).cast("double") / 1000.0
+    )
+    return last.select(
+        "series_key",
+        F.col("__b").alias("ts_ms"),
+        (inc / dt_sec).alias("irate_per_sec"),
+    )

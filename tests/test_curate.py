@@ -26,3 +26,22 @@ def test_curate_output_is_subset_with_sane_split(spark):
     assert ids <= all_ids
     n_train = sum(1 for r in out if r["split"] == "train")
     assert 0.8 <= n_train / len(out) <= 0.97  # ~90% by construction
+
+
+def test_token_budget_sample_caps_per_group(spark):
+    from potoos_spark.operators.curate import token_budget_sample
+
+    rows = [
+        (i, "one two three four five", "s1") for i in range(10)
+    ] + [(100, "a b", "s2")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    kept = token_budget_sample(df, budget_tokens=12)
+    agg = {r["source"]: r["n"] for r in
+           kept.groupBy("source").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    # s1 docs are 5 tokens each → inclusive cumsum ≤ 12 keeps exactly 2
+    assert agg["s1"] == 2
+    assert agg["s2"] == 1  # under budget: all kept
+    # determinism: same input → identical kept set
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in token_budget_sample(df, 12).collect())
+    assert a == b

@@ -52,3 +52,18 @@ def test_counter_rate_monotone_and_reset(spark):
 def test_counter_rate_first_point_contributes_nothing(spark):
     df = spark.createDataFrame([("k", 0, 100.0, 1)], SCHEMA)
     assert counter_rate(df, 10_000).count() == 0
+
+
+def test_irate_uses_last_step_and_resets(spark):
+    from potoos_spark.operators.rate import irate
+
+    rows = [
+        ("k", 0, 0.0, 1),
+        ("k", 4000, 8.0, 2),     # step 8/4s = 2/s (not the last in bucket)
+        ("k", 8000, 10.0, 3),    # last step in bucket 0: 2/4s = 0.5/s
+        ("k", 12_000, 4.0, 4),   # reset: inc = 4, dt 4s → 1.0/s
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["ts_ms"]: r["irate_per_sec"] for r in irate(df, 10_000).collect()}
+    assert got[0] == pytest.approx(0.5)
+    assert got[10_000] == pytest.approx(1.0)
