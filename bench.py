@@ -40,6 +40,11 @@ HEADLINE = [
     # sessionization + range join
     "ts_session_window",
     "q_range_join",
+    # rate/downsample/changepoint tier (round-3 additions)
+    "ts_counter_rate",
+    "ts_downsample_lttb",
+    "det_cusum",
+    "text_top_terms",
     # LLM-pipeline tier (documents 5k, embeddings 2k)
     "dedup_exact",
     "dedup_minhash_lsh",

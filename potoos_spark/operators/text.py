@@ -351,10 +351,13 @@ def top_terms(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = pairs.groupBy("term").agg(F.count("*").alias("df"))
-    scored = pairs.join(F.broadcast(dfreq), "term").withColumn(
-        "score", F.col("tf").cast("double") / F.col("df").cast("double")
-    )
+    # df via a count window over the SAME pairs relation: one evaluation
+    # of the explode subtree (a join against a separate groupBy(term)
+    # aggregate would compute it twice) and no broadcast of an
+    # unbounded vocab dimension
+    scored = pairs.withColumn(
+        "df", F.count("*").over(W.partitionBy("term"))
+    ).withColumn("score", F.col("tf").cast("double") / F.col("df").cast("double"))
     w = W.partitionBy(id_col).orderBy(F.col("score").desc(), "term")
     return (
         scored.withColumn("__rn", F.row_number().over(w))
