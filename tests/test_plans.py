@@ -164,3 +164,58 @@ def test_q22_anti_join_with_pushed_cutoff(spark):
     assert "LeftAnti" in plan
     pushed = "".join(l for l in plan.splitlines() if "PushedFilters:" in l)
     assert "o_orderdate" in pushed, "recent-order cutoff must reach the orders scan"
+
+
+def _n_scans(plan: str) -> int:
+    # formatted mode prints each node twice (tree + detail header);
+    # count the numbered detail headers only
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+
+
+def test_counter_rate_single_scan_partial_agg(spark):
+    # window lag (1 shuffle by series) → bucket hash agg (1 shuffle);
+    # one scan of events, partial aggregation before the agg exchange
+    plan = _plan(CATALOG["ts_counter_rate"].fn(spark, SF_DIR))
+    assert _n_scans(plan) == 1
+    assert plan.count("HashAggregate") >= 2  # partial+final pair
+
+
+def test_top_terms_single_document_scan(spark):
+    # the df count-window reuses the (doc, term) pre-agg: the documents
+    # file must be scanned exactly once (the agg-and-join-back shape
+    # would scan and explode it twice)
+    plan = _plan(CATALOG["text_top_terms"].fn(spark, SF_DIR))
+    assert _n_scans(plan) == 1
+
+
+def test_lttb_broadcasts_anchor_table(spark):
+    # the per-bucket anchor table is tiny (rows = series × buckets);
+    # joining it back against raw points must broadcast, not shuffle the
+    # points a second time
+    plan = _plan(CATALOG["ts_downsample_lttb"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quantified_all_broadcasts_nation_max(spark):
+    plan = _plan(CATALOG["q_quantified_all"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_clean_html_is_shuffle_free(spark):
+    plan = _plan(CATALOG["text_clean_html"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_pii_mask_is_shuffle_free(spark):
+    plan = _plan(CATALOG["text_pii_mask"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_quantize_is_shuffle_free(spark):
+    from potoos_spark.operators.similarity import quantize_embeddings
+    from potoos_spark.catalog.common import table
+
+    plan = _plan(quantize_embeddings(table(spark, SF_DIR, "embeddings")))
+    assert "Exchange" not in plan
