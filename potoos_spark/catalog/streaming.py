@@ -375,6 +375,42 @@ _STREAM_COUNTER_RATE_SQL = (
 )
 
 
+
+
+B6 = 6 * HOUR
+
+
+def _stream_m4_fn(spark, sf_dir):
+    from ..streaming import stream_m4
+
+    return _replay(stream_m4(_events_stream(spark, sf_dir), B6), "complete")
+
+
+# Oracle: the batch M4 SQL (complete-mode replay emits every window, so
+# stream == batch exactly; all eight reductions are order-free argmin/
+# argmax with explicit tie-breaks).
+_STREAM_M4_SQL = (
+    f"{_S}, pt AS (SELECT series_key, ts_ms - ts_ms % {B6} AS b, "
+    "ts_ms, value, seq FROM series), "
+    "r AS (SELECT *, "
+    "ROW_NUMBER() OVER (PARTITION BY series_key, b ORDER BY ts_ms, seq) AS rf, "
+    "ROW_NUMBER() OVER (PARTITION BY series_key, b ORDER BY ts_ms DESC, seq DESC) AS rl, "
+    "ROW_NUMBER() OVER (PARTITION BY series_key, b ORDER BY value, ts_ms) AS rmin, "
+    "ROW_NUMBER() OVER (PARTITION BY series_key, b ORDER BY value DESC, ts_ms) AS rmax "
+    "FROM pt) "
+    "SELECT series_key, b AS bucket_ms, "
+    "MIN(CASE WHEN rf = 1 THEN ts_ms END) AS ts_first, "
+    "MIN(CASE WHEN rf = 1 THEN value END) AS v_first, "
+    "MIN(CASE WHEN rl = 1 THEN ts_ms END) AS ts_last, "
+    "MIN(CASE WHEN rl = 1 THEN value END) AS v_last, "
+    "MIN(CASE WHEN rmin = 1 THEN ts_ms END) AS ts_min, "
+    "MIN(CASE WHEN rmin = 1 THEN value END) AS v_min, "
+    "MIN(CASE WHEN rmax = 1 THEN ts_ms END) AS ts_max, "
+    "MIN(CASE WHEN rmax = 1 THEN value END) AS v_max "
+    "FROM r GROUP BY series_key, b"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_bucket_agg_replay": QuerySpec(_stream_agg_fn, _STREAM_AGG_SQL),
     "stream_sliding_agg_replay": QuerySpec(_stream_sliding_fn, _STREAM_SLIDING_SQL),
@@ -397,4 +433,6 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_counter_rate_replay": QuerySpec(
         _stream_counter_rate_fn, _STREAM_COUNTER_RATE_SQL
     ),
+    # extension: streaming M4 downsampling (batch-identical argmin/argmax agg)
+    "stream_m4_replay": QuerySpec(_stream_m4_fn, _STREAM_M4_SQL),
 }

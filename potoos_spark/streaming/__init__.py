@@ -12,6 +12,7 @@ from .aggregate import (
     stream_anomaly_windows,
     stream_bucket_agg,
     stream_latest_dedup,
+    stream_m4,
     stream_session_agg,
     with_event_time,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "stream_anomaly_windows",
     "stream_bucket_agg",
     "stream_latest_dedup",
+    "stream_m4",
     "stream_session_agg",
     "with_event_time",
     "monitor_stream",

@@ -202,3 +202,49 @@ def stream_latest_dedup(
             "series_key", F.unix_millis(F.col("event_time")).alias("ts_ms"), "value"
         )
     )
+
+
+def stream_m4(
+    sdf: DataFrame,
+    bucket_msec: int,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming M4 downsampling: the batch ``m4_downsample`` argmin/
+    argmax aggregation under an event-time tumbling window — same eight
+    reductions, same (ts, seq) / (value, ts) tie-breaks, so the stream
+    replay converges to the batch answer bit-for-bit. All eight
+    aggregates combine map-side inside the streaming state store; state
+    per (series, window) is one row.
+
+    Output: identical schema to the batch op —
+    (series_key, bucket_ms, ts_first, v_first, ts_last, v_last,
+    ts_min, v_min, ts_max, v_max).
+    """
+    b = int(bucket_msec)
+    if "event_time" not in sdf.columns:
+        sdf = with_event_time(sdf, watermark)
+    tie = F.col("seq") if "seq" in sdf.columns else F.col("value")
+    ts, v = F.col("ts_ms"), F.col("value")
+    out = (
+        sdf.withColumn("__tie", tie)
+        .groupBy(
+            "series_key",
+            F.window(F.col("event_time"), f"{b} milliseconds").alias("window"),
+        )
+        .agg(
+            F.min(ts).alias("ts_first"),
+            F.min_by(v, F.struct(ts, F.col("__tie"))).alias("v_first"),
+            F.max(ts).alias("ts_last"),
+            F.max_by(v, F.struct(ts, F.col("__tie"))).alias("v_last"),
+            F.min_by(ts, F.struct(v, ts)).alias("ts_min"),
+            F.min(v).alias("v_min"),
+            F.min_by(ts, F.struct(-v, ts)).alias("ts_max"),
+            F.max(v).alias("v_max"),
+        )
+    )
+    return out.select(
+        "series_key",
+        F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+        "ts_first", "v_first", "ts_last", "v_last",
+        "ts_min", "v_min", "ts_max", "v_max",
+    )
