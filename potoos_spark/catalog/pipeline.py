@@ -696,6 +696,26 @@ _TOKEN_BUDGET_SQL = (
 )
 
 
+
+
+def _mm_framesample_fn(spark, sf_dir):
+    return M.frame_sample(_docs(spark, sf_dir))
+
+
+# Uniform strided frame sampler over fake fixed-size frames; md5 of the
+# frame slice stands in for decoded pixels (integer index arithmetic +
+# char-based substr — bit-exact on both engines).
+_MM_FRAMESAMPLE_SQL = (
+    "WITH f AS (SELECT doc_id, text, "
+    "GREATEST(length(text) // 64, 1) AS nf FROM documents), "
+    "e AS (SELECT DISTINCT doc_id, text, (j * nf) // 5 AS frame_idx "
+    "FROM f, range(5) AS t(j)) "
+    "SELECT doc_id, frame_idx, frame_idx * 250 AS frame_ts_ms, "
+    "md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_sig "
+    "FROM e"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
@@ -735,4 +755,6 @@ QUERIES: dict[str, QuerySpec] = {
     # multimodal plumbing
     "multimodal_meta": QuerySpec(_mm_meta_fn, _MM_META_SQL),
     "multimodal_decode": QuerySpec(_mm_decode_fn, _MM_DECODE_SQL),
+    # extension: strided frame-sampling plumbing (video-style sampler)
+    "multimodal_framesample": QuerySpec(_mm_framesample_fn, _MM_FRAMESAMPLE_SQL),
 }

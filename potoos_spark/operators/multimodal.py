@@ -84,3 +84,56 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
             yield out
 
     return df.select("doc_id", "payload").mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    k: int = 5,
+    frame_chars: int = 64,
+    frame_ms: int = 250,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Uniform frame sampling plumbing (the video analogue of the decode
+    stub): treat each payload as ``n_frames = max(len/frame_chars, 1)``
+    fixed-size frames and pick ``k`` uniformly spaced indices
+    ``idx_j = floor(j * n_frames / k)`` — the standard strided sampler a
+    real video pipeline uses before per-frame decode. Each sampled frame
+    carries its timestamp and an md5 signature of the frame's slice
+    (standing in for decoded pixels; a codec swaps into the signature
+    step only).
+
+    In-row ``sequence → transform → array_distinct → explode``: the
+    fan-out is exactly ≤ k rows per document, no shuffle, no Python.
+
+    Output: (id_col, frame_idx, frame_ts_ms, frame_sig).
+    """
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        F.greatest(
+            F.floor(F.length(t) / int(frame_chars)).cast("bigint"), F.lit(1)
+        ).alias("__nf"),
+    )
+    idxs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(k) - 1)),
+            lambda j: F.floor(j * F.col("__nf") / int(k)).cast("bigint"),
+        )
+    )
+    e = staged.select(
+        F.col(id_col), "__t", F.explode(idxs).alias("frame_idx")
+    )
+    return e.select(
+        F.col(id_col),
+        "frame_idx",
+        (F.col("frame_idx") * int(frame_ms)).alias("frame_ts_ms"),
+        F.md5(
+            F.substring(
+                F.col("__t"),
+                (F.col("frame_idx") * int(frame_chars) + 1).cast("int"),
+                int(frame_chars),
+            )
+        ).alias("frame_sig"),
+    )
