@@ -716,9 +716,38 @@ _MM_FRAMESAMPLE_SQL = (
 )
 
 
+
+
+def _dup_components_fn(spark, sf_dir):
+    return D.dup_components(_docs(spark, sf_dir))
+
+
+# Transitive closure oracle: doc-doc edges from shared content-hash or
+# shared SimHash fp, recursive UNION reachability, component = MIN
+# reachable id. (The engine never builds doc-doc pairs — it propagates
+# labels through attribute nodes — but the fixpoint is identical.)
+_DUP_COMPONENTS_SQL = (
+    f"WITH RECURSIVE {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes), "
+    "attrs AS (SELECT doc_id, 'h:' || "
+    "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS attr "
+    "FROM documents "
+    "UNION ALL SELECT doc_id, 's:' || CAST(simhash AS VARCHAR) FROM fp), "
+    "edges AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+    "FROM attrs a JOIN attrs b ON a.attr = b.attr AND a.doc_id <> b.doc_id), "
+    "reach AS (SELECT doc_id AS u, doc_id AS v FROM documents "
+    "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) "
+    "SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
+    # extension: transitive near-dup connected components (attribute
+    # label propagation; recursive-closure oracle)
+    "dedup_components": QuerySpec(_dup_components_fn, _DUP_COMPONENTS_SQL),
     "dedup_minhash_lsh": QuerySpec(_minhash_fn, _MINHASH_SQL),
     "dedup_simhash": QuerySpec(_simhash_fn, _SIMHASH_SQL),
     "dedup_ngram_jaccard": QuerySpec(_ngram_fn, _NGRAM_SQL),

@@ -345,3 +345,77 @@ def embedding_dup_pairs(
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def dup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive near-duplicate components: connected components over
+    the union of the exact-content relation (shared md5 of normalized
+    text) and the SimHash near-dup relation (shared 16-bit
+    fingerprint). A doc that exact-matches B while B simhash-matches C
+    lands all three in one component — the multi-hop closure that
+    pairwise dedup misses.
+
+    100 TB shape: label propagation through ATTRIBUTE nodes (hash /
+    fingerprint values), never a doc×doc pairwise join — each iteration
+    is two map-side-combinable min-aggregations over the (doc, attr)
+    edge list (classic alternating bipartite min-label propagation; the
+    same contraction idea as Kiveris et al.'s "Connected Components in
+    MapReduce", SOCC 2014). Iterations ≤ component diameter (tiny for
+    dup clusters); the fixpoint — component = min doc id, reached
+    regardless of iteration order — is what makes the result
+    deterministic and cluster-size-independent.
+
+    Output: (id_col, component) for every input document (singletons
+    keep their own id).
+    """
+    h = F.md5(normalize(text_col))
+    base = df.select(F.col(id_col), F.col(text_col))
+    hashes = base.select(
+        F.col(id_col), F.concat(F.lit("h:"), h).alias("attr")
+    )
+    s = simhash(df, text_col, id_col)
+    sims = s.select(
+        F.col(id_col),
+        F.concat(F.lit("s:"), F.col("simhash").cast("string")).alias("attr"),
+    )
+    attrs = hashes.union(sims).persist()
+
+    labels = base.select(F.col(id_col), F.col(id_col).alias("lbl")).persist()
+    for _ in range(int(max_iters)):
+        attr_min = (
+            attrs.join(labels, id_col)
+            .groupBy("attr")
+            .agg(F.min("lbl").alias("al101"))
+        )
+        prop = (
+            attrs.join(attr_min, "attr")
+            .groupBy(id_col)
+            .agg(F.min("al101").alias("plbl"))
+        )
+        new_labels = (
+            labels.join(prop, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("lbl"), F.coalesce("plbl", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    attrs.unpersist()
+    return labels.select(F.col(id_col), F.col("lbl").alias("component"))

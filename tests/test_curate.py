@@ -45,3 +45,23 @@ def test_token_budget_sample_caps_per_group(spark):
     a = sorted(r["doc_id"] for r in kept.collect())
     b = sorted(r["doc_id"] for r in token_budget_sample(df, 12).collect())
     assert a == b
+
+
+def test_dup_components_multi_hop_transitivity(spark):
+    from potoos_spark.operators.dedup import dup_components
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),   # simhash-links to 2 (same token set)
+        (2, "beta gamma alpha epsilon delta"),   # exact-links to 3 (same text)
+        (3, "beta gamma alpha epsilon delta"),
+        (4, "completely unrelated words here now"),
+        (5, "completely unrelated words here now"),  # exact dup of 4
+        (6, "a lone singleton document entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["component"] for r in dup_components(df).collect()}
+    # 1–2 share a SimHash fp (identical distinct-token set), 2–3 share
+    # exact content: one component rooted at min id 1
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == 4
+    assert got[6] == 6
