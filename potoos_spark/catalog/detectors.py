@@ -427,6 +427,35 @@ _CUSUM_SQL = (
 )
 
 
+
+
+# Extension: Holt double-exponential (level+trend) forecast scorer —
+# the coupled recurrence as a recursive CTE carrying (level, trend).
+# Literals 0.8/0.9 equal the kernel's computed 1-a/1-b exactly
+# (1.0-0.2 == 0.8 and 1.0-0.1 == 0.9 in float64); op order mirrors
+# sequential.py::_holt_kernel (pred = level + trend; numerator stored,
+# one division by the range at the end).
+_HOLT_SQL = (
+    f"{_BASE}, "
+    "nrm AS (SELECT series_key, MAX(value) - MIN(value) AS rng FROM g "
+    "GROUP BY series_key), "
+    "o AS (SELECT series_key, ts_ms, value, ROW_NUMBER() OVER "
+    "(PARTITION BY series_key ORDER BY ts_ms) AS rn FROM g), "
+    "r AS (SELECT series_key, ts_ms, value, rn, value AS level, "
+    "CAST(0.0 AS DOUBLE) AS trend, CAST(0.0 AS DOUBLE) AS sraw "
+    "FROM o WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT o.series_key, o.ts_ms, o.value, o.rn, "
+    "0.2*o.value + 0.8*(r.level + r.trend), "
+    "0.1*((0.2*o.value + 0.8*(r.level + r.trend)) - r.level) + 0.9*r.trend, "
+    "ABS(o.value - (r.level + r.trend)) "
+    "FROM o JOIN r ON o.series_key = r.series_key AND o.rn = r.rn + 1) "
+    "SELECT r.series_key, r.ts_ms, r.value, "
+    "CASE WHEN nrm.rng > 0 THEN r.sraw / nrm.rng ELSE 0.0 END AS score "
+    "FROM r JOIN nrm USING (series_key)"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # D5: absolute threshold — pure column expressions
     "det_absolute_threshold": QuerySpec(
@@ -482,4 +511,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # extension: two-sided CUSUM change-point scorer (recursive-CTE oracle)
     "det_cusum": QuerySpec(_scored("cusum", {}), _CUSUM_SQL),
+    # extension: Holt level+trend one-step-ahead forecast scorer
+    "det_holt_winters": QuerySpec(_scored("holt_winters", {}), _HOLT_SQL),
 }

@@ -263,3 +263,48 @@ def cusum_detector(df: DataFrame, allowance_frac: float = 0.05) -> DataFrame:
     accumulate score linearly; isolated spikes decay — complements the
     point-wise EMA/MAD detectors."""
     return _per_series(df, _cusum_kernel(float(allowance_frac)))
+
+
+def _holt_kernel(alpha: float, beta: float):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(v)
+        out = np.zeros(n, dtype=np.float64)
+        if n == 0:
+            pdf["score"] = out
+            return pdf
+        rng = float(np.max(v) - np.min(v))
+        level, trend = v[0], 0.0
+        # score_i = |v_i - (level_{i-1} + trend_{i-1})| / range — the
+        # one-step-ahead forecast error, computed BEFORE the update
+        for i in range(1, n):
+            pred = level + trend
+            out[i] = abs(v[i] - pred) / rng if rng > 0 else 0.0
+            new_level = alpha * v[i] + (1.0 - alpha) * pred
+            trend = beta * (new_level - level) + (1.0 - beta) * trend
+            level = new_level
+        pdf["score"] = out
+        return pdf
+
+    return kernel
+
+
+@register_detector("holt_winters")
+def holt_winters_detector(
+    df: DataFrame, smoothing_factor: float = 0.2, trend_factor: float = 0.1
+) -> DataFrame:
+    """Holt's double-exponential (level + trend) one-step-ahead forecast
+    scorer (extension tier — no reference file:line; Holt 1957, the
+    standard trending-series baseline the plain EMA detectors lack):
+
+        pred_i    = level_{i-1} + trend_{i-1}
+        score_i   = |v_i - pred_i| / range
+        level_i   = a*v_i + (1-a)*pred_i
+        trend_i   = b*(level_i - level_{i-1}) + (1-b)*trend_{i-1}
+
+    with level_1 = v_1, trend_1 = 0, score_1 = 0. A steadily trending
+    series scores low (the trend term absorbs the slope — the
+    derivative detector's blind spot is exactly its strength); trend
+    *breaks* spike. The coupled float64 recurrence is replayed
+    bit-for-bit by a recursive-CTE oracle carrying (level, trend)."""
+    return _per_series(df, _holt_kernel(float(smoothing_factor), float(trend_factor)))

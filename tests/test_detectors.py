@@ -255,3 +255,19 @@ def test_cusum_constant_series_scores_zero(spark):
     assert by_ts(score(df, DetectorConfig(algorithm_name="cusum"))) == {
         1000: 0.0, 2000: 0.0, 3000: 0.0, 4000: 0.0
     }
+
+
+def test_holt_winters_absorbs_linear_trend(spark):
+    # a perfect linear ramp: after trend warm-up, forecast error → small;
+    # the derivative detector (no trend term) scores the SAME ramp high
+    rows = [("k", t * 1000, 10.0 * t) for t in range(1, 41)]
+    df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
+    hw = by_ts(score(df, DetectorConfig(algorithm_name="holt_winters")))
+    # late-ramp scores shrink as level+trend lock on
+    assert hw[40_000] < hw[3000]
+    assert hw[40_000] < 0.01
+    # trend BREAK spikes: flat after the ramp
+    rows2 = rows + [("k", t * 1000, 400.0) for t in range(41, 46)]
+    df2 = spark.createDataFrame(rows2, "series_key string, ts_ms bigint, value double")
+    hw2 = by_ts(score(df2, DetectorConfig(algorithm_name="holt_winters")))
+    assert hw2[41_000] > hw2[40_000] * 5
