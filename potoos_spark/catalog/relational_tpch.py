@@ -1001,6 +1001,78 @@ WHERE c_acctbal > ALL (SELECT s_acctbal FROM supplier
 """
 
 
+
+
+# --- Q9 family (adapted: no partsupp/supplycost in the fixture schema;
+# profit proxy = discounted revenue of ECONOMY-type parts, cut by
+# supplier nation x order year — the same 5-table join tree and
+# dim-broadcast shape as TPC-H Q9) -----------------------------------------
+
+def _q9_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# --- Q16 family (adapted: supplier-part relationships recovered from
+# lineitem instead of partsupp; NOT IN excludes negative-balance
+# suppliers — the "complaints" anti-join of Q16) ---------------------------
+
+def _q16_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    pairs = (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(_q4_fn, _Q4_SQL),
     "q13_cust_distribution": QuerySpec(_q13_fn, _Q13_SQL),
@@ -1021,6 +1093,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_window_lead_lag": QuerySpec(_lead_lag_fn, _LEAD_LAG_SQL),
     "q_window_value_family": QuerySpec(_value_family_fn, _VALUE_FAMILY_SQL),
     "q_quantified_all": QuerySpec(_quantified_all_fn, _QUANTIFIED_ALL_SQL),
+    "q9_nation_profit": QuerySpec(_q9_fn, _Q9_SQL),
+    "q16_supplier_relation": QuerySpec(_q16_fn, _Q16_SQL),
     "q_count_distinct": QuerySpec(_count_distinct_fn, _COUNT_DISTINCT_SQL),
     "q_range_join": QuerySpec(_range_join_fn, _RANGE_JOIN_SQL),
     "ts_session_window": QuerySpec(_session_window_fn, _SESSION_WINDOW_SQL),

@@ -219,3 +219,16 @@ def test_quantize_is_shuffle_free(spark):
 
     plan = _plan(quantize_embeddings(table(spark, SF_DIR, "embeddings")))
     assert "Exchange" not in plan
+
+
+def test_q9_broadcasts_all_three_dims(spark):
+    # part (filtered), supplier, nation all ride broadcast joins; only
+    # lineitem⋈orders shuffles
+    plan = _plan(CATALOG["q9_nation_profit"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters:" in plan  # p_type filter reaches the part scan
+
+
+def test_q16_not_in_compiles_to_anti_join(spark):
+    plan = _plan(CATALOG["q16_supplier_relation"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan
