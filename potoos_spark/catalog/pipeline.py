@@ -742,6 +742,37 @@ _DUP_COMPONENTS_SQL = (
 )
 
 
+
+
+def _knn_quantized_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.quantized_topk(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+# int8-quantized search: qv lattice from the emb_quantize CTE, then the
+# exact-integer cosine of knn_bruteforce over qv instead of the
+# 1000x-scaled vectors. Everything integer until the final division.
+_QV = (
+    "a AS (SELECT vec_id, embedding, "
+    "list_max([ABS(CAST(x AS DOUBLE)) for x in embedding]) AS amax FROM embeddings), "
+    "v AS (SELECT vec_id, CASE WHEN amax > 0 THEN "
+    "[CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) for x in embedding] "
+    "ELSE [CAST(0 AS BIGINT) for x in embedding] END AS e FROM a), "
+    "nrm AS (SELECT vec_id, CAST(list_sum([x * x for x in e]) AS BIGINT) AS nn FROM v)"
+)
+
+_KNN_QUANT_SQL = (
+    f"WITH {_QV}, "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id, "
+    + _COS.format(a="q", b="c")
+    + " AS cosine FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id "
+    "JOIN nrm na ON na.vec_id = q.vec_id JOIN nrm nb ON nb.vec_id = c.vec_id) "
+    "SELECT query_id, match_id, cosine, rank FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank FROM scored) "
+    "WHERE rank <= 10"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
@@ -754,6 +785,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding": QuerySpec(_emb_dup_fn, _EMB_DUP_SQL),
     # similarity search
     "knn_bruteforce": QuerySpec(_knn_brute_fn, _KNN_BRUTE_SQL),
+    # extension: brute-force search over the int8-quantized lattice
+    "knn_quantized": QuerySpec(_knn_quantized_fn, _KNN_QUANT_SQL),
     "knn_lsh_bucket": QuerySpec(_knn_lsh_fn, _KNN_LSH_SQL),
     "knn_ivf": QuerySpec(_knn_ivf_fn, None),  # KMeans quantizer: rows-only
     # text analysis

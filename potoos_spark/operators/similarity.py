@@ -253,3 +253,40 @@ def quantize_embeddings(
         F.when(amax > 0, amax / 127.0).otherwise(F.lit(0.0)).alias("scale"),
         F.size("__x").cast("bigint").alias("n_dims"),
     )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force top-k over int8-QUANTIZED vectors — the search half
+    of the ``quantize_embeddings`` storage trade: 4× smaller vectors,
+    integer dot products (exact under any order), cosine reconstructed
+    from the int8 lattice. Recall vs full-precision search is bounded by
+    the quantization error (see tests); at 100 TB this is the scan you
+    actually run, with the fp32 vectors cold-stored.
+
+    Same join/rank shape as ``cosine_topk``: queries broadcast, one
+    pass over the corpus, per-query top-k window."""
+    def prep(d, out_id):
+        qz = quantize_embeddings(d, vec_col, id_col)
+        return qz.select(
+            F.col(id_col).alias(out_id),
+            F.col("qvec"),
+            sqnorm_expr(F.col("qvec")).alias("n2"),
+        )
+
+    q = prep(queries, "query_id").withColumnsRenamed({"qvec": "qv", "n2": "qn"})
+    c = prep(corpus, "match_id").withColumnsRenamed({"qvec": "cv", "n2": "cn"})
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("match_id"))
+    scored = pairs.select(
+        "query_id",
+        "match_id",
+        cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
+    )
+    return _ranked_topk(scored, k)

@@ -83,3 +83,22 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark):
     for orig, qi in zip([-2.0, 2.0, 1.0, -1.0], q):
         assert abs(qi * s - orig) <= s / 2 + 1e-12
     assert all(-127 <= v <= 127 for v in q)
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 search must track full-precision search closely: recall@10
+    over the sf0.01 embeddings ≥ 0.8 (quantization error only)."""
+    from potoos_spark.operators.similarity import cosine_topk, quantized_topk
+
+    e = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {}
+    for r in cosine_topk(q, e, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["match_id"])
+    quant = {}
+    for r in quantized_topk(q, e, k=10).collect():
+        quant.setdefault(r["query_id"], set()).add(r["match_id"])
+    recalls = [
+        len(exact[qid] & quant.get(qid, set())) / len(exact[qid]) for qid in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
