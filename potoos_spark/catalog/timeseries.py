@@ -281,6 +281,34 @@ _IRATE_SQL = (
 )
 
 
+
+
+def _debounce_fn(spark, sf_dir):
+    from ..operators.downsample import debounce
+
+    return debounce(events_frame(spark, sf_dir), 30 * 60 * 1000)
+
+
+# Cooldown debounce: keep a point iff >= 30min since the last KEPT
+# point (window restarts at each kept point — a sequential recurrence,
+# replayed as a recursive CTE carrying last-kept-ts; pure integer
+# arithmetic). Duplicate-ts ties advance in (ts, seq) order.
+_DEBOUNCE_CD = 30 * 60 * 1000
+_DEBOUNCE_SQL = (
+    f"WITH RECURSIVE series AS ({EVENTS_SQL}), "
+    "o AS (SELECT series_key, ts_ms, value, ROW_NUMBER() OVER "
+    "(PARTITION BY series_key ORDER BY ts_ms, seq) AS rn FROM series), "
+    "r AS (SELECT series_key, ts_ms, value, rn, ts_ms AS lk, 1 AS kept "
+    "FROM o WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT o.series_key, o.ts_ms, o.value, o.rn, "
+    f"CASE WHEN o.ts_ms - r.lk >= {_DEBOUNCE_CD} THEN o.ts_ms ELSE r.lk END, "
+    f"CASE WHEN o.ts_ms - r.lk >= {_DEBOUNCE_CD} THEN 1 ELSE 0 END "
+    "FROM o JOIN r ON o.series_key = r.series_key AND o.rn = r.rn + 1) "
+    "SELECT series_key, ts_ms, value FROM r WHERE kept = 1"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # S1/F1: bounded range scan — pushed to the parquet reader
     "ts_scan_range": QuerySpec(
@@ -446,4 +474,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_downsample_lttb": QuerySpec(_lttb_fn, _LTTB_SQL),
     # extension: instantaneous rate (last reset-aware step per bucket)
     "ts_irate": QuerySpec(_irate_fn, _IRATE_SQL),
+    # extension: cooldown debouncing (sequential keep-rule, recursive oracle)
+    "ts_debounce": QuerySpec(_debounce_fn, _DEBOUNCE_SQL),
 }

@@ -123,3 +123,39 @@ def lttb_fixed(df: DataFrame, bucket_ms: int, offset_ms: int = 0) -> DataFrame:
             "series_key", F.col("__b").alias("bucket_ms"), "ts_ms", "value"
         )
     )
+
+
+def debounce(df: DataFrame, cooldown_ms: int) -> DataFrame:
+    """Cooldown debouncing (the alert-fatigue sampler): per series keep
+    a point only if at least ``cooldown_ms`` has passed since the last
+    KEPT point; the first point is always kept. Unlike bucket
+    first-sampling, the cooldown window restarts at each kept point —
+    the selection is a true sequential recurrence (state = last kept
+    timestamp), so it runs per-series in ``applyInPandas`` (the same
+    lane as the EMA detectors) and is pinned by a recursive-CTE oracle.
+    Integer timestamp arithmetic only — exact on any engine.
+
+    Output: the kept rows (series_key, ts_ms, value).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cd = int(cooldown_ms)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_ms", "__tie"]).reset_index(drop=True)
+        ts = pdf["ts_ms"].to_numpy(dtype=np.int64)
+        keep = np.zeros(len(ts), dtype=bool)
+        last = None
+        for i, t in enumerate(ts):
+            if last is None or t - last >= cd:
+                keep[i] = True
+                last = t
+        return pdf.loc[keep, ["series_key", "ts_ms", "value"]]
+
+    tie = F.col("seq") if "seq" in df.columns else F.col("value")
+    return (
+        df.select("series_key", "ts_ms", "value", tie.alias("__tie"))
+        .groupBy("series_key")
+        .applyInPandas(kernel, schema="series_key string, ts_ms bigint, value double")
+    )

@@ -49,3 +49,18 @@ def test_lttb_area_tie_breaks_to_earliest(spark):
     # both interior candidates deviate ±10 around the A→C chord at
     # equal |slope|; areas tie → earliest ts wins
     assert got[10_000][0] == 14_000
+
+
+def test_debounce_restarts_window_at_kept_point(spark):
+    from potoos_spark.operators.downsample import debounce
+
+    # cooldown 10s: keep t=0; t=7 too soon; t=12 kept (12-0>=10);
+    # t=19 too soon (19-12<10, window restarted at 12); t=22 kept —
+    # fixed 10s buckets would have kept t=19 (bucket [10,20) first-seen
+    # is 12, but 19 falls in the same bucket; the restart rule differs)
+    rows = [("k", t * 1000, float(t), t) for t in (0, 7, 12, 19, 22)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts_ms bigint, value double, seq bigint"
+    )
+    kept = sorted(r["ts_ms"] for r in debounce(df, 10_000).collect())
+    assert kept == [0, 12_000, 22_000]
