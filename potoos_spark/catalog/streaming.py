@@ -411,6 +411,36 @@ _STREAM_M4_SQL = (
 )
 
 
+
+
+CD_MS = 30 * 60 * 1000
+
+
+def _stream_debounce_fn(spark, sf_dir):
+    from ..streaming import streaming_debounce
+
+    return _replay(
+        streaming_debounce(_events_stream(spark, sf_dir), CD_MS), "append"
+    )
+
+
+# Kept rows emit at arrival (no open bucket), so the replay equals the
+# batch debounce recursion exactly — same recursive CTE as ts_debounce.
+_STREAM_DEBOUNCE_SQL = (
+    f"WITH RECURSIVE series AS ({EVENTS_SQL}), "
+    "o AS (SELECT series_key, ts_ms, value, ROW_NUMBER() OVER "
+    "(PARTITION BY series_key ORDER BY ts_ms, seq) AS rn FROM series), "
+    "r AS (SELECT series_key, ts_ms, value, rn, ts_ms AS lk, 1 AS kept "
+    "FROM o WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT o.series_key, o.ts_ms, o.value, o.rn, "
+    f"CASE WHEN o.ts_ms - r.lk >= {CD_MS} THEN o.ts_ms ELSE r.lk END, "
+    f"CASE WHEN o.ts_ms - r.lk >= {CD_MS} THEN 1 ELSE 0 END "
+    "FROM o JOIN r ON o.series_key = r.series_key AND o.rn = r.rn + 1) "
+    "SELECT series_key, ts_ms, value FROM r WHERE kept = 1"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_bucket_agg_replay": QuerySpec(_stream_agg_fn, _STREAM_AGG_SQL),
     "stream_sliding_agg_replay": QuerySpec(_stream_sliding_fn, _STREAM_SLIDING_SQL),
@@ -435,4 +465,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # extension: streaming M4 downsampling (batch-identical argmin/argmax agg)
     "stream_m4_replay": QuerySpec(_stream_m4_fn, _STREAM_M4_SQL),
+    # extension: streaming cooldown debounce (immediate emission)
+    "stream_debounce_replay": QuerySpec(_stream_debounce_fn, _STREAM_DEBOUNCE_SQL),
 }

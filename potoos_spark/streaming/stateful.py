@@ -433,3 +433,53 @@ def streaming_counter_rate(
             fn, out_schema, RATE_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+DEBOUNCE_STATE_SCHEMA = "lk bigint, has_lk bigint"
+
+
+def streaming_debounce(sdf: DataFrame, cooldown_ms: int) -> DataFrame:
+    """Streaming cooldown debounce: the batch ``debounce`` rule with the
+    last-kept timestamp in the state store. Kept rows emit immediately
+    (no bucket to finalize, so nothing is withheld at end-of-stream and
+    the replay equals the batch answer exactly). Arrival contract as
+    the other stateful ops: per-series ts order.
+
+    Output: the kept rows (series_key, ts_ms, value)."""
+    cd = int(cooldown_ms)
+    out_schema = "series_key string, ts_ms bigint, value double"
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lk, has_lk = state.get
+        else:
+            lk, has_lk = 0, 0
+        for pdf in batches:
+            sort_cols = ["ts_ms", "seq"] if "seq" in pdf.columns else ["ts_ms"]
+            pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
+            keep = []
+            for t in pdf["ts_ms"]:
+                t = int(t)
+                if not has_lk or t - lk >= cd:
+                    keep.append(True)
+                    lk, has_lk = t, 1
+                else:
+                    keep.append(False)
+            out = pdf.loc[keep, ["ts_ms", "value"]].copy()
+            if len(out):
+                out.insert(0, "series_key", key[0])
+                yield out
+        state.update((lk, has_lk))
+
+    cols = ["series_key", "ts_ms", "value"] + (
+        ["seq"] if "seq" in sdf.columns else []
+    )
+    return (
+        sdf.select(*cols)
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            fn, out_schema, DEBOUNCE_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )

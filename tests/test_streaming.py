@@ -329,3 +329,22 @@ def test_streaming_counter_rate_boundary_invariant_and_matches_batch(spark, chun
         )
     )
     assert outs[0] == expected
+
+
+def test_streaming_debounce_boundary_invariant_and_matches_batch(spark, chunked):
+    from potoos_spark.operators.downsample import debounce
+    from potoos_spark.streaming import streaming_debounce
+
+    tmpdir, batch_df = chunked
+    outs = []
+    for chunked_read in (True, False):
+        sdf = _read_stream(spark, tmpdir, one_file_per_batch=chunked_read)
+        name = _run_to_memory(
+            streaming_debounce(sdf, 25_000), f"db_{int(chunked_read)}", "append"
+        )
+        outs.append(_collect_sorted(spark.table(name)))
+    assert outs[0] == outs[1] and outs[0]
+    expected = _collect_sorted(
+        debounce(batch_df, 25_000).select("series_key", "ts_ms", "value")
+    )
+    assert outs[0] == expected
