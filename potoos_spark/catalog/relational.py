@@ -488,6 +488,43 @@ FROM orders GROUP BY 1, 2
 """
 
 
+
+
+def _asof_nearest_fn(spark, sf_dir):
+    """Nearest-direction as-of: each click takes the closer of the last
+    error before it and the first error after it (ties to the past)."""
+    from .common import events_frame
+    from ..operators.asof import nearest_asof_join
+
+    ev = events_frame(spark, sf_dir)
+    clicks = ev.filter(F.col("series_key") == "click").select(
+        F.lit("x").alias("k"), "seq", "ts_ms", F.col("value").alias("click_value")
+    )
+    errors = ev.filter(F.col("series_key") == "error").select(
+        F.lit("x").alias("k"), "ts_ms", F.col("value").alias("error_value")
+    )
+    out = nearest_asof_join(
+        clicks, errors, on="k", left_ts="ts_ms", right_ts="ts_ms"
+    )
+    return out.select("ts_ms", "click_value", "error_value")
+
+
+_ASOF_NEAREST_SQL = f"""
+WITH series AS ({EVENTS_SQL}),
+c AS (SELECT seq, ts_ms, value AS click_value FROM series WHERE series_key = 'click'),
+e AS (SELECT ts_ms AS e_ts, value AS error_value FROM series WHERE series_key = 'error'),
+b AS (SELECT c.seq, c.ts_ms, c.click_value, e.e_ts AS b_ts, e.error_value AS b_val
+      FROM c ASOF LEFT JOIN e ON c.ts_ms >= e.e_ts),
+f AS (SELECT c.seq, e.e_ts AS f_ts, e.error_value AS f_val
+      FROM c ASOF LEFT JOIN e ON c.ts_ms <= e.e_ts)
+SELECT b.ts_ms, b.click_value,
+       CASE WHEN b.b_ts IS NOT NULL
+                 AND (f.f_ts IS NULL OR (b.ts_ms - b.b_ts) <= (f.f_ts - b.ts_ms))
+            THEN b.b_val ELSE f.f_val END AS error_value
+FROM b JOIN f USING (seq)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(_q1_fn, _Q1_SQL),
     "q3_shipping_priority": QuerySpec(_q3_fn, _Q3_SQL),
@@ -505,6 +542,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_percentile": QuerySpec(_percentile_fn, _PERCENTILE_SQL),
     "q_asof_events": QuerySpec(_asof_events_fn, _ASOF_EVENTS_SQL),
     "q_asof_forward": QuerySpec(_asof_forward_fn, _ASOF_FORWARD_SQL),
+    "q_asof_nearest": QuerySpec(_asof_nearest_fn, _ASOF_NEAREST_SQL),
     "q_lateral_topk": QuerySpec(_lateral_topk_fn, _LATERAL_TOPK_SQL),
     "q_scalar_string": QuerySpec(_scalar_string_fn, _SCALAR_STRING_SQL),
     "q_scalar_date": QuerySpec(_scalar_date_fn, _SCALAR_DATE_SQL),

@@ -103,3 +103,54 @@ def asof_join(
             ]
         )
     return out.drop("__side", "__t", "__match_t")
+
+
+def nearest_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts_ms",
+    right_ts: str = "ts_ms",
+    tolerance_ms: int | None = None,
+    right_seq: str | None = None,
+) -> DataFrame:
+    """As-of join in the NEAREST direction: each left row takes the
+    right row minimizing |right_ts - left_ts|, ties going to the past
+    (backward) match — pandas' ``merge_asof(direction='nearest')``
+    semantics, composed from one backward and one forward pass over the
+    same union+window machinery (still no range join, no explode).
+
+    Right payload columns keep their names; ``tolerance_ms`` nulls
+    matches farther than the gap in BOTH directions."""
+    keys = [on] if isinstance(on, str) else list(on)
+    skip = set(keys) | {right_ts} | ({right_seq} if right_seq else set())
+    payload = [c for c in right.columns if c not in skip]
+
+    def prep(suffix: str) -> DataFrame:
+        sel = [F.col(k) for k in keys] + [F.col(right_ts)]
+        if right_seq:
+            sel.append(F.col(right_seq))
+        sel += [F.col(c).alias(c + suffix) for c in payload]
+        return right.select(*sel).withColumn("__mts" + suffix, F.col(right_ts))
+
+    b = asof_join(
+        left, prep("__b"), on=keys, left_ts=left_ts, right_ts=right_ts,
+        direction="backward", right_seq=right_seq,
+    )
+    both = asof_join(
+        b, prep("__f"), on=keys, left_ts=left_ts, right_ts=right_ts,
+        direction="forward", right_seq=right_seq,
+    )
+    lt = F.col(left_ts)
+    bts, fts = F.col("__mts__b"), F.col("__mts__f")
+    use_b = bts.isNotNull() & (fts.isNull() | ((lt - bts) <= (fts - lt)))
+    gap = F.when(use_b, lt - bts).otherwise(fts - lt)
+    out_cols = []
+    for c in left.columns:
+        out_cols.append(F.col(c))
+    for c in payload:
+        v = F.when(use_b, F.col(c + "__b")).otherwise(F.col(c + "__f"))
+        if tolerance_ms is not None:
+            v = F.when(gap <= int(tolerance_ms), v)
+        out_cols.append(v.alias(c))
+    return both.select(*out_cols)

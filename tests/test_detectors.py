@@ -271,3 +271,28 @@ def test_holt_winters_absorbs_linear_trend(spark):
     df2 = spark.createDataFrame(rows2, "series_key string, ts_ms bigint, value double")
     hw2 = by_ts(score(df2, DetectorConfig(algorithm_name="holt_winters")))
     assert hw2[41_000] > hw2[40_000] * 5
+
+
+def test_nearest_asof_picks_closer_side_ties_backward(spark):
+    from potoos_spark.operators.asof import nearest_asof_join
+
+    left = spark.createDataFrame(
+        [("k", 100, 1.0), ("k", 205, 2.0), ("k", 300, 3.0)],
+        "k string, ts_ms bigint, lv double",
+    )
+    right = spark.createDataFrame(
+        [("k", 90, 10.0), ("k", 210, 20.0), ("k", 400, 40.0)],
+        "k string, ts_ms bigint, rv double",
+    )
+    got = {r["ts_ms"]: r["rv"] for r in
+           nearest_asof_join(left, right, on="k").collect()}
+    assert got[100] == 10.0   # 10 behind vs 110 ahead → backward
+    assert got[205] == 20.0   # 115 behind vs 5 ahead → forward
+    assert got[300] == 20.0   # 90 behind vs 100 ahead → backward
+    # exact tie goes backward
+    left2 = spark.createDataFrame([("k", 150, 0.0)], "k string, ts_ms bigint, lv double")
+    right2 = spark.createDataFrame(
+        [("k", 100, 1.0), ("k", 200, 2.0)], "k string, ts_ms bigint, rv double"
+    )
+    got2 = nearest_asof_join(left2, right2, on="k").collect()[0]["rv"]
+    assert got2 == 1.0
