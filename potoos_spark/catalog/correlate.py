@@ -60,3 +60,64 @@ _CORRELATE_SQL = (
 QUERIES: dict[str, QuerySpec] = {
     "ts_cross_correlate": QuerySpec(_correlate_fn, _CORRELATE_SQL),
 }
+
+
+def _rolling_corr_fn(spark, sf_dir):
+    """Rolling 24h correlation of two aligned hourly series (click vs
+    view): exact bigint co-moment sums over a trailing rows-frame; the
+    closed-form r is the only float math. One join on the bucket key +
+    one window sort — no per-window rescan."""
+    from pyspark.sql import Window as W
+
+    h = _hourly_int_sums(spark, sf_dir)
+    a = h.filter(F.col("series_key") == "click").select(
+        "ts_ms", F.col("value").alias("va")
+    )
+    b = h.filter(F.col("series_key") == "view").select(
+        "ts_ms", F.col("value").alias("vb")
+    )
+    j = a.join(b, "ts_ms")
+    w = W.orderBy("ts_ms").rowsBetween(-23, 0)
+    n = F.count("*").over(w)
+    sx, sy = F.sum("va").over(w), F.sum("vb").over(w)
+    sxy = F.sum(F.col("va") * F.col("vb")).over(w)
+    sxx = F.sum(F.col("va") * F.col("va")).over(w)
+    syy = F.sum(F.col("vb") * F.col("vb")).over(w)
+    cov_n = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt(
+        (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double")
+    )
+    staged = j.select(
+        "ts_ms",
+        n.alias("n_overlap"),
+        cov_n.alias("cn"),
+        den.alias("dn"),
+    )
+    return staged.select(
+        "ts_ms",
+        "n_overlap",
+        F.when(
+            (F.col("n_overlap") >= 2) & (F.col("dn") > 0),
+            F.col("cn") / F.col("dn"),
+        ).alias("r"),
+    )
+
+
+_ROLLING_CORR_SQL = (
+    f"{_S}, {_HOURLY}, "
+    "a AS (SELECT ts AS ts_ms, v AS va FROM h WHERE series_key = 'click'), "
+    "b AS (SELECT ts AS ts_ms, v AS vb FROM h WHERE series_key = 'view'), "
+    "j AS (SELECT a.ts_ms, va, vb FROM a JOIN b USING (ts_ms)), "
+    "g AS (SELECT ts_ms, COUNT(*) OVER w AS n, SUM(va) OVER w AS sx, "
+    "SUM(vb) OVER w AS sy, SUM(va*vb) OVER w AS sxy, SUM(va*va) OVER w AS sxx, "
+    "SUM(vb*vb) OVER w AS syy FROM j "
+    "WINDOW w AS (ORDER BY ts_ms ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) "
+    "SELECT ts_ms, n AS n_overlap, "
+    "CASE WHEN n >= 2 AND sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * "
+    "CAST(n*syy - sy*sy AS DOUBLE)) > 0 "
+    "THEN CAST(n*sxy - sx*sy AS DOUBLE) / "
+    "sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) "
+    "END AS r FROM g"
+)
+
+QUERIES["ts_rolling_corr"] = QuerySpec(_rolling_corr_fn, _ROLLING_CORR_SQL)

@@ -98,3 +98,27 @@ _SALTED_AGG_SQL = (
 )
 
 QUERIES["ts_salted_agg"] = QuerySpec(_salted_agg_fn, _SALTED_AGG_SQL)
+
+
+def _series_ratio_fn(spark, sf_dir):
+    from ..operators.mrange import series_ratio
+
+    return series_ratio(
+        events_frame(spark, sf_dir), "error", "click", HOUR, agg="count"
+    )
+
+
+# PromQL-style vector division: per-hour error/click event-count ratio,
+# inner bucket alignment; counts are exact, ratio is one division.
+_SERIES_RATIO_SQL = (
+    f"{_S}, g AS (SELECT series_key, ts_ms - ts_ms % {HOUR} AS ts_ms, "
+    "CAST(COUNT(value) AS DOUBLE) AS v FROM series "
+    "WHERE series_key IN ('error', 'click') GROUP BY 1, 2), "
+    "n AS (SELECT ts_ms, v AS num_value FROM g WHERE series_key = 'error'), "
+    "d AS (SELECT ts_ms, v AS den_value FROM g WHERE series_key = 'click') "
+    "SELECT n.ts_ms, n.num_value, d.den_value, "
+    "CASE WHEN d.den_value <> 0 THEN n.num_value / d.den_value END AS ratio "
+    "FROM n JOIN d USING (ts_ms)"
+)
+
+QUERIES["ts_series_ratio"] = QuerySpec(_series_ratio_fn, _SERIES_RATIO_SQL)

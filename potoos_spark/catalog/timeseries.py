@@ -309,6 +309,32 @@ _DEBOUNCE_SQL = (
 )
 
 
+
+
+def _equidepth_fn(spark, sf_dir):
+    df = events_frame(spark, sf_dir)
+    w = W.partitionBy("series_key").orderBy("value", "seq")
+    q = df.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+    return q.groupBy("series_key", "quartile").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+# Equi-depth (quantile-bucketed) histogram: NTILE over a deterministic
+# (value, seq) order, then per-bucket extent/count — the equi-WIDTH
+# histogram's complement (q_histogram). Standard-SQL NTILE distribution
+# (first n%k buckets take the extra row) matches across engines.
+_EQUIDEPTH_SQL = (
+    f"{_S}, q AS (SELECT series_key, value, CAST(NTILE(4) OVER "
+    "(PARTITION BY series_key ORDER BY value, seq) AS BIGINT) AS quartile "
+    "FROM series) "
+    "SELECT series_key, quartile, COUNT(*) AS n, MIN(value) AS lo, "
+    "MAX(value) AS hi FROM q GROUP BY series_key, quartile"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # S1/F1: bounded range scan — pushed to the parquet reader
     "ts_scan_range": QuerySpec(
@@ -476,4 +502,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_irate": QuerySpec(_irate_fn, _IRATE_SQL),
     # extension: cooldown debouncing (sequential keep-rule, recursive oracle)
     "ts_debounce": QuerySpec(_debounce_fn, _DEBOUNCE_SQL),
+    # extension: equi-depth histogram (NTILE buckets; complements q_histogram)
+    "ts_equidepth_histogram": QuerySpec(_equidepth_fn, _EQUIDEPTH_SQL),
 }

@@ -102,3 +102,51 @@ def sliding_bucket_agg(
         .agg(_AGG_EXPRS[agg_type]().cast("double").alias("value"))
         .withColumnRenamed("win_start", "ts_ms")
     )
+
+
+def series_ratio(
+    df: DataFrame,
+    numerator_key: str,
+    denominator_key: str,
+    bucket_ms: int,
+    agg: str = "count",
+) -> DataFrame:
+    """Cross-series binary arithmetic (the PromQL ``a / b`` vector op):
+    bucket-aggregate two series and emit their per-bucket ratio —
+    error-rate (errors/clicks), cache hit ratio, etc. Buckets present
+    in only one series are dropped (inner alignment, PromQL vector-
+    matching semantics). ``agg`` ∈ {count, min, max} — the exact
+    (accumulation-free) aggregators, so the single final division is
+    the only float op.
+
+    Output: (ts_ms, num_value, den_value, ratio).
+    """
+    from .retrieval import bucket_start
+
+    exprs = {
+        "count": lambda: F.count("value").cast("double"),
+        "min": lambda: F.min("value"),
+        "max": lambda: F.max("value"),
+    }
+    if agg not in exprs:
+        raise ValueError(f"agg must be one of {sorted(exprs)}")
+    b = bucket_start(F.col("ts_ms"), int(bucket_ms))
+    g = (
+        df.filter(F.col("series_key").isin([numerator_key, denominator_key]))
+        .groupBy(F.col("series_key"), b.alias("ts_ms"))
+        .agg(exprs[agg]().alias("v"))
+    )
+    num = g.filter(F.col("series_key") == numerator_key).select(
+        "ts_ms", F.col("v").alias("num_value")
+    )
+    den = g.filter(F.col("series_key") == denominator_key).select(
+        "ts_ms", F.col("v").alias("den_value")
+    )
+    j = num.join(den, "ts_ms")
+    return j.select(
+        "ts_ms",
+        "num_value",
+        "den_value",
+        F.when(F.col("den_value") != 0, F.col("num_value") / F.col("den_value"))
+        .alias("ratio"),
+    )
