@@ -122,3 +122,33 @@ _SERIES_RATIO_SQL = (
 )
 
 QUERIES["ts_series_ratio"] = QuerySpec(_series_ratio_fn, _SERIES_RATIO_SQL)
+
+
+def _salted_join_fn(spark, sf_dir):
+    """Answer-preservation proof for the salted join: events (skewed on
+    series_key by construction) joined to a per-series dim through the
+    salt spread must equal the plain join — aggregated per series so
+    the oracle is decimal-exact."""
+    from ..operators.skew import salted_join
+    from .common import dec
+
+    ev = events_frame(spark, sf_dir)
+    dim = ev.groupBy("series_key").agg(F.max("value").alias("series_max"))
+    j = salted_join(ev.select("series_key", "ts_ms", "value"), dim, "series_key")
+    return j.groupBy("series_key").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+        F.min("series_max").alias("series_max"),
+    )
+
+
+_SALTED_JOIN_SQL = (
+    f"{_S}, dim AS (SELECT series_key, MAX(value) AS series_max FROM series "
+    "GROUP BY series_key) "
+    "SELECT s.series_key, COUNT(*) AS n, "
+    "CAST(SUM(CAST(s.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, "
+    "MIN(d.series_max) AS series_max "
+    "FROM series s JOIN dim d USING (series_key) GROUP BY s.series_key"
+)
+
+QUERIES["ts_salted_join"] = QuerySpec(_salted_join_fn, _SALTED_JOIN_SQL)

@@ -82,3 +82,31 @@ def salted_agg(
         "std.s": F.when(n > 1, F.sqrt(F.greatest((q - s * s / n) / (n - 1), F.lit(0.0)))),
     }
     return final.select(*keys, exprs[agg_type].cast("double").alias(out_col))
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: the join-side complement of
+    ``salted_agg`` for when AQE's runtime skew splitting isn't available
+    (e.g. the skewed side feeds a co-partitioned downstream op, or the
+    join is inside a streaming plan where AQE doesn't run).
+
+      facts side: salt = uniform hash spread — each hot key's rows
+                  scatter over ``n_salts`` sub-partitions;
+      dim side:   replicated n_salts× (explode) so every salted
+                  sub-partition finds its dim row.
+
+    The dim side grows n_salts× — use only when dim ≪ facts (the usual
+    skew shape: a huge fact table hot on a few keys joining a modest
+    dimension). Result is row-identical to the plain join.
+    """
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(int(n_salts)))
+    f = facts.withColumn("__salt", salt.cast("int"))
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1)))
+    )
+    return f.join(d, [on, "__salt"]).drop("__salt")

@@ -256,3 +256,61 @@ def test_asof_join_dup_right_ts_latest_seq_wins(spark):
             on="k", direction=direction, right_seq="ingest",
         ).collect()
         assert len(got) == 1 and got[0]["rv"] == 200.0, (direction, got)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100_000),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda p: p[0],
+    ),
+    cd=st.integers(min_value=1, max_value=20_000),
+)
+@SETTINGS
+def test_debounce_kept_points_respect_cooldown(spark, pts, cd):
+    """Invariants: consecutive kept points ≥ cooldown apart; the first
+    point of each series is kept; kept set is a subset of input."""
+    from potoos_spark.operators.downsample import debounce
+
+    rows = [("k", t, v, i) for i, (t, v) in enumerate(sorted(pts))]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts_ms bigint, value double, seq bigint"
+    )
+    kept = sorted(r["ts_ms"] for r in debounce(df, cd).collect())
+    assert kept[0] == rows[0][1]
+    assert all(b - a >= cd for a, b in zip(kept, kept[1:]))
+    assert set(kept) <= {r[1] for r in rows}
+
+
+@given(
+    vals=st.lists(
+        # two-decimal values: exactly representable in the engine's
+        # DECIMAL(18,2) cast, so the python Decimal mirror is exact
+        st.integers(min_value=0, max_value=100_000).map(lambda c: c / 100.0),
+        min_size=2,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_counter_rate_total_increase_matches_positive_deltas(spark, vals):
+    """Sum of per-bucket increases == sum of positive deltas (+ resets
+    contributing their value), independent of bucketing."""
+    from decimal import Decimal
+
+    from potoos_spark.operators.rate import counter_rate
+
+    rows = [("k", i * 1000, float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts_ms bigint, value double, seq bigint"
+    )
+    out = counter_rate(df, 5_000).collect()
+    total = sum(r["increase"] for r in out)
+    dv = [Decimal(f"{v:.2f}") for v in vals]
+    expect = sum(
+        (b - a) if b >= a else b for a, b in zip(dv, dv[1:])
+    )
+    assert abs(total - float(expect)) < 1e-6

@@ -55,3 +55,16 @@ def test_salted_agg_matches_direct(spark, skewed, agg):
 def test_salted_agg_rejects_non_decomposable(skewed):
     with pytest.raises(ValueError):
         salted_agg(skewed, ["k"], agg_type="first")
+
+
+def test_salted_join_row_identical_to_plain_join(spark):
+    from potoos_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(500)] + [("cold", 0, 9.0)],
+        "k string, i bigint, v double",
+    )
+    dim = spark.createDataFrame([("hot", 1.5), ("cold", 2.0)], "k string, m double")
+    got = sorted(tuple(r) for r in salted_join(facts, dim, "k").collect())
+    want = sorted(tuple(r) for r in facts.join(dim, "k").collect())
+    assert got == want
