@@ -456,6 +456,46 @@ _HOLT_SQL = (
 )
 
 
+
+
+def _windows_pct_fn(spark, sf_dir):
+    """D10 in score_percent_threshold mode (config.py:85): the island
+    threshold is 0.5 x the per-series max score."""
+    g = hourly_avg_frame(spark, sf_dir)
+    scores = detect_score(
+        g,
+        DetectorConfig(
+            algorithm_name="absolute_threshold",
+            algorithm_params={
+                "absolute_threshold_value_upper": 250.0,
+                "absolute_threshold_value_lower": 5.0,
+            },
+        ),
+    )
+    return extract_anomalies(scores, score_percent_threshold=0.5)
+
+
+# percent-threshold islands: thr = 0.5 * MAX(score) per series, scores
+# must also be > 0 (flat zero-score series yield no windows).
+_WINDOWS_PCT_SQL = (
+    f"{_BASE}, sc AS (SELECT series_key, ts_ms, {_ABS_SCORE} AS score FROM g), "
+    "mx AS (SELECT series_key, MAX(score) * 0.5 AS thr FROM sc GROUP BY series_key), "
+    "fl AS (SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY sc.series_key "
+    "ORDER BY sc.ts_ms) AS rn FROM sc), "
+    "ab AS (SELECT fl.*, rn - ROW_NUMBER() OVER (PARTITION BY fl.series_key "
+    "ORDER BY fl.ts_ms) AS isl FROM fl JOIN mx ON mx.series_key = fl.series_key "
+    "WHERE fl.score >= mx.thr AND fl.score > 0), "
+    "agg AS (SELECT series_key, isl, MIN(ts_ms) AS start_ts_ms, "
+    "MAX(ts_ms) AS end_ts_ms, MAX(score) AS anomaly_score "
+    "FROM ab GROUP BY series_key, isl) "
+    "SELECT a.series_key, a.start_ts_ms, a.end_ts_ms, "
+    "MIN(b.ts_ms) AS exact_ts_ms, a.anomaly_score "
+    "FROM agg a JOIN ab b ON b.series_key = a.series_key AND b.isl = a.isl "
+    "AND b.score = a.anomaly_score "
+    "GROUP BY a.series_key, a.start_ts_ms, a.end_ts_ms, a.anomaly_score"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # D5: absolute threshold — pure column expressions
     "det_absolute_threshold": QuerySpec(
@@ -493,6 +533,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # D10: threshold → contiguous anomaly windows with peak point
     "det_windows": QuerySpec(_windows_fn, _WINDOWS_SQL),
+    # D10 percent-threshold mode (score_percent_threshold, config.py:85)
+    "det_windows_percent": QuerySpec(_windows_pct_fn, _WINDOWS_PCT_SQL),
     # D9: refine pass — second algorithm re-scores within found windows
     "det_refine": QuerySpec(_refine_fn, _REFINE_SQL),
     # D8: plugin-registered custom algorithm, dispatched by name
