@@ -335,6 +335,30 @@ _EQUIDEPTH_SQL = (
 )
 
 
+
+
+def _deriv_fn(spark, sf_dir):
+    from ..operators.rate import deriv_slope
+
+    return deriv_slope(events_frame(spark, sf_dir), HOUR)
+
+
+# PromQL-style deriv: per-bucket least-squares slope from exact integer
+# (ms offsets) and decimal (values) co-moments; the division and the
+# x1000 unit change are the only float ops.
+_DERIV_SLOPE_SQL = (
+    f"{_S}, st AS (SELECT series_key, ts_ms - ts_ms % {HOUR} AS b, ts_ms, "
+    f"CAST(ts_ms - (ts_ms - ts_ms % {HOUR}) AS BIGINT) AS t, "
+    f"CAST(value AS {DEC}) AS v FROM series), "
+    "g AS (SELECT series_key, b AS ts_ms, COUNT(*) AS n, SUM(t) AS sx, "
+    "SUM(v) AS sy, SUM(v * t) AS sxy, SUM(t * t) AS sxx, "
+    "COUNT(DISTINCT ts_ms) AS nt FROM st GROUP BY series_key, b) "
+    "SELECT series_key, ts_ms, CASE WHEN nt >= 2 THEN "
+    "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) "
+    "* 1000.0 END AS slope_per_sec FROM g"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # S1/F1: bounded range scan — pushed to the parquet reader
     "ts_scan_range": QuerySpec(
@@ -504,4 +528,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_debounce": QuerySpec(_debounce_fn, _DEBOUNCE_SQL),
     # extension: equi-depth histogram (NTILE buckets; complements q_histogram)
     "ts_equidepth_histogram": QuerySpec(_equidepth_fn, _EQUIDEPTH_SQL),
+    # extension: per-bucket least-squares trend slope (PromQL deriv)
+    "ts_deriv_slope": QuerySpec(_deriv_fn, _DERIV_SLOPE_SQL),
 }

@@ -156,3 +156,44 @@ def irate(df: DataFrame, bucket_ms: int, offset_ms: int = 0) -> DataFrame:
         F.col("__b").alias("ts_ms"),
         (inc / dt_sec).alias("irate_per_sec"),
     )
+
+
+def deriv_slope(df: DataFrame, bucket_ms: int, offset_ms: int = 0) -> DataFrame:
+    """Per-bucket least-squares trend slope (PromQL ``deriv``): the
+    simple-linear-regression slope of value over time within each
+    (series, bucket),
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)    per second
+
+    computed from DECIMAL sums of integer-offset timestamps (seconds
+    relative to the bucket start — keeps magnitudes small and exact)
+    and 2-decimal values, so both co-moments are exact and the single
+    final division is the only float op. One map-side-combinable hash
+    aggregation; buckets with < 2 distinct timestamps yield NULL.
+
+    Output: (series_key, ts_ms, slope_per_sec).
+    """
+    b = bucket_start(F.col("ts_ms"), int(bucket_ms), int(offset_ms))
+    staged = (
+        df.select("series_key", "ts_ms", "value", b.alias("__b"))
+        # integer ms offset within the bucket: small magnitudes, exact
+        # bigint co-moments; the per-second unit change happens once at
+        # the end (slope_per_ms * 1000)
+        .withColumn("__t", (F.col("ts_ms") - F.col("__b")).cast("bigint"))
+        .withColumn("__v", F.col("value").cast("decimal(18,2)"))
+    )
+    g = staged.groupBy("series_key", F.col("__b").alias("ts_ms")).agg(
+        F.count("*").alias("n"),
+        F.sum("__t").alias("sx"),
+        F.sum("__v").alias("sy"),
+        F.sum(F.col("__v") * F.col("__t")).alias("sxy"),
+        F.sum(F.col("__t") * F.col("__t")).alias("sxx"),
+        F.countDistinct("ts_ms").alias("nt"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return g.select(
+        "series_key",
+        "ts_ms",
+        F.when(F.col("nt") >= 2, num / den * 1000.0).alias("slope_per_sec"),
+    )

@@ -67,3 +67,16 @@ def test_irate_uses_last_step_and_resets(spark):
     got = {r["ts_ms"]: r["irate_per_sec"] for r in irate(df, 10_000).collect()}
     assert got[0] == pytest.approx(0.5)
     assert got[10_000] == pytest.approx(1.0)
+
+
+def test_deriv_slope_recovers_linear_trend(spark):
+    from potoos_spark.operators.rate import deriv_slope
+
+    # value = 2.5 * seconds → slope exactly 2.5/s regardless of sampling
+    rows = [("k", t * 1000, 2.5 * t, t) for t in (0, 1, 3, 7, 9)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = deriv_slope(df, 10_000).collect()
+    assert len(got) == 1 and got[0]["slope_per_sec"] == pytest.approx(2.5)
+    # single-timestamp bucket → NULL slope
+    df2 = spark.createDataFrame([("k", 500, 1.0, 1), ("k", 500, 2.0, 2)], SCHEMA)
+    assert deriv_slope(df2, 10_000).collect()[0]["slope_per_sec"] is None
