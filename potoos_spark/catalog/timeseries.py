@@ -359,6 +359,38 @@ _DERIV_SLOPE_SQL = (
 )
 
 
+
+
+GAP_THRESH_MS = 2 * HOUR
+
+
+def _gap_detect_fn(spark, sf_dir):
+    """Silence watchdog: report every gap > 2h between consecutive
+    points of a series (the 'metric stopped reporting' alert that
+    complements value-based detectors). One window sort per series —
+    lead(ts) minus ts, filtered; integer arithmetic end to end."""
+    df = events_frame(spark, sf_dir)
+    w = W.partitionBy("series_key").orderBy("ts_ms", "seq")
+    nxt = F.lead("ts_ms").over(w)
+    g = df.select(
+        "series_key",
+        F.col("ts_ms").alias("gap_start_ms"),
+        nxt.alias("gap_end_ms"),
+        (nxt - F.col("ts_ms")).alias("gap_ms"),
+    )
+    return g.filter(F.col("gap_ms") > GAP_THRESH_MS)
+
+
+_GAP_DETECT_SQL = (
+    f"{_S}, g AS (SELECT series_key, ts_ms AS gap_start_ms, "
+    "LEAD(ts_ms) OVER (PARTITION BY series_key ORDER BY ts_ms, seq) AS gap_end_ms "
+    "FROM series) "
+    "SELECT series_key, gap_start_ms, gap_end_ms, "
+    "gap_end_ms - gap_start_ms AS gap_ms FROM g "
+    f"WHERE gap_end_ms - gap_start_ms > {GAP_THRESH_MS}"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # S1/F1: bounded range scan — pushed to the parquet reader
     "ts_scan_range": QuerySpec(
@@ -530,4 +562,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_equidepth_histogram": QuerySpec(_equidepth_fn, _EQUIDEPTH_SQL),
     # extension: per-bucket least-squares trend slope (PromQL deriv)
     "ts_deriv_slope": QuerySpec(_deriv_fn, _DERIV_SLOPE_SQL),
+    # extension: silence watchdog (gaps > threshold between points)
+    "ts_gap_detect": QuerySpec(_gap_detect_fn, _GAP_DETECT_SQL),
 }
