@@ -1,0 +1,60 @@
+"""Robustness: every batch catalog operator must run (and return zero
+rows) over EMPTY tables with the production schemas — the shape a 100 TB
+job sees when partition pruning eliminates everything. Catches
+div-by-zero finalizers, empty recursive bases, first/last on empty
+groups, and HOFs over missing arrays.
+
+Streaming replays are excluded (an empty file-source dir has nothing to
+trigger on); seeded-model entries (KMeans/IVF) are excluded because
+fitting on zero rows is defined to raise.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from tests.conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+
+SKIP = {
+    # streaming file-source replays: nothing to trigger on
+    name for name in QUERIES if name.startswith("stream_")
+} | {
+    # seeded-model fits are defined to raise on empty input
+    "knn_ivf",
+    "det_kmeans_distance",
+    "dedup_minhash_mllib",
+    "knn_brp_lsh_mllib",
+}
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_empty")
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        src = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        src.limit(0).write.parquet(str(d / f"{name}.parquet"))
+    return str(d)
+
+
+# global aggregates (no GROUP BY) correctly return one all-NULL/zero
+# row on empty input — standard SQL semantics, mirrored by the oracles
+GLOBAL_AGG = {
+    "q6_revenue",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_join",
+    "q_correlated_avg",
+}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
+def test_runs_on_empty_tables(spark, empty_dir, name):
+    n = QUERIES[name](spark, empty_dir).count()
+    assert n == (1 if name in GLOBAL_AGG else 0)
