@@ -8,17 +8,33 @@ detectors via ``register_detector``, custom pipelines) work against one
 stable surface instead of reaching into operator modules.
 """
 
-from ..operators.dedup import cosine_expr, scaled_vec
+from ..operators.dedup import (
+    cosine_expr,
+    cosine_from_norms,
+    scaled_vec,
+    simhash_fingerprint,
+    sqnorm_expr,
+)
 from ..operators.retrieval import bucket_start
-from ..operators.similarity import sign_bucket
-from ..operators.text import normalize, shingles, tokens
+from ..operators.similarity import sign_bucket, sign_buckets_multi
+from ..operators.text import (
+    bpe_token_count,
+    normalize,
+    shingles,
+    tokens,
+)
 
 __all__ = [
+    "bpe_token_count",
     "bucket_start",
     "cosine_expr",
+    "cosine_from_norms",
     "normalize",
     "scaled_vec",
     "shingles",
     "sign_bucket",
+    "sign_buckets_multi",
+    "simhash_fingerprint",
+    "sqnorm_expr",
     "tokens",
 ]
