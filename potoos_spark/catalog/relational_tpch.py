@@ -1073,6 +1073,54 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+
+
+# --- Q2 family (adapted: no partsupp/supplycost; the "min-cost supplier"
+# correlated-aggregate shape recovered from lineitem offer prices) ---------
+
+def _q2_fn(spark, sf_dir):
+    """Cheapest supplier per LARGE part: avg offered unit price per
+    (part, supplier) from lineitem, keep the supplier(s) attaining the
+    per-part minimum — TPC-H Q2's correlated MIN subquery, decorrelated
+    into one ranked window over the pre-aggregated offers."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    supp = table(spark, sf_dir, "supplier")
+    offer = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+             / F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"))
+            .alias("unit_price")
+        )
+    )
+    w = W.partitionBy("p_partkey")
+    best = offer.withColumn("best_price", F.min("unit_price").over(w)).filter(
+        F.col("unit_price") == F.col("best_price")
+    )
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "unit_price")
+    )
+
+
+_Q2_SQL = """
+WITH offer AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) /
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'LARGE'
+  GROUP BY p_partkey, p_name, l_suppkey
+)
+SELECT o.p_partkey, o.p_name, s.s_name, o.unit_price
+FROM offer o JOIN supplier s ON o.l_suppkey = s.s_suppkey
+WHERE o.unit_price = (SELECT MIN(o2.unit_price) FROM offer o2
+                      WHERE o2.p_partkey = o.p_partkey)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(_q4_fn, _Q4_SQL),
     "q13_cust_distribution": QuerySpec(_q13_fn, _Q13_SQL),
@@ -1095,6 +1143,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_quantified_all": QuerySpec(_quantified_all_fn, _QUANTIFIED_ALL_SQL),
     "q9_nation_profit": QuerySpec(_q9_fn, _Q9_SQL),
     "q16_supplier_relation": QuerySpec(_q16_fn, _Q16_SQL),
+    "q2_min_cost_supplier": QuerySpec(_q2_fn, _Q2_SQL),
     "q_count_distinct": QuerySpec(_count_distinct_fn, _COUNT_DISTINCT_SQL),
     "q_range_join": QuerySpec(_range_join_fn, _RANGE_JOIN_SQL),
     "ts_session_window": QuerySpec(_session_window_fn, _SESSION_WINDOW_SQL),
