@@ -1121,6 +1121,92 @@ WHERE o.unit_price = (SELECT MIN(o2.unit_price) FROM offer o2
 """
 
 
+
+
+# --- behavioral analytics over the events stream table --------------------
+
+def _funnel_fn(spark, sf_dir):
+    """Ordered 3-step funnel (view → click → purchase) per user: each
+    later step must strictly follow the user's earliest completion of
+    the previous one. Three thin per-user aggregations chained by
+    broadcast-ready joins — each stage's frame shrinks, and every
+    aggregation combines map-side."""
+    from ..operators.retrieval import events_ts_ms
+
+    raw = table(spark, sf_dir, "events")
+    e = raw.select(
+        F.col("user_id"),
+        F.col("event_type").alias("series_key"),
+        events_ts_ms(raw).alias("ts_ms"),
+    )
+    v = (
+        e.filter(F.col("series_key") == "view")
+        .groupBy("user_id").agg(F.min("ts_ms").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("series_key") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_ms") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts_ms").alias("t2"))
+    )
+    pch = (
+        e.filter(F.col("series_key") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_ms") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts_ms").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("step1_view"))
+        .crossJoin(c.agg(F.count("*").alias("step2_click")))
+        .crossJoin(pch.agg(F.count("*").alias("step3_purchase")))
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH series AS ({EVENTS_SQL}),
+e AS (SELECT ev.user_id, s.series_key, s.ts_ms
+      FROM series s JOIN events ev ON ev.event_id = s.seq),
+v AS (SELECT user_id, MIN(ts_ms) AS t1 FROM e WHERE series_key = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts_ms) AS t2 FROM e JOIN v USING (user_id)
+      WHERE e.series_key = 'click' AND e.ts_ms > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts_ms) AS t3 FROM e JOIN c USING (user_id)
+      WHERE e.series_key = 'purchase' AND e.ts_ms > c.t2 GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS step1_view,
+       (SELECT COUNT(*) FROM c) AS step2_click,
+       (SELECT COUNT(*) FROM p) AS step3_purchase
+"""
+
+
+def _retention_fn(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted distinct in each subsequent week offset. Two aggregations
+    (first-seen, activity) joined on user — the classic cohort triangle,
+    all map-side-combinable."""
+    from ..operators.retrieval import events_ts_ms
+
+    raw = table(spark, sf_dir, "events")
+    week = F.floor(events_ts_ms(raw) / F.lit(604_800_000)).cast("bigint")
+    e = raw.select("user_id", week.alias("week"))
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        e.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_SQL = f"""
+WITH series AS ({EVENTS_SQL}),
+e AS (SELECT ev.user_id, CAST(s.ts_ms // 604800000 AS BIGINT) AS week
+      FROM series s JOIN events ev ON ev.event_id = s.seq),
+f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id)
+SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM e JOIN f USING (user_id)
+GROUP BY f.cohort_week, e.week - f.cohort_week
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(_q4_fn, _Q4_SQL),
     "q13_cust_distribution": QuerySpec(_q13_fn, _Q13_SQL),
@@ -1144,6 +1230,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q9_nation_profit": QuerySpec(_q9_fn, _Q9_SQL),
     "q16_supplier_relation": QuerySpec(_q16_fn, _Q16_SQL),
     "q2_min_cost_supplier": QuerySpec(_q2_fn, _Q2_SQL),
+    "q_funnel": QuerySpec(_funnel_fn, _FUNNEL_SQL),
+    "q_retention_cohorts": QuerySpec(_retention_fn, _RETENTION_SQL),
     "q_count_distinct": QuerySpec(_count_distinct_fn, _COUNT_DISTINCT_SQL),
     "q_range_join": QuerySpec(_range_join_fn, _RANGE_JOIN_SQL),
     "ts_session_window": QuerySpec(_session_window_fn, _SESSION_WINDOW_SQL),
