@@ -1207,6 +1207,29 @@ GROUP BY f.cohort_week, e.week - f.cohort_week
 """
 
 
+
+
+def _topk_ties_fn(spark, sf_dir):
+    """Top-3 WITH TIES per nation by customer balance: RANK (not
+    ROW_NUMBER) keeps every row tying the third-place value — the SQL
+    FETCH FIRST ... WITH TIES semantics."""
+    cust = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (
+        cust.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_name", "c_acctbal", "rnk")
+    )
+
+
+_TOPK_TIES_SQL = """
+SELECT c_nationkey, c_name, c_acctbal, CAST(RANK() OVER w AS BIGINT) AS rnk
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+QUALIFY rnk <= 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(_q4_fn, _Q4_SQL),
     "q13_cust_distribution": QuerySpec(_q13_fn, _Q13_SQL),
@@ -1232,6 +1255,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q2_min_cost_supplier": QuerySpec(_q2_fn, _Q2_SQL),
     "q_funnel": QuerySpec(_funnel_fn, _FUNNEL_SQL),
     "q_retention_cohorts": QuerySpec(_retention_fn, _RETENTION_SQL),
+    "q_topk_with_ties": QuerySpec(_topk_ties_fn, _TOPK_TIES_SQL),
     "q_count_distinct": QuerySpec(_count_distinct_fn, _COUNT_DISTINCT_SQL),
     "q_range_join": QuerySpec(_range_join_fn, _RANGE_JOIN_SQL),
     "ts_session_window": QuerySpec(_session_window_fn, _SESSION_WINDOW_SQL),

@@ -391,6 +391,44 @@ _GAP_DETECT_SQL = (
 )
 
 
+
+
+def _pctl_bands_fn(spark, sf_dir):
+    """Monitoring-style percentile bands (p50/p90/p99) per (series,
+    hour): LOW percentile at rank ceil(q*n) — pure rank selection, no
+    interpolation, so the bands are bit-exact and partitioning-
+    independent. One ranked window + one conditional aggregation."""
+    df = events_frame(spark, sf_dir)
+    b = bucket_start(F.col("ts_ms"), HOUR)
+    w = W.partitionBy("series_key", "__b").orderBy("value", "seq")
+    r = (
+        df.select("series_key", "value", "seq", b.alias("__b"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(W.partitionBy("series_key", "__b")))
+    )
+    def band(q, name):
+        rank = F.ceil(F.col("__n") * q).cast("bigint")
+        return F.min(F.when(F.col("__rn") == rank, F.col("value"))).alias(name)
+    return r.groupBy("series_key", F.col("__b").alias("ts_ms")).agg(
+        band(0.5, "p50"), band(0.9, "p90"), band(0.99, "p99"),
+        F.count("*").alias("n"),
+    )
+
+
+_PCTL_BANDS_SQL = (
+    f"{_S}, r AS (SELECT series_key, value, ts_ms - ts_ms % {HOUR} AS b, "
+    "ROW_NUMBER() OVER (PARTITION BY series_key, ts_ms - ts_ms % {HOUR} "
+    "ORDER BY value, seq) AS rn, "
+    "COUNT(*) OVER (PARTITION BY series_key, ts_ms - ts_ms % {HOUR}) AS n "
+    "FROM series) "
+    "SELECT series_key, b AS ts_ms, "
+    "MIN(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN value END) AS p50, "
+    "MIN(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN value END) AS p90, "
+    "MIN(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN value END) AS p99, "
+    "COUNT(*) AS n FROM r GROUP BY series_key, b"
+).replace("{HOUR}", str(3_600_000))
+
+
 QUERIES: dict[str, QuerySpec] = {
     # S1/F1: bounded range scan — pushed to the parquet reader
     "ts_scan_range": QuerySpec(
@@ -564,4 +602,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_deriv_slope": QuerySpec(_deriv_fn, _DERIV_SLOPE_SQL),
     # extension: silence watchdog (gaps > threshold between points)
     "ts_gap_detect": QuerySpec(_gap_detect_fn, _GAP_DETECT_SQL),
+    # extension: exact LOW-percentile monitoring bands per bucket
+    "ts_percentile_bands": QuerySpec(_pctl_bands_fn, _PCTL_BANDS_SQL),
 }
