@@ -1128,37 +1128,39 @@ WHERE o.unit_price = (SELECT MIN(o2.unit_price) FROM offer o2
 def _funnel_fn(spark, sf_dir):
     """Ordered 3-step funnel (view → click → purchase) per user: each
     later step must strictly follow the user's earliest completion of
-    the previous one. Three thin per-user aggregations chained by
-    broadcast-ready joins — each stage's frame shrinks, and every
-    aggregation combines map-side."""
+    the previous one. ONE scan + ONE shuffle: events collect per user
+    (per-user counts are small), the step chain folds in-row with array
+    HOFs — the naive per-step aggregate-and-join-back shape scans the
+    fact table once per step."""
     from ..operators.retrieval import events_ts_ms
 
     raw = table(spark, sf_dir, "events")
     e = raw.select(
         F.col("user_id"),
-        F.col("event_type").alias("series_key"),
+        F.col("event_type").alias("k"),
         events_ts_ms(raw).alias("ts_ms"),
     )
-    v = (
-        e.filter(F.col("series_key") == "view")
-        .groupBy("user_id").agg(F.min("ts_ms").alias("t1"))
+    per_user = e.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts_ms", "k")).alias("evs")
     )
-    c = (
-        e.filter(F.col("series_key") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts_ms") > F.col("t1"))
-        .groupBy("user_id").agg(F.min("ts_ms").alias("t2"))
+
+    def step_min(kind, after=None):
+        keep = lambda x: x["k"] == kind if after is None else (
+            (x["k"] == kind) & (x["ts_ms"] > after)
+        )
+        return F.array_min(
+            F.transform(F.filter("evs", keep), lambda x: x["ts_ms"])
+        )
+
+    staged = (
+        per_user.withColumn("t1", step_min("view"))
+        .withColumn("t2", step_min("click", F.col("t1")))
+        .withColumn("t3", step_min("purchase", F.col("t2")))
     )
-    pch = (
-        e.filter(F.col("series_key") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts_ms") > F.col("t2"))
-        .groupBy("user_id").agg(F.min("ts_ms").alias("t3"))
-    )
-    return (
-        v.agg(F.count("*").alias("step1_view"))
-        .crossJoin(c.agg(F.count("*").alias("step2_click")))
-        .crossJoin(pch.agg(F.count("*").alias("step3_purchase")))
+    return staged.agg(
+        F.count("t1").alias("step1_view"),
+        F.count("t2").alias("step2_click"),
+        F.count("t3").alias("step3_purchase"),
     )
 
 

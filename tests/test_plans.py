@@ -232,3 +232,10 @@ def test_q9_broadcasts_all_three_dims(spark):
 def test_q16_not_in_compiles_to_anti_join(spark):
     plan = _plan(CATALOG["q16_supplier_relation"].fn(spark, SF_DIR))
     assert "LeftAnti" in plan
+
+
+def test_funnel_single_scan(spark):
+    # the in-row HOF funnel fold: one events scan, one user shuffle —
+    # not one scan per funnel step
+    plan = _plan(CATALOG["q_funnel"].fn(spark, SF_DIR))
+    assert _n_scans(plan) == 1
