@@ -45,6 +45,9 @@ HEADLINE = [
     "ts_downsample_lttb",
     "det_cusum",
     "text_top_terms",
+    # behavioral analytics tier
+    "q_funnel",
+    "q_retention_cohorts",
     # LLM-pipeline tier (documents 5k, embeddings 2k)
     "dedup_exact",
     "dedup_minhash_lsh",
