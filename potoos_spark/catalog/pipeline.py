@@ -773,12 +773,36 @@ _KNN_QUANT_SQL = (
 )
 
 
+
+
+def _dedup_lev_fn(spark, sf_dir):
+    return D.levenshtein_pairs(_docs(spark, sf_dir), max_distance=40)
+
+
+# SimHash-blocked edit-distance verification: same fp voting CTE as
+# dedup_simhash, pairs within buckets, DuckDB's levenshtein == Spark's
+# (classic DP, integer-exact).
+_DEDUP_LEV_SQL = (
+    f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes), "
+    "s AS (SELECT fp.doc_id, fp.simhash, d.text FROM fp "
+    "JOIN documents d USING (doc_id)) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(levenshtein(a.text, b.text) AS BIGINT) AS distance "
+    "FROM s a JOIN s b ON a.simhash = b.simhash AND a.doc_id < b.doc_id "
+    "WHERE levenshtein(a.text, b.text) <= 40"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
     # extension: transitive near-dup connected components (attribute
     # label propagation; recursive-closure oracle)
     "dedup_components": QuerySpec(_dup_components_fn, _DUP_COMPONENTS_SQL),
+    # extension: SimHash-blocked exact edit-distance verification
+    "dedup_levenshtein": QuerySpec(_dedup_lev_fn, _DEDUP_LEV_SQL),
     "dedup_minhash_lsh": QuerySpec(_minhash_fn, _MINHASH_SQL),
     "dedup_simhash": QuerySpec(_simhash_fn, _SIMHASH_SQL),
     "dedup_ngram_jaccard": QuerySpec(_ngram_fn, _NGRAM_SQL),

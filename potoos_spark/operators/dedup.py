@@ -419,3 +419,42 @@ def dup_components(
             break
     attrs.unpersist()
     return labels.select(F.col(id_col), F.col("lbl").alias("component"))
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    max_distance: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance near-dup verification: candidate pairs are docs
+    sharing a SimHash fingerprint (the cheap blocking stage — never an
+    all-pairs join), verified by exact Levenshtein distance ≤
+    ``max_distance``. The classic use: catching small in-place edits
+    (typo fixes, template fills) that token-set methods score as
+    identical but byte-exact dedup misses.
+
+    Physical shape: fingerprint join fans out only within buckets
+    (bucket sizes are dup-cluster sized); Levenshtein runs JVM-side
+    (codegen) on the pairs. Output: (id_a, id_b, distance), id_a < id_b.
+    """
+    s = simhash(df, text_col, id_col).join(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    a = s.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        "simhash",
+    )
+    b = s.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        "simhash",
+    )
+    pairs = a.join(b, "simhash").filter(F.col("id_a") < F.col("id_b"))
+    d = pairs.withColumn(
+        "distance", F.levenshtein("text_a", "text_b").cast("bigint")
+    )
+    return d.filter(F.col("distance") <= int(max_distance)).select(
+        "id_a", "id_b", "distance"
+    )
