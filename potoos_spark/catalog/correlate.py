@@ -121,3 +121,32 @@ _ROLLING_CORR_SQL = (
 )
 
 QUERIES["ts_rolling_corr"] = QuerySpec(_rolling_corr_fn, _ROLLING_CORR_SQL)
+
+
+def _autocorr_fn(spark, sf_dir):
+    """Autocorrelation: the cross-correlator pointed at one series
+    (click vs itself) over daily-scale lags — the standard seasonality
+    probe (a peak at lag = 24h reveals daily periodicity)."""
+    return cross_correlate(
+        _hourly_int_sums(spark, sf_dir), "click", "click",
+        [0, 6 * HOUR, 12 * HOUR, 24 * HOUR], exact=True,
+    )
+
+
+_AUTO_SHIFTS = [0, 6 * HOUR, 12 * HOUR, 24 * HOUR]
+_AUTOCORR_SQL = (
+    f"{_S}, {_HOURLY}, "
+    "a AS (SELECT ts, v AS va FROM h WHERE series_key = 'click'), "
+    "b AS (SELECT ts, v AS vb FROM h WHERE series_key = 'click'), "
+    "sh AS (SELECT s AS shift_ms, b.ts - s AS ts, vb FROM b, "
+    f"unnest([{', '.join(str(s) for s in _AUTO_SHIFTS)}]) AS u(s)), "
+    "j AS (SELECT shift_ms, va, vb FROM a JOIN sh ON a.ts = sh.ts), "
+    "g AS (SELECT shift_ms, COUNT(*) AS n_overlap, SUM(va) AS sx, SUM(vb) AS sy, "
+    "SUM(va*vb) AS sxy, SUM(va*va) AS sxx, SUM(vb*vb) AS syy FROM j GROUP BY shift_ms) "
+    "SELECT shift_ms, n_overlap, "
+    "CAST(n_overlap*sxy - sx*sy AS DOUBLE) / "
+    "sqrt(CAST(n_overlap*sxx - sx*sx AS DOUBLE) * CAST(n_overlap*syy - sy*sy AS DOUBLE)) AS r "
+    "FROM g WHERE n_overlap >= 2"
+)
+
+QUERIES["ts_autocorrelate"] = QuerySpec(_autocorr_fn, _AUTOCORR_SQL)
