@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.correlate import cross_correlate
-from .common import EVENTS_SQL, QuerySpec, events_frame
+from .common import EVENTS_SQL, G_SQL, QuerySpec, events_frame, hourly_avg_frame
 
 HOUR = 3_600_000
 SHIFTS = [-2 * HOUR, -HOUR, 0, HOUR, 2 * HOUR]
@@ -150,3 +150,35 @@ _AUTOCORR_SQL = (
 )
 
 QUERIES["ts_autocorrelate"] = QuerySpec(_autocorr_fn, _AUTOCORR_SQL)
+
+
+def _goertzel_fn(spark, sf_dir):
+    """Daily-seasonality energy: Goertzel at period 24 over the exact
+    hourly averages."""
+    from ..operators.correlate import goertzel_power
+    from .common import hourly_avg_frame
+
+    return goertzel_power(hourly_avg_frame(spark, sf_dir), 24)
+
+
+# coeff = 2*cos(2*pi/24) as the identical repr'd double; the recursion
+# carries (s1, s2) with the engine's exact op association.
+# e0 suffix: DuckDB types bare high-precision literals as DECIMAL and
+# its DECIMAL->DOUBLE conversion drifts 1 ulp; exponent notation is
+# parsed directly as DOUBLE (bit-identical to the kernel constant)
+_GOERTZEL_C = "1.9318516525781366e0"
+_GOERTZEL_SQL = (
+    f"WITH RECURSIVE series AS ({EVENTS_SQL}), g AS ({G_SQL}), "
+    "o AS (SELECT series_key, ts_ms, value, ROW_NUMBER() OVER "
+    "(PARTITION BY series_key ORDER BY ts_ms) AS rn, "
+    "COUNT(*) OVER (PARTITION BY series_key) AS n FROM g), "
+    "r AS (SELECT series_key, rn, n, value AS s1, CAST(0.0 AS DOUBLE) AS s2 "
+    "FROM o WHERE rn = 1 "
+    "UNION ALL "
+    f"SELECT o.series_key, o.rn, o.n, (o.value + {_GOERTZEL_C}*r.s1) - r.s2, r.s1 "
+    "FROM o JOIN r ON o.series_key = r.series_key AND o.rn = r.rn + 1) "
+    "SELECT series_key, n, "
+    f"(s1*s1 + s2*s2) - {_GOERTZEL_C}*s1*s2 AS power FROM r WHERE rn = n"
+)
+
+QUERIES["ts_goertzel_power"] = QuerySpec(_goertzel_fn, _GOERTZEL_SQL)

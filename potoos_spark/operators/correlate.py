@@ -93,3 +93,50 @@ def best_shift(
         F.abs(F.col("r")).desc(), F.abs(F.col("shift_ms")), F.col("shift_ms")
     )
     return ranked.limit(1)
+
+
+def goertzel_power(df: DataFrame, period_samples: int) -> DataFrame:
+    """Spectral energy at one target period via the Goertzel recurrence
+    (public DSP classic — the single-bin DFT):
+
+        s_i = (x_i + coeff*s_{i-1}) - s_{i-2},  coeff = 2*cos(2π/period)
+        power = (s_N² + s_{N-1}²) - coeff*s_N*s_{N-1}
+
+    per series over its ordered samples — the cheap seasonality-strength
+    probe (one pass, O(1) state; a full FFT is neither needed nor
+    distributable per-series). Runs in the same ``applyInPandas``
+    sequential lane as the EMA detectors; the two-term recurrence is
+    replayed bit-for-bit by a recursive-CTE oracle (coeff embedded as
+    the identical repr'd double literal).
+
+    Output: (series_key, n, power).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    coeff = 2.0 * math.cos(2.0 * math.pi / int(period_samples))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts_ms").reset_index(drop=True)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        s1 = s2 = 0.0
+        for x in v:
+            s = (x + coeff * s1) - s2
+            s2 = s1
+            s1 = s
+        power = (s1 * s1 + s2 * s2) - coeff * s1 * s2
+        return pd.DataFrame(
+            {
+                "series_key": [pdf["series_key"].iloc[0]] if len(v) else [],
+                "n": [len(v)] if len(v) else [],
+                "power": [power] if len(v) else [],
+            }
+        )
+
+    return (
+        df.select("series_key", "ts_ms", "value")
+        .groupBy("series_key")
+        .applyInPandas(kernel, schema="series_key string, n bigint, power double")
+    )
