@@ -779,19 +779,27 @@ def _dedup_lev_fn(spark, sf_dir):
     return D.levenshtein_pairs(_docs(spark, sf_dir), max_distance=40)
 
 
-# SimHash-blocked edit-distance verification: same fp voting CTE as
-# dedup_simhash, pairs within buckets, DuckDB's levenshtein == Spark's
-# (classic DP, integer-exact).
+# SimHash-blocked edit-distance verification: 32-bit fp voting (all
+# md5 digits) for high-resolution blocking, pairs within buckets,
+# DuckDB's levenshtein == Spark's (classic DP, integer-exact).
+_SIMHASH_VOTES32 = "SUM(CASE WHEN substr(md5(tok), 1, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v0, SUM(CASE WHEN substr(md5(tok), 2, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v1, SUM(CASE WHEN substr(md5(tok), 3, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v2, SUM(CASE WHEN substr(md5(tok), 4, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v3, SUM(CASE WHEN substr(md5(tok), 5, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v4, SUM(CASE WHEN substr(md5(tok), 6, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v5, SUM(CASE WHEN substr(md5(tok), 7, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v6, SUM(CASE WHEN substr(md5(tok), 8, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v7, SUM(CASE WHEN substr(md5(tok), 9, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v8, SUM(CASE WHEN substr(md5(tok), 10, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v9, SUM(CASE WHEN substr(md5(tok), 11, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v10, SUM(CASE WHEN substr(md5(tok), 12, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v11, SUM(CASE WHEN substr(md5(tok), 13, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v12, SUM(CASE WHEN substr(md5(tok), 14, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v13, SUM(CASE WHEN substr(md5(tok), 15, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v14, SUM(CASE WHEN substr(md5(tok), 16, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v15, SUM(CASE WHEN substr(md5(tok), 17, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v16, SUM(CASE WHEN substr(md5(tok), 18, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v17, SUM(CASE WHEN substr(md5(tok), 19, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v18, SUM(CASE WHEN substr(md5(tok), 20, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v19, SUM(CASE WHEN substr(md5(tok), 21, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v20, SUM(CASE WHEN substr(md5(tok), 22, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v21, SUM(CASE WHEN substr(md5(tok), 23, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v22, SUM(CASE WHEN substr(md5(tok), 24, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v23, SUM(CASE WHEN substr(md5(tok), 25, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v24, SUM(CASE WHEN substr(md5(tok), 26, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v25, SUM(CASE WHEN substr(md5(tok), 27, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v26, SUM(CASE WHEN substr(md5(tok), 28, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v27, SUM(CASE WHEN substr(md5(tok), 29, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v28, SUM(CASE WHEN substr(md5(tok), 30, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v29, SUM(CASE WHEN substr(md5(tok), 31, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v30, SUM(CASE WHEN substr(md5(tok), 32, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v31"
+_SIMHASH_FP32 = "CASE WHEN v0 > 0 THEN 1 ELSE 0 END + CASE WHEN v1 > 0 THEN 2 ELSE 0 END + CASE WHEN v2 > 0 THEN 4 ELSE 0 END + CASE WHEN v3 > 0 THEN 8 ELSE 0 END + CASE WHEN v4 > 0 THEN 16 ELSE 0 END + CASE WHEN v5 > 0 THEN 32 ELSE 0 END + CASE WHEN v6 > 0 THEN 64 ELSE 0 END + CASE WHEN v7 > 0 THEN 128 ELSE 0 END + CASE WHEN v8 > 0 THEN 256 ELSE 0 END + CASE WHEN v9 > 0 THEN 512 ELSE 0 END + CASE WHEN v10 > 0 THEN 1024 ELSE 0 END + CASE WHEN v11 > 0 THEN 2048 ELSE 0 END + CASE WHEN v12 > 0 THEN 4096 ELSE 0 END + CASE WHEN v13 > 0 THEN 8192 ELSE 0 END + CASE WHEN v14 > 0 THEN 16384 ELSE 0 END + CASE WHEN v15 > 0 THEN 32768 ELSE 0 END + CASE WHEN v16 > 0 THEN 65536 ELSE 0 END + CASE WHEN v17 > 0 THEN 131072 ELSE 0 END + CASE WHEN v18 > 0 THEN 262144 ELSE 0 END + CASE WHEN v19 > 0 THEN 524288 ELSE 0 END + CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END + CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END + CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END + CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END + CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END + CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END + CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END + CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END + CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END + CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END + CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END + CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END"
 _DEDUP_LEV_SQL = (
     f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
-    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
-    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES32} FROM dt GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP32} AS BIGINT) AS simhash FROM votes), "
     "s AS (SELECT fp.doc_id, fp.simhash, d.text FROM fp "
-    "JOIN documents d USING (doc_id)) "
-    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-    "CAST(levenshtein(a.text, b.text) AS BIGINT) AS distance "
-    "FROM s a JOIN s b ON a.simhash = b.simhash AND a.doc_id < b.doc_id "
-    "WHERE levenshtein(a.text, b.text) <= 40"
+    "JOIN documents d USING (doc_id)), "
+    "canon AS (SELECT simhash, MIN(doc_id) AS keep_id FROM s "
+    "GROUP BY simhash HAVING COUNT(*) >= 2), "
+    "k AS (SELECT c.simhash, c.keep_id, s.text AS ktext FROM canon c "
+    "JOIN s ON s.doc_id = c.keep_id) "
+    "SELECT k.keep_id, s.doc_id, "
+    "CAST(levenshtein(s.text, k.ktext) AS BIGINT) AS distance "
+    "FROM s JOIN k USING (simhash) "
+    "WHERE s.doc_id <> k.keep_id "
+    "AND ABS(length(s.text) - length(k.ktext)) <= 40 "
+    "AND levenshtein(s.text, k.ktext) <= 40"
 )
 
 
