@@ -698,6 +698,50 @@ _TOKEN_BUDGET_SQL = (
 
 
 
+def _decontaminate_fn(spark, sf_dir):
+    from ..operators.curate import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    out = decontaminate(tr, ev)
+    return out.select(
+        "doc_id", "n_hit_shingles", F.col("contaminated").cast("bigint").alias("contaminated")
+    )
+
+
+# Benchmark decontamination: distinct 3-gram shingles shared with the
+# held-out eval slice (doc_id % 50 = 0), broadcast-joined against the
+# training corpus' shingles; short docs (< 3 tokens) kept with 0 hits.
+_DECONTAMINATE_SQL = (
+    f"{_BASE_SH}, "
+    "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0), "
+    "hits AS (SELECT sh.doc_id, COUNT(*) AS n_hit_shingles FROM sh "
+    "JOIN ev USING (s) WHERE sh.doc_id % 50 <> 0 GROUP BY sh.doc_id) "
+    "SELECT d.doc_id, CAST(COALESCE(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles, "
+    "CAST(COALESCE(h.n_hit_shingles, 0) > 0 AS BIGINT) AS contaminated "
+    "FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id "
+    "WHERE d.doc_id % 50 <> 0"
+)
+
+
+def _source_cap_fn(spark, sf_dir):
+    from ..operators.curate import source_cap
+
+    return source_cap(_docs(spark, sf_dir), cap=10)
+
+
+# Per-source cap: md5(doc_id)-ordered deterministic shuffle, keep the
+# first 10 per source (web-corpus domain-cap rule).
+_SOURCE_CAP_SQL = (
+    "WITH w AS (SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h "
+    "FROM documents), "
+    "r AS (SELECT source, doc_id, ROW_NUMBER() OVER "
+    "(PARTITION BY source ORDER BY h, doc_id) AS rk FROM w) "
+    "SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10"
+)
+
+
 def _mm_framesample_fn(spark, sf_dir):
     return M.frame_sample(_docs(spark, sf_dir))
 
@@ -846,6 +890,8 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_sample_split": QuerySpec(_sample_split_fn, _SAMPLE_SPLIT_SQL),
     # extension: per-source token-budget sampling (data mixing)
     "corpus_token_budget": QuerySpec(_token_budget_fn, _TOKEN_BUDGET_SQL),
+    "corpus_decontaminate": QuerySpec(_decontaminate_fn, _DECONTAMINATE_SQL),
+    "corpus_source_cap": QuerySpec(_source_cap_fn, _SOURCE_CAP_SQL),
     # multimodal plumbing
     "multimodal_meta": QuerySpec(_mm_meta_fn, _MM_META_SQL),
     "multimodal_decode": QuerySpec(_mm_decode_fn, _MM_DECODE_SQL),

@@ -127,3 +127,77 @@ def token_budget_sample(
     return c.filter(F.col("__cum") <= int(budget_tokens)).select(
         by, id_col, "n_tokens"
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: count, per training document, the
+    distinct word-``n``-gram shingles it shares with the held-out eval
+    corpus (the n-gram-overlap test used to scrub eval leakage from
+    pre-training data; extension tier — no reference file:line,
+    SURVEY.md §2.6 north star).
+
+    Physical shape (the 100 TB story): eval benchmarks are megabytes
+    while the training corpus is the 100 TB side, so the eval shingle
+    set is collected DISTINCT and **broadcast** — the big side's
+    exploded shingles stream through a broadcast hash join with no
+    shuffle of the corpus, and the per-doc hit count combines map-side.
+    Docs too short to shingle (< n tokens) are contamination-free by
+    definition and kept via the left join from the corpus spine.
+
+    Output: (id_col, n_hit_shingles, contaminated) for every doc in
+    ``df``.
+    """
+    from .dedup import shingle_frame
+
+    eval_sh = shingle_frame(eval_df, text_col, id_col, n).select("s").distinct()
+    train_sh = shingle_frame(df, text_col, id_col, n)
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )
+    spine = df.select(id_col)
+    return (
+        spine.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hit_shingles", F.lit(0)).cast("bigint").alias(
+                "n_hit_shingles"
+            ),
+        )
+        .withColumn("contaminated", (F.col("n_hit_shingles") > 0).cast("boolean"))
+    )
+
+
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    by: str = "source",
+) -> DataFrame:
+    """Per-source document cap (the domain-cap rule of web-corpus
+    curation: no single site/source may dominate the mix). Keeps at
+    most ``cap`` docs per group, chosen by the deterministic
+    md5(id)-ordered pseudo-random shuffle — reproducible across runs
+    and cluster sizes, and unbiased w.r.t. any natural id ordering.
+
+    One ranked window per group. At 100 TB a pathologically hot source
+    makes that partition skewed; the fix is a two-phase rank (cap
+    per-partition first — no partition can contribute more than
+    ``cap`` survivors — then re-rank the ≤ cap×n_partitions finalists),
+    same shape as ``skew.salted_agg``. Output: (by, id_col, rk).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(by).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(by), F.col(id_col), h.alias("__h"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= int(cap))
+        .select(by, id_col, "rk")
+    )

@@ -51,6 +51,7 @@ GLOBAL_AGG = {
     "q17_small_qty_revenue",
     "q19_disjunctive_join",
     "q_correlated_avg",
+    "q_funnel",
 }
 
 
