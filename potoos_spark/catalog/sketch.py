@@ -1,12 +1,18 @@
-"""Catalog: sketch tier (rows-only — approximate by design, so there
-is no hash-matchable SQL oracle; tests/test_sketch.py pins the error
-envelope against exact counts instead)."""
+"""Catalog: sketch tier. The DataSketches-backed entries (HLL / KLL /
+theta) are rows-only — approximate by design, so there is no
+hash-matchable SQL oracle; tests/test_sketch.py pins the error
+envelope against exact counts instead. The Count-Min and Bloom entries
+use md5-derived hash families, so although the ANSWERS are
+approximate, the sketches themselves are deterministic — DuckDB
+reproduces them bit-for-bit and the oracle hash-matches."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from ..operators.sketch import (
+    bloom_probe,
+    count_min_estimate,
     hll_distinct,
     hll_union_distinct,
     kll_quantiles,
@@ -39,9 +45,81 @@ def _theta_fn(spark, sf_dir):
     return theta_overlap(li, "yr", "l_partkey", 1996, 1997)
 
 
+def _cms_fn(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return count_min_estimate(ev, "user_id", depth=4, width=64)
+
+
+# Count-Min point queries for every distinct user: depth-4 × width-64
+# counters from md5-derived hashes (h_j = int(md5(j|key)[:4],16) % 64),
+# estimate = min over rows — deterministic, so exact cross-engine match.
+_CMS_HASH = "CAST('0x' || substr(md5('{j}|' || CAST(user_id AS VARCHAR)), 1, 4) AS INT) % 64"
+_CMS_SQL = (
+    "WITH cells AS ("
+    + " UNION ALL ".join(
+        f"SELECT {j} AS j, {_CMS_HASH.format(j=j)} AS bucket FROM events"
+        for j in range(4)
+    )
+    + "), counters AS (SELECT j, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2), "
+    "exact AS (SELECT user_id AS key, COUNT(*) AS exact_cnt FROM events GROUP BY 1), "
+    "probes AS ("
+    + " UNION ALL ".join(
+        "SELECT key, exact_cnt, "
+        f"{j} AS j, "
+        + _CMS_HASH.format(j=j).replace("user_id", "key")
+        + " AS bucket FROM exact"
+        for j in range(4)
+    )
+    + ") "
+    "SELECT p.key, p.exact_cnt, MIN(c.cnt) AS cms_estimate, "
+    "MIN(c.cnt) - p.exact_cnt AS overestimate "
+    "FROM probes p JOIN counters c USING (j, bucket) "
+    "GROUP BY p.key, p.exact_cnt"
+)
+
+
+def _bloom_fn(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_acctbal") > 5000)
+    return bloom_probe(build, cust, "c_custkey", "c_custkey", k=3, m=4096)
+
+
+# Bloom membership for every customer against the filter built from
+# c_acctbal > 5000: 3 bit positions from md5 (int(md5(i|key)[:5],16)
+# % 4096); member ⇔ all 3 set. False positives surface explicitly.
+_BLOOM_BIT = (
+    "CAST('0x' || substr(md5('{i}|' || CAST({key} AS VARCHAR)), 1, 5) AS BIGINT) % 4096"
+)
+_BLOOM_SQL = (
+    "WITH bits AS (SELECT DISTINCT bit FROM ("
+    + " UNION ALL ".join(
+        f"SELECT {_BLOOM_BIT.format(i=i, key='c_custkey')} AS bit "
+        "FROM customer WHERE c_acctbal > 5000"
+        for i in range(3)
+    )
+    + ")), probes AS ("
+    + " UNION ALL ".join(
+        f"SELECT c_custkey AS key, {_BLOOM_BIT.format(i=i, key='c_custkey')} AS bit "
+        "FROM customer"
+        for i in range(3)
+    )
+    + "), m AS (SELECT p.key, "
+    "CAST(COUNT(b.bit) = 3 AS BIGINT) AS bloom_member "
+    "FROM probes p LEFT JOIN bits b USING (bit) GROUP BY p.key), "
+    "actual AS (SELECT DISTINCT c_custkey AS key, 1 AS ain FROM customer "
+    "WHERE c_acctbal > 5000) "
+    "SELECT m.key, m.bloom_member, "
+    "CAST(CASE WHEN a.ain IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS actual_member, "
+    "CAST(m.bloom_member = 1 AND a.ain IS NULL AS BIGINT) AS false_positive "
+    "FROM m LEFT JOIN actual a USING (key)"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sketch_distinct_hll": QuerySpec(_hll_fn, None),
     "sketch_hll_union": QuerySpec(_hll_union_fn, None),
     "sketch_kll_quantiles": QuerySpec(_kll_fn, None),
     "sketch_theta_overlap": QuerySpec(_theta_fn, None),
+    "sketch_count_min": QuerySpec(_cms_fn, _CMS_SQL),
+    "sketch_bloom_filter": QuerySpec(_bloom_fn, _BLOOM_SQL),
 }

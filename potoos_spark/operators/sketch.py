@@ -117,3 +117,156 @@ def approx_distinct(
     return df.groupBy(*group_cols).agg(
         F.approx_count_distinct(value_col, rsd).alias("approx_distinct")
     )
+
+
+def count_min_counters(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-Min sketch counter table (Cormode & Muthukrishnan 2005):
+    ``depth`` hash rows × ``width`` counters, hashes derived from md5
+    hex (h_j(key) = int(md5(j || '|' || key)[:4], 16) % width) —
+    deterministic and engine-portable, no seed state.
+
+    Physical shape: the key column explodes into ``depth`` (row, bucket)
+    cells, then ONE hash aggregation — map-side combine collapses every
+    partition to ≤ depth×width cells before the shuffle, so at 100 TB
+    the shuffle moves O(depth·width·n_partitions) counters, never rows.
+    The counter table IS the mergeable sketch: counters from two
+    corpora add cell-wise.
+
+    Output: (j, bucket, cnt), at most depth×width rows.
+    """
+    k = F.col(key_col).cast("string")
+    cells = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            (F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}|"), k)), 1, 4), 16, 10)
+             .cast("bigint") % width).alias("bucket"),
+        )
+        for j in range(depth)
+    ])
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Point-query every distinct key against the Count-Min counters:
+    estimate = min over the ``depth`` rows of the key's counter. The
+    CMS guarantee (est ≥ exact, with bounded overestimate) is exposed
+    by returning the exact count alongside.
+
+    The counter table (≤ depth×width rows) broadcasts to the distinct-
+    key probe join — the big side never shuffles.
+
+    Output: (key, exact_cnt, cms_estimate, overestimate).
+    """
+    counters = count_min_counters(df, key_col, depth, width)
+    k = F.col(key_col).cast("string")
+    exact = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("exact_cnt")
+    )
+    probes = exact.select(
+        "key",
+        "exact_cnt",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                (F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("key").cast("string"))), 1, 4),
+                    16, 10,
+                ).cast("bigint") % width).alias("bucket"),
+            )
+            for j in range(depth)
+        ])).alias("c"),
+    ).select("key", "exact_cnt", F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "key",
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, k: int = 3, m: int = 4096
+) -> DataFrame:
+    """The set-bit positions of a Bloom filter over ``key_col``
+    (Bloom 1970): ``k`` md5-derived bit positions per key
+    (bit_i(key) = int(md5(i || '|' || key)[:5], 16) % m), distinct —
+    at most ``m`` rows regardless of input size. Mergeable: bit sets
+    from two corpora union.
+
+    Same explode → distinct shape as count_min_counters: map-side
+    distinct collapses each partition to ≤ m positions pre-shuffle.
+    """
+    key = F.col(key_col).cast("string")
+    bits = F.array(*[
+        (F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), key)), 1, 5), 16, 10)
+         .cast("bigint") % m).alias(f"b{i}")
+        for i in range(k)
+    ])
+    return df.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_probe(
+    build_df: DataFrame,
+    probe_df: DataFrame,
+    build_key: str,
+    probe_key: str,
+    k: int = 3,
+    m: int = 4096,
+) -> DataFrame:
+    """Probe every key of ``probe_df`` against the Bloom filter built
+    from ``build_df``: member ⇔ all ``k`` bit positions are set. No
+    false negatives; false positives at the classic
+    (1 − e^{−kn/m})^k rate — returned explicitly alongside exact
+    membership so the caller sees them.
+
+    The bit set (≤ m rows ≈ KBs) broadcasts; the probe side computes
+    its k positions in-row and left-joins — at 100 TB this is the
+    join-pruning pattern: discard probe rows that cannot match before
+    the expensive join.
+
+    Output: (key, bloom_member, actual_member, false_positive) —
+    flags as bigint 0/1.
+    """
+    bits = bloom_bits(build_df, build_key, k, m)
+    key = F.col(probe_key).cast("string")
+    probes = probe_df.select(F.col(probe_key).alias("key")).distinct().select(
+        "key",
+        F.explode(F.array(*[
+            (F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("key").cast("string"))), 1, 5), 16, 10)
+             .cast("bigint") % m)
+            for i in range(k)
+        ])).alias("bit"),
+    )
+    matched = (
+        probes.join(F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left")
+        .groupBy("key")
+        .agg((F.count("__set") == k).cast("bigint").alias("bloom_member"))
+    )
+    actual = build_df.select(
+        F.col(build_key).alias("key"), F.lit(1).alias("__in")
+    ).distinct()
+    return (
+        matched.join(actual, "key", "left")
+        .select(
+            "key",
+            "bloom_member",
+            F.when(F.col("__in").isNotNull(), 1).otherwise(0).cast("bigint").alias("actual_member"),
+        )
+        .withColumn(
+            "false_positive",
+            ((F.col("bloom_member") == 1) & (F.col("actual_member") == 0)).cast("bigint"),
+        )
+    )
