@@ -249,11 +249,18 @@ _NGRAM_SQL = (
     "SELECT id_a, id_b, shared, union_size, jaccard FROM jac WHERE jaccard >= 0.1"
 )
 
+# 32-bit SimHash SQL fragments, generated so every entry shares the
+# exact fingerprint definition (bit j votes by md5 hex digit j+1; same
+# as operators/dedup.simhash_fingerprint). 32 bits everywhere — the
+# 16-bit space is collision-dominated beyond ~10M docs.
+_N_SIMHASH_BITS = 32
 _SIMHASH_VOTES = ", ".join(
     f"SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v{j}"
-    for j in range(16)
+    for j in range(_N_SIMHASH_BITS)
 )
-_SIMHASH_FP = " + ".join(f"CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(16))
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(_N_SIMHASH_BITS)
+)
 _SIMHASH_SQL = (
     f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
     f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
@@ -261,6 +268,33 @@ _SIMHASH_SQL = (
     "SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id FROM fp "
     "GROUP BY simhash HAVING COUNT(*) >= 2"
 )
+
+# Banded Hamming-distance near-dup pairs (pigeonhole: k+1 bands, one
+# must match exactly for distance <= k). Mirrors
+# operators/dedup.simhash_hamming_pairs at max_hamming=3: 4 bands of
+# 8 bits over the 32-bit fingerprint.
+_HAM_K = 3
+_HAM_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {i} AS band_id, "
+    f"(simhash >> {8 * i}) & 255 AS band_val FROM fp"
+    for i in range(_HAM_K + 1)
+)
+_SIMHASH_HAMMING_SQL = (
+    f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes), "
+    f"band AS ({_HAM_BANDS}), "
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "a.simhash AS fa, b.simhash AS fb FROM band a JOIN band b "
+    "ON a.band_id = b.band_id AND a.band_val = b.band_val "
+    "AND a.doc_id < b.doc_id) "
+    "SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming "
+    f"FROM cand WHERE bit_count(xor(fa, fb)) <= {_HAM_K}"
+)
+
+
+def _simhash_hamming_fn(spark, sf_dir):
+    return D.simhash_hamming_pairs(_docs(spark, sf_dir), max_hamming=_HAM_K)
 
 _EMB_DUP_SQL = (
     f"WITH {_SCALED_V} "
@@ -826,12 +860,10 @@ def _dedup_lev_fn(spark, sf_dir):
 # SimHash-blocked edit-distance verification: 32-bit fp voting (all
 # md5 digits) for high-resolution blocking, pairs within buckets,
 # DuckDB's levenshtein == Spark's (classic DP, integer-exact).
-_SIMHASH_VOTES32 = "SUM(CASE WHEN substr(md5(tok), 1, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v0, SUM(CASE WHEN substr(md5(tok), 2, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v1, SUM(CASE WHEN substr(md5(tok), 3, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v2, SUM(CASE WHEN substr(md5(tok), 4, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v3, SUM(CASE WHEN substr(md5(tok), 5, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v4, SUM(CASE WHEN substr(md5(tok), 6, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v5, SUM(CASE WHEN substr(md5(tok), 7, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v6, SUM(CASE WHEN substr(md5(tok), 8, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v7, SUM(CASE WHEN substr(md5(tok), 9, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v8, SUM(CASE WHEN substr(md5(tok), 10, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v9, SUM(CASE WHEN substr(md5(tok), 11, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v10, SUM(CASE WHEN substr(md5(tok), 12, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v11, SUM(CASE WHEN substr(md5(tok), 13, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v12, SUM(CASE WHEN substr(md5(tok), 14, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v13, SUM(CASE WHEN substr(md5(tok), 15, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v14, SUM(CASE WHEN substr(md5(tok), 16, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v15, SUM(CASE WHEN substr(md5(tok), 17, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v16, SUM(CASE WHEN substr(md5(tok), 18, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v17, SUM(CASE WHEN substr(md5(tok), 19, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v18, SUM(CASE WHEN substr(md5(tok), 20, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v19, SUM(CASE WHEN substr(md5(tok), 21, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v20, SUM(CASE WHEN substr(md5(tok), 22, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v21, SUM(CASE WHEN substr(md5(tok), 23, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v22, SUM(CASE WHEN substr(md5(tok), 24, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v23, SUM(CASE WHEN substr(md5(tok), 25, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v24, SUM(CASE WHEN substr(md5(tok), 26, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v25, SUM(CASE WHEN substr(md5(tok), 27, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v26, SUM(CASE WHEN substr(md5(tok), 28, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v27, SUM(CASE WHEN substr(md5(tok), 29, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v28, SUM(CASE WHEN substr(md5(tok), 30, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v29, SUM(CASE WHEN substr(md5(tok), 31, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v30, SUM(CASE WHEN substr(md5(tok), 32, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS v31"
-_SIMHASH_FP32 = "CASE WHEN v0 > 0 THEN 1 ELSE 0 END + CASE WHEN v1 > 0 THEN 2 ELSE 0 END + CASE WHEN v2 > 0 THEN 4 ELSE 0 END + CASE WHEN v3 > 0 THEN 8 ELSE 0 END + CASE WHEN v4 > 0 THEN 16 ELSE 0 END + CASE WHEN v5 > 0 THEN 32 ELSE 0 END + CASE WHEN v6 > 0 THEN 64 ELSE 0 END + CASE WHEN v7 > 0 THEN 128 ELSE 0 END + CASE WHEN v8 > 0 THEN 256 ELSE 0 END + CASE WHEN v9 > 0 THEN 512 ELSE 0 END + CASE WHEN v10 > 0 THEN 1024 ELSE 0 END + CASE WHEN v11 > 0 THEN 2048 ELSE 0 END + CASE WHEN v12 > 0 THEN 4096 ELSE 0 END + CASE WHEN v13 > 0 THEN 8192 ELSE 0 END + CASE WHEN v14 > 0 THEN 16384 ELSE 0 END + CASE WHEN v15 > 0 THEN 32768 ELSE 0 END + CASE WHEN v16 > 0 THEN 65536 ELSE 0 END + CASE WHEN v17 > 0 THEN 131072 ELSE 0 END + CASE WHEN v18 > 0 THEN 262144 ELSE 0 END + CASE WHEN v19 > 0 THEN 524288 ELSE 0 END + CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END + CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END + CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END + CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END + CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END + CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END + CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END + CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END + CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END + CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END + CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END + CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END"
 _DEDUP_LEV_SQL = (
     f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
-    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES32} FROM dt GROUP BY doc_id), "
-    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP32} AS BIGINT) AS simhash FROM votes), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes), "
     "s AS (SELECT fp.doc_id, fp.simhash, d.text FROM fp "
     "JOIN documents d USING (doc_id)), "
     "canon AS (SELECT simhash, MIN(doc_id) AS keep_id FROM s "
@@ -857,6 +889,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_levenshtein": QuerySpec(_dedup_lev_fn, _DEDUP_LEV_SQL),
     "dedup_minhash_lsh": QuerySpec(_minhash_fn, _MINHASH_SQL),
     "dedup_simhash": QuerySpec(_simhash_fn, _SIMHASH_SQL),
+    # extension: banded Hamming<=k near-dup pairs (pigeonhole bands,
+    # exact recall; Manku et al. WWW'07)
+    "dedup_simhash_hamming": QuerySpec(_simhash_hamming_fn, _SIMHASH_HAMMING_SQL),
     "dedup_ngram_jaccard": QuerySpec(_ngram_fn, _NGRAM_SQL),
     "dedup_embedding": QuerySpec(_emb_dup_fn, _EMB_DUP_SQL),
     # similarity search

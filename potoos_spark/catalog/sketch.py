@@ -53,11 +53,13 @@ def _cms_fn(spark, sf_dir):
 # Count-Min point queries for every distinct user: depth-4 × width-64
 # counters from md5-derived hashes (h_j = int(md5(j|key)[:4],16) % 64),
 # estimate = min over rows — deterministic, so exact cross-engine match.
-_CMS_HASH = "CAST('0x' || substr(md5('{j}|' || CAST(user_id AS VARCHAR)), 1, 4) AS INT) % 64"
+# The hash template takes the probed column as a {col} placeholder so
+# build/probe sides stay in sync by construction.
+_CMS_HASH = "CAST('0x' || substr(md5('{j}|' || CAST({col} AS VARCHAR)), 1, 4) AS INT) % 64"
 _CMS_SQL = (
     "WITH cells AS ("
     + " UNION ALL ".join(
-        f"SELECT {j} AS j, {_CMS_HASH.format(j=j)} AS bucket FROM events"
+        f"SELECT {j} AS j, {_CMS_HASH.format(j=j, col='user_id')} AS bucket FROM events"
         for j in range(4)
     )
     + "), counters AS (SELECT j, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2), "
@@ -66,7 +68,7 @@ _CMS_SQL = (
     + " UNION ALL ".join(
         "SELECT key, exact_cnt, "
         f"{j} AS j, "
-        + _CMS_HASH.format(j=j).replace("user_id", "key")
+        + _CMS_HASH.format(j=j, col="key")
         + " AS bucket FROM exact"
         for j in range(4)
     )
@@ -81,14 +83,20 @@ _CMS_SQL = (
 def _bloom_fn(spark, sf_dir):
     cust = table(spark, sf_dir, "customer")
     build = cust.filter(F.col("c_acctbal") > 5000)
-    return bloom_probe(build, cust, "c_custkey", "c_custkey", k=3, m=4096)
+    return bloom_probe(build, cust, "c_custkey", "c_custkey", k=3, m=_BLOOM_M)
 
 
 # Bloom membership for every customer against the filter built from
 # c_acctbal > 5000: 3 bit positions from md5 (int(md5(i|key)[:5],16)
-# % 4096); member ⇔ all 3 set. False positives surface explicitly.
+# % m); member ⇔ all 3 set. False positives surface explicitly.
+# m is sized for the sf0.1 build side (~8k keys): m=65536 keeps the
+# fill ratio ~31% (FP rate ~3% at k=3) so the entry still exercises
+# membership discrimination instead of saturating; the Spark operator
+# and the SQL oracle share the constant.
+_BLOOM_M = 65536
 _BLOOM_BIT = (
-    "CAST('0x' || substr(md5('{i}|' || CAST({key} AS VARCHAR)), 1, 5) AS BIGINT) % 4096"
+    "CAST('0x' || substr(md5('{i}|' || CAST({key} AS VARCHAR)), 1, 5) AS BIGINT) "
+    f"% {_BLOOM_M}"
 )
 _BLOOM_SQL = (
     "WITH bits AS (SELECT DISTINCT bit FROM ("

@@ -11,8 +11,9 @@ aggregations — no cross product anywhere.
   documents sharing a band) → exact-Jaccard verification on candidates
   only. At 100 TB the band join is the classic LSH bucket join; band/row
   counts tune recall vs candidate volume.
-* SimHash: bit-voting over token hashes → equality join on the 16-bit
-  fingerprint (or a banded Hamming join for distance > 0).
+* SimHash: bit-voting over token hashes → equality join on the 32-bit
+  fingerprint (or the pigeonhole banded Hamming join,
+  ``simhash_hamming_pairs``, for distance > 0).
 * n-gram Jaccard: inverted-index join on shingles (pairs sharing at
   least one shingle), count-based exact Jaccard — prunes the quadratic
   pair space to co-occurring docs.
@@ -208,8 +209,11 @@ def minhash_dedup_pairs(
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # cand_ids volume is tuning-dependent (loose band/row settings on a
+    # dup-heavy corpus inflate it), so no forced broadcast hint: the
+    # plain semi-shape join lets AQE broadcast only when actually small.
     doc_sets = (
-        sh.join(F.broadcast(cand_ids), id_col)
+        sh.join(cand_ids, id_col)
         .groupBy(id_col)
         .agg(F.collect_set("s").alias("ss"), F.count("*").alias("sz"))
     ).persist()
@@ -230,15 +234,16 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash_fingerprint(hashes: Column, n_bits: int = 16) -> Column:
+def simhash_fingerprint(hashes: Column, n_bits: int = 32) -> Column:
     """n_bits-bit SimHash (n_bits ≤ 32) from a pre-materialized
     md5-per-distinct-token array column, explode-free: bit j votes
     +1/-1 by the j-th hex digit of each hash (same fingerprint
     definition as ``dedup.simhash``). ONE fold computes all votes as an
     accumulator array — pass the hash array as a real column (not an
-    inline expression) so it is computed once, not per vote. 32 bits
-    (every md5 hex digit) is the high-resolution blocking key for
-    verification joins; 16 is the near-dup grouping default."""
+    inline expression) so it is computed once, not per vote. The 32-bit
+    default (every md5 hex digit) is the scale-safe key: a 16-bit space
+    is collision-dominated beyond ~10M docs (65,536 buckets), so
+    narrower widths are only for explicitly local/toy use."""
     n = int(n_bits)
     votes = F.aggregate(
         hashes,
@@ -262,8 +267,13 @@ def simhash_fingerprint(hashes: Column, n_bits: int = 16) -> Column:
     return fp.cast("bigint")
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash per document, computed fully in-row (one fold over
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash per document, computed fully in-row (one fold over
     the distinct-token md5 array — no explode, no shuffle): bit j votes
     +1/-1 by the j-th hex digit of each distinct token's md5 (MSB of the
     nibble); fingerprint is the weighted-majority bit vector as bigint.
@@ -276,21 +286,97 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.size("__hs") > 0
     )
     return staged.select(
-        F.col(id_col), simhash_fingerprint(F.col("__hs")).alias("simhash")
+        F.col(id_col),
+        simhash_fingerprint(F.col("__hs"), n_bits).alias("simhash"),
     )
 
 
 def simhash_dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-dup groups = docs sharing an identical SimHash fingerprint
-    (Hamming distance 0 buckets; banded fingerprints generalize to
-    distance > 0)."""
+    """Near-dup groups = docs sharing an identical 32-bit SimHash
+    fingerprint (Hamming distance 0 buckets — 4.3B key space, so groups
+    are vote-identical documents, not hash collisions, even at
+    billions of docs; ``simhash_hamming_pairs`` generalizes to
+    distance > 0 via banded keys)."""
     s = simhash(df, text_col, id_col)
     return (
         s.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hamming`` on the
+    n_bits-bit SimHash — the banded generalization of
+    ``simhash_dup_groups`` that also catches near-dups whose
+    fingerprints differ in up to ``max_hamming`` bits.
+
+    Pigeonhole banding (Manku et al., WWW'07 "Detecting Near-Duplicates
+    for Web Crawling"): split the fingerprint into ``max_hamming + 1``
+    contiguous bit bands — two fingerprints within Hamming distance k
+    MUST agree exactly on at least one band, so candidates are found by
+    an equality self-join per (band_id, band_value) and recall is exact
+    (no probabilistic misses, unlike MinHash banding). Verification is
+    ``bit_count(xor)`` on candidates only.
+
+    100 TB shape: the join touches only docs sharing an ~(n_bits/(k+1))-
+    bit band key — never all-pairs; band values spread uniformly so the
+    per-bucket fan-in is corpus_size / 2^band_width per band. The xor
+    verify is a pure in-row integer op (whole-stage codegen).
+
+    Output: (id_a, id_b, hamming) with hamming ≤ max_hamming
+    (0 = identical fingerprints).
+    """
+    k = int(max_hamming)
+    n_bands = k + 1
+    base = n_bits // n_bands
+    extra = n_bits % n_bands
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    s = simhash(df, text_col, id_col, n_bits)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(band_vals).alias("band_id", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__fa"),
+            F.col("b.simhash").alias("__fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).cast("bigint")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= k)
+        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -358,7 +444,7 @@ def dup_components(
 ) -> DataFrame:
     """Transitive near-duplicate components: connected components over
     the union of the exact-content relation (shared md5 of normalized
-    text) and the SimHash near-dup relation (shared 16-bit
+    text) and the SimHash near-dup relation (shared 32-bit
     fingerprint). A doc that exact-matches B while B simhash-matches C
     lands all three in one component — the multi-hop closure that
     pairwise dedup misses.
@@ -445,6 +531,15 @@ def levenshtein_pairs(
     (3) the length-difference lower bound prunes before the O(len²) DP,
     which runs JVM-side on what remains.
 
+    The canonicals join is a plain shuffle join on ``simhash`` — one
+    row per duplicate-containing block INCLUDING canonical text is
+    corpus-proportional on a dup-heavy corpus, so a forced broadcast
+    would OOM the driver at scale; AQE still auto-broadcasts it when
+    it measures small. Skew note: a pathological block (one template
+    duplicated millions of times) concentrates on one ``simhash`` key —
+    AQE skew-join splits the probe side, and the canonical side is one
+    row per key so the join itself cannot amplify.
+
     Output: (keep_id, doc_id, distance) — doc verified as a near-dup of
     its block canonical, distance ≤ max_distance.
     """
@@ -462,7 +557,7 @@ def levenshtein_pairs(
         F.min_by(text_col, F.col(id_col)).alias("__ktext"),
         F.count("*").alias("__n"),
     ).filter(F.col("__n") >= 2)
-    pairs = s.join(F.broadcast(canon), "simhash").filter(
+    pairs = s.join(canon, "simhash").filter(
         (F.col(id_col) != F.col("keep_id"))
         # length-difference lower bound: |len_a - len_b| <= d is implied
         # by distance <= d, so this prunes before the O(len^2) DP

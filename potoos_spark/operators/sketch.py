@@ -166,7 +166,6 @@ def count_min_estimate(
     Output: (key, exact_cnt, cms_estimate, overestimate).
     """
     counters = count_min_counters(df, key_col, depth, width)
-    k = F.col(key_col).cast("string")
     exact = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count("*").alias("exact_cnt")
     )
@@ -241,7 +240,6 @@ def bloom_probe(
     flags as bigint 0/1.
     """
     bits = bloom_bits(build_df, build_key, k, m)
-    key = F.col(probe_key).cast("string")
     probes = probe_df.select(F.col(probe_key).alias("key")).distinct().select(
         "key",
         F.explode(F.array(*[

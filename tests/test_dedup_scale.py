@@ -1,0 +1,85 @@
+"""Scale-shape regressions for the dedup funnel (VERDICT r2 items 1-2):
+
+* no *forced* broadcast hints anywhere in the near-dup pipelines — the
+  canonicals/candidate sides are corpus-proportional on dup-heavy data,
+  so the plans must leave broadcast-vs-shuffle to AQE;
+* the banded Hamming join is an equality hash join (never a cartesian)
+  and its pigeonhole recall is exact: every pair within Hamming <= k is
+  found, verified against an in-driver brute-force over the same
+  fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from potoos_spark.operators.dedup import (
+    levenshtein_pairs,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_dup_groups,
+    simhash_hamming_pairs,
+)
+from tests.conftest import SF_DIR
+from tests.test_plans import _plan
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_levenshtein_canon_join_not_forced_broadcast(spark):
+    df = levenshtein_pairs(_docs(spark))
+    # no broadcast hint survives analysis: AQE decides at runtime
+    assert "ResolvedHint" not in _analyzed(df)
+    # the blocking join is keyed on the 32-bit fingerprint
+    assert "simhash" in _plan(df)
+
+
+def test_minhash_pipeline_not_forced_broadcast(spark):
+    df = minhash_dedup_pairs(_docs(spark))
+    assert "ResolvedHint" not in _analyzed(df)
+
+
+def test_simhash_hamming_is_equality_join(spark):
+    df = simhash_hamming_pairs(_docs(spark), max_hamming=3)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_val" in plan  # candidate join keyed on the band value
+
+
+def test_simhash_hamming_exact_recall_vs_bruteforce(spark):
+    docs = _docs(spark).limit(400)
+    k = 3
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs).collect()
+    }
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= k
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_hamming_pairs(docs, max_hamming=k).collect()
+    }
+    # pigeonhole banding has NO false negatives (and verify removes all
+    # false positives) so the result is exactly the brute-force set
+    assert got == want
+
+
+def test_simhash_hamming_zero_contains_dup_groups(spark):
+    docs = _docs(spark)
+    groups = simhash_dup_groups(docs)
+    n_grouped = groups.agg(
+        F.sum(F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("bigint").alias("p")
+    ).collect()[0]["p"]
+    pairs0 = simhash_hamming_pairs(docs, max_hamming=0).count()
+    assert pairs0 == (n_grouped or 0)
