@@ -228,7 +228,26 @@ def _mm_meta_fn(spark, sf_dir):
 
 
 def _mm_decode_fn(spark, sf_dir):
-    return M.decode_features(M.attach_binary(_docs(spark, sf_dir)), fake=True)
+    # default kernel = deterministic byte-stats stub
+    return M.decode_features(M.attach_binary(_docs(spark, sf_dir)))
+
+
+def _mm_byte_histogram_fn(spark, sf_dir):
+    return M.byte_histogram(M.attach_binary(_docs(spark, sf_dir)))
+
+
+# Byte histogram through the pluggable batch-kernel interface. The
+# documents are ASCII (verified per-sf), so byte value == char code and
+# the oracle can walk char positions: bin = ord // 16, one row per
+# non-empty (doc, bin).
+_MM_BYTE_HISTOGRAM_SQL = (
+    "WITH pos AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS i "
+    "FROM documents), "
+    "b AS (SELECT p.doc_id, ord(substr(d.text, CAST(p.i AS INT), 1)) // 16 AS bin "
+    "FROM pos p JOIN documents d USING (doc_id)) "
+    "SELECT doc_id, CAST(bin AS BIGINT) AS bin, COUNT(*) AS cnt "
+    "FROM b GROUP BY doc_id, bin"
+)
 
 
 # --- SQL oracles ----------------------------------------------------------
@@ -932,4 +951,9 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_decode": QuerySpec(_mm_decode_fn, _MM_DECODE_SQL),
     # extension: strided frame-sampling plumbing (video-style sampler)
     "multimodal_framesample": QuerySpec(_mm_framesample_fn, _MM_FRAMESAMPLE_SQL),
+    # extension: nontrivial batch kernel through the pluggable decode
+    # interface (numpy bincount over Arrow batches; byte-level oracle)
+    "multimodal_byte_histogram": QuerySpec(
+        _mm_byte_histogram_fn, _MM_BYTE_HISTOGRAM_SQL
+    ),
 }

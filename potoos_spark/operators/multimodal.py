@@ -3,16 +3,19 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so each partition streams record batches without
-row-at-a-time Python. The decode step itself is STUBBED (no image/audio
-libraries in this environment): ``decode_features(..., fake=True)``
-produces deterministic per-payload features so the Spark-side plumbing
-— schema, batching, partition behavior — is real and testable, while
-``fake=False`` raises NotImplementedError where a codec would plug in.
+row-at-a-time Python. The decode step is a PLUGGABLE KERNEL:
+``decode_features(df, payload_fn=..., schema=...)`` runs any
+user-supplied per-payload Python function (a production build passes a
+PIL/libav decode there — no image/audio libraries exist in this
+environment, so the default kernel computes deterministic byte-level
+features instead); ``kernel=`` accepts a full batch-level
+``Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]`` for vectorized or
+multi-row-per-payload decoders (see ``byte_histogram``).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator, Optional
 
 import pandas as pd
 
@@ -42,48 +45,111 @@ def attach_binary(
     )
 
 
-def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
-    """Decode payloads → per-item features via mapInPandas.
-
-    With ``fake=True`` (the only mode available here), features are
-    deterministic functions of the raw bytes (length, checksum, mean
-    byte value, a fake frame count) standing in for real
-    decode/resize/frame-sample output. A production build replaces the
-    kernel body with PIL/libav calls — the Spark plumbing (Arrow
-    batches, schema, partitioning) is identical.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "real decoders (PIL/av) are not available in this environment; "
-            "use fake=True for the deterministic stub"
-        )
-
+def default_byte_stats(payload: bytes) -> dict:
+    """The default per-payload kernel: deterministic byte-level features
+    (length, checksum, mean byte value, a fake frame count) standing in
+    for real decode/resize/frame-sample output in this codec-less
+    environment. A production build swaps in a PIL/libav function of the
+    same signature — the Spark plumbing is identical."""
     import hashlib
+
+    b = bytes(payload)
+    return {
+        "byte_len": len(b),
+        "checksum": hashlib.md5(b).hexdigest(),
+        "mode_guess": "binary" if any(c > 127 for c in b) else "ascii",
+        "mean_byte": float(sum(b)) / max(len(b), 1),
+        "frames": max(1, len(b) // 64),
+    }
+
+
+def decode_features(
+    df: DataFrame,
+    payload_fn: Optional[Callable[[bytes], dict]] = None,
+    kernel: Optional[
+        Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]
+    ] = None,
+    schema: str = FEATURE_SCHEMA,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode payloads → features via an Arrow-batched ``mapInPandas``
+    with a user-supplied kernel.
+
+    Two plug-in levels:
+
+    * ``payload_fn``: ``bytes -> dict`` of feature values — the simple
+      interface for one-row-per-payload decoders (image metadata,
+      resize-and-embed, audio fingerprints). Wrapped here into a batch
+      loop; ``schema`` must list ``id_col`` first, then the dict keys.
+    * ``kernel``: a full ``Iterator[pd.DataFrame] ->
+      Iterator[pd.DataFrame]`` for vectorized (numpy-over-Arrow) or
+      multi-row-per-payload decoders (frame extraction, histograms).
+      Receives batches of (id_col, payload_col); must yield frames
+      matching ``schema``.
+
+    Defaults to the deterministic ``default_byte_stats`` stub so the
+    plumbing stays testable without codec libraries. At 100 TB this is
+    the canonical Python-boundary shape: one projection before the
+    Python exchange (only id + payload cross), Arrow record batches,
+    no row-at-a-time serialization.
+    """
+    if kernel is None:
+        fn = payload_fn or default_byte_stats
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out = pd.DataFrame([fn(bytes(b)) for b in pdf[payload_col]])
+                out.insert(0, id_col, pdf[id_col].values)
+                yield out
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+BYTE_HISTOGRAM_SCHEMA = "doc_id bigint, bin bigint, cnt bigint"
+
+
+def byte_histogram(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Coarse byte histogram per payload — a nontrivial multi-row
+    batch kernel through the pluggable ``decode_features`` interface:
+    16 bins by high nibble (bin = byte >> 4), one output row per
+    non-empty bin. The numpy ``bincount`` over the concatenated batch
+    is the vectorized shape a real feature extractor uses — per-batch
+    array math, not per-payload Python loops.
+
+    Output: (id_col, bin, cnt) with cnt > 0; empty payloads yield no
+    rows (mirrors the char-position SQL oracle).
+    """
+    import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "byte_len": payloads.map(len).astype("int64"),
-                    "checksum": payloads.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
-                    ),
-                    "mode_guess": payloads.map(
-                        lambda b: "binary" if any(c > 127 for c in bytes(b)) else "ascii"
-                    ),
-                    "mean_byte": payloads.map(
-                        lambda b: float(sum(bytes(b))) / max(len(b), 1)
-                    ),
-                    "frames": payloads.map(lambda b: max(1, len(b) // 64)).astype(
-                        "int64"
-                    ),
-                }
+            ids, bins, cnts = [], [], []
+            for i, b in zip(pdf[id_col].values, pdf[payload_col]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if arr.size == 0:
+                    continue
+                hist = np.bincount(arr >> 4, minlength=16)
+                nz = np.nonzero(hist)[0]
+                ids.extend([i] * len(nz))
+                bins.extend(nz.tolist())
+                cnts.extend(hist[nz].tolist())
+            yield pd.DataFrame(
+                {id_col: ids, "bin": bins, "cnt": cnts},
+                dtype="int64",
             )
-            yield out
 
-    return df.select("doc_id", "payload").mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    return decode_features(
+        df,
+        kernel=kernel,
+        schema=BYTE_HISTOGRAM_SCHEMA,
+        id_col=id_col,
+        payload_col=payload_col,
+    )
 
 
 def frame_sample(
