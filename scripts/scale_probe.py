@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""sf0.1 → sf1 scaling probe (VERDICT r2 item 5): replicate the sf0.1
+tables 10× into a scratch dir, run the top-5 bench queries at both
+scales, and report per-query wall-clock ratios + scaling exponents
+(log10 of the ratio; 1.0 = perfectly linear in rows).
+
+Replication keeps the data *statistically* sf1-like rather than
+literally duplicated where duplication would change the algorithmic
+shape:
+
+* documents: each replica r appends a replica token to the text and
+  offsets doc_id — otherwise every doc becomes a 10-member exact-dup
+  cluster and near-dup candidate volume scales quadratically, which is
+  a different (adversarial) workload, not sf1;
+* lineitem/orders: orderkeys offset per replica (join keys stay
+  consistent, group cardinalities scale like real sf growth);
+* events/embeddings: id offset per replica;
+* dims (region/nation/customer/supplier/part): copied as-is — dims
+  grow sublinearly in TPC-H-style schemas and the queries only read
+  them as broadcast sides.
+
+Usage: python scripts/scale_probe.py [--keep]
+Writes nothing under /root/repo except stdout; scratch lives in
+/tmp/potoos_sf1_probe (Spark scratch space).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from potoos_spark.catalog import CATALOG  # noqa: E402
+from potoos_spark.session import get_session  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = "/tmp/potoos_sf1_probe"
+N_REP = 10
+OFFSET = 100_000_000
+
+QUERIES = [
+    "corpus_curate_e2e",
+    "text_top_terms",
+    "q5_region_volume",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
+]
+
+COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def replicate(spark):
+    if os.path.isdir(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    for t in COPY_AS_IS:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+    def write(df, name):
+        df.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+
+    def reps(df, fn):
+        out = None
+        for r in range(N_REP):
+            d = fn(df, r)
+            out = d if out is None else out.unionAll(d)
+        return out
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    write(
+        reps(
+            docs,
+            lambda d, r: d.select(
+                (F.col("doc_id") + r * OFFSET).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" replica{r}")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + F.lit(len(f" replica{r}"))).alias("n_chars"),
+            ),
+        ),
+        "documents",
+    )
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    write(
+        reps(
+            li,
+            lambda d, r: d.withColumn(
+                "l_orderkey", F.col("l_orderkey") + r * OFFSET
+            ),
+        ),
+        "lineitem",
+    )
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    write(
+        reps(
+            orders,
+            lambda d, r: d.withColumn(
+                "o_orderkey", F.col("o_orderkey") + r * OFFSET
+            ),
+        ),
+        "orders",
+    )
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    write(
+        reps(ev, lambda d, r: d.withColumn("event_id", F.col("event_id") + r * OFFSET)),
+        "events",
+    )
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    write(
+        reps(emb, lambda d, r: d.withColumn("vec_id", F.col("vec_id") + r * OFFSET)),
+        "embeddings",
+    )
+
+
+def run_one(spark, name, sf_dir, repeats=2):
+    fn = CATALOG[name].fn
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import math
+
+    spark = get_session("scale_probe")
+    print("replicating sf0.1 x10 ->", DST, file=sys.stderr)
+    replicate(spark)
+    rows = []
+    for name in QUERIES:
+        t_small = run_one(spark, name, SRC)
+        t_big = run_one(spark, name, DST)
+        ratio = t_big / t_small
+        rows.append((name, t_small, t_big, ratio, math.log10(ratio)))
+        print(
+            f"{name:22s} sf0.1={t_small:6.2f}s sf1={t_big:7.2f}s "
+            f"ratio={ratio:5.2f} exp={math.log10(ratio):4.2f}",
+            flush=True,
+        )
+    if "--keep" not in sys.argv:
+        shutil.rmtree(DST, ignore_errors=True)
+    print("| query | sf0.1 s | sf1 s | ratio | exponent |")
+    print("|---|---|---|---|---|")
+    for n, a, b, r, e in rows:
+        print(f"| {n} | {a:.2f} | {b:.2f} | {r:.2f}x | {e:.2f} |")
+
+
+if __name__ == "__main__":
+    main()

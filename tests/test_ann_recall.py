@@ -51,6 +51,37 @@ def test_lsh_multi_table_recall(spark, embeddings, exact):
     assert r >= 0.5, f"multi-table LSH recall@{K} collapsed to {r:.2f}"
 
 
+@pytest.mark.parametrize("n_bits", [4, 8])
+def test_lsh_recall_sweep_monotone_in_tables(spark, embeddings, exact, n_bits):
+    """The documented geometric-miss-shrink claim (similarity.py
+    ``lsh_bucket_topk`` docstring) as a parameterized recall table:
+    table t reads a fixed dimension slice, so candidates at n_tables=t1
+    are a SUBSET of candidates at t2 > t1; with exact re-ranking,
+    recall vs the exact top-k is then deterministically non-decreasing
+    in n_tables — and the residual miss rate at 8 tables must have
+    shrunk materially from 1 table (each added table can only remove
+    misses, never add them)."""
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    recalls = [
+        _recall(
+            lsh_bucket_topk(
+                q, embeddings, k=K, n_bits=n_bits, n_tables=t
+            ).collect(),
+            exact,
+        )
+        for t in (1, 2, 4, 8)
+    ]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), (n_bits, recalls)
+    # the shrink-per-table depends on the per-table collision rate:
+    # wide buckets (4 bits -> 16 buckets) collide often, so 8 tables
+    # must cut the miss rate hard; narrow buckets (8 bits -> 256
+    # buckets over ~1k vectors) collide rarely, so require strict
+    # improvement at the ~miss^t independent-tables rate instead
+    miss_1, miss_8 = 1 - recalls[0], 1 - recalls[-1]
+    shrink = {4: 0.6, 8: 0.92}[n_bits]
+    assert miss_8 <= shrink * miss_1 or recalls[-1] >= 0.95, (n_bits, recalls)
+
+
 def test_lsh_tables_raise_recall(spark, embeddings, exact):
     # the documented recall lever must actually lever
     q = embeddings.filter(F.col("vec_id") < N_QUERIES)

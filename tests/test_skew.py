@@ -68,3 +68,114 @@ def test_salted_join_row_identical_to_plain_join(spark):
     got = sorted(tuple(r) for r in salted_join(facts, dim, "k").collect())
     want = sorted(tuple(r) for r in facts.join(dim, "k").collect())
     assert got == want
+
+
+# --- skewed-series stress (VERDICT r2 item 8) ------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed_series(spark):
+    """One series holds 50% of all rows (the hot-key shape a shared
+    multi-tenant metric table develops at scale)."""
+    hot = spark.range(100_000).select(
+        F.lit("hot").alias("series_key"),
+        (1_000_000 + F.col("id") * 10).alias("ts_ms"),
+        (F.col("id") % 101).cast("double").alias("value"),
+        F.col("id").alias("seq"),
+    )
+    cold = spark.range(100_000).select(
+        F.concat(F.lit("c"), F.col("id") % 50).alias("series_key"),
+        (1_000_000 + F.col("id") * 10).alias("ts_ms"),
+        (F.col("id") % 7).cast("double").alias("value"),
+        F.col("id").alias("seq"),
+    )
+    return hot.unionAll(cold)
+
+
+def test_count_limit_on_skewed_series(spark, skewed_series):
+    """apply_count_limit must return exactly `count` newest points per
+    series regardless of one series dominating the shuffle partition,
+    and the answer must not depend on the input partitioning."""
+    from potoos_spark.config import TimeSeriesConfig
+    from potoos_spark.operators.retrieval import apply_count_limit
+
+    cfg = TimeSeriesConfig(count=25, reversed=True)
+    out = apply_count_limit(skewed_series, cfg)
+    counts = {
+        r["series_key"]: r["n"]
+        for r in out.groupBy("series_key").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["hot"] == 25 and all(v == 25 for v in counts.values())
+    hot_max = out.filter(F.col("series_key") == "hot").agg(
+        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+    ).collect()[0]
+    # newest-first cap: the kept window is the top of the hot series
+    assert hot_max["hi"] == 1_000_000 + 99_999 * 10
+    assert hot_max["lo"] == 1_000_000 + (99_999 - 24) * 10
+    repart = apply_count_limit(skewed_series.repartition(13), cfg)
+    assert sorted(map(tuple, repart.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_sequential_detector_on_skewed_series(spark, skewed_series):
+    """The Arrow-batched sequential kernel must stream the hot series
+    (one group = 100k points) without error, emit one score per input
+    point, and produce partitioning-independent scores."""
+    from potoos_spark.detectors.sequential import exp_avg_detector
+
+    scored = exp_avg_detector(skewed_series)
+    per_series = {
+        r["series_key"]: r["n"]
+        for r in scored.groupBy("series_key").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_series["hot"] == 100_000
+    assert sum(per_series.values()) == 200_000
+    a = scored.filter(F.col("series_key") == "hot").agg(
+        F.sum("score").alias("s")
+    ).collect()[0]["s"]
+    b = (
+        exp_avg_detector(skewed_series.repartition(17))
+        .filter(F.col("series_key") == "hot")
+        .agg(F.sum("score").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_aqe_splits_skewed_join(spark, skewed_series):
+    """With skew thresholds scaled down to local data volumes, AQE must
+    mark and split the hot partition of a shuffle join on series_key —
+    the runtime behavior SCALE.md's skew story relies on."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # NB: no manual repartition on either input — OptimizeSkewedJoin
+        # only rewrites shuffles whose origin is ENSURE_REQUIREMENTS, so a
+        # user repartition() on the dim side would silently disable it.
+        # No keyed operator downstream either (it would make the split
+        # introduce an extra shuffle, which AQE declines by default).
+        dim = spark.createDataFrame(
+            [("hot", 1.0)] + [(f"c{i}", 2.0) for i in range(50)],
+            "series_key string, weight double",
+        )
+        joined = skewed_series.join(dim, "series_key").select(
+            (F.col("value") * F.col("weight")).alias("wv")
+        )
+        rows = joined.collect()
+        assert len(rows) == 200_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+        assert "AQEShuffleRead" in final_plan and "skewed" in final_plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
