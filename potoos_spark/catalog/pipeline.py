@@ -795,6 +795,103 @@ _SOURCE_CAP_SQL = (
 )
 
 
+def _temperature_mix_fn(spark, sf_dir):
+    from ..operators.curate import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), n_keep=100)
+
+
+# alpha=0.5 source mixing: integer weights w = floor(sqrt(cnt*1e6)),
+# pure-integer quota arithmetic ceil(n*w/W) = floor((n*w + W - 1)/W)
+# (explicit floor: DuckDB's double->int cast rounds, Spark's truncates),
+# md5(id)-ordered deterministic fill.
+_TEMPERATURE_MIX_SQL = (
+    "WITH cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1), "
+    "wts AS (SELECT source, CAST(floor(sqrt(CAST(c AS DOUBLE) * 1000000.0)) "
+    "AS BIGINT) AS w FROM cnt), "
+    "tot AS (SELECT SUM(w) AS tw FROM wts), "
+    "quota AS (SELECT source, CAST(floor((100 * w + tw - 1) / "
+    "CAST(tw AS DOUBLE)) AS BIGINT) AS quota FROM wts CROSS JOIN tot), "
+    "ranked AS (SELECT source, doc_id, CAST(ROW_NUMBER() OVER "
+    "(PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) "
+    "AS BIGINT) AS rk FROM documents) "
+    "SELECT r.source, r.doc_id, r.rk, q.quota FROM ranked r "
+    "JOIN quota q USING (source) WHERE r.rk <= q.quota"
+)
+
+
+def _containment_decon_fn(spark, sf_dir):
+    from ..operators.curate import containment_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return containment_decontaminate(tr, ev, threshold=0.5)
+
+
+# Containment (|sh(d) ∩ sh(eval)| / |sh(d)|) decontamination over the
+# same eval split as corpus_decontaminate; the division is one double
+# op on two exact bigints.
+_CONTAINMENT_DECON_SQL = (
+    f"{_BASE_SH}, "
+    "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0), "
+    "tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh "
+    "WHERE doc_id % 50 <> 0 GROUP BY 1), "
+    "hits AS (SELECT sh.doc_id, COUNT(*) AS n_hit FROM sh JOIN ev USING (s) "
+    "WHERE sh.doc_id % 50 <> 0 GROUP BY 1), "
+    "j AS (SELECT d.doc_id, "
+    "CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles, "
+    "CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit "
+    "FROM documents d LEFT JOIN tot t ON t.doc_id = d.doc_id "
+    "LEFT JOIN hits h ON h.doc_id = d.doc_id WHERE d.doc_id % 50 <> 0) "
+    "SELECT doc_id, n_shingles, n_hit, "
+    "CASE WHEN n_shingles > 0 THEN CAST(n_hit AS DOUBLE) / n_shingles "
+    "ELSE 0.0 END AS containment, "
+    "CAST(CASE WHEN n_shingles > 0 THEN CAST(n_hit AS DOUBLE) / n_shingles "
+    "ELSE 0.0 END >= 0.5 AS BIGINT) AS contaminated FROM j"
+)
+
+
+def _bm25_fn(spark, sf_dir):
+    from ..operators.text import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(T.tokens("text"), 1, 5)).alias("qtext"),
+    )
+    return bm25_topk(docs, queries, k=10)
+
+
+# BM25 top-10 per query (queries = first-5-token prefixes of docs 0-2):
+# inverted-index CTE chain, Lucene IDF, identical left-associative
+# float expression on both engines, scores rounded to 9 decimals BEFORE
+# ranking so 1-ulp ln() differences cannot flip order or hash.
+_BM25_SQL = (
+    f"WITH {_TOK}, {_T}, "
+    "tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf FROM t GROUP BY 1, 2), "
+    "dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1), "
+    "stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl), "
+    "q AS (SELECT DISTINCT doc_id AS query_id, unnest(toks[1:5]) AS term "
+    "FROM tok WHERE doc_id < 3), "
+    "hits AS (SELECT q.query_id, tf.doc_id, tf.term, tf.tf FROM tf "
+    "JOIN q ON q.term = tf.term), "
+    "dft AS (SELECT term, COUNT(DISTINCT doc_id) AS dft FROM hits GROUP BY 1), "
+    "scored AS (SELECT h.query_id, h.doc_id, "
+    "ln(1.0 + (s.n_docs - d.dft + 0.5) / (d.dft + 0.5)) "
+    "* CAST(h.tf AS DOUBLE) * 2.2 / "
+    "(CAST(h.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / "
+    "(CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS sterm "
+    "FROM hits h JOIN dft d USING (term) JOIN dl ON dl.doc_id = h.doc_id "
+    "CROSS JOIN stats s), "
+    "agg AS (SELECT query_id, doc_id, round(SUM(sterm), 9) AS score "
+    "FROM scored GROUP BY 1, 2) "
+    "SELECT query_id, doc_id, score, rank FROM (SELECT *, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM agg) WHERE rank <= 10"
+)
+
+
 def _mm_framesample_fn(spark, sf_dir):
     return M.frame_sample(_docs(spark, sf_dir))
 
@@ -946,6 +1043,14 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_token_budget": QuerySpec(_token_budget_fn, _TOKEN_BUDGET_SQL),
     "corpus_decontaminate": QuerySpec(_decontaminate_fn, _DECONTAMINATE_SQL),
     "corpus_source_cap": QuerySpec(_source_cap_fn, _SOURCE_CAP_SQL),
+    # extension: alpha=0.5 temperature source mixing (integer-exact quotas)
+    "corpus_temperature_mix": QuerySpec(_temperature_mix_fn, _TEMPERATURE_MIX_SQL),
+    # extension: containment-normalized decontamination
+    "corpus_containment_decon": QuerySpec(
+        _containment_decon_fn, _CONTAINMENT_DECON_SQL
+    ),
+    # extension: BM25 inverted-index retrieval (broadcast query terms)
+    "text_bm25": QuerySpec(_bm25_fn, _BM25_SQL),
     # multimodal plumbing
     "multimodal_meta": QuerySpec(_mm_meta_fn, _MM_META_SQL),
     "multimodal_decode": QuerySpec(_mm_decode_fn, _MM_DECODE_SQL),

@@ -11,7 +11,7 @@ so the pipeline is reproducible run-to-run and cluster-size-independent
 Physical shape (the 100 TB story): ONE scan computes tokens, quality
 features, the content hash, and a SimHash fingerprint via array
 higher-order functions (no explode, no self-join — the fingerprint is
-16 in-row array folds); the two keeper stages are ranked windows over
+32 in-row array folds); the two keeper stages are ranked windows over
 the content-hash and fingerprint partitions. Total: one scan + two
 window shuffles, versus the naive five-shuffle aggregate-and-join-back
 chain. Quality thresholds mirror ``text.quality_filter`` defaults.
@@ -200,4 +200,112 @@ def source_cap(
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= int(cap))
         .select(by, id_col, "rk")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    n_keep: int,
+    id_col: str = "doc_id",
+    by: str = "source",
+) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.5): per-source quotas
+    proportional to sqrt(n_docs) — the standard multinomial-temperature
+    upsampling of small sources (mT5-style alpha sampling) — filled by
+    the deterministic md5(id)-ordered shuffle.
+
+    Exactness across engines: sqrt is IEEE-correctly-rounded, and the
+    weight is floored to an integer (w = floor(sqrt(cnt * 1e6))) BEFORE
+    the sum, so the quota arithmetic
+    ``quota = ceil(n_keep * w / W) = (n_keep*w + W - 1) div W`` is pure
+    integer — no float accumulation order can flip a boundary.
+
+    One count aggregation (broadcastable: one row per source), one
+    ranked window per source. Output: (by, id_col, rk, quota).
+    """
+    cnt = df.groupBy(by).agg(F.count("*").alias("__cnt"))
+    w_int = F.floor(F.sqrt(F.col("__cnt").cast("double") * F.lit(1_000_000.0))).cast(
+        "bigint"
+    )
+    weights = cnt.select(F.col(by), w_int.alias("__w"))
+    # total weight via an unpartitioned window over the one-row-per-
+    # source frame (sources are few; no self-join lineage). ceil(a/W) as
+    # floor((a + W - 1)/W): the double division is exact-enough below
+    # 2^53 and BOTH engines apply IEEE division + floor (explicit floor
+    # — a bare double→int cast truncates on Spark but ROUNDS on DuckDB)
+    total_w = F.sum("__w").over(W.partitionBy())
+    quota = weights.select(
+        F.col(by),
+        F.floor(
+            (F.lit(int(n_keep)) * F.col("__w") + total_w - 1) / total_w
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(by).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.select(F.col(by), F.col(id_col)).withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    )
+    return (
+        ranked.join(F.broadcast(quota), by)
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(by, id_col, "rk", "quota")
+    )
+
+
+def containment_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Containment-based decontamination: flag a training document when
+    the FRACTION of its n-gram shingles found in the eval corpus
+    reaches ``threshold`` — |sh(d) ∩ sh(eval)| / |sh(d)|. Normalizing
+    by the document's own shingle count (containment, not Jaccard)
+    catches a short eval item embedded verbatim in a long document,
+    which absolute-count rules under-flag on short docs and over-flag
+    on long ones.
+
+    Same broadcast shape as ``decontaminate``: eval shingles collect
+    distinct and broadcast; the corpus side streams through with no
+    corpus shuffle; hit and total counts combine map-side. The division
+    is one double op on two exact bigints — engine-portable. Docs with
+    no shingles (< n tokens) have containment 0.0.
+
+    Output: (id_col, n_shingles, n_hit, containment, contaminated).
+    """
+    from .dedup import shingle_frame
+
+    sh = shingle_frame(df, text_col, id_col, n)
+    ev = shingle_frame(eval_df, text_col, id_col, n).select("s").distinct()
+    totals = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        sh.join(F.broadcast(ev), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    spine = df.select(F.col(id_col))
+    out = (
+        spine.join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+    )
+    containment = F.when(
+        F.col("n_shingles") > 0,
+        F.col("n_hit").cast("double") / F.col("n_shingles").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_hit",
+        containment.alias("containment"),
+        (containment >= F.lit(float(threshold))).cast("bigint").alias("contaminated"),
     )

@@ -364,3 +364,83 @@ def top_terms(
         .filter(F.col("__rn") <= int(k))
         .select(F.col(id_col), "term", "tf", "df", "score")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    round_digits: int = 9,
+) -> DataFrame:
+    """BM25 full-text retrieval: score every document sharing at least
+    one term with each query, return the top-``k`` per query (Robertson
+    BM25 with the Lucene IDF form, ln(1 + (N - df + .5)/(df + .5))).
+
+    100 TB shape — the classic inverted-index plan, one corpus scan:
+
+    * postings (doc, term, tf) + doc lengths come from a single explode
+      + two map-side-combinable aggregations;
+    * the query term list is tiny and BROADCASTS; the postings join
+      discards every non-query term before any shuffle (semi-join
+      pruning — the corpus-side shuffle carries only matching postings);
+    * per-term document frequencies are computed on the pruned postings
+      only (df of non-query terms is never materialized);
+    * corpus constants (N, avgdl) ride along as a broadcast 1-row join,
+      never a driver collect;
+    * top-k per query is a ranked window over the (small) scored set.
+
+    Scores are rounded to ``round_digits`` decimals so the ln/division
+    float path is stable across engines (1-ulp libm differences vanish;
+    ordering uses the rounded score with doc id tiebreak). Repeated
+    query terms count once (distinct-term BM25). Output:
+    (query_id, doc_id, score, rank).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(tokens(query_text_col))).alias("term"),
+    )
+    hits = tf.join(F.broadcast(qterms), "term")
+    dft = hits.groupBy("term").agg(
+        F.count_distinct(id_col).alias("dft")
+    )
+    scored_terms = (
+        hits.join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+        / (F.col("dft") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    per_term = idf * tf_d * F.lit(k1 + 1.0) / denom
+    agg = (
+        scored_terms.select(query_id_col, id_col, per_term.alias("__s"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("__s"), round_digits).alias("score"))
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select(query_id_col, id_col, "score", "rank")
+    )

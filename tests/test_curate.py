@@ -65,3 +65,91 @@ def test_dup_components_multi_hop_transitivity(spark):
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == got[5] == 4
     assert got[6] == 6
+
+
+def test_temperature_mix_quota_shape(spark):
+    """alpha=0.5 mixing: quotas ∝ sqrt(count) — the small source gets a
+    RELATIVELY larger share than its raw proportion; fill is
+    deterministic and capped by quota; total kept ≈ n_keep."""
+    from potoos_spark.operators.curate import temperature_mix
+
+    rows = [(i, "x", "big") for i in range(900)] + [
+        (1000 + i, "x", "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    kept = temperature_mix(df, n_keep=100).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+    n_big, n_small = len(by_src["big"]), len(by_src["small"])
+    # raw shares are 90/10; sqrt shares are 75/25 — small is upsampled
+    assert n_small >= 20 and n_big <= 80
+    assert n_big + n_small >= 100  # ceil rounding may keep a couple extra
+    assert n_big + n_small <= 102
+    # deterministic across partitionings
+    again = sorted(
+        map(tuple, temperature_mix(df.repartition(7), n_keep=100).collect())
+    )
+    assert again == sorted(map(tuple, kept))
+
+
+def test_containment_decontaminate_flags_embedded_eval(spark):
+    """A long doc embedding a full eval item verbatim must clear the
+    containment threshold even though its absolute hit count is modest;
+    an unrelated doc stays at 0.0."""
+    from potoos_spark.operators.curate import containment_decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+            (2, "completely different content about sparkly databases engines"),
+            (3, "ab"),  # < n tokens: no shingles
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in containment_decontaminate(train, eval_df, threshold=0.5).collect()
+    }
+    assert got[1]["contaminated"] == 1 and got[1]["containment"] >= 0.5
+    assert got[2]["contaminated"] == 0 and got[2]["containment"] == 0.0
+    assert got[3]["n_shingles"] == 0 and got[3]["contaminated"] == 0
+
+
+def test_bm25_idf_ranks_rare_term_and_plan(spark):
+    """BM25 semantics: for a query mixing a rare and a common term, the
+    doc holding the rare term must outrank docs that only repeat the
+    common term (IDF dominates raw tf); ranks are 1..k with
+    non-increasing scores; and the query-term probe join must broadcast
+    (the corpus side never shuffles for it).
+
+    NB: the fixture corpus shares one ~30-word vocabulary, so every
+    term's IDF is near zero there — rare-term semantics need this
+    synthetic corpus; the fixture is exercised by the text_bm25 oracle
+    entry instead."""
+    from potoos_spark.operators.text import bm25_topk
+    from tests.test_plans import _plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zyzzyva sightings in the canyon"),
+            (2, "the the the the the common words only"),
+            (3, "more common words about the canyon weather"),
+            (4, "unrelated database engine text entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "zyzzyva the")], "query_id bigint, qtext string"
+    )
+    out = bm25_topk(docs, queries, k=4)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["doc_id"] == 1  # rare term wins over repeated 'the'
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert "BroadcastHashJoin" in _plan(out)
