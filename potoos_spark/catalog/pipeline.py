@@ -795,6 +795,12 @@ _SOURCE_CAP_SQL = (
 )
 
 
+def _source_cap_2phase_fn(spark, sf_dir):
+    from ..operators.skew import two_phase_cap
+
+    return two_phase_cap(_docs(spark, sf_dir), cap=10)
+
+
 def _temperature_mix_fn(spark, sf_dir):
     from ..operators.curate import temperature_mix
 
@@ -1043,6 +1049,10 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_token_budget": QuerySpec(_token_budget_fn, _TOKEN_BUDGET_SQL),
     "corpus_decontaminate": QuerySpec(_decontaminate_fn, _DECONTAMINATE_SQL),
     "corpus_source_cap": QuerySpec(_source_cap_fn, _SOURCE_CAP_SQL),
+    # extension: skew-safe two-phase per-source cap — row-identical to
+    # corpus_source_cap (same oracle), but no task ever ranks a whole
+    # hot group; the shared SQL is the equivalence proof
+    "corpus_source_cap_2phase": QuerySpec(_source_cap_2phase_fn, _SOURCE_CAP_SQL),
     # extension: alpha=0.5 temperature source mixing (integer-exact quotas)
     "corpus_temperature_mix": QuerySpec(_temperature_mix_fn, _TEMPERATURE_MIX_SQL),
     # extension: containment-normalized decontamination

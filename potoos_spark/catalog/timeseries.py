@@ -15,7 +15,7 @@ from pyspark.sql import functions as F, Window as W
 from ..config import TimeSeriesConfig
 from ..operators import retrieval as R
 from ..operators.retrieval import bucket_start
-from .common import DEC, EVENTS_SQL, QuerySpec, dec, events_frame
+from .common import DEC, EVENTS_SQL, G_SQL, QuerySpec, dec, events_frame, hourly_avg_frame
 
 HOUR = 3_600_000
 T_LO = 1_704_412_800_000  # 2024-01-05
@@ -605,3 +605,28 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: exact LOW-percentile monitoring bands per bucket
     "ts_percentile_bands": QuerySpec(_pctl_bands_fn, _PCTL_BANDS_SQL),
 }
+
+
+# extension: trailing-window interpolated quantile baselines
+
+
+def _rolling_quantile_fn(spark, sf_dir):
+    """Rolling p50/p95 baselines over the exact hourly-average series:
+    trailing 24-bucket window, linear-interpolation percentile (both
+    engines use lower + frac*(upper-lower) at rank p*(n-1)), rounded to
+    9 decimals so association-order ulps cannot flip the hash."""
+    from ..operators.rate import rolling_quantiles
+
+    return rolling_quantiles(hourly_avg_frame(spark, sf_dir), window_rows=24)
+
+
+_ROLLING_QUANTILE_SQL = (
+    f"WITH series AS ({EVENTS_SQL}), g AS ({G_SQL}) "
+    "SELECT series_key, ts_ms, value, "
+    "round(quantile_cont(value, 0.5) OVER w, 9) AS q50, "
+    "round(quantile_cont(value, 0.95) OVER w, 9) AS q95 "
+    "FROM g WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms "
+    "ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)"
+)
+
+QUERIES["ts_rolling_quantile"] = QuerySpec(_rolling_quantile_fn, _ROLLING_QUANTILE_SQL)

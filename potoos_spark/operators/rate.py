@@ -197,3 +197,42 @@ def deriv_slope(df: DataFrame, bucket_ms: int, offset_ms: int = 0) -> DataFrame:
         "ts_ms",
         F.when(F.col("nt") >= 2, num / den * 1000.0).alias("slope_per_sec"),
     )
+
+
+def rolling_quantiles(
+    df: DataFrame,
+    window_rows: int = 24,
+    ps: tuple = (0.5, 0.95),
+    round_digits: int = 9,
+) -> DataFrame:
+    """Per-series trailing exact quantiles — the rolling p50/p95
+    baseline a monitoring system compares each new point against
+    (the set-oriented form of a per-series percentile ring buffer).
+
+    Exact linear-interpolation percentile over the trailing
+    ``window_rows`` points (inclusive), one window sort per series —
+    the sort is shared by all requested quantiles, so adding a p99
+    costs no extra shuffle. Results round to ``round_digits`` so the
+    interpolation arithmetic (lower + frac*(upper-lower)) is stable
+    across engines regardless of their association order.
+
+    At 100 TB the state per task is the trailing window only; the
+    single (series_key, ts) sort is the same shuffle every other
+    per-series window op here reuses.
+
+    Output: (series_key, ts_ms, value, q50, q95, ...) — one qNN column
+    per entry of ``ps``.
+    """
+    w = (
+        W.partitionBy("series_key")
+        .orderBy("ts_ms")
+        .rowsBetween(-(int(window_rows) - 1), 0)
+    )
+    out = df.select("series_key", "ts_ms", "value")
+    for p in ps:
+        name = f"q{int(round(p * 100)):02d}"
+        out = out.withColumn(
+            name,
+            F.round(F.expr(f"percentile(value, CAST({p} AS DOUBLE))").over(w), round_digits),
+        )
+    return out

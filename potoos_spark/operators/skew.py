@@ -110,3 +110,45 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1)))
     )
     return f.join(d, [on, "__salt"]).drop("__salt")
+
+
+def two_phase_cap(
+    df: DataFrame,
+    cap: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Skew-safe per-group cap: identical keep-set and ranks to the
+    single-window ``curate.source_cap``, but no single task ever ranks
+    a whole hot group (the hardening ``source_cap``'s docstring calls
+    for).
+
+    Phase 1 ranks within (group, salt) — the hot group's rows spread
+    over ``n_salts`` reducers — and drops rows ranked past ``cap``
+    there: any row whose within-salt rank exceeds ``cap`` ranks past
+    ``cap`` globally too (ranks only grow when more rows compete), so
+    every global top-``cap`` row survives. Phase 2 re-ranks the
+    ≤ cap × n_salts survivors per group — a bounded partition
+    regardless of group size — and keeps rank ≤ cap.
+
+    The salt is md5-derived from the id (deterministic, partitioning-
+    independent), and the order key is the same md5 shuffle as
+    ``source_cap``, so the output is row-identical to the one-window
+    form. Output: (by, id_col, rk).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(int(n_salts)))
+    from pyspark.sql import Window as W
+
+    staged = df.select(F.col(by), F.col(id_col), h.alias("__h"), salt.alias("__s"))
+    w1 = W.partitionBy(by, "__s").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    phase1 = staged.withColumn("__r1", F.row_number().over(w1)).filter(
+        F.col("__r1") <= int(cap)
+    )
+    w2 = W.partitionBy(by).orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        phase1.withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= int(cap))
+        .select(by, id_col, "rk")
+    )

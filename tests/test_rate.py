@@ -80,3 +80,29 @@ def test_deriv_slope_recovers_linear_trend(spark):
     # single-timestamp bucket → NULL slope
     df2 = spark.createDataFrame([("k", 500, 1.0, 1), ("k", 500, 2.0, 2)], SCHEMA)
     assert deriv_slope(df2, 10_000).collect()[0]["slope_per_sec"] is None
+
+
+def test_rolling_quantiles_matches_pandas(spark):
+    """Trailing-window interpolated quantiles equal pandas
+    rolling(...).quantile(interpolation='linear') per series."""
+    import pandas as pd
+
+    from potoos_spark.operators.rate import rolling_quantiles
+
+    rows = [
+        ("a", t * 1000, float(v))
+        for t, v in enumerate([5, 1, 9, 3, 7, 2, 8, 4, 6, 0])
+    ] + [("b", t * 1000, float(t * t % 11)) for t in range(8)]
+    df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
+    got = {
+        (r["series_key"], r["ts_ms"]): (r["q50"], r["q95"])
+        for r in rolling_quantiles(df, window_rows=4).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["series_key", "ts_ms", "value"])
+    for key, g in pdf.groupby("series_key"):
+        g = g.sort_values("ts_ms")
+        q50 = g["value"].rolling(4, min_periods=1).quantile(0.5, interpolation="linear")
+        q95 = g["value"].rolling(4, min_periods=1).quantile(0.95, interpolation="linear")
+        for ts, a, b in zip(g["ts_ms"], q50, q95):
+            ga, gb = got[(key, ts)]
+            assert ga == round(a, 9) and gb == round(b, 9), (key, ts)

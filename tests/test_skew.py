@@ -179,3 +179,20 @@ def test_aqe_splits_skewed_join(spark, skewed_series):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_two_phase_cap_row_identical_to_single_window(spark):
+    """The skew-safe two-phase cap must reproduce the one-window
+    source_cap exactly — keep-set AND ranks — on a hot-group frame,
+    for any salt count (including n_salts=1, the degenerate case)."""
+    from potoos_spark.operators.curate import source_cap
+    from potoos_spark.operators.skew import two_phase_cap
+
+    rows = [(i, "hot") for i in range(5000)] + [
+        (10_000 + i, f"cold{i % 7}") for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    want = sorted(map(tuple, source_cap(df, cap=10).collect()))
+    for n_salts in (1, 8, 32):
+        got = sorted(map(tuple, two_phase_cap(df, cap=10, n_salts=n_salts).collect()))
+        assert got == want, n_salts
