@@ -858,6 +858,31 @@ _CONTAINMENT_DECON_SQL = (
 )
 
 
+def _hash_embed_fn(spark, sf_dir):
+    from ..operators.text import hashing_trick_embed
+
+    return hashing_trick_embed(_docs(spark, sf_dir), dim=16)
+
+
+# Feature-hashing embedding, long form: bucket = int(md5(tok)[:4],16)
+# % 16, sign = md5 digit 5 MSB; all 16 dims per tokenful doc (zeros
+# kept). Integer weights -> exact hash match.
+_HASH_EMBED_SQL = (
+    f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
+    "b AS (SELECT doc_id, "
+    "CAST('0x' || substr(md5(tok), 1, 4) AS INT) % 16 AS dim_idx, "
+    "CASE WHEN substr(md5(tok), 5, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END AS sgn "
+    "FROM dt), "
+    "w AS (SELECT doc_id, dim_idx, SUM(sgn) AS weight FROM b GROUP BY 1, 2), "
+    "dims AS (SELECT unnest(range(16)) AS dim_idx), "
+    "docs AS (SELECT DISTINCT doc_id FROM dt) "
+    "SELECT d.doc_id, CAST(dims.dim_idx AS BIGINT) AS dim_idx, "
+    "CAST(COALESCE(w.weight, 0) AS BIGINT) AS weight "
+    "FROM docs d CROSS JOIN dims LEFT JOIN w "
+    "ON w.doc_id = d.doc_id AND w.dim_idx = dims.dim_idx"
+)
+
+
 def _bm25_fn(spark, sf_dir):
     from ..operators.text import bm25_topk
 
@@ -1061,6 +1086,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # extension: BM25 inverted-index retrieval (broadcast query terms)
     "text_bm25": QuerySpec(_bm25_fn, _BM25_SQL),
+    # extension: feature-hashing text embedding (in-row fold, zero shuffle)
+    "text_hash_embed": QuerySpec(_hash_embed_fn, _HASH_EMBED_SQL),
     # multimodal plumbing
     "multimodal_meta": QuerySpec(_mm_meta_fn, _MM_META_SQL),
     "multimodal_decode": QuerySpec(_mm_decode_fn, _MM_DECODE_SQL),

@@ -444,3 +444,53 @@ def bm25_topk(
         .filter(F.col("rank") <= int(k))
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+def hashing_trick_embed(
+    df: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    as_array: bool = False,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") text embedding: dimension
+    j accumulates +1/-1 per distinct token whose md5 buckets to j
+    (bucket = first 4 hex digits mod ``dim``, sign = 5th hex digit
+    MSB) — the signed random-projection variant of Weinberger et al.,
+    ICML'09. No vocabulary, no training, deterministic across engines —
+    the cheap embedding that bootstraps ANN indexing / clustering /
+    near-dup detection before a learned model exists.
+
+    Fully in-row (one fold over the distinct-token md5 array, like
+    ``dedup.simhash_fingerprint``): zero shuffle for the array form —
+    at 100 TB this is a pure map stage. Integer weights, so downstream
+    cosine arithmetic stays exact. Token-less docs are dropped.
+
+    Output: ``as_array=True`` → (id_col, embedding array<bigint>);
+    else long form (id_col, dim_idx, weight) with ALL ``dim`` entries
+    per doc (zeros kept — cancellation is information).
+    """
+    n = int(dim)
+    hs = F.transform(F.array_distinct(tokens(text_col)), F.md5)
+    staged = df.select(F.col(id_col), hs.alias("__hs")).filter(F.size("__hs") > 0)
+    bucket = lambda x: F.conv(F.substring(x, 1, 4), 16, 10).cast("bigint") % n
+    sign = lambda x: F.when(
+        F.substring(x, 5, 1).between("8", "f"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    emb = F.aggregate(
+        F.col("__hs"),
+        F.array_repeat(F.lit(0).cast("bigint"), n),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda a, j: a + F.when(bucket(x) == j, sign(x)).otherwise(0),
+        ),
+    )
+    out = staged.select(F.col(id_col), emb.alias("embedding"))
+    if as_array:
+        return out
+    return out.select(
+        F.col(id_col), F.posexplode("embedding").alias("dim_idx", "weight")
+    ).select(
+        F.col(id_col), F.col("dim_idx").cast("bigint"), F.col("weight").cast("bigint")
+    )

@@ -93,3 +93,41 @@ def test_top_terms_ranks_rare_terms_first(spark):
     # docs 2/3: plain (1/2) beats common (1/3); ≤ k rows each
     assert got[2][0] == ("plain", 1, 2)
     assert all(len(v) <= 2 for v in got.values())
+
+
+def test_hash_embed_array_is_shuffle_free_and_feeds_ann(spark):
+    """The array-form hashing-trick embedding is a pure map stage (no
+    Exchange in the plan) and composes directly with the ANN tier:
+    exact duplicate texts land at cosine 1.0 as each other's top
+    match."""
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.similarity import cosine_topk
+    from potoos_spark.operators.text import hashing_trick_embed
+    from tests.test_plans import _plan
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "totally different vocabulary here now there"),
+        (4, "another unrelated set of strange tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    emb = hashing_trick_embed(df, dim=16, as_array=True)
+    assert "Exchange" not in _plan(emb)
+    e = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
+    top = cosine_topk(e.filter(F.col("vec_id") == 1), e, k=1).collect()
+    assert len(top) == 1 and top[0]["match_id"] == 2
+    assert top[0]["cosine"] == 1.0
+
+
+def test_hash_embed_long_form_sums_signs(spark):
+    """Long form carries all dims with exact integer cancellation: a
+    one-token doc has exactly one ±1 entry and fifteen zeros."""
+    from potoos_spark.operators.text import hashing_trick_embed
+
+    df = spark.createDataFrame([(7, "solitary")], "doc_id bigint, text string")
+    rows = hashing_trick_embed(df, dim=16).collect()
+    assert len(rows) == 16
+    nz = [r for r in rows if r["weight"] != 0]
+    assert len(nz) == 1 and abs(nz[0]["weight"]) == 1
