@@ -1026,9 +1026,96 @@ _DEDUP_LEV_SQL = (
 )
 
 
+
+
+def _chunk_dedup_fn(spark, sf_dir):
+    return D.chunk_dedup(_docs(spark, sf_dir), chunk_words=3)
+
+
+# Passage-level exact dedup (Lee et al. 2022 at chunk granularity):
+# non-overlapping 3-word passages, corpus-wide first occurrence wins
+# (row_number over the passage hash, ordered by doc_id then chunk
+# index — deterministic on both engines), docs reassembled from the
+# surviving passages in order. Empty reassembly coalesces to ''.
+_CHUNK_DEDUP_SQL = """
+WITH s AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, gs - 1 AS ci,
+         list_aggregate(w[(gs-1)*3+1 : gs*3], 'string_agg', ' ') AS chunk
+  FROM s, LATERAL (
+    SELECT unnest(range(1, CAST(ceil(len(w) / 3.0) AS BIGINT) + 1)) AS gs
+  )
+),
+f AS (
+  SELECT doc_id, ci, chunk,
+         CASE WHEN ROW_NUMBER() OVER (
+           PARTITION BY md5(chunk) ORDER BY doc_id, ci
+         ) = 1 THEN 1 ELSE 0 END AS keep
+  FROM c
+)
+SELECT doc_id, COUNT(*) AS n_chunks, CAST(SUM(keep) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep = 1 THEN chunk END, ' ' ORDER BY ci), '')
+         AS text_dedup
+FROM f GROUP BY doc_id
+"""
+
+
+
+
+def _stratified_sample_fn(spark, sf_dir):
+    from ..operators.curate import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"en": 0.5, "de": 0.8, "fr": 0.8, "es": 0.8},
+        default_rate=1.0,
+    )
+
+
+# Deterministic per-stratum sampling: keep iff
+# int(md5(doc_id)[:4], 16) / 65536 < rate(lang) — same hash family as
+# the train/val split, so both engines agree bit-for-bit.
+_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+           AS DOUBLE) / 65536.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.8 WHEN 'fr' THEN 0.8
+                  WHEN 'es' THEN 0.8 ELSE 1.0 END
+"""
+
+
+def _random_projection_fn(spark, sf_dir):
+    return S.random_projection(_embs(spark, sf_dir), in_dim=64, out_dim=8)
+
+
+# Signed random projection y_j = sum_i scaled(x_i) * s(i,j),
+# s(i,j) = +1 iff the first hex digit of md5(i || '|' || j) is even —
+# the projection matrix is re-derived from md5 on both engines, and the
+# integer-scaled fold makes the sums order-free exact.
+_RANDOM_PROJECTION_SQL = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xi
+  FROM e
+)
+SELECT vec_id, j,
+       CAST(SUM(xi * CASE WHEN strpos('02468ace',
+              substr(md5(CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 1)
+            ) > 0 THEN 1 ELSE -1 END) AS BIGINT) AS y
+FROM s, (SELECT unnest(range(0, 8)) AS j)
+GROUP BY vec_id, j
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
+    "dedup_chunks": QuerySpec(_chunk_dedup_fn, _CHUNK_DEDUP_SQL),
     # extension: transitive near-dup connected components (attribute
     # label propagation; recursive-closure oracle)
     "dedup_components": QuerySpec(_dup_components_fn, _DUP_COMPONENTS_SQL),
@@ -1070,6 +1157,8 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_stats": QuerySpec(_corpus_stats_fn, _CORPUS_STATS_SQL),
     "emb_centroid": QuerySpec(_centroid_fn, _CENTROID_SQL),
     "corpus_sample_split": QuerySpec(_sample_split_fn, _SAMPLE_SPLIT_SQL),
+    "corpus_stratified_sample": QuerySpec(_stratified_sample_fn, _STRATIFIED_SAMPLE_SQL),
+    "emb_random_projection": QuerySpec(_random_projection_fn, _RANDOM_PROJECTION_SQL),
     # extension: per-source token-budget sampling (data mixing)
     "corpus_token_budget": QuerySpec(_token_budget_fn, _TOKEN_BUDGET_SQL),
     "corpus_decontaminate": QuerySpec(_decontaminate_fn, _DECONTAMINATE_SQL),

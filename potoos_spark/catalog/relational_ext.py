@@ -191,6 +191,88 @@ _CONDITIONAL_AGG_SQL = (
 )
 
 
+
+
+# --- one-scan column profiler ----------------------------------------------
+
+_PROF_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_PROF_CAT = ["l_returnflag", "l_linestatus"]
+
+
+def _profile_fn(spark, sf_dir):
+    """Data-profiling pass a curation pipeline runs before training: per
+    column, row/null/distinct counts plus numeric min/max/mean — ONE
+    scan of the table (all aggregates in a single agg; the long format
+    comes from an in-row ``stack`` over the 1-row aggregate, not from
+    per-column scans). Exact COUNT(DISTINCT x) on N columns makes Spark
+    expand each row N+1 ways before the partial aggregate — acceptable
+    for a profiler batch job, and the scan still happens once; the
+    100 TB variant swaps in approx_count_distinct (HLL, no expand) when
+    ±2% error is acceptable. Mean accumulates in DECIMAL then divides
+    as double with the identical formula on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROF_NUM + _PROF_CAT:
+        aggs.append(F.sum(F.isnull(c).cast("bigint")).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+    for c in _PROF_NUM:
+        aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
+        aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
+        aggs.append(
+            (F.sum(dec(c)).cast("double") / F.count(c)).alias(f"{c}__av")
+        )
+    one = li.agg(*aggs)
+    parts = []
+    for c in _PROF_NUM:
+        parts.append(
+            f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx, {c}__av"
+        )
+    for c in _PROF_CAT:
+        parts.append(
+            f"'{c}', {c}__nn, {c}__nd, CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        )
+    n_cols = len(_PROF_NUM) + len(_PROF_CAT)
+    return one.select(
+        F.col("n").alias("n_rows"),
+        F.expr(
+            f"stack({n_cols}, " + ", ".join(parts)
+            + ") AS (col_name, n_null, n_distinct, min_v, max_v, avg_v)"
+        ),
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v", "avg_v")
+
+
+def _prof_sql() -> str:
+    sel = ["COUNT(*) AS n"]
+    for c in _PROF_NUM + _PROF_CAT:
+        sel.append(f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}__nn")
+        sel.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}__nd")
+    for c in _PROF_NUM:
+        sel.append(f"CAST(MIN({c}) AS DOUBLE) AS {c}__mn")
+        sel.append(f"CAST(MAX({c}) AS DOUBLE) AS {c}__mx")
+        sel.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({c}) AS {c}__av"
+        )
+    arms = []
+    for c in _PROF_NUM:
+        arms.append(
+            f"SELECT '{c}' AS col_name, n AS n_rows, {c}__nn AS n_null, "
+            f"{c}__nd AS n_distinct, {c}__mn AS min_v, {c}__mx AS max_v, "
+            f"{c}__av AS avg_v FROM a"
+        )
+    for c in _PROF_CAT:
+        arms.append(
+            f"SELECT '{c}' AS col_name, n AS n_rows, {c}__nn AS n_null, "
+            f"{c}__nd AS n_distinct, CAST(NULL AS DOUBLE) AS min_v, "
+            "CAST(NULL AS DOUBLE) AS max_v, CAST(NULL AS DOUBLE) AS avg_v FROM a"
+        )
+    return "WITH a AS (SELECT " + ", ".join(sel) + " FROM lineitem) " +         " UNION ALL ".join(arms)
+
+
+_PROFILE_SQL = _prof_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_union_all": QuerySpec(_union_all_fn, _UNION_ALL_SQL),
     "q_intersect": QuerySpec(_intersect_fn, _INTERSECT_SQL),
@@ -199,4 +281,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q_correlated_avg": QuerySpec(_correlated_fn, _CORRELATED_SQL),
     "q_scalar_json": QuerySpec(_scalar_json_fn, _SCALAR_JSON_SQL),
     "q_conditional_agg": QuerySpec(_conditional_agg_fn, _CONDITIONAL_AGG_SQL),
+    "q_profile_stats": QuerySpec(_profile_fn, _PROFILE_SQL),
 }

@@ -111,6 +111,52 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 """
 
 
+
+
+# --- Q12: late-shipment priority distribution (big-big co-keyed join + ---
+# --- conditional two-way counts; shipmode/commitdate adapted to fixture) --
+
+def _q12_fn(spark, sf_dir):
+    """TPC-H Q12 adapted to the fixture schema (no l_shipmode /
+    l_commitdate / l_receiptdate): "late" = shipped more than 60 days
+    after the order date, grouped by l_returnflag standing in for
+    shipmode; the defining Q12 shape — lineitem⋈orders on the shared
+    key with CASE-split counts — is preserved. Both sides key on
+    l_orderkey/o_orderkey, so at 100 TB this is the co-partitioned
+    sort-merge join (bucketed layout avoids the shuffle entirely);
+    only (key, date, flag) columns flow, pruned at the scan."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+
+
+
 # --- Q18: large-volume orders (grouped HAVING feeding a join) -------------
 
 def _q18_fn(spark, sf_dir):
@@ -1234,6 +1280,7 @@ QUALIFY rnk <= 3
 
 QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(_q4_fn, _Q4_SQL),
+    "q12_late_shipments": QuerySpec(_q12_fn, _Q12_SQL),
     "q13_cust_distribution": QuerySpec(_q13_fn, _Q13_SQL),
     "q17_small_qty_revenue": QuerySpec(_q17_fn, _Q17_SQL),
     "q21_waiting_supplier": QuerySpec(_q21_fn, _Q21_SQL),

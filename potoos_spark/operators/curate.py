@@ -309,3 +309,35 @@ def containment_decontaminate(
         containment.alias("containment"),
         (containment >= F.lit(float(threshold))).cast("bigint").alias("contaminated"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (the language/source
+    rebalance step of a data-mix recipe): a document survives iff
+    uniform_hash(id) < rate(stratum), where the hash is the first 4 hex
+    digits of md5(id) scaled to [0, 1) — seedless, reproducible across
+    runs and engines, and independent of partitioning (unlike
+    ``df.sample``, whose outcome depends on the split layout).
+
+    Physical shape: a pure in-row filter — no shuffle, no state; at
+    100 TB this is a map-only pass that composes with partition pruning
+    (rate 0 strata could additionally prune whole hive partitions when
+    the table is partitioned by the stratum).
+
+    Output: (id, stratum) for surviving rows.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("double")
+        / F.lit(65536.0)
+    )
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.filter(u < rate).select(F.col(id_col), F.col(strata_col))

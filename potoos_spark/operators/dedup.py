@@ -572,3 +572,73 @@ def levenshtein_pairs(
     return d.filter(F.col("distance") <= int(max_distance)).select(
         "keep_id", F.col(id_col), "distance"
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 3,
+) -> DataFrame:
+    """Passage-level exact dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", at chunk rather than
+    suffix-array granularity): split every document into non-overlapping
+    ``chunk_words``-word passages, keep only the corpus-wide FIRST
+    occurrence of each distinct passage (ordered by (doc_id, chunk
+    index)), and reassemble each document from its surviving passages.
+    Unlike document-level dedup this removes boilerplate repeated
+    *inside* otherwise-distinct documents (headers, disclaimers,
+    navigation chrome).
+
+    Physical shape — two shuffles, both on high-cardinality keys:
+    (1) window ``row_number`` partitioned by the passage hash picks the
+    global first occurrence (state per distinct passage, never per
+    occurrence pair); (2) a hash aggregation on ``id_col`` reassembles
+    documents. Chunking itself is in-row (``sequence``/``slice`` higher-
+    order functions, whole-stage codegen). No self-join, no pair space:
+    at 100 TB the cost is one sort-shuffle of (hash, doc_id, idx)
+    triples — the canonical exact-substring-dedup pass. A viral passage
+    duplicated across millions of docs lands on one hash key; the
+    window only needs that key's min, so AQE skew handling plus the
+    tiny per-row payload keep the straggler bounded.
+
+    Output: (doc_id, n_chunks, n_kept, text_dedup) — one row per input
+    document; ``text_dedup`` is the space-joined surviving passages
+    (empty string when every passage was seen earlier).
+    """
+    k = int(chunk_words)
+    w = F.split(F.trim(F.col(text_col)), " ")
+    n_chunks = F.ceil(F.size(w) / F.lit(k)).cast("int")
+    chunked = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+            )
+        ).alias("ci", "chunk"),
+    )
+    from pyspark.sql import Window as W
+
+    first = F.row_number().over(
+        W.partitionBy(F.md5(F.col("chunk"))).orderBy(id_col, "ci")
+    )
+    flagged = chunked.withColumn("keep", (first == 1).cast("int"))
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("keep") == 1, F.struct(F.col("ci"), F.col("chunk"))
+                    )
+                )
+            ),
+            lambda s: s.chunk,
+        ),
+        " ",
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        kept_text.alias("text_dedup"),
+    )

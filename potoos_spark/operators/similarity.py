@@ -290,3 +290,57 @@ def quantized_topk(
         ).alias("cosine"),
     )
     return _ranked_topk(scored, k)
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+    out_dim: int = 8,
+) -> DataFrame:
+    """Signed random projection (Achlioptas 2003 ±1 variant) for
+    dimensionality reduction ahead of clustering / ANN indexing:
+    y_j = Σ_i x_i · s(i, j) with s(i, j) ∈ {+1, −1} derived from
+    md5(i|j) — a deterministic, seedless projection matrix that never
+    materializes anywhere (each executor re-derives the constant signs
+    at codegen time, so nothing broadcasts and nothing shuffles).
+
+    Exactness: inputs are integer-scaled (``scaled_vec``: floor(x·1000
+    + 0.5)), so the fold is pure bigint arithmetic — order-free and
+    bit-identical on any engine. Physical shape: one in-row
+    ``transform``/``aggregate`` chain per output dim, whole-stage
+    codegen, zero shuffle, zero UDF — at 100 TB this is a map-only
+    pass bounded by the parquet scan.
+
+    Output: long form (id, j, y) — one row per (vector, output dim).
+    """
+    from .dedup import scaled_vec
+
+    sv = scaled_vec(vec_col)
+
+    def sign(i: int, j: int):
+        import hashlib
+
+        h = hashlib.md5(f"{i}|{j}".encode()).hexdigest()[0]
+        return 1 if h in "02468ace" else -1
+
+    proj = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            F.aggregate(
+                F.array(*[
+                    F.element_at(F.col("__sv"), i + 1) * F.lit(sign(i, j))
+                    for i in range(in_dim)
+                ]),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("y"),
+        )
+        for j in range(out_dim)
+    ])
+    return (
+        df.select(F.col(id_col), sv.alias("__sv"))
+        .select(F.col(id_col), F.explode(proj).alias("p"))
+        .select(F.col(id_col), F.col("p.j").alias("j"), F.col("p.y").alias("y"))
+    )

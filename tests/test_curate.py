@@ -153,3 +153,73 @@ def test_bm25_idf_ranks_rare_term_and_plan(spark):
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_chunk_dedup_removes_repeated_passage(spark):
+    from potoos_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),          # chunks: "a b c", "x y z"
+            (2, "a b c q r s"),          # "a b c" repeats -> dropped
+            (3, "q r s"),                # "q r s" repeats -> fully dropped
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in chunk_dedup(df, chunk_words=3).collect()}
+    assert rows[1].text_dedup == "a b c x y z" and rows[1].n_kept == 2
+    assert rows[2].text_dedup == "q r s" and rows[2].n_kept == 1
+    assert rows[3].text_dedup == "" and rows[3].n_kept == 0
+    assert rows[3].n_chunks == 1
+
+
+def test_chunk_dedup_first_occurrence_is_doc_order(spark):
+    from potoos_spark.operators.dedup import chunk_dedup
+
+    # the same passage in two docs: the LOWER doc_id keeps it regardless
+    # of input row order
+    df = spark.createDataFrame(
+        [(9, "p q r"), (2, "p q r")], ["doc_id", "text"]
+    ).repartition(4)
+    rows = {r.doc_id: r for r in chunk_dedup(df, chunk_words=3).collect()}
+    assert rows[2].n_kept == 1 and rows[9].n_kept == 0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from potoos_spark.operators.curate import stratified_sample
+
+    docs = table(spark, SF_DIR, "documents")
+    out1 = stratified_sample(docs, rates={"en": 0.0}, default_rate=1.0)
+    got = {r.lang for r in out1.collect()}
+    assert "en" not in got and got  # en fully dropped, others all kept
+    n_other = docs.filter("lang <> 'en'").count()
+    assert out1.count() == n_other
+    # determinism: same result under different partitioning
+    out2 = stratified_sample(
+        docs.repartition(7), rates={"en": 0.0}, default_rate=1.0
+    )
+    assert sorted(r.doc_id for r in out2.collect()) == sorted(
+        r.doc_id for r in out1.collect()
+    )
+
+
+def test_random_projection_matches_numpy(spark):
+    import hashlib
+
+    import numpy as np
+
+    from potoos_spark.operators.similarity import random_projection
+
+    embs = table(spark, SF_DIR, "embeddings").limit(20)
+    got = {
+        (r.vec_id, r.j): r.y
+        for r in random_projection(embs, in_dim=64, out_dim=4).collect()
+    }
+    for row in embs.collect():
+        xi = np.floor(np.array(row.embedding, dtype=np.float64) * 1000 + 0.5)
+        for j in range(4):
+            signs = np.array([
+                1 if hashlib.md5(f"{i}|{j}".encode()).hexdigest()[0] in "02468ace" else -1
+                for i in range(64)
+            ])
+            assert got[(row.vec_id, j)] == int((xi * signs).sum())

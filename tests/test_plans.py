@@ -239,3 +239,36 @@ def test_funnel_single_scan(spark):
     # not one scan per funnel step
     plan = _plan(CATALOG["q_funnel"].fn(spark, SF_DIR))
     assert _n_scans(plan) == 1
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    plan = _plan(CATALOG["corpus_stratified_sample"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    # only the two output columns reach the scan
+    assert "ReadSchema" in plan
+
+
+def test_random_projection_is_shuffle_free(spark):
+    plan = _plan(CATALOG["emb_random_projection"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan  # in-row fold + explode, map-only
+
+
+def test_chunk_dedup_two_shuffles_no_join(spark):
+    # one window shuffle on the chunk hash + one reassembly agg on doc_id;
+    # crucially NO self-join anywhere in the plan
+    plan = _plan(CATALOG["dedup_chunks"].fn(spark, SF_DIR), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 2, plan  # hash window + doc reassembly agg
+
+
+def test_q12_prunes_columns_and_partial_agg(spark):
+    plan = _plan(CATALOG["q12_late_shipments"].fn(spark, SF_DIR))
+    # partial aggregation before the final group exchange
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    read = "".join(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" not in read  # unused measures pruned
+
+
+def test_profile_stats_single_scan(spark):
+    plan = _plan(CATALOG["q_profile_stats"].fn(spark, SF_DIR))
+    assert _n_scans(plan) == 1, plan
