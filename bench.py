@@ -48,6 +48,10 @@ HEADLINE = [
     # behavioral analytics tier
     "q_funnel",
     "q_retention_cohorts",
+    # round-3 additions: passage dedup, adapted Q12, profiler
+    "dedup_chunks",
+    "q12_late_shipments",
+    "q_profile_stats",
     # LLM-pipeline tier (documents 5k, embeddings 2k)
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -157,6 +157,113 @@ GROUP BY l_returnflag
 
 
 
+# --- Q11: top value share per supplier (grouped value vs scalar-subquery ---
+# --- global threshold; partsupp availqty/supplycost adapted to revenue) ----
+
+def _q11_fn(spark, sf_dir):
+    """TPC-H Q11 adapted to the fixture schema (no partsupp): supplier
+    "value" = lineitem revenue instead of availqty*supplycost, nation
+    filter on the supplier dim, HAVING value above the group mean
+    via a broadcast 1-row scalar aggregate. The comparison stays in
+    DECIMAL/BIGINT on both engines (value*n > total — no float
+    threshold can flip a boundary). At 100 TB: lineitem⋈supplier broadcasts the
+    dim, one partial→final agg on l_suppkey, and the scalar total is a
+    second pass over the TINY per-supplier aggregate (not the fact
+    table), broadcast back as one row."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < 12
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("val_dec"))
+    )
+    total = val.agg(
+        F.sum("val_dec").alias("total_dec"), F.count("*").alias("n_sup")
+    )
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("val_dec") * F.col("n_sup") > F.col("total_dec"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("val_dec").cast("double").alias("value"),
+        )
+    )
+
+
+_Q11_SQL = f"""
+WITH v AS (
+  SELECT l_suppkey AS suppkey, SUM({_REV}) AS val_dec
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey < 12
+  GROUP BY l_suppkey
+)
+SELECT suppkey, CAST(val_dec AS DOUBLE) AS value
+FROM v WHERE val_dec * (SELECT COUNT(*) FROM v) > (SELECT SUM(val_dec) FROM v)
+"""
+
+
+# --- Q20: suppliers shipping significant promo-part volume (semi-join ------
+# --- chain; partsupp excess-availability adapted to shipped-quantity) ------
+
+def _q20_fn(spark, sf_dir):
+    """TPC-H Q20 adapted to the fixture schema (no partsupp): suppliers
+    who shipped an above-average volume of PROMO-type parts during 1996
+    (the correlated 0.5*shipped threshold of the original becomes a
+    group-mean threshold, kept DECIMAL/BIGINT-exact: qty*n > total) — the
+    defining shape survives: a dim-filtered part set prunes lineitem
+    (broadcast semi join), a grouped HAVING derives qualifying
+    suppliers, and the supplier dim is semi-joined against that set.
+    At 100 TB the part filter broadcasts (tiny dim), lineitem scans
+    once with the shipdate range pushed to parquet, and the final semi
+    join keys on the small qualifying-supplier set."""
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    per_sup = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_qty("l_quantity")).alias("qty_dec"))
+    )
+    stats = per_sup.agg(
+        F.sum("qty_dec").alias("tot_dec"), F.count("*").alias("n_sup")
+    )
+    shipped = (
+        per_sup.join(F.broadcast(stats))
+        .filter(F.col("qty_dec") * F.col("n_sup") > F.col("tot_dec"))
+    )
+    sup = table(spark, sf_dir, "supplier")
+    return (
+        sup.join(
+            shipped, sup["s_suppkey"] == shipped["l_suppkey"], "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+_Q20_SQL = """
+WITH per_sup AS (
+  SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(8,2))) AS qty_dec
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_sup
+  WHERE qty_dec * (SELECT COUNT(*) FROM per_sup) > (SELECT SUM(qty_dec) FROM per_sup)
+)
+"""
+
+
 # --- Q18: large-volume orders (grouped HAVING feeding a join) -------------
 
 def _q18_fn(spark, sf_dir):
@@ -1281,6 +1388,8 @@ QUALIFY rnk <= 3
 QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(_q4_fn, _Q4_SQL),
     "q12_late_shipments": QuerySpec(_q12_fn, _Q12_SQL),
+    "q11_value_share": QuerySpec(_q11_fn, _Q11_SQL),
+    "q20_promo_suppliers": QuerySpec(_q20_fn, _Q20_SQL),
     "q13_cust_distribution": QuerySpec(_q13_fn, _Q13_SQL),
     "q17_small_qty_revenue": QuerySpec(_q17_fn, _Q17_SQL),
     "q21_waiting_supplier": QuerySpec(_q21_fn, _Q21_SQL),

@@ -272,3 +272,16 @@ def test_q12_prunes_columns_and_partial_agg(spark):
 def test_profile_stats_single_scan(spark):
     plan = _plan(CATALOG["q_profile_stats"].fn(spark, SF_DIR))
     assert _n_scans(plan) == 1, plan
+
+
+def test_q11_broadcasts_dim_and_scalar_total(spark):
+    plan = _plan(CATALOG["q11_value_share"].fn(spark, SF_DIR))
+    # supplier dim broadcast into the fact scan + 1-row total broadcast back
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2, plan
+
+
+def test_q20_pushes_shipdate_and_semi_joins(spark):
+    plan = _plan(CATALOG["q20_promo_suppliers"].fn(spark, SF_DIR))
+    pushed = "".join(l for l in plan.splitlines() if "PushedFilters:" in l)
+    assert "l_shipdate" in pushed, pushed
+    assert "LeftSemi" in plan, plan
