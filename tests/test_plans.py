@@ -269,9 +269,14 @@ def test_q12_prunes_columns_and_partial_agg(spark):
     assert "l_extendedprice" not in read  # unused measures pruned
 
 
-def test_profile_stats_single_scan(spark):
+def test_profile_stats_column_pruned_scans(spark):
+    # one column-pruned scan per profiled column: same total bytes as a
+    # single full-width scan, but no Expand and parallel branches
     plan = _plan(CATALOG["q_profile_stats"].fn(spark, SF_DIR))
-    assert _n_scans(plan) == 1, plan
+    assert _n_scans(plan) == 6, plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all(l.count(":") <= 3 and l.count(",") == 0 for l in reads), reads
+    assert "Expand" not in plan, "multi-distinct Expand crept back in"
 
 
 def test_q11_broadcasts_dim_and_scalar_total(spark):
