@@ -1112,6 +1112,53 @@ GROUP BY vec_id, j
 """
 
 
+
+
+def _stream_chunk_dedup_fn(spark, sf_dir):
+    """Replay documents as a stream through the watermarked passage
+    dedup; survivors = one per distinct passage hash (which doc carried
+    it is arrival order, so only the hash is emitted)."""
+    import uuid
+
+    from ..operators.dedup import streaming_chunk_dedup
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    docs = docs.withColumn(
+        "ingest_time", F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("doc_id"))
+    )
+    out = streaming_chunk_dedup(docs, chunk_words=3).select("chunk_hash")
+    name = f"scdedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# First-arrival-wins passage dedup emits exactly the distinct passage
+# hashes — the same chunking recurrence as dedup_chunks' oracle.
+_STREAM_CHUNK_DEDUP_SQL = """
+WITH s AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+c AS (
+  SELECT list_aggregate(w[(gs-1)*3+1 : gs*3], 'string_agg', ' ') AS chunk
+  FROM s, LATERAL (
+    SELECT unnest(range(1, CAST(ceil(len(w) / 3.0) AS BIGINT) + 1)) AS gs
+  )
+)
+SELECT DISTINCT md5(chunk) AS chunk_hash FROM c
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
@@ -1140,6 +1187,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(_text_quality_fn, _TEXT_QUALITY_SQL),
     "text_quality_filter": QuerySpec(_quality_filter_fn, _QUALITY_FILTER_SQL),
     "dedup_exact_streaming": QuerySpec(_stream_dedup_fn, _STREAM_DEDUP_SQL),
+    "dedup_chunks_streaming": QuerySpec(_stream_chunk_dedup_fn, _STREAM_CHUNK_DEDUP_SQL),
     "stream_quality_filter": QuerySpec(_stream_quality_fn, _QUALITY_FILTER_SQL),
     "text_langid": QuerySpec(_text_langid_fn, _TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(_text_fp_fn, _TEXT_FP_SQL),

@@ -606,18 +606,7 @@ def chunk_dedup(
     document; ``text_dedup`` is the space-joined surviving passages
     (empty string when every passage was seen earlier).
     """
-    k = int(chunk_words)
-    w = F.split(F.trim(F.col(text_col)), " ")
-    n_chunks = F.ceil(F.size(w) / F.lit(k)).cast("int")
-    chunked = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
-            )
-        ).alias("ci", "chunk"),
-    )
+    chunked = chunk_passages(df, text_col, id_col, chunk_words)
     from pyspark.sql import Window as W
 
     first = F.row_number().over(
@@ -641,4 +630,62 @@ def chunk_dedup(
         F.count("*").alias("n_chunks"),
         F.sum("keep").cast("bigint").alias("n_kept"),
         kept_text.alias("text_dedup"),
+    )
+
+def chunk_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Split documents into non-overlapping ``chunk_words``-word
+    passages: (id, ci, chunk) with ci the 0-based passage index. Pure
+    in-row higher-order functions (sequence/slice/posexplode) — map-
+    only, whole-stage codegen, works identically on batch frames and
+    unbounded streams (no window, no state)."""
+    k = int(chunk_words)
+    w = F.split(F.trim(F.col(text_col)), " ")
+    n_chunks = F.ceil(F.size(w) / F.lit(k)).cast("int")
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+            )
+        ).alias("ci", "chunk"),
+    )
+
+
+def streaming_chunk_dedup(
+    sdf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 3,
+    event_time_col: str = "ingest_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``chunk_dedup``: documents arrive unbounded,
+    every passage's corpus-wide FIRST arrival passes and later
+    occurrences drop (``dropDuplicatesWithinWatermark`` keyed on the
+    passage hash). State = one row per distinct passage inside the
+    watermark horizon — bounded, evicted once no duplicate can still
+    arrive; this is the ingest-time boilerplate guard in front of a
+    training-data store (the batch op re-deduplicates history, the
+    stream keeps it clean incrementally).
+
+    Output (append mode): (chunk_hash, id, ci, chunk) — exactly one row
+    per distinct passage; which document carried it is arrival order,
+    so exactly-once tests key on ``chunk_hash`` only.
+    """
+    chunked = chunk_passages(
+        sdf, text_col, id_col, chunk_words, extra_cols=(event_time_col,)
+    )
+    return (
+        chunked.withColumn("chunk_hash", F.md5(F.col("chunk")))
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["chunk_hash"])
+        .select("chunk_hash", F.col(id_col), "ci", "chunk")
     )

@@ -84,3 +84,54 @@ def test_stateful_scores_resume_from_checkpoint(spark, tmp_path):
     assert set(resumed) == set(whole)
     for k in whole:
         assert resumed[k] == pytest.approx(whole[k], abs=1e-12), k
+
+
+def test_chunk_dedup_dedups_across_restart(spark, tmp_path):
+    """A passage seen before a restart must still be recognized as a
+    duplicate after the restart — the dedup hash state lives in the
+    checkpointed state store, not in memory."""
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.dedup import streaming_chunk_dedup
+
+    schema = "doc_id bigint, text string, ingest_time timestamp"
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_available():
+        sdf = streaming_chunk_dedup(
+            spark.readStream.schema(schema).parquet(str(src)), chunk_words=3
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, txt, t0 + datetime.timedelta(seconds=i)) for i, txt in rows],
+            schema,
+        ).repartition(1).write.mode("append").parquet(str(src))
+
+    write([(1, "a b c x y z")])          # passages: "a b c", "x y z"
+    run_available()
+    assert spark.read.parquet(out).count() == 2
+
+    time.sleep(1.1)
+    # post-restart: "a b c" is a dup from phase 1; "n e w" is fresh
+    write([(2, "a b c n e w")])
+    run_available()
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # not 4: "a b c" deduped across the restart
+    fresh = {r.chunk for r in got.filter("doc_id = 2").collect()}
+    assert fresh == {"n e w"}
