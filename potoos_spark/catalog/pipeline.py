@@ -1159,6 +1159,32 @@ SELECT DISTINCT md5(chunk) AS chunk_hash FROM c
 """
 
 
+
+
+def _pack_bins_fn(spark, sf_dir):
+    from ..operators.curate import pack_bins
+
+    return pack_bins(_docs(spark, sf_dir), capacity=4096)
+
+
+# Offset-partitioned sequence packing: the oracle is the naive global
+# cumulative sum; the Spark side computes the identical value via the
+# distributed two-phase prefix sum (invariant to range-split points).
+_PACK_BINS_SQL = """
+WITH c AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS size,
+         COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum
+  FROM documents
+)
+SELECT doc_id, size,
+       CAST(floor(cum / 4096.0) AS BIGINT) AS bin_id,
+       cum % 4096 AS offset_in_bin
+FROM c
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
@@ -1209,6 +1235,7 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_random_projection": QuerySpec(_random_projection_fn, _RANDOM_PROJECTION_SQL),
     # extension: per-source token-budget sampling (data mixing)
     "corpus_token_budget": QuerySpec(_token_budget_fn, _TOKEN_BUDGET_SQL),
+    "corpus_pack_bins": QuerySpec(_pack_bins_fn, _PACK_BINS_SQL),
     "corpus_decontaminate": QuerySpec(_decontaminate_fn, _DECONTAMINATE_SQL),
     "corpus_source_cap": QuerySpec(_source_cap_fn, _SOURCE_CAP_SQL),
     # extension: skew-safe two-phase per-source cap — row-identical to

@@ -223,3 +223,36 @@ def test_random_projection_matches_numpy(spark):
                 for i in range(64)
             ])
             assert got[(row.vec_id, j)] == int((xi * signs).sum())
+
+
+def test_pack_bins_no_single_partition_global_window(spark):
+    from potoos_spark.operators.curate import pack_bins
+
+    docs = table(spark, SF_DIR, "documents")
+    df = pack_bins(docs, capacity=4096)
+    sc = spark.sparkContext
+    plan = sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # the big-side window must partition by __pid; only the tiny totals
+    # window (<= n_parts rows) may run single-partition
+    assert plan.count("SinglePartition") <= 1, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_pack_bins_invariant_to_split_count(spark):
+    from potoos_spark.operators.curate import pack_bins
+
+    docs = table(spark, SF_DIR, "documents")
+    a = {r.doc_id: (r.bin_id, r.offset_in_bin) for r in pack_bins(docs, n_parts=2).collect()}
+    b = {r.doc_id: (r.bin_id, r.offset_in_bin) for r in pack_bins(docs, n_parts=17).collect()}
+    assert a == b  # prefix sum is invariant to where the range splits fall
+
+
+def test_pack_bins_offsets_are_contiguous(spark):
+    from potoos_spark.operators.curate import pack_bins
+
+    docs = table(spark, SF_DIR, "documents")
+    rows = sorted(pack_bins(docs, capacity=4096).collect(), key=lambda r: r.doc_id)
+    cum = 0
+    for r in rows:
+        assert (r.bin_id, r.offset_in_bin) == (cum // 4096, cum % 4096)
+        cum += r.size
