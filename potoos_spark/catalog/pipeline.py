@@ -1185,6 +1185,29 @@ FROM c
 """
 
 
+
+
+def _unigram_lm_fn(spark, sf_dir):
+    return T.unigram_logprob(_docs(spark, sf_dir))
+
+
+# Self-trained unigram LM scoring: per-term ln rounded to 9 decimals and
+# integer-scaled BEFORE summation -> order-free bigint totals.
+_UNIGRAM_LM_SQL = (
+    f"WITH {_TOK}, {_T}, "
+    "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2), "
+    "cnt AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY 1), "
+    "tot AS (SELECT SUM(cnt) AS total FROM cnt), "
+    "term AS (SELECT doc_id, tf, "
+    "CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1e9) AS BIGINT) AS le9 "
+    "FROM tf JOIN cnt USING (tok), tot) "
+    "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl, "
+    "CAST(-SUM(le9 * tf) AS BIGINT) AS nll_e9, "
+    "round(CAST(-SUM(le9 * tf) AS DOUBLE) / SUM(tf) / 1e9, 9) AS avg_nll "
+    "FROM term GROUP BY doc_id"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
@@ -1250,6 +1273,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # extension: BM25 inverted-index retrieval (broadcast query terms)
     "text_bm25": QuerySpec(_bm25_fn, _BM25_SQL),
+    "text_unigram_lm": QuerySpec(_unigram_lm_fn, _UNIGRAM_LM_SQL),
     # extension: feature-hashing text embedding (in-row fold, zero shuffle)
     "text_hash_embed": QuerySpec(_hash_embed_fn, _HASH_EMBED_SQL),
     # multimodal plumbing

@@ -494,3 +494,58 @@ def hashing_trick_embed(
     ).select(
         F.col(id_col), F.col("dim_idx").cast("bigint"), F.col("weight").cast("bigint")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Per-document unigram LM score against the corpus's own term
+    distribution — the CCNet-style perplexity quality signal with the
+    LM trained on the data itself (no external model): each token
+    contributes ln(count(term)/total_tokens); the per-token average
+    negative log-prob is low for typical documents and high for
+    gibberish / rare-vocabulary outliers.
+
+    Exactness discipline: every per-term ln is rounded to
+    ``round_digits`` decimals and scaled to an INTEGER before any
+    summation, so document totals are order-free bigint sums — no float
+    accumulation path exists across engines (the only residual risk is
+    a 1-ulp libm ln() difference exactly on a rounding boundary).
+
+    100 TB shape, one corpus scan: tf per (doc, term) is one hash agg
+    on the exploded tokens; term totals derive from tf (co-keyed on the
+    term — exchange reuse, no second scan); the grand total is a 1-row
+    broadcast; the tf⋈counts join shuffles on the term key. Skew note:
+    stopword terms are hot keys in the join, but the per-key payload is
+    (term, count) — one row — so the broadcastable count side never
+    amplifies; AQE handles the tf-side split.
+
+    Output: (id, dl, nll_e9, avg_nll) — dl = token count, nll_e9 = the
+    exact scaled integer total, avg_nll = rounded per-token average.
+    """
+    t = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tf = t.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").alias("total"))
+    le9 = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+        * F.lit(10.0 ** round_digits)
+    ).cast("bigint")
+    term = (
+        tf.join(cnt, "tok")
+        .join(F.broadcast(tot))
+        .select(F.col(id_col), "tf", le9.alias("le9"))
+    )
+    return term.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("dl"),
+        (-F.sum(F.col("le9") * F.col("tf"))).cast("bigint").alias("nll_e9"),
+        F.round(
+            (-F.sum(F.col("le9") * F.col("tf"))).cast("double")
+            / F.sum("tf")
+            / F.lit(10.0 ** round_digits),
+            round_digits,
+        ).alias("avg_nll"),
+    )

@@ -131,3 +131,17 @@ def test_hash_embed_long_form_sums_signs(spark):
     assert len(rows) == 16
     nz = [r for r in rows if r["weight"] != 0]
     assert len(nz) == 1 and abs(nz[0]["weight"]) == 1
+
+
+def test_unigram_lm_flags_rare_vocabulary(spark):
+    from potoos_spark.operators.text import unigram_logprob
+
+    common = "the cat sat on the mat and the dog sat too"
+    rows = [(i, common) for i in range(20)] + [(99, "zyxw qqvv kjhg zyxw")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    typical = max(got[i].avg_nll for i in range(20))
+    assert got[99].avg_nll > typical  # rare-vocab outlier scores highest
+    assert got[0].dl == 11
+    # exact integer totals: all 20 identical docs get identical bigints
+    assert len({got[i].nll_e9 for i in range(20)}) == 1
