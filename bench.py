@@ -48,10 +48,13 @@ HEADLINE = [
     # behavioral analytics tier
     "q_funnel",
     "q_retention_cohorts",
-    # round-3 additions: passage dedup, adapted Q12, profiler
+    # round-3 additions: passage dedup, adapted Q12, profiler,
+    # sequence packing, unigram LM scoring
     "dedup_chunks",
     "q12_late_shipments",
     "q_profile_stats",
+    "corpus_pack_bins",
+    "text_unigram_lm",
     # LLM-pipeline tier (documents 5k, embeddings 2k)
     "dedup_exact",
     "dedup_minhash_lsh",
