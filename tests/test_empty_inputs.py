@@ -47,6 +47,7 @@ def empty_dir(spark, tmp_path_factory):
 # row on empty input — standard SQL semantics, mirrored by the oracles
 GLOBAL_AGG = {
     "q6_revenue",
+    "q_profile_stats",  # union of 6 per-column global aggregates
     "q14_promo_revenue",
     "q17_small_qty_revenue",
     "q19_disjunctive_join",
@@ -58,4 +59,5 @@ GLOBAL_AGG = {
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
 def test_runs_on_empty_tables(spark, empty_dir, name):
     n = QUERIES[name](spark, empty_dir).count()
-    assert n == (1 if name in GLOBAL_AGG else 0)
+    expected = {"q_profile_stats": 6}.get(name, 1 if name in GLOBAL_AGG else 0)
+    assert n == expected
