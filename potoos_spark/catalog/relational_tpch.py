@@ -391,6 +391,61 @@ FROM r GROUP BY s_nationkey
 """
 
 
+# --- PIVOT (wide conditional aggregation) ----------------------------------
+
+def _pivot_fn(spark, sf_dir):
+    """PIVOT: per return flag, quantity totals spread across line-status
+    columns. Spark's `pivot` with explicit value list compiles to ONE
+    hash aggregation with conditional partials (no per-value scan, no
+    value-discovery job since the values are given) — exactly the CASE
+    aggregation the oracle spells out; at 100 TB it's the same single
+    partial→final agg as any groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(_qty("l_quantity")).cast("double"))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(8,2)) END) AS DOUBLE) AS qty_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(8,2)) END) AS DOUBLE) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- ROLLUP with GROUPING() disambiguation ---------------------------------
+
+def _rollup_fn(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): detail rows + per-flag
+    subtotals + grand total in one pass — Spark expands each row once
+    per grouping level, partial-aggregates map-side, and `grouping()`
+    flags distinguish real NULLs from subtotal rows (bigint-stable
+    across engines)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_qty("l_quantity")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 # --- GROUPING SETS (beyond rollup/cube: explicit set list) ----------------
 
 def _grouping_sets_fn(spark, sf_dir):
@@ -1405,6 +1460,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q7_nation_volume": QuerySpec(_q7_fn, _Q7_SQL),
     "q_argmax": QuerySpec(_argmax_fn, _ARGMAX_SQL),
     "q_grouping_sets": QuerySpec(_grouping_sets_fn, _GROUPING_SETS_SQL),
+    "q_pivot": QuerySpec(_pivot_fn, _PIVOT_SQL),
+    "q_rollup_grouping": QuerySpec(_rollup_fn, _ROLLUP_SQL),
     "q_window_lead_lag": QuerySpec(_lead_lag_fn, _LEAD_LAG_SQL),
     "q_window_value_family": QuerySpec(_value_family_fn, _VALUE_FAMILY_SQL),
     "q_quantified_all": QuerySpec(_quantified_all_fn, _QUANTIFIED_ALL_SQL),

@@ -115,6 +115,36 @@ def _first_last_sql(desc: bool) -> str:
     )
 
 
+def _ohlc_fn(spark, sf_dir):
+    """OHLC candle per (series, hour): open/close via seq-tiebroken
+    min_by/max_by (map-side combinable — one partial→final hash agg, no
+    window sort), high/low plain min/max. The canonical downsample for
+    financial/metric dashboards; one shuffle at any scale."""
+    df = events_frame(spark, sf_dir)
+    bcol = bucket_start(F.col("ts_ms"), HOUR)
+    key = F.struct(F.col("ts_ms"), F.col("seq"))
+    return df.groupBy("series_key", bcol.alias("ts_ms")).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+    )
+
+
+_OHLC_SQL = (
+    f"{_S}, b AS (SELECT series_key, ts_ms - ts_ms % {HOUR} AS bucket_ms, value, "
+    f"ROW_NUMBER() OVER (PARTITION BY series_key, ts_ms - ts_ms % {HOUR} "
+    "ORDER BY ts_ms, seq) AS rn_o, "
+    f"ROW_NUMBER() OVER (PARTITION BY series_key, ts_ms - ts_ms % {HOUR} "
+    "ORDER BY ts_ms DESC, seq DESC) AS rn_c FROM series) "
+    "SELECT series_key, bucket_ms AS ts_ms, "
+    "MIN(CASE WHEN rn_o = 1 THEN value END) AS open, "
+    "MAX(value) AS high, MIN(value) AS low, "
+    "MIN(CASE WHEN rn_c = 1 THEN value END) AS close "
+    "FROM b GROUP BY series_key, bucket_ms"
+)
+
+
 def _count_limit_fn(reverse: bool):
     cfg = TimeSeriesConfig(count=50, reversed=reverse)
     return _engine(cfg)
@@ -471,6 +501,7 @@ QUERIES: dict[str, QuerySpec] = {
         _bucket_sql("CAST(COUNT(value) AS DOUBLE)"),
     ),
     # A5: range = max-min (exact doubles)
+    "ts_agg_ohlc": QuerySpec(_ohlc_fn, _OHLC_SQL),
     "ts_agg_range": QuerySpec(
         _engine(TimeSeriesConfig(aggregation_type="range", bucket_size_msec=HOUR)),
         _bucket_sql("MAX(value) - MIN(value)"),
