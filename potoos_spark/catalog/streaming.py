@@ -31,6 +31,7 @@ from ..streaming import (
     streaming_bucket_scores,
 )
 from .common import EVENTS_SQL, QuerySpec
+from .timeseries import _OHLC_SQL as _OHLC_REPLAY_SQL
 
 HOUR = 3_600_000
 GAP_MS = 1_800_000  # 30 min session gap
@@ -441,7 +442,16 @@ _STREAM_DEBOUNCE_SQL = (
 )
 
 
+
+
+def _stream_ohlc_fn(spark, sf_dir):
+    from ..streaming.aggregate import stream_ohlc
+
+    return _replay(stream_ohlc(_events_stream(spark, sf_dir)), "complete")
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_ohlc_replay": QuerySpec(_stream_ohlc_fn, _OHLC_REPLAY_SQL),
     "stream_bucket_agg_replay": QuerySpec(_stream_agg_fn, _STREAM_AGG_SQL),
     "stream_sliding_agg_replay": QuerySpec(_stream_sliding_fn, _STREAM_SLIDING_SQL),
     "stream_anomaly_windows_replay": QuerySpec(

@@ -248,3 +248,39 @@ def stream_m4(
         "ts_first", "v_first", "ts_last", "v_last",
         "ts_min", "v_min", "ts_max", "v_max",
     )
+
+
+def stream_ohlc(
+    sdf: DataFrame,
+    bucket_msec: int = 3_600_000,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """OHLC candles over a stream: one tumbling event-time window per
+    (series, bucket) with open/close as seq-tiebroken ``min_by`` /
+    ``max_by`` partials — the same single stateful aggregation as any
+    windowed agg (state = one candle per open window, evicted at the
+    watermark), converging to the batch ``ts_agg_ohlc`` answer on the
+    same rows. No sort, no window function — min_by/max_by partials
+    merge associatively, which is what makes the candle streamable."""
+    if "event_time" not in sdf.columns:
+        sdf = with_event_time(sdf, watermark)
+    dur = f"{int(bucket_msec)} milliseconds"
+    key = F.struct(F.col("ts_ms"), F.col("seq"))
+    win = F.window(F.col("event_time"), dur)
+    return (
+        sdf.groupBy("series_key", win.alias("window"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+        )
+        .select(
+            "series_key",
+            F.unix_millis(F.col("window.start")).alias("ts_ms"),
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
