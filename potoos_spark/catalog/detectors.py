@@ -427,6 +427,33 @@ _CUSUM_SQL = (
 )
 
 
+# Extension: two-sided Page-Hinkley — the recurrence as a recursive
+# CTE carrying (running sum s, up, dn). The center is the RUNNING mean
+# s/rn (recomputed per row, same division op order as the kernel);
+# delta = 0.02 * range. GREATEST(acc + ((v - mean) - delta), 0.0)
+# replays the kernel's max(...) float64 trajectory bit-for-bit.
+_PH_SQL = (
+    f"{_BASE}, "
+    "st AS (SELECT series_key, ts_ms, value, "
+    "ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY ts_ms) AS rn, "
+    "MAX(value) OVER (PARTITION BY series_key) - "
+    "MIN(value) OVER (PARTITION BY series_key) AS rng FROM g), "
+    "r AS (SELECT series_key, ts_ms, value, rn, rng, value AS s, "
+    "GREATEST((value - value) - 0.02 * rng, 0.0) AS up, "
+    "GREATEST((value - value) - 0.02 * rng, 0.0) AS dn "
+    "FROM st WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT o.series_key, o.ts_ms, o.value, o.rn, o.rng, "
+    "r.s + o.value, "
+    "GREATEST(r.up + ((o.value - (r.s + o.value) / o.rn) - 0.02 * o.rng), 0.0), "
+    "GREATEST(r.dn + (((r.s + o.value) / o.rn - o.value) - 0.02 * o.rng), 0.0) "
+    "FROM st o JOIN r ON o.series_key = r.series_key AND o.rn = r.rn + 1) "
+    "SELECT series_key, ts_ms, value, "
+    "CASE WHEN rng > 0 THEN GREATEST(up, dn) / rng ELSE 0.0 END AS score "
+    "FROM r"
+)
+
+
 
 
 # Extension: Holt double-exponential (level+trend) forecast scorer —
@@ -553,6 +580,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # extension: two-sided CUSUM change-point scorer (recursive-CTE oracle)
     "det_cusum": QuerySpec(_scored("cusum", {}), _CUSUM_SQL),
+    # extension: Page-Hinkley running-mean drift scorer (adaptive center)
+    "det_page_hinkley": QuerySpec(_scored("page_hinkley", {}), _PH_SQL),
     # extension: Holt level+trend one-step-ahead forecast scorer
     "det_holt_winters": QuerySpec(_scored("holt_winters", {}), _HOLT_SQL),
 }

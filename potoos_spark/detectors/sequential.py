@@ -308,3 +308,50 @@ def holt_winters_detector(
     *breaks* spike. The coupled float64 recurrence is replayed
     bit-for-bit by a recursive-CTE oracle carrying (level, trend)."""
     return _per_series(df, _holt_kernel(float(smoothing_factor), float(trend_factor)))
+
+
+def _page_hinkley_kernel(delta_frac: float):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(v)
+        if n == 0:
+            pdf["score"] = np.zeros(0)
+            return pdf
+        rng = float(np.max(v) - np.min(v))
+        delta = delta_frac * rng
+        # explicit loop: the float64 op order IS the documented
+        # recurrence, replayed bit-for-bit by the recursive-CTE oracle
+        # carrying (s, up, dn)
+        s = 0.0
+        up = dn = 0.0
+        out = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            s += v[i]
+            mean = s / (i + 1)
+            up = max(up + ((v[i] - mean) - delta), 0.0)
+            dn = max(dn + ((mean - v[i]) - delta), 0.0)
+            out[i] = max(up, dn)
+        pdf["score"] = out / rng if rng > 0 else np.zeros(n)
+        return pdf
+
+    return kernel
+
+
+@register_detector("page_hinkley")
+def page_hinkley_detector(df: DataFrame, delta_frac: float = 0.02) -> DataFrame:
+    """Two-sided Page-Hinkley drift scorer (extension tier — no
+    reference file:line; Page 1954 / Hinkley 1971, the standard
+    streaming concept-drift test, e.g. Gama et al. 2014 survey):
+
+        mean_i = (v_1 + ... + v_i) / i          (running mean)
+        up_i   = max(up_{i-1} + ((v_i - mean_i) - delta), 0)
+        dn_i   = max(dn_{i-1} + ((mean_i - v_i) - delta), 0)
+        score_i = max(up_i, dn_i) / range
+
+    with delta = delta_frac * range. Unlike CUSUM (fixed global
+    median center), the center ADAPTS as the running mean absorbs
+    drift — a slow ramp scores low while an abrupt level shift spikes
+    before the mean catches up, so the two detectors separate gradual
+    vs sudden change. The only sequential float path is the (s, up,
+    dn) recurrence, reproduced bit-for-bit by a recursive-CTE oracle."""
+    return _per_series(df, _page_hinkley_kernel(float(delta_frac)))
