@@ -245,37 +245,81 @@ def simhash_fingerprint(hashes: Column, n_bits: int = 32) -> Column:
     is collision-dominated beyond ~10M docs (65,536 buckets), so
     narrower widths are only for explicitly local/toy use."""
     n = int(n_bits)
-    # one conv per 8 hex digits, then pure integer shift/mask votes:
-    # bit j votes +1 iff hex digit j >= '8' <=> bit 3 of that digit is
-    # set. Integer ops beat the per-(token, bit) substring() form by
-    # ~20% at sf0.1 (HOF lambdas evaluate interpreted, so cheaper
-    # per-element expressions matter); fingerprints are bit-identical.
+    n_chunks = (n + 7) // 8
+    # one conv per 8 hex digits; bit j votes +1 iff hex digit j >= '8'
+    # <=> bit 3 of that digit is set. HOF lambdas evaluate interpreted,
+    # so the vote tally is packed: per token, (chunk >> 3) & 0x11111111
+    # spreads the 8 per-digit indicator bits into nibble fields of ONE
+    # bigint (2 ops/chunk instead of 8 per-bit extractions), and nibble
+    # fields accumulate across tokens in blocks of 15 (the nibble
+    # capacity) before one per-block unpack into the 32 running counts.
+    # ~6x fewer interpreted ops per token than per-bit tallying; the
+    # counts — and therefore the fingerprint — are bit-identical.
     chunks = F.transform(
         hashes,
         lambda x: F.array(*[
             F.conv(F.substring(x, 1 + 8 * c, 8), 16, 10).cast("bigint")
-            for c in range((n + 7) // 8)
+            for c in range(n_chunks)
         ]),
     )
-    def _bit_votes(ch):
+    n_tok = F.size(hashes)
+    zero_counts = F.array_repeat(F.lit(0).cast("bigint"), n)
+    zero_packed = F.array_repeat(F.lit(0).cast("bigint"), n_chunks)
+    spread_mask = F.lit(0x11111111).cast("bigint")
+
+    def _spread(ch):
+        return F.transform(ch, lambda v: F.shiftright(v, 3).bitwiseAND(spread_mask))
+
+    def _unpack(packed):
+        # count for global digit j lives in chunk j//8, nibble 7-(j%8)
         return F.array(*[
-            F.shiftright(F.element_at(ch, (j // 8) + 1), (7 - (j % 8)) * 4 + 3)
-            .bitwiseAND(1) * 2 - 1
+            F.shiftright(
+                F.element_at(packed, (j // 8) + 1), 4 * (7 - (j % 8))
+            ).bitwiseAND(15)
             for j in range(n)
         ])
-    votes = F.aggregate(
-        chunks,
-        F.array_repeat(F.lit(0).cast("bigint"), n),
-        lambda acc, ch: F.zip_with(acc, _bit_votes(ch), lambda a, b: a + b),
-    )
+
+    def _acc(c, p, t):
+        return F.struct(c.alias("c"), p.alias("p"), t.alias("t"))
+
+    # The flush branch reads ONLY accumulator fields (acc["p"], acc["t"])
+    # — HOF lambdas inline expression trees at every reference, so any
+    # freshly-computed array referenced 32 times by the unpack would be
+    # recomputed 32 times; a field access is a plain read.
+    def _merge(acc, ch):
+        return F.when(
+            acc["c"] == 15,
+            _acc(
+                F.lit(1),
+                _spread(ch),
+                F.zip_with(acc["t"], _unpack(acc["p"]), lambda a, x: a + x),
+            ),
+        ).otherwise(
+            _acc(
+                acc["c"] + 1,
+                F.zip_with(acc["p"], _spread(ch), lambda a, s: a + s),
+                acc["t"],
+            )
+        )
+
+    # finish: fold the residual packed block into the counts, then the
+    # majority vote: votes_j = 2*cnt_j - n_tok > 0  <=>  2*cnt_j > n_tok
+    def _finish(acc):
+        counts = F.zip_with(acc["t"], _unpack(acc["p"]), lambda a, x: a + x)
+        return F.aggregate(
+            F.zip_with(
+                counts,
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda c, j: F.when(c * 2 > n_tok, F.pow(F.lit(2.0), j)).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc2, x: acc2 + x,
+        )
+
     fp = F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(n - 1)),
-            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j)).otherwise(F.lit(0.0)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        chunks, _acc(F.lit(0), zero_packed, zero_counts), _merge, _finish
     )
     return fp.cast("bigint")
 
