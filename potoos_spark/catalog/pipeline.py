@@ -1208,6 +1208,38 @@ _UNIGRAM_LM_SQL = (
 )
 
 
+def _bigram_lm_fn(spark, sf_dir):
+    return T.bigram_logprob(_docs(spark, sf_dir))
+
+
+# Self-trained bigram LM with Jelinek-Mercer interpolation: p(w2|w1) =
+# 0.8*cbg/c1 + (1-0.8)*cu/T. The (1-lam) literal is repr(1.0 - 0.8) so
+# both engines multiply by the identical float64; per-bigram ln rounded
+# to 9 decimals and integer-scaled BEFORE summation -> order-free
+# bigint totals (same discipline as the unigram entry).
+_BIGRAM_LM_SQL = (
+    f"WITH {_TOK}, {_T}, "
+    "bg AS (SELECT a.doc_id, a.tok || '_' || b.tok AS bg "
+    "FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+    "tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bg GROUP BY 1, 2), "
+    "cbg AS (SELECT bg, SUM(tf) AS cbg FROM tf GROUP BY 1), "
+    "c1 AS (SELECT split_part(bg, '_', 1) AS w1, SUM(cbg) AS c1 FROM cbg GROUP BY 1), "
+    "cu AS (SELECT tok, COUNT(*) AS cu FROM t GROUP BY 1), "
+    "tot AS (SELECT SUM(cu) AS total FROM cu), "
+    "term AS (SELECT tf.doc_id, tf.tf, "
+    "CAST(round(ln(0.8 * (CAST(cbg.cbg AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) + "
+    f"{1.0 - 0.8!r} * (CAST(cu.cu AS DOUBLE) / CAST(tot.total AS DOUBLE))) * 1e9) "
+    "AS BIGINT) AS le9 "
+    "FROM tf JOIN cbg USING (bg) "
+    "JOIN c1 ON split_part(tf.bg, '_', 1) = c1.w1 "
+    "JOIN cu ON split_part(tf.bg, '_', 2) = cu.tok, tot) "
+    "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams, "
+    "CAST(-SUM(le9 * tf) AS BIGINT) AS nll_e9, "
+    "round(CAST(-SUM(le9 * tf) AS DOUBLE) / SUM(tf) / 1e9, 9) AS avg_nll "
+    "FROM term GROUP BY doc_id"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
@@ -1274,6 +1306,8 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: BM25 inverted-index retrieval (broadcast query terms)
     "text_bm25": QuerySpec(_bm25_fn, _BM25_SQL),
     "text_unigram_lm": QuerySpec(_unigram_lm_fn, _UNIGRAM_LM_SQL),
+    # extension: interpolated bigram LM (word order enters the score)
+    "text_bigram_lm": QuerySpec(_bigram_lm_fn, _BIGRAM_LM_SQL),
     # extension: feature-hashing text embedding (in-row fold, zero shuffle)
     "text_hash_embed": QuerySpec(_hash_embed_fn, _HASH_EMBED_SQL),
     # multimodal plumbing

@@ -230,6 +230,27 @@ def _counter_rate_fn(spark, sf_dir):
     return counter_rate(events_frame(spark, sf_dir), HOUR)
 
 
+def _resets_fn(spark, sf_dir):
+    from ..operators.rate import counter_resets
+
+    return counter_resets(events_frame(spark, sf_dir), HOUR)
+
+
+# PromQL resets(): count of value DROPS per hourly bucket (decimal-
+# exact comparison), attributed to the later point's bucket; first
+# point of a series starts no step. Pure integer counting — exact.
+_RESETS_SQL = (
+    f"{_S}, d AS (SELECT series_key, ts_ms, "
+    f"CASE WHEN LAG(CAST(value AS {DEC})) OVER w IS NULL THEN NULL "
+    f"WHEN CAST(value AS {DEC}) < LAG(CAST(value AS {DEC})) OVER w "
+    "THEN 1 ELSE 0 END AS drp FROM series "
+    "WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms, seq)) "
+    f"SELECT series_key, ts_ms - ts_ms % {HOUR} AS ts_ms, "
+    "COUNT(*) AS n_steps, CAST(SUM(drp) AS BIGINT) AS n_resets "
+    f"FROM d WHERE drp IS NOT NULL GROUP BY series_key, ts_ms - ts_ms % {HOUR}"
+)
+
+
 # Reset-aware counter increase/rate: decimal-exact deltas vs the
 # previous point per series, summed into the later point's bucket.
 _COUNTER_RATE_SQL = (
@@ -621,6 +642,7 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: reset-aware counter increase/rate per bucket (PromQL
     # increase/rate family) — decimal-exact deltas
     "ts_counter_rate": QuerySpec(_counter_rate_fn, _COUNTER_RATE_SQL),
+    "ts_resets": QuerySpec(_resets_fn, _RESETS_SQL),
     # extension: fixed-anchor LTTB downsampling (parallel one-pass variant)
     "ts_downsample_lttb": QuerySpec(_lttb_fn, _LTTB_SQL),
     # extension: instantaneous rate (last reset-aware step per bucket)

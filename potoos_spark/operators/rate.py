@@ -105,6 +105,37 @@ def counter_rate(df: DataFrame, bucket_ms: int, offset_ms: int = 0) -> DataFrame
     )
 
 
+def counter_resets(df: DataFrame, bucket_ms: int, offset_ms: int = 0) -> DataFrame:
+    """Counter resets per bucket (PromQL ``resets``): per series, count
+    the steps where the value DROPS (v_i < v_{i-1} in DECIMAL — exact
+    comparison, no float), attributed to the bucket of the later point.
+    Buckets whose points contain no drop report 0; the series' first
+    point starts no step. The monitoring complement of ``counter_rate``:
+    a restart storm shows up here even when the reset-corrected rate
+    stays flat.
+
+    One window pass + one hash aggregation, the same physical shape as
+    ``counter_rate`` (sort within series reused by AQE when both run).
+
+    Output: (series_key, ts_ms, n_steps, n_resets).
+    """
+    tie = F.col("seq") if "seq" in df.columns else F.col("value")
+    staged = df.select("series_key", "ts_ms", "value", tie.alias("__tie"))
+    w = W.partitionBy("series_key").orderBy("ts_ms", "__tie")
+    prev = F.lag(_dec("value")).over(w)
+    b = bucket_start(F.col("ts_ms"), int(bucket_ms), int(offset_ms))
+    return (
+        staged.withColumn("__drop", F.when(prev.isNull(), F.lit(None).cast("int"))
+               .otherwise((_dec("value") < prev).cast("int")))
+        .filter(F.col("__drop").isNotNull())
+        .groupBy("series_key", b.alias("ts_ms"))
+        .agg(
+            F.count("*").alias("n_steps"),
+            F.sum("__drop").cast("bigint").alias("n_resets"),
+        )
+    )
+
+
 def irate(df: DataFrame, bucket_ms: int, offset_ms: int = 0) -> DataFrame:
     """Instantaneous rate per bucket (PromQL ``irate``): the rate of the
     LAST sample step ending in each bucket — reset-aware like

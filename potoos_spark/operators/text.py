@@ -549,3 +549,73 @@ def unigram_logprob(
             round_digits,
         ).alias("avg_nll"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.8,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Per-document bigram LM score against the corpus's own statistics
+    with Jelinek-Mercer interpolation (the next step up from
+    ``unigram_logprob`` in CCNet-style quality scoring — fluent word
+    ORDER now matters, so shuffled/boilerplate-spliced text scores
+    worse than its unigram perplexity suggests):
+
+        p(w2|w1) = lam * c(w1w2)/c(w1·) + (1-lam) * c(w2)/T
+
+    where c(w1w2) is the corpus bigram count, c(w1·) the bigram-context
+    marginal, c(w2) the unigram count and T total tokens. Every
+    per-bigram ln(p) is rounded to ``round_digits`` and scaled to an
+    INTEGER before any summation (same exactness discipline as the
+    unigram scorer: document totals are order-free bigint sums; the
+    only residual cross-engine risk is a 1-ulp libm ln() boundary).
+
+    100 TB shape: bigrams are built IN-ROW from the token array (no
+    window, no self-join), one hash agg each for doc-level tf and
+    corpus counts (map-side combined), the context marginal derives
+    from the bigram counts (groupBy on the already-shuffled key's
+    prefix), and the probability join shuffles on the bigram key with
+    one-row-per-key count sides (hot stopword bigrams skew-split by
+    AQE; the count side never amplifies). T is a 1-row broadcast.
+
+    Output: (id, n_bigrams, nll_e9, avg_nll) — documents with < 2
+    tokens emit no row (no bigrams to score).
+    """
+    bg = df.select(
+        F.col(id_col), F.explode(_gram_list(tokens(text_col), 2)).alias("bg")
+    )
+    tf = bg.groupBy(id_col, "bg").agg(F.count("*").alias("tf"))
+    cbg = tf.groupBy("bg").agg(F.sum("tf").alias("cbg"))
+    c1 = (
+        cbg.groupBy(F.substring_index("bg", "_", 1).alias("w1"))
+        .agg(F.sum("cbg").alias("c1"))
+    )
+    uni = df.select(F.explode(tokens(text_col)).alias("tok"))
+    cu = uni.groupBy("tok").agg(F.count("*").alias("cu"))
+    tot = cu.agg(F.sum("cu").alias("total"))
+    p = (
+        F.lit(float(lam)) * (F.col("cbg").cast("double") / F.col("c1").cast("double"))
+        + F.lit(1.0 - float(lam))
+        * (F.col("cu").cast("double") / F.col("total").cast("double"))
+    )
+    le9 = F.round(F.log(p) * F.lit(10.0 ** round_digits)).cast("bigint")
+    term = (
+        tf.join(cbg, "bg")
+        .join(c1, F.substring_index(tf["bg"], "_", 1) == F.col("w1"))
+        .join(cu, F.substring_index(tf["bg"], "_", -1) == F.col("tok"))
+        .join(F.broadcast(tot))
+        .select(F.col(id_col), "tf", le9.alias("le9"))
+    )
+    return term.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        (-F.sum(F.col("le9") * F.col("tf"))).cast("bigint").alias("nll_e9"),
+        F.round(
+            (-F.sum(F.col("le9") * F.col("tf"))).cast("double")
+            / F.sum("tf")
+            / F.lit(10.0 ** round_digits),
+            round_digits,
+        ).alias("avg_nll"),
+    )
