@@ -923,6 +923,99 @@ _BM25_SQL = (
 )
 
 
+def _queries_frame(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(T.tokens("text"), 1, 5)).alias("qtext"),
+    )
+
+
+def _jaccard_topk_fn(spark, sf_dir):
+    return T.jaccard_topk(_docs(spark, sf_dir), _queries_frame(spark, sf_dir), k=10)
+
+
+# Set-overlap retrieval: Jaccard of distinct query terms vs distinct
+# doc terms (integer counts; one float division), rank by (jaccard
+# desc, doc_id) — tf-free complement of BM25 over the same queries.
+_JACCARD_TOPK_SQL = (
+    f"WITH {_TOK}, {_T}, "
+    "dt AS (SELECT DISTINCT doc_id, tok AS term FROM t), "
+    "dsz AS (SELECT doc_id, COUNT(*) AS dsz FROM dt GROUP BY 1), "
+    "q AS (SELECT DISTINCT doc_id AS query_id, unnest(toks[1:5]) AS term "
+    "FROM tok WHERE doc_id < 3), "
+    "qsz AS (SELECT query_id, COUNT(*) AS qsz FROM q GROUP BY 1), "
+    "ov AS (SELECT q.query_id, dt.doc_id, COUNT(*) AS ov FROM dt "
+    "JOIN q USING (term) GROUP BY 1, 2), "
+    "sc AS (SELECT ov.query_id, ov.doc_id, "
+    "CAST(ov AS DOUBLE) / CAST(qsz + dsz - ov AS DOUBLE) AS jaccard "
+    "FROM ov JOIN qsz USING (query_id) JOIN dsz USING (doc_id)) "
+    "SELECT query_id, doc_id, jaccard, rank FROM (SELECT *, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY jaccard DESC, doc_id) AS BIGINT) AS rank FROM sc) WHERE rank <= 10"
+)
+
+
+def _hybrid_rrf_fn(spark, sf_dir):
+    from ..operators.text import bm25_topk, jaccard_topk, rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    queries = _queries_frame(spark, sf_dir)
+    bm = bm25_topk(docs, queries, k=20)
+    jc = jaccard_topk(docs, queries, k=20)
+    return rrf_fuse(
+        [bm.select("query_id", "doc_id", "rank"), jc.select("query_id", "doc_id", "rank")]
+    )
+
+
+# Reciprocal-rank fusion of BM25 top-20 and Jaccard top-20: each list
+# contributes round(1e9/(60+rank)) as an INTEGER, so fused totals are
+# order-free bigint sums; final rank by (rrf_e9 desc, doc_id).
+_HYBRID_RRF_SQL = (
+    f"WITH {_TOK}, {_T}, "
+    "tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf FROM t GROUP BY 1, 2), "
+    "dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1), "
+    "stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl), "
+    "q AS (SELECT DISTINCT doc_id AS query_id, unnest(toks[1:5]) AS term "
+    "FROM tok WHERE doc_id < 3), "
+    "hits AS (SELECT q.query_id, tf.doc_id, tf.term, tf.tf FROM tf "
+    "JOIN q ON q.term = tf.term), "
+    "dft AS (SELECT term, COUNT(DISTINCT doc_id) AS dft FROM hits GROUP BY 1), "
+    "scored AS (SELECT h.query_id, h.doc_id, "
+    "ln(1.0 + (s.n_docs - d.dft + 0.5) / (d.dft + 0.5)) "
+    "* CAST(h.tf AS DOUBLE) * 2.2 / "
+    "(CAST(h.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / "
+    "(CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS sterm "
+    "FROM hits h JOIN dft d USING (term) JOIN dl ON dl.doc_id = h.doc_id "
+    "CROSS JOIN stats s), "
+    "agg AS (SELECT query_id, doc_id, round(SUM(sterm), 9) AS score "
+    "FROM scored GROUP BY 1, 2), "
+    "bm AS (SELECT query_id, doc_id, rank FROM (SELECT *, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) "
+    "AS rank FROM agg) WHERE rank <= 20), "
+    "dt AS (SELECT DISTINCT doc_id, tok AS term FROM t), "
+    "dsz AS (SELECT doc_id, COUNT(*) AS dsz FROM dt GROUP BY 1), "
+    "qsz AS (SELECT query_id, COUNT(*) AS qsz FROM q GROUP BY 1), "
+    "ov AS (SELECT q.query_id, dt.doc_id, COUNT(*) AS ov FROM dt "
+    "JOIN q USING (term) GROUP BY 1, 2), "
+    "sc AS (SELECT ov.query_id, ov.doc_id, "
+    "CAST(ov AS DOUBLE) / CAST(qsz + dsz - ov AS DOUBLE) AS jaccard "
+    "FROM ov JOIN qsz USING (query_id) JOIN dsz USING (doc_id)), "
+    "jc AS (SELECT query_id, doc_id, rank FROM (SELECT *, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY jaccard DESC, doc_id) "
+    "AS rank FROM sc) WHERE rank <= 20), "
+    "u AS (SELECT query_id, doc_id, "
+    "CAST(round(1e9 / (60 + rank)) AS BIGINT) AS c FROM bm "
+    "UNION ALL SELECT query_id, doc_id, "
+    "CAST(round(1e9 / (60 + rank)) AS BIGINT) AS c FROM jc), "
+    "f AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_e9, "
+    "COUNT(*) AS n_lists FROM u GROUP BY 1, 2) "
+    "SELECT query_id, doc_id, rrf_e9, n_lists, rank FROM (SELECT *, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) AS rank FROM f) WHERE rank <= 10"
+)
+
+
 def _mm_framesample_fn(spark, sf_dir):
     return M.frame_sample(_docs(spark, sf_dir))
 
@@ -1305,6 +1398,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # extension: BM25 inverted-index retrieval (broadcast query terms)
     "text_bm25": QuerySpec(_bm25_fn, _BM25_SQL),
+    # extension: set-overlap retrieval (tf-free complement of BM25)
+    "text_jaccard_topk": QuerySpec(_jaccard_topk_fn, _JACCARD_TOPK_SQL),
+    # extension: reciprocal-rank fusion of the two lexical rankers
+    "text_hybrid_rrf": QuerySpec(_hybrid_rrf_fn, _HYBRID_RRF_SQL),
     "text_unigram_lm": QuerySpec(_unigram_lm_fn, _UNIGRAM_LM_SQL),
     # extension: interpolated bigram LM (word order enters the score)
     "text_bigram_lm": QuerySpec(_bigram_lm_fn, _BIGRAM_LM_SQL),

@@ -619,3 +619,102 @@ def bigram_logprob(
             round_digits,
         ).alias("avg_nll"),
     )
+
+
+def jaccard_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Set-overlap retrieval: rank documents by Jaccard similarity of
+    DISTINCT query terms vs distinct document terms — the pure
+    set-based lexical signal (tf- and length-free), complementary to
+    BM25's tf-idf weighting. Same inverted-index shape as
+    ``bm25_topk``: the broadcast query-term join prunes the corpus
+    before any shuffle; only docs sharing >= 1 term are scored.
+
+    Output: (query_id, doc_id, jaccard, rank) — rank by (jaccard desc,
+    doc_id asc), top-``k`` per query."""
+    dt = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    )
+    dsz = dt.groupBy(id_col).agg(F.count("*").alias("dsz"))
+    qt = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(tokens(query_text_col))).alias("term"),
+    )
+    qsz = qt.groupBy(query_id_col).agg(F.count("*").alias("qsz"))
+    ov = (
+        dt.join(F.broadcast(qt), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.count("*").alias("ov"))
+    )
+    jac = F.col("ov").cast("double") / (
+        F.col("qsz") + F.col("dsz") - F.col("ov")
+    ).cast("double")
+    scored = (
+        ov.join(F.broadcast(qsz), query_id_col)
+        .join(dsz, id_col)
+        .select(query_id_col, id_col, jac.alias("jaccard"))
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("jaccard").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select(query_id_col, id_col, "jaccard", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: int = 60,
+    topk: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N ranked
+    lists — the standard hybrid-retrieval combiner (lexical BM25 +
+    dense ANN in a RAG data pipeline): each list contributes
+    1/(k_rrf + rank) per (query, doc); documents high on ANY list
+    surface.
+
+    Exactness discipline: each contribution is scaled to an INTEGER
+    (round(1e9/(k_rrf+rank))) before summation, so fused totals are
+    order-free bigint sums — rank is reproducible across engines and
+    partitionings. Physical shape: union of already-tiny top-k lists →
+    one hash aggregation; cost is bounded by sum of list sizes, never
+    the corpus.
+
+    Output: (query_id, doc_id, rrf_e9, n_lists, rank) — top-``topk``
+    per query by (rrf_e9 desc, doc_id asc)."""
+    contribs = [
+        r.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(F.lit(1e9) / (F.lit(int(k_rrf)) + F.col("rank")))
+            .cast("bigint")
+            .alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionAll(c)
+    fused = u.groupBy(query_id_col, id_col).agg(
+        F.sum("__c").cast("bigint").alias("rrf_e9"),
+        F.count("*").alias("n_lists"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("rrf_e9").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(topk))
+        .select(query_id_col, id_col, "rrf_e9", "n_lists", "rank")
+    )
