@@ -1016,6 +1016,71 @@ _HYBRID_RRF_SQL = (
 )
 
 
+def _dedup_report_fn(spark, sf_dir):
+    """Per-source duplication report — the summary a curation team runs
+    before deciding dedup policy: how many docs, how many distinct
+    exact-content groups, how many distinct SimHash near-dup groups,
+    and the implied duplicate rates, per source.
+
+    Physical shape: two per-source aggregations joined on the (tiny)
+    source key — NOT one multi-countDistinct agg, which would Expand
+    every corpus row once per distinct column at 100 TB. All counts are
+    integers; the two rates are single exact divisions."""
+    from ..operators.dedup import simhash_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    staged = docs.select(
+        "source",
+        F.md5(T.normalize("text")).alias("__h"),
+        F.transform(F.array_distinct(T.tokens("text")), F.md5).alias("__hs"),
+    )
+    exact = staged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("__h").alias("n_exact_distinct"),
+    )
+    fp = (
+        staged.filter(F.size("__hs") > 0)
+        .select("source", simhash_fingerprint(F.col("__hs")).alias("__fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_fp_docs"),
+            F.count_distinct("__fp").alias("n_fp_distinct"),
+        )
+    )
+    joined = exact.join(fp, "source", "left")
+    rate = lambda a, b: (
+        (F.col(a) - F.col(b)).cast("double") / F.col(a).cast("double")
+    )
+    return joined.select(
+        "source",
+        "n_docs",
+        "n_exact_distinct",
+        rate("n_docs", "n_exact_distinct").alias("exact_dup_rate"),
+        "n_fp_docs",
+        "n_fp_distinct",
+        rate("n_fp_docs", "n_fp_distinct").alias("near_dup_rate"),
+    )
+
+
+_DEDUP_REPORT_SQL = (
+    f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes), "
+    "ex AS (SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT "
+    "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) "
+    "AS n_exact_distinct FROM documents GROUP BY source), "
+    "fs AS (SELECT d.source, COUNT(*) AS n_fp_docs, "
+    "COUNT(DISTINCT fp.simhash) AS n_fp_distinct "
+    "FROM fp JOIN documents d USING (doc_id) GROUP BY d.source) "
+    "SELECT ex.source, ex.n_docs, ex.n_exact_distinct, "
+    "CAST(ex.n_docs - ex.n_exact_distinct AS DOUBLE) / CAST(ex.n_docs AS DOUBLE) "
+    "AS exact_dup_rate, fs.n_fp_docs, fs.n_fp_distinct, "
+    "CAST(fs.n_fp_docs - fs.n_fp_distinct AS DOUBLE) / CAST(fs.n_fp_docs AS DOUBLE) "
+    "AS near_dup_rate "
+    "FROM ex LEFT JOIN fs USING (source)"
+)
+
+
 def _mm_framesample_fn(spark, sf_dir):
     return M.frame_sample(_docs(spark, sf_dir))
 
@@ -1402,6 +1467,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_jaccard_topk": QuerySpec(_jaccard_topk_fn, _JACCARD_TOPK_SQL),
     # extension: reciprocal-rank fusion of the two lexical rankers
     "text_hybrid_rrf": QuerySpec(_hybrid_rrf_fn, _HYBRID_RRF_SQL),
+    # extension: per-source duplication-rate report (policy input)
+    "corpus_dedup_report": QuerySpec(_dedup_report_fn, _DEDUP_REPORT_SQL),
     "text_unigram_lm": QuerySpec(_unigram_lm_fn, _UNIGRAM_LM_SQL),
     # extension: interpolated bigram LM (word order enters the score)
     "text_bigram_lm": QuerySpec(_bigram_lm_fn, _BIGRAM_LM_SQL),

@@ -230,6 +230,29 @@ def _counter_rate_fn(spark, sf_dir):
     return counter_rate(events_frame(spark, sf_dir), HOUR)
 
 
+def _winsorize_fn(spark, sf_dir):
+    from ..operators.rate import winsorize
+
+    return winsorize(events_frame(spark, sf_dir))
+
+
+# Per-series [p5, p95] clamp: LOW-percentile ranks via pure integer
+# arithmetic ((n*pct+99)//100, floored at 1) over the (value, ts, seq)
+# total order — bounds are actual series values, result engine-exact.
+_WINSORIZE_SQL = (
+    f"{_S}, st AS (SELECT series_key, ts_ms, value, "
+    "ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY value, ts_ms, seq) AS rn, "
+    "COUNT(*) OVER (PARTITION BY series_key) AS n FROM series), "
+    "b AS (SELECT *, "
+    "MIN(CASE WHEN rn = GREATEST(1, (n * 5 + 99) // 100) THEN value END) "
+    "OVER (PARTITION BY series_key) AS lo, "
+    "MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) "
+    "OVER (PARTITION BY series_key) AS hi FROM st) "
+    "SELECT series_key, ts_ms, value, "
+    "LEAST(GREATEST(value, lo), hi) AS value_w FROM b"
+)
+
+
 def _resets_fn(spark, sf_dir):
     from ..operators.rate import counter_resets
 
@@ -643,6 +666,7 @@ QUERIES: dict[str, QuerySpec] = {
     # increase/rate family) — decimal-exact deltas
     "ts_counter_rate": QuerySpec(_counter_rate_fn, _COUNTER_RATE_SQL),
     "ts_resets": QuerySpec(_resets_fn, _RESETS_SQL),
+    "ts_winsorize": QuerySpec(_winsorize_fn, _WINSORIZE_SQL),
     # extension: fixed-anchor LTTB downsampling (parallel one-pass variant)
     "ts_downsample_lttb": QuerySpec(_lttb_fn, _LTTB_SQL),
     # extension: instantaneous rate (last reset-aware step per bucket)

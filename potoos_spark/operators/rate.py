@@ -267,3 +267,43 @@ def rolling_quantiles(
             F.round(F.expr(f"percentile(value, CAST({p} AS DOUBLE))").over(w), round_digits),
         )
     return out
+
+
+def winsorize(
+    df: DataFrame, lo_pct: int = 5, hi_pct: int = 95
+) -> DataFrame:
+    """Per-series winsorization: clamp every value into the series'
+    [p_lo, p_hi] LOW-percentile band — the robust preprocessing step
+    that tames fat tails before a mean/variance-based detector without
+    deleting points (cf. dropping outliers, which breaks rate math).
+
+    Exactness discipline: percentile ranks are pure integer arithmetic
+    (k = ceil(n*pct/100) as (n*pct+99)//100, floored at 1) over the
+    total order (value, ts_ms, seq) — no interpolation, no float
+    boundary, so the clamp bounds are actual series values and the
+    result is engine-exact. Physical shape: ONE shuffle on series_key;
+    the rank window and the two bound windows reuse the same partition
+    sort.
+
+    Output: (series_key, ts_ms, value, value_w).
+    """
+    lo_pct, hi_pct = int(lo_pct), int(hi_pct)
+    tie = F.col("seq") if "seq" in df.columns else F.col("value")
+    staged = df.select("series_key", "ts_ms", "value", tie.alias("__tie"))
+    wo = W.partitionBy("series_key").orderBy("value", "ts_ms", "__tie")
+    wp = W.partitionBy("series_key")
+    rn = F.row_number().over(wo)
+    n = F.count("*").over(wp)
+    st = staged.select(
+        "series_key", "ts_ms", "value", rn.alias("__rn"), n.alias("__n")
+    )
+    klo = F.greatest(F.lit(1), F.floor((F.col("__n") * lo_pct + 99) / 100).cast("bigint"))
+    khi = F.floor((F.col("__n") * hi_pct + 99) / 100).cast("bigint")
+    lo = F.min(F.when(F.col("__rn") == klo, F.col("value"))).over(wp)
+    hi = F.min(F.when(F.col("__rn") == khi, F.col("value"))).over(wp)
+    return st.select(
+        "series_key",
+        "ts_ms",
+        "value",
+        F.least(F.greatest(F.col("value"), lo), hi).alias("value_w"),
+    )
