@@ -290,3 +290,39 @@ def test_q20_pushes_shipdate_and_semi_joins(spark):
     pushed = "".join(l for l in plan.splitlines() if "PushedFilters:" in l)
     assert "l_shipdate" in pushed, pushed
     assert "LeftSemi" in plan, plan
+
+
+def test_winsorize_single_exchange(spark):
+    # rank + lo/hi bound windows all reuse the series_key partition sort
+    from potoos_spark.operators.rate import winsorize
+    from potoos_spark.catalog.common import events_frame
+
+    plan = _plan(winsorize(events_frame(spark, SF_DIR)), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_jaccard_topk_broadcasts_query_terms(spark):
+    # the query-term join must broadcast (corpus pruned before shuffle)
+    plan = _plan(CATALOG["text_jaccard_topk"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hybrid_rrf_no_corpus_join(spark):
+    # fusion unions two top-k lists; the only joins are the retrieval
+    # sides' broadcast query joins — no doc-doc join anywhere
+    plan = _plan(CATALOG["text_hybrid_rrf"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+
+
+def test_bigram_lm_single_bigram_explode_chain(spark):
+    # bigrams built in-row: no Window over token positions, no self-join
+    # of the token stream on pos+1
+    plan = _plan(CATALOG["text_bigram_lm"].fn(spark, SF_DIR), "simple")
+    assert "Window" not in plan, plan
+
+
+def test_dedup_report_no_expand(spark):
+    # two per-source aggs joined — never the multi-countDistinct Expand
+    plan = _plan(CATALOG["corpus_dedup_report"].fn(spark, SF_DIR), "simple")
+    assert "Expand" not in plan, plan
