@@ -118,6 +118,29 @@ def _knn_brute_fn(spark, sf_dir):
     return S.cosine_topk(e.filter(F.col("vec_id") < 5), e, k=10)
 
 
+def _hard_negatives_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.hard_negatives(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+# Hard-negative mining: per anchor, top-10 most-similar vectors with a
+# DIFFERENT label (label inequality in the join condition) — exact
+# integer-scaled cosine, rank tiebreak on match_id.
+_HARD_NEG_SQL = (
+    f"WITH {_SCALED_V}, "
+    "lab AS (SELECT vec_id, label FROM embeddings), "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id, "
+    + _COS.format(a="q", b="c")
+    + " AS cosine FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id "
+    "JOIN lab lq ON lq.vec_id = q.vec_id "
+    "JOIN lab lc ON lc.vec_id = c.vec_id AND lq.label <> lc.label "
+    "JOIN nrm na ON na.vec_id = q.vec_id JOIN nrm nb ON nb.vec_id = c.vec_id) "
+    "SELECT query_id, match_id, cosine, rank FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank FROM scored) "
+    "WHERE rank <= 10"
+)
+
+
 def _knn_lsh_fn(spark, sf_dir):
     e = _embs(spark, sf_dir)
     return S.lsh_bucket_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_bits=8)
@@ -1420,6 +1443,8 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_quantized": QuerySpec(_knn_quantized_fn, _KNN_QUANT_SQL),
     "knn_lsh_bucket": QuerySpec(_knn_lsh_fn, _KNN_LSH_SQL),
     "knn_ivf": QuerySpec(_knn_ivf_fn, None),  # KMeans quantizer: rows-only
+    # extension: contrastive hard-negative mining (different-label top-k)
+    "knn_hard_negatives": QuerySpec(_hard_negatives_fn, _HARD_NEG_SQL),
     # text analysis
     "text_tokens": QuerySpec(_text_tokens_fn, _TEXT_TOKENS_SQL),
     "text_bpe_tokens": QuerySpec(_text_bpe_fn, _TEXT_BPE_SQL),

@@ -59,6 +59,55 @@ def cosine_topk(
     return _ranked_topk(scored, k)
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    anchor, the top-``k`` most-similar corpus vectors carrying a
+    DIFFERENT label — the near-miss negatives that make a contrastive
+    or reranker objective informative (random negatives are trivially
+    separable; in-batch negatives are rarely this close).
+
+    Same physical shape as ``cosine_topk``: the (small) anchor set
+    broadcasts, the corpus is scanned once with the label inequality
+    applied IN the join condition (no post-filter blowup), integer-
+    scaled dot products keep scores engine-exact, and per-anchor top-k
+    is a ranked window over the scored candidates. The production scale
+    path composes the same way with ``lsh_bucket_topk``'s bucket join —
+    mine within buckets, then rank.
+
+    Output: (query_id, match_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        scaled_vec(vec_col).alias("qe"),
+    ).withColumn("qn", sqnorm_expr(F.col("qe")))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(label_col).alias("__cl"),
+        scaled_vec(vec_col).alias("ce"),
+    ).withColumn("cn", sqnorm_expr(F.col("ce")))
+    pairs = F.broadcast(q).join(
+        c,
+        (F.col("query_id") != F.col("match_id"))
+        & (F.col("__ql") != F.col("__cl")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "match_id",
+        cosine_from_norms(
+            F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
+    )
+    return _ranked_topk(scored, k)
+
+
 def sign_bucket(vec_col, n_bits: int = 8, offset: int = 0):
     """Deterministic LSH bucket id: sign pattern of ``n_bits``
     dimensions starting at ``offset`` (axis-aligned hyperplanes —
