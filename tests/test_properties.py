@@ -314,3 +314,96 @@ def test_counter_rate_total_increase_matches_positive_deltas(spark, vals):
         (b - a) if b >= a else b for a, b in zip(dv, dv[1:])
     )
     assert abs(total - float(expect)) < 1e-6
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    ),
+)
+@SETTINGS
+def test_winsorize_matches_bruteforce(spark, vals):
+    from potoos_spark.operators.rate import winsorize
+
+    rows = [("k", 1000 * i, float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts_ms bigint, value double, seq bigint"
+    )
+    got = {
+        row["ts_ms"]: row["value_w"]
+        for row in winsorize(df).collect()
+    }
+    # reference: LOW percentiles by rank ceil(n*p/100) over (value, ts)
+    ordered = sorted((float(v), 1000 * i) for i, v in enumerate(vals))
+    n = len(ordered)
+    klo = max(1, -((-n * 5) // 100))
+    khi = -((-n * 95) // 100)
+    lo, hi = ordered[klo - 1][0], ordered[khi - 1][0]
+    for i, v in enumerate(vals):
+        want = min(max(float(v), lo), hi)
+        assert got[1000 * i] == want, (vals, lo, hi)
+
+
+@given(
+    ranks_a=st.permutations(list(range(1, 8))),
+    ranks_b=st.permutations(list(range(1, 8))),
+)
+@SETTINGS
+def test_rrf_fuse_matches_bruteforce_and_is_list_order_invariant(
+    spark, ranks_a, ranks_b
+):
+    from potoos_spark.operators.text import rrf_fuse
+
+    la = [("q", d, r) for d, r in enumerate(ranks_a)]
+    lb = [("q", d + 3, r) for d, r in enumerate(ranks_b)]  # partial overlap
+    schema = "query_id string, doc_id bigint, rank bigint"
+    A = spark.createDataFrame(la, schema)
+    B = spark.createDataFrame(lb, schema)
+    got = {
+        (row["doc_id"]): (row["rrf_e9"], row["n_lists"], row["rank"])
+        for row in rrf_fuse([A, B], topk=100).collect()
+    }
+    swapped = {
+        (row["doc_id"]): (row["rrf_e9"], row["n_lists"], row["rank"])
+        for row in rrf_fuse([B, A], topk=100).collect()
+    }
+    assert got == swapped  # fusion is list-order invariant
+    # brute-force reference
+    contrib = {}
+    for _, doc, r in la + lb:
+        contrib.setdefault(doc, []).append(round(1e9 / (60 + r)))
+    want = {d: (int(sum(cs)), len(cs)) for d, cs in contrib.items()}
+    assert {d: v[:2] for d, v in got.items()} == want
+    # rank ordering: rrf_e9 desc, doc_id asc
+    by_rank = sorted(got.items(), key=lambda kv: kv[1][2])
+    assert [d for d, _ in by_rank] == [
+        d for d, _ in sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    ]
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-30, max_value=30), min_size=1, max_size=30
+    ),
+)
+@SETTINGS
+def test_page_hinkley_scores_match_bruteforce(spark, vals):
+    from potoos_spark.detectors.sequential import page_hinkley_detector
+
+    rows = [("k", 1000 * i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
+    got = {
+        row["ts_ms"]: row["score"] for row in page_hinkley_detector(df).collect()
+    }
+    rng = float(max(vals) - min(vals))
+    delta = 0.02 * rng
+    s = 0.0
+    up = dn = 0.0
+    for i, v in enumerate(vals):
+        v = float(v)
+        s += v
+        mean = s / (i + 1)
+        up = max(up + ((v - mean) - delta), 0.0)
+        dn = max(dn + ((mean - v) - delta), 0.0)
+        want = max(up, dn) / rng if rng > 0 else 0.0
+        assert got[1000 * i] == want, (vals, i)
