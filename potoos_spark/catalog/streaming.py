@@ -348,6 +348,45 @@ _STREAM_ENRICH_SQL = (
 
 
 
+def _stream_ph_fn(spark, sf_dir):
+    from ..streaming import streaming_page_hinkley
+
+    return _replay(streaming_page_hinkley(_events_stream(spark, sf_dir)), "append")
+
+
+# Oracle for the causal streaming Page-Hinkley: the recurrence as a
+# recursive CTE carrying (s, up, dn, mn, mx) in (ts_ms, seq) order.
+# Running (not global) range feeds both the allowance delta and the
+# normalizer — every float expression inlined in the same op order as
+# the kernel, so the replay is bit-exact.
+_STREAM_PH_SQL = (
+    f"WITH RECURSIVE series AS ({EVENTS_SQL}), st AS (SELECT series_key, ts_ms, value, "
+    "ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY ts_ms, seq) AS rn "
+    "FROM series), "
+    "r AS (SELECT series_key, ts_ms, value, rn, value AS s, "
+    "CAST(0.0 AS DOUBLE) AS up, CAST(0.0 AS DOUBLE) AS dn, "
+    "value AS mn, value AS mx, CAST(0.0 AS DOUBLE) AS score "
+    "FROM st WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT o.series_key, o.ts_ms, o.value, o.rn, "
+    "r.s + o.value, "
+    "GREATEST(r.up + ((o.value - (r.s + o.value) / o.rn) "
+    "- 0.02 * (GREATEST(r.mx, o.value) - LEAST(r.mn, o.value))), 0.0), "
+    "GREATEST(r.dn + (((r.s + o.value) / o.rn - o.value) "
+    "- 0.02 * (GREATEST(r.mx, o.value) - LEAST(r.mn, o.value))), 0.0), "
+    "LEAST(r.mn, o.value), GREATEST(r.mx, o.value), "
+    "CASE WHEN GREATEST(r.mx, o.value) - LEAST(r.mn, o.value) > 0 THEN "
+    "GREATEST("
+    "GREATEST(r.up + ((o.value - (r.s + o.value) / o.rn) "
+    "- 0.02 * (GREATEST(r.mx, o.value) - LEAST(r.mn, o.value))), 0.0), "
+    "GREATEST(r.dn + (((r.s + o.value) / o.rn - o.value) "
+    "- 0.02 * (GREATEST(r.mx, o.value) - LEAST(r.mn, o.value))), 0.0)) "
+    "/ (GREATEST(r.mx, o.value) - LEAST(r.mn, o.value)) ELSE 0.0 END "
+    "FROM st o JOIN r ON o.series_key = r.series_key AND o.rn = r.rn + 1) "
+    "SELECT series_key, ts_ms, value, score FROM r"
+)
+
+
 def _stream_counter_rate_fn(spark, sf_dir):
     from ..streaming import streaming_counter_rate
 
@@ -477,4 +516,6 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_m4_replay": QuerySpec(_stream_m4_fn, _STREAM_M4_SQL),
     # extension: streaming cooldown debounce (immediate emission)
     "stream_debounce_replay": QuerySpec(_stream_debounce_fn, _STREAM_DEBOUNCE_SQL),
+    # causal Page-Hinkley per-point scoring (running-range allowance)
+    "stream_page_hinkley_replay": QuerySpec(_stream_ph_fn, _STREAM_PH_SQL),
 }

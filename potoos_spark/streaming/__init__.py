@@ -22,6 +22,7 @@ from .stateful import (
     streaming_bucket_scores,
     streaming_counter_rate,
     streaming_debounce,
+    streaming_page_hinkley,
     streaming_scores,
 )
 
@@ -41,5 +42,6 @@ __all__ = [
     "streaming_bucket_scores",
     "streaming_counter_rate",
     "streaming_debounce",
+    "streaming_page_hinkley",
     "streaming_scores",
 ]

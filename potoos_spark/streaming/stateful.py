@@ -483,3 +483,73 @@ def streaming_debounce(sdf: DataFrame, cooldown_ms: int) -> DataFrame:
             fn, out_schema, DEBOUNCE_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+PH_STATE_SCHEMA = "cnt bigint, s double, up double, dn double, mn double, mx double"
+
+
+def streaming_page_hinkley(sdf: DataFrame, delta_frac: float = 0.02) -> DataFrame:
+    """Stateful streaming Page-Hinkley drift scorer — the CAUSAL twin of
+    ``detectors.sequential.page_hinkley_detector``: the batch op's
+    allowance and normalizer use the series' GLOBAL range (acausal on a
+    stream), so the streaming variant substitutes the RUNNING range
+    observed so far; the (running-mean center, up/dn accumulator)
+    recurrence is otherwise identical. State is O(1) per series:
+    (cnt, sum, up, dn, min, max).
+
+    Points are scored in (ts_ms, seq) order within each micro-batch;
+    like the other stateful scorers, cross-batch late data is the
+    reorder-buffer variant's job — the replay oracle assumes in-order
+    arrival.
+
+    Output (append): (series_key, ts_ms, value, score) per point.
+    """
+    df_ = float(delta_frac)
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cnt, s, up, dn, mn, mx = state.get
+        else:
+            cnt, s, up, dn, mn, mx = 0, 0.0, 0.0, 0.0, 0.0, 0.0
+
+        for pdf in batches:
+            sort_cols = ["ts_ms", "seq"] if "seq" in pdf.columns else ["ts_ms"]
+            pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
+            out_ts, out_v, out_sc = [], [], []
+            for t, v in zip(pdf["ts_ms"], pdf["value"]):
+                t, v = int(t), float(v)
+                cnt += 1
+                s += v
+                mean = s / cnt
+                mn = v if cnt == 1 else min(mn, v)
+                mx = v if cnt == 1 else max(mx, v)
+                rng = mx - mn
+                delta = df_ * rng
+                up = max(up + ((v - mean) - delta), 0.0)
+                dn = max(dn + ((mean - v) - delta), 0.0)
+                out_ts.append(t)
+                out_v.append(v)
+                out_sc.append(max(up, dn) / rng if rng > 0 else 0.0)
+            if out_ts:
+                yield pd.DataFrame(
+                    {
+                        "series_key": key[0],
+                        "ts_ms": pd.Series(out_ts, dtype="int64"),
+                        "value": out_v,
+                        "score": out_sc,
+                    }
+                )
+        state.update((cnt, s, up, dn, mn, mx))
+
+    cols = ["series_key", "ts_ms", "value"] + (
+        ["seq"] if "seq" in sdf.columns else []
+    )
+    return (
+        sdf.select(*cols)
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            fn, OUT_SCHEMA, PH_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -9,7 +9,11 @@ import time
 
 import pytest
 
-from potoos_spark.streaming import streaming_counter_rate, streaming_debounce
+from potoos_spark.streaming import (
+    streaming_counter_rate,
+    streaming_debounce,
+    streaming_page_hinkley,
+)
 
 SCHEMA = "series_key string, ts_ms bigint, value double, seq bigint"
 BUCKET = 60_000
@@ -62,6 +66,12 @@ def _whole_run(spark, mk_sdf, whole_src, name):
             "db",
             lambda spark: lambda src: streaming_debounce(
                 spark.readStream.schema(SCHEMA).parquet(str(src)), 25_000
+            ),
+        ),
+        (
+            "ph",
+            lambda spark: lambda src: streaming_page_hinkley(
+                spark.readStream.schema(SCHEMA).parquet(str(src))
             ),
         ),
     ],
