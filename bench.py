@@ -58,6 +58,7 @@ HEADLINE = [
     # LLM-pipeline tier (documents 5k, embeddings 2k)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "text_hybrid_rrf",
     "knn_bruteforce",
     "text_quality",
     "text_langid",

@@ -980,6 +980,11 @@ _JACCARD_TOPK_SQL = (
 
 
 def _hybrid_rrf_fn(spark, sf_dir):
+    # Composed (not fused): the two rankers re-derive their own postings.
+    # A shared-postings fusion with persisted hits/sizes was measured
+    # SLOWER at sf0.1 (1.9s vs 1.5s): the persist materialization
+    # barriers serialize stages the independent pipelines overlap, and
+    # per-consumer column pruning blocks exchange reuse either way.
     from ..operators.text import bm25_topk, jaccard_topk, rrf_fuse
 
     docs = _docs(spark, sf_dir)
