@@ -230,6 +230,35 @@ def _counter_rate_fn(spark, sf_dir):
     return counter_rate(events_frame(spark, sf_dir), HOUR)
 
 
+def _stl_fn(spark, sf_dir):
+    from ..operators.rate import stl_decompose
+
+    return stl_decompose(events_frame(spark, sf_dir))
+
+
+# STL-lite: trend = centered 25-bucket MA from windowed DECIMAL
+# sums/counts (single division — exact); seasonal = per-(series, phase)
+# mean of detrended values integer-scaled to 1e9 (order-free sums);
+# residual = detrended - seasonal. Same float op order both engines.
+_STL_SQL = (
+    f"{_S}, g AS (SELECT series_key, ts_ms - ts_ms % {HOUR} AS ts_ms, "
+    f"SUM(CAST(value AS {DEC})) AS s, COUNT(value) AS c FROM series "
+    f"GROUP BY series_key, ts_ms - ts_ms % {HOUR}), "
+    "t AS (SELECT series_key, ts_ms, "
+    "CAST(s AS DOUBLE) / c AS value, "
+    "CAST(SUM(s) OVER w AS DOUBLE) / SUM(c) OVER w AS trend "
+    "FROM g WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms "
+    "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)), "
+    "d AS (SELECT *, value - trend AS detrended, "
+    f"(ts_ms // {HOUR}) % 24 AS phase, "
+    "CAST(round((value - trend) * 1e9) AS BIGINT) AS se9 FROM t), "
+    "e AS (SELECT *, (CAST(SUM(se9) OVER p AS DOUBLE) / COUNT(*) OVER p) / 1e9 "
+    "AS seasonal FROM d WINDOW p AS (PARTITION BY series_key, phase)) "
+    "SELECT series_key, ts_ms, value, trend, seasonal, "
+    "detrended - seasonal AS residual FROM e"
+)
+
+
 def _winsorize_fn(spark, sf_dir):
     from ..operators.rate import winsorize
 
@@ -667,6 +696,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_counter_rate": QuerySpec(_counter_rate_fn, _COUNTER_RATE_SQL),
     "ts_resets": QuerySpec(_resets_fn, _RESETS_SQL),
     "ts_winsorize": QuerySpec(_winsorize_fn, _WINSORIZE_SQL),
+    "ts_stl_decompose": QuerySpec(_stl_fn, _STL_SQL),
     # extension: fixed-anchor LTTB downsampling (parallel one-pass variant)
     "ts_downsample_lttb": QuerySpec(_lttb_fn, _LTTB_SQL),
     # extension: instantaneous rate (last reset-aware step per bucket)

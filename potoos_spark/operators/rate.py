@@ -307,3 +307,70 @@ def winsorize(
         "value",
         F.least(F.greatest(F.col("value"), lo), hi).alias("value_w"),
     )
+
+
+def stl_decompose(
+    df: DataFrame,
+    bucket_ms: int = 3_600_000,
+    period: int = 24,
+    half_window: int = 12,
+) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite) per series over
+    ``bucket_ms`` buckets: value = trend + seasonal + residual, with
+
+    * trend    — centered moving average over ``2*half_window + 1``
+      buckets, computed from windowed DECIMAL sums and counts (one
+      division at the end — no float accumulation, engine-exact);
+    * seasonal — per-(series, phase) mean of the detrended values,
+      phase = bucket index mod ``period`` (24 hourly buckets = the
+      daily cycle); detrended values are integer-scaled
+      (round(x*1e9)) before the mean so group totals are order-free;
+    * residual — what the detectors should score: a level shift moves
+      the trend, a recurring daily pattern lands in seasonal, and only
+      genuine surprises remain in the residual.
+
+    Physical shape: one bucket hash agg, one 25-row window per series
+    (sort reused from the bucket shuffle when co-partitioned), one
+    (series, phase) window — period is tiny so the phase partition
+    never skews. Output: (series_key, ts_ms, value, trend, seasonal,
+    residual).
+    """
+    b = int(bucket_ms)
+    bucket = F.col("ts_ms") - F.pmod(F.col("ts_ms"), F.lit(b))
+    g = (
+        df.groupBy("series_key", bucket.alias("ts_ms"))
+        .agg(F.sum(_dec("value")).alias("__s"), F.count("value").alias("__c"))
+    )
+    w25 = (
+        W.partitionBy("series_key")
+        .orderBy("ts_ms")
+        .rowsBetween(-int(half_window), int(half_window))
+    )
+    value = F.col("__s").cast("double") / F.col("__c")
+    trend = F.sum("__s").over(w25).cast("double") / F.sum("__c").over(w25)
+    staged = g.select(
+        "series_key",
+        "ts_ms",
+        value.alias("value"),
+        trend.alias("trend"),
+    ).withColumn("detrended", F.col("value") - F.col("trend"))
+    phase = F.pmod((F.col("ts_ms") / F.lit(b)).cast("bigint"), F.lit(int(period)))
+    se9 = F.round(F.col("detrended") * F.lit(1e9)).cast("bigint")
+    wp = W.partitionBy("series_key", "__phase")
+    out = (
+        staged.withColumn("__phase", phase)
+        .withColumn("__se9", se9)
+        .withColumn(
+            "seasonal",
+            (F.sum("__se9").over(wp).cast("double") / F.count("*").over(wp))
+            / F.lit(1e9),
+        )
+    )
+    return out.select(
+        "series_key",
+        "ts_ms",
+        "value",
+        "trend",
+        "seasonal",
+        (F.col("detrended") - F.col("seasonal")).alias("residual"),
+    )
