@@ -485,6 +485,41 @@ _HOLT_SQL = (
 
 
 
+def _stl_residual_fn(spark, sf_dir):
+    """Seasonality-aware scoring: run the detector on the STL residual
+    instead of the raw series — the daily cycle and slow trend are
+    explained away, so only genuine surprises score. Normalizer is the
+    per-series residual RANGE (max-min: no accumulation, exact)."""
+    from ..catalog.common import events_frame
+    from ..operators.rate import stl_decompose
+
+    d = stl_decompose(events_frame(spark, sf_dir))
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy("series_key")
+    rng = F.max("residual").over(wp) - F.min("residual").over(wp)
+    return d.select(
+        "series_key",
+        "ts_ms",
+        "value",
+        F.when(rng > 0, F.abs(F.col("residual")) / rng)
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+
+
+from .timeseries import _STL_SQL as _STL_INNER_SQL  # noqa: E402
+
+_STL_RESIDUAL_SQL = (
+    f"WITH stl AS ({_STL_INNER_SQL}) "
+    "SELECT series_key, ts_ms, value, "
+    "CASE WHEN MAX(residual) OVER p - MIN(residual) OVER p > 0 THEN "
+    "ABS(residual) / (MAX(residual) OVER p - MIN(residual) OVER p) "
+    "ELSE 0.0 END AS score FROM stl "
+    "WINDOW p AS (PARTITION BY series_key)"
+)
+
+
 def _windows_pct_fn(spark, sf_dir):
     """D10 in score_percent_threshold mode (config.py:85): the island
     threshold is 0.5 x the per-series max score."""
@@ -582,6 +617,8 @@ QUERIES: dict[str, QuerySpec] = {
     "det_cusum": QuerySpec(_scored("cusum", {}), _CUSUM_SQL),
     # extension: Page-Hinkley running-mean drift scorer (adaptive center)
     "det_page_hinkley": QuerySpec(_scored("page_hinkley", {}), _PH_SQL),
+    # extension: seasonality-aware scoring on the STL residual
+    "det_stl_residual": QuerySpec(_stl_residual_fn, _STL_RESIDUAL_SQL),
     # extension: Holt level+trend one-step-ahead forecast scorer
     "det_holt_winters": QuerySpec(_scored("holt_winters", {}), _HOLT_SQL),
 }
