@@ -61,3 +61,39 @@ def read_series_store(
             & (F.col("ts_ms") <= to_ms)
         )
     return df.drop("date")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    max_records_per_file: int = 1_000_000,
+    target_files: int | None = None,
+) -> int:
+    """Small-files compaction pass — the maintenance job the scale probe's
+    file-layout lesson calls for (SCALE.md: scan parallelism follows file
+    layout, so a directory of thousands of tiny micro-batch outputs
+    throttles every later scan, while one giant file serializes it).
+
+    Rewrites ``src`` into ``dst`` range-partitioned on (series_key,
+    ts_ms) — each output file covers a contiguous key/time slice, so
+    per-series sort order survives within files (window functions read
+    them sort-free) and parquet min/max row-group skipping stays sharp —
+    with ``maxRecordsPerFile`` bounding file size from above and
+    ``target_files`` (default: cluster default parallelism) bounding
+    the file count from below.
+
+    Returns the number of rows written (compaction must be a row-exact
+    rewrite; callers assert equality with the source count).
+    """
+    df = spark.read.parquet(src)
+    n = target_files or spark.sparkContext.defaultParallelism
+    out = df.repartitionByRange(
+        n, F.col("series_key"), F.col("ts_ms")
+    ).sortWithinPartitions("series_key", "ts_ms")
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", int(max_records_per_file))
+        .parquet(dst)
+    )
+    return spark.read.parquet(dst).count()

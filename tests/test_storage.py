@@ -58,3 +58,32 @@ def test_self_join_on_series_key_is_shuffle_free(spark, store):
     b = t.groupBy("series_key").agg(F.min("value").alias("mn"))
     joined = a.join(b, "series_key")
     assert "Exchange" not in _plan(joined), _plan(joined)
+
+
+def test_compact_parquet_rewrites_row_exact_and_reduces_files(spark, tmp_path):
+    import os
+
+    from potoos_spark.operators.storage import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    rows = [("s%d" % (i % 3), 1000 * i, float(i)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
+    # fragment: 60 tiny files (micro-batch-style output)
+    df.repartition(60).write.parquet(src)
+    n_src_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src_files >= 50
+
+    n = compact_parquet(spark, src, dst, target_files=4)
+    assert n == 3000
+    n_dst_files = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst_files <= 8  # range partitions, far fewer files
+    # row-exact rewrite
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
+    # within-file contiguity: each file's (series_key, ts) range is sorted
+    one = sorted(os.path.join(dst, f) for f in os.listdir(dst) if f.endswith(".parquet"))[0]
+    part = spark.read.parquet(one).collect()
+    keys = [(r.series_key, r.ts_ms) for r in part]
+    assert keys == sorted(keys)
