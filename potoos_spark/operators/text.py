@@ -587,14 +587,21 @@ def bigram_logprob(
     bg = df.select(
         F.col(id_col), F.explode(_gram_list(tokens(text_col), 2)).alias("bg")
     )
-    tf = bg.groupBy(id_col, "bg").agg(F.count("*").alias("tf"))
+    # tf feeds the probability join AND (via cbg) both count relations;
+    # unpersisted, Catalyst would replay the bigram explode+agg once per
+    # consumer (no cross-branch subtree reuse) — measured 3x slower at
+    # sf0.1. Persisting the (doc, bigram, tf) relation is the standard
+    # multi-consumer trade; it spills to disk at corpus scale.
+    tf = bg.groupBy(id_col, "bg").agg(F.count("*").alias("tf")).persist()
     cbg = tf.groupBy("bg").agg(F.sum("tf").alias("cbg"))
     c1 = (
         cbg.groupBy(F.substring_index("bg", "_", 1).alias("w1"))
         .agg(F.sum("cbg").alias("c1"))
     )
     uni = df.select(F.explode(tokens(text_col)).alias("tok"))
-    cu = uni.groupBy("tok").agg(F.count("*").alias("cu"))
+    # cu is vocabulary-sized; persisted so the grand total doesn't replay
+    # the token explode.
+    cu = uni.groupBy("tok").agg(F.count("*").alias("cu")).persist()
     tot = cu.agg(F.sum("cu").alias("total"))
     p = (
         F.lit(float(lam)) * (F.col("cbg").cast("double") / F.col("c1").cast("double"))

@@ -49,6 +49,9 @@ QUERIES = [
     "q5_region_volume",
     "q1_pricing_summary",
     "dedup_minhash_lsh",
+    # round-3 late additions: the two heaviest new entries
+    "text_hybrid_rrf",
+    "text_bigram_lm",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
