@@ -59,6 +59,25 @@ BUCKET_STATE_SCHEMA = _SCORE_FIELDS + (
 _NO_BUCKET = -(2**63)
 
 
+def _gather_sorted(batches, sort_cols=("ts_ms",)):
+    """Concatenate ALL of a group's Arrow chunks and sort ONCE.
+
+    ``applyInPandasWithState`` hands a group over as an iterator of
+    Arrow chunks in shuffle-concat order; sorting per chunk silently
+    breaks per-series ts order whenever a group exceeds one Arrow batch
+    (~10k rows at the default maxRecordsPerBatch) — a later chunk can
+    hold earlier timestamps, so a per-chunk recurrence runs (and then
+    checkpoints) out of order. Memory is bounded by the group's rows in
+    the micro-batch, which already transit this task either way.
+    """
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return None
+    pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    cols = [c for c in sort_cols if c in pdf.columns]
+    return pdf.sort_values(cols).reset_index(drop=True)
+
+
 class _Scorer:
     """The prefix-causal scoring recurrence shared by both stateful ops."""
 
@@ -157,8 +176,8 @@ def streaming_scores(
             key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
         ) -> Iterator[pd.DataFrame]:
             sc = _Scorer(alpha, derivative, state.get if state.exists else None)
-            for pdf in batches:
-                pdf = pdf.sort_values("ts_ms").reset_index(drop=True)
+            pdf = _gather_sorted(batches)
+            if pdf is not None:
                 scores = [
                     sc.step(int(t), float(v))
                     for t, v in zip(pdf["ts_ms"], pdf["value"])
@@ -306,8 +325,8 @@ def streaming_bucket_scores(
             bkt, a_cnt = _NO_BUCKET, 0
             a_sum = a_min = a_max = a_first = a_last = a_sum2 = 0.0
 
-        for pdf in batches:
-            pdf = pdf.sort_values("ts_ms").reset_index(drop=True)
+        pdf = _gather_sorted(batches)
+        if pdf is not None:
             out_ts, out_v, out_s = [], [], []
             for t, v in zip(pdf["ts_ms"], pdf["value"]):
                 t, v = int(t), float(v)
@@ -397,8 +416,8 @@ def streaming_counter_rate(
         else:
             bkt, a_max, prev_max, has_prev = _NO_BUCKET, 0.0, 0.0, 0
 
-        for pdf in batches:
-            pdf = pdf.sort_values("ts_ms").reset_index(drop=True)
+        pdf = _gather_sorted(batches)
+        if pdf is not None:
             out_ts, out_v, out_inc = [], [], []
             for t, v in zip(pdf["ts_ms"], pdf["value"]):
                 t, v = int(t), float(v)
@@ -456,9 +475,8 @@ def streaming_debounce(sdf: DataFrame, cooldown_ms: int) -> DataFrame:
             lk, has_lk = state.get
         else:
             lk, has_lk = 0, 0
-        for pdf in batches:
-            sort_cols = ["ts_ms", "seq"] if "seq" in pdf.columns else ["ts_ms"]
-            pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
+        pdf = _gather_sorted(batches, ("ts_ms", "seq"))
+        if pdf is not None:
             keep = []
             for t in pdf["ts_ms"]:
                 t = int(t)
@@ -514,9 +532,8 @@ def streaming_page_hinkley(sdf: DataFrame, delta_frac: float = 0.02) -> DataFram
         else:
             cnt, s, up, dn, mn, mx = 0, 0.0, 0.0, 0.0, 0.0, 0.0
 
-        for pdf in batches:
-            sort_cols = ["ts_ms", "seq"] if "seq" in pdf.columns else ["ts_ms"]
-            pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
+        pdf = _gather_sorted(batches, ("ts_ms", "seq"))
+        if pdf is not None:
             out_ts, out_v, out_sc = [], [], []
             for t, v in zip(pdf["ts_ms"], pdf["value"]):
                 t, v = int(t), float(v)
