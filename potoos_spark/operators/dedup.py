@@ -647,46 +647,56 @@ def chunk_dedup(
     *inside* otherwise-distinct documents (headers, disclaimers,
     navigation chrome).
 
-    Physical shape — two shuffles, both on high-cardinality keys:
-    (1) window ``row_number`` partitioned by the passage hash picks the
-    global first occurrence (state per distinct passage, never per
-    occurrence pair); (2) a hash aggregation on ``id_col`` reassembles
-    documents. Chunking itself is in-row (``sequence``/``slice`` higher-
-    order functions, whole-stage codegen). No self-join, no pair space:
-    at 100 TB the cost is one sort-shuffle of (hash, doc_id, idx)
-    triples — the canonical exact-substring-dedup pass. A viral passage
-    duplicated across millions of docs lands on one hash key; the
-    window only needs that key's min, so AQE skew handling plus the
-    tiny per-row payload keep the straggler bounded.
+    Physical shape — skew-immune by construction, ONE corpus explode,
+    NO window and NO occurrence-level join: the global first occurrence
+    per passage hash is a map-side-combinable
+    ``groupBy(hash).agg(min(struct(doc_id, ci)), any_value(chunk))`` —
+    a viral boilerplate passage collapses to ONE row per map task
+    before the shuffle (the passage text rides along because it is
+    hash-determined), where a window ``row_number`` over the hash
+    partition would funnel every occurrence through a single
+    unsplittable sort task (AQE splits skewed joins, not Window
+    partitions). The agg output IS the kept-passage set; reassembly is
+    a hash aggregation on ``id_col``, and per-doc chunk totals come
+    straight from the in-row chunk-count expression — the only join is
+    doc-keyed totals ⋈ doc-keyed reassembly.
 
     Output: (doc_id, n_chunks, n_kept, text_dedup) — one row per input
     document; ``text_dedup`` is the space-joined surviving passages
     (empty string when every passage was seen earlier).
     """
+    k = int(chunk_words)
+    w = F.split(F.trim(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col),
+        F.ceil(F.size(w) / F.lit(k)).cast("bigint").alias("n_chunks"),
+    ).filter(F.col("n_chunks").isNotNull())
     chunked = chunk_passages(df, text_col, id_col, chunk_words)
-    from pyspark.sql import Window as W
-
-    first = F.row_number().over(
-        W.partitionBy(F.md5(F.col("chunk"))).orderBy(id_col, "ci")
+    firsts = chunked.groupBy(F.md5(F.col("chunk")).alias("__h")).agg(
+        F.min(F.struct(F.col(id_col), F.col("ci"))).alias("__first"),
+        F.any_value("chunk").alias("chunk"),
     )
-    flagged = chunked.withColumn("keep", (first == 1).cast("int"))
+    kept = firsts.select(
+        F.col(f"__first.{id_col}").alias(id_col),
+        F.col("__first.ci").alias("ci"),
+        "chunk",
+    )
     kept_text = F.array_join(
         F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        F.col("keep") == 1, F.struct(F.col("ci"), F.col("chunk"))
-                    )
-                )
-            ),
+            F.array_sort(F.collect_list(F.struct(F.col("ci"), F.col("chunk")))),
             lambda s: s.chunk,
         ),
         " ",
     )
-    return flagged.groupBy(id_col).agg(
-        F.count("*").alias("n_chunks"),
-        F.sum("keep").cast("bigint").alias("n_kept"),
+    re = kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
         kept_text.alias("text_dedup"),
+    )
+    return base.join(re, id_col, "left").select(
+        F.col(id_col),
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
     )
 
 def chunk_passages(

@@ -253,12 +253,14 @@ def test_random_projection_is_shuffle_free(spark):
     assert "Exchange" not in plan  # in-row fold + explode, map-only
 
 
-def test_chunk_dedup_two_shuffles_no_join(spark):
-    # one window shuffle on the chunk hash + one reassembly agg on doc_id;
-    # crucially NO self-join anywhere in the plan
+def test_chunk_dedup_no_window_no_self_join(spark):
+    # first-occurrence is a map-side-combinable min-struct agg joined
+    # back on the hash key — NO Window over the hash partition (a viral
+    # passage would funnel into one unsplittable sort task; AQE splits
+    # skewed joins, not Window partitions) and no doc-doc self-join
     plan = _plan(CATALOG["dedup_chunks"].fn(spark, SF_DIR), "simple")
-    assert "Join" not in plan, plan
-    assert plan.count("Exchange") == 2, plan  # hash window + doc reassembly agg
+    assert "Window" not in plan, plan
+    assert plan.count("Join") <= 2, plan  # occurrences⋈firsts only (AQE may stage it)
 
 
 def test_q12_prunes_columns_and_partial_agg(spark):
