@@ -909,12 +909,7 @@ _HASH_EMBED_SQL = (
 def _bm25_fn(spark, sf_dir):
     from ..operators.text import bm25_topk
 
-    docs = _docs(spark, sf_dir)
-    queries = docs.filter(F.col("doc_id") < 3).select(
-        F.col("doc_id").alias("query_id"),
-        F.concat_ws(" ", F.slice(T.tokens("text"), 1, 5)).alias("qtext"),
-    )
-    return bm25_topk(docs, queries, k=10)
+    return bm25_topk(_docs(spark, sf_dir), _queries_frame(spark, sf_dir), k=10)
 
 
 # BM25 top-10 per query (queries = first-5-token prefixes of docs 0-2):

@@ -134,7 +134,13 @@ def _q12_fn(spark, sf_dir):
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .filter(
+            # o_orderdate is a TIMESTAMP: add a true 60-day interval
+            # (date_add would truncate to midnight and misclassify any
+            # intraday order time vs the INTERVAL-based oracle)
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),

@@ -375,11 +375,16 @@ def pack_bins(
     """
     from pyspark.sql import Window as W
 
+    # persisted: both the local prefix sums and the partition totals
+    # read `sized`, and correctness requires ONE range-sampling run —
+    # recomputation after a task retry could pick different split
+    # points, assigning a boundary row to partition p in one branch
+    # while its size counts toward p+1's offset in the other.
     sized = (
         df.select(F.col(id_col), F.col(size_col).cast("bigint").alias("sz"))
         .repartitionByRange(n_parts, F.col(id_col))
         .withColumn("__pid", F.spark_partition_id())
-    )
+    ).persist()
     w_local = (
         W.partitionBy("__pid")
         .orderBy(id_col)

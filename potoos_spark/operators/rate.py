@@ -261,7 +261,11 @@ def rolling_quantiles(
     )
     out = df.select("series_key", "ts_ms", "value")
     for p in ps:
-        name = f"q{int(round(p * 100)):02d}"
+        # full-precision name: q{p*100 with decimals when needed} — two
+        # requested quantiles must never silently collapse into one
+        # column (q95 vs q95_4 for p=0.95 vs 0.954)
+        pct = p * 100
+        name = f"q{pct:g}".replace(".", "_")
         out = out.withColumn(
             name,
             F.round(F.expr(f"percentile(value, CAST({p} AS DOUBLE))").over(w), round_digits),

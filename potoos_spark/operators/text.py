@@ -472,18 +472,25 @@ def hashing_trick_embed(
     """
     n = int(dim)
     hs = F.transform(F.array_distinct(tokens(text_col)), F.md5)
-    staged = df.select(F.col(id_col), hs.alias("__hs")).filter(F.size("__hs") > 0)
     bucket = lambda x: F.conv(F.substring(x, 1, 4), 16, 10).cast("bigint") % n
     sign = lambda x: F.when(
         F.substring(x, 5, 1).between("8", "f"), F.lit(1)
     ).otherwise(F.lit(-1))
+    # (bucket, sign) precomputed ONCE per token: HOF lambdas inline
+    # expression trees at every reference, so folding over the raw md5
+    # strings would redo the substring/conv ``dim`` times per token
+    # (same pathology fixed in simhash_fingerprint's packed votes).
+    bs = F.transform(
+        hs, lambda x: F.struct(bucket(x).alias("b"), sign(x).alias("s"))
+    )
+    staged = df.select(F.col(id_col), bs.alias("__bs")).filter(F.size("__bs") > 0)
     emb = F.aggregate(
-        F.col("__hs"),
+        F.col("__bs"),
         F.array_repeat(F.lit(0).cast("bigint"), n),
-        lambda acc, x: F.zip_with(
+        lambda acc, t: F.zip_with(
             acc,
             F.sequence(F.lit(0), F.lit(n - 1)),
-            lambda a, j: a + F.when(bucket(x) == j, sign(x)).otherwise(0),
+            lambda a, j: a + F.when(t["b"] == j, t["s"]).otherwise(0),
         ),
     )
     out = staged.select(F.col(id_col), emb.alias("embedding"))
