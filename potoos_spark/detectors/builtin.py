@@ -173,12 +173,20 @@ def seasonal_naive(
     One window sort per series, everything in whole-stage codegen; the
     range normalizer is max-min (no accumulation), so scores are
     bit-exact across engines and partitionings."""
+    if normalizer not in ("range", "std"):
+        raise ValueError("normalizer must be 'range' or 'std'")
     w = _series_w()
     sw = W.partitionBy("series_key")
     base = F.lag("value", int(period)).over(w)
-    rng = F.max("value").over(sw) - F.min("value").over(sw)
+    denom = (
+        F.max("value").over(sw) - F.min("value").over(sw)
+        if normalizer == "range"
+        else F.stddev_samp("value").over(sw)
+    )
     dev = F.abs(F.col("value") - base)
-    score = F.when(base.isNotNull() & (rng > 0), dev / rng).otherwise(F.lit(0.0))
+    score = F.when(base.isNotNull() & (denom > 0), dev / denom).otherwise(
+        F.lit(0.0)
+    )
     return df.select(
         "series_key", "ts_ms", "value", score.cast("double").alias("score")
     )

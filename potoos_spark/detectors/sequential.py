@@ -36,13 +36,22 @@ _OUT_SCHEMA = "series_key string, ts_ms bigint, value double, score double"
 
 
 def _per_series(df: DataFrame, kernel: Callable[[pd.DataFrame], pd.DataFrame]) -> DataFrame:
+    # stable mergesort + seq tiebreak: the recurrences are order-
+    # dependent, so duplicate timestamps must order identically on
+    # every run/partitioning (quicksort gives no tie order and Spark's
+    # group input order varies) — same discipline as retrieval.py
+    cols = ["series_key", "ts_ms", "value"] + (
+        ["seq"] if "seq" in df.columns else []
+    )
+
     def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts_ms").reset_index(drop=True)
+        sort_cols = ["ts_ms", "seq"] if "seq" in pdf.columns else ["ts_ms"]
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         out = kernel(pdf)
         return out[["series_key", "ts_ms", "value", "score"]]
 
     return (
-        df.select("series_key", "ts_ms", "value")
+        df.select(*cols)
         .groupBy("series_key")
         .applyInPandas(wrapped, schema=_OUT_SCHEMA)
     )
@@ -187,13 +196,23 @@ def bitmap_detector(
         scores = np.zeros(n)
         if n >= lw + fw and np.nanmax(v) > np.nanmin(v):
             lo, hi = np.nanmin(v), np.nanmax(v)
-            sym = np.minimum(((v - lo) / (hi - lo) * p).astype(np.int64), p - 1)
-            # word id of the chunk ENDING at i (base-p encoding)
+            with np.errstate(invalid="ignore"):
+                sym = np.minimum(
+                    ((v - lo) / (hi - lo) * p).astype(np.int64), p - 1
+                )
+            nan_mask = np.isnan(v)
+            # word id of the chunk ENDING at i (base-p encoding); chunks
+            # touching a NaN point get NO word (-1) — NaN cast to int64
+            # would otherwise alias to a valid symbol after base-p
+            # wraparound and silently corrupt the bitmaps
             words = np.full(n, -1, dtype=np.int64)
             if n >= cs:
                 w = np.zeros(n - cs + 1, dtype=np.int64)
+                bad = np.zeros(n - cs + 1, dtype=bool)
                 for j in range(cs):
                     w = w * p + sym[j : j + n - cs + 1]
+                    bad |= nan_mask[j : j + n - cs + 1]
+                w[bad] = -1
                 words[cs - 1 :] = w
             n_words = p**cs
             # prefix counts of each word id → O(n · p^cs) bitmap windows

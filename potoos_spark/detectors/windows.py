@@ -38,7 +38,10 @@ def extract_anomalies(
     with neither, any strictly-positive score is anomalous.
     """
     w_series = W.partitionBy("series_key")
-    w_ordered = w_series.orderBy("ts_ms")
+    # score as tiebreak: both row_number passes must rank duplicate
+    # timestamps identically or one contiguous run can split/merge
+    # nondeterministically (rows equal in (ts, score) are interchangeable)
+    w_ordered = w_series.orderBy("ts_ms", "score")
 
     if score_threshold is not None:
         above = F.col("score") >= float(score_threshold)
@@ -89,20 +92,33 @@ def refine_anomalies(
     in_windows = points.join(F.broadcast(win), "series_key").filter(
         F.col("ts_ms").between(F.col("__w_start"), F.col("__w_end"))
     )
-    rescored = refine(
-        in_windows.select("series_key", "ts_ms", "value"),
-        **(refine_algorithm_params or {}),
+    # refine runs per (series, WINDOW), not per series: rolling/global-
+    # stat refiners (hampel, mad, derivative) must never mix points from
+    # separate anomaly windows or bridge the time gaps between them.
+    # The window start is folded into the grouping key for the refine
+    # pass and split back out afterwards (\x1f never occurs in keys).
+    sep = "\x1f"
+    tagged = in_windows.select(
+        F.concat_ws(
+            sep, F.col("series_key"), F.col("__w_start").cast("string")
+        ).alias("series_key"),
+        "ts_ms",
+        "value",
     )
-    rejoined = rescored.join(F.broadcast(win), "series_key").filter(
-        F.col("ts_ms").between(F.col("__w_start"), F.col("__w_end"))
+    rescored = refine(tagged, **(refine_algorithm_params or {}))
+    split = rescored.select(
+        F.substring_index("series_key", sep, 1).alias("series_key"),
+        F.substring_index("series_key", sep, -1).cast("bigint").alias("__w_start"),
+        "ts_ms",
+        "score",
     )
-    peaks = rejoined.groupBy("series_key", "__w_start", "__w_end").agg(
+    peaks = split.groupBy("series_key", "__w_start").agg(
         F.max_by("ts_ms", F.struct(F.col("score"), -F.col("ts_ms"))).alias(
             "exact_ts_ms"
         ),
         F.max("score").alias("anomaly_score"),
     )
-    return peaks.select(
+    return peaks.join(F.broadcast(win), ["series_key", "__w_start"]).select(
         "series_key",
         F.col("__w_start").alias("start_ts_ms"),
         F.col("__w_end").alias("end_ts_ms"),

@@ -40,7 +40,10 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
 
-    payload = [c for c in right.columns if c not in keys and c != right_ts]
+    payload = [
+        c for c in right.columns
+        if c not in keys and c != right_ts and c != right_seq
+    ]
     overlap = set(payload) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
@@ -68,29 +71,34 @@ def asof_join(
             .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__seq").asc())
             .rowsBetween(W.unboundedPreceding, 0)
         )
-        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
-        match_ts = F.last(
-            F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
-        ).over(w)
     else:
         w = (
             W.partitionBy(*keys)
             .orderBy(F.col("__t").desc(), F.col("__side").asc(), F.col("__seq").asc())
             .rowsBetween(W.unboundedPreceding, 0)
         )
-        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
-        match_ts = F.last(
-            F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
-        ).over(w)
+    # the payload is carried as ONE struct, not per-column: carrying each
+    # column independently with last(ignorenulls) would backfill a NULL
+    # field of the matched right row with a stale value from an OLDER
+    # right row, emitting a mixed-row result that never existed
+    p_struct = F.when(F.col("__side") == 0, F.struct(*[F.col(c) for c in payload]))
+    carried_p = F.last(p_struct, ignorenulls=True).over(w).alias("__p")
+    match_ts = F.last(
+        F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
+    ).over(w)
 
     out = both.select(
         *keys,
         "__t",
         "__side",
         *[c for c in left.columns if c not in keys],
-        *carried,
+        carried_p,
         match_ts.alias("__match_t"),
     ).filter(F.col("__side") == 1)
+    out = out.select(
+        *[c for c in out.columns if c != "__p"],
+        *[F.col(f"__p.{c}").alias(c) for c in payload],
+    )
 
     if tolerance_ms is not None:
         gap = F.abs(F.col("__t") - F.col("__match_t"))

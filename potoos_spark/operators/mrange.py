@@ -40,7 +40,18 @@ def mrange_agg(
     * ``reduce_type``: cross-series reducer per bucket; defaults to
       ``agg_type`` when composable. Output: (ts_ms, value, n_series).
     """
-    reduce_type = reduce_type or agg_type
+    _REDUCERS = ("sum", "min", "max", "avg", "count", "range")
+    if reduce_type is None:
+        if agg_type not in _REDUCERS:
+            raise ValueError(
+                f"agg_type {agg_type!r} has no composable cross-series "
+                f"reducer; pass reduce_type explicitly (one of {_REDUCERS})"
+            )
+        reduce_type = agg_type
+    elif reduce_type not in _REDUCERS:
+        raise ValueError(
+            f"reduce_type must be one of {_REDUCERS}, got {reduce_type!r}"
+        )
     if series_filter is not None:
         df = df.filter(F.col("series_key").isin(list(series_filter)))
     bucket = bucket_start(F.col("ts_ms"), bucket_ms, align_offset_ms)
@@ -121,7 +132,6 @@ def series_ratio(
 
     Output: (ts_ms, num_value, den_value, ratio).
     """
-    from .retrieval import bucket_start
 
     exprs = {
         "count": lambda: F.count("value").cast("double"),

@@ -111,7 +111,16 @@ def events_series(spark, sf_dir: str) -> DataFrame:
     (series_key = event_type, per FIXTURES.md §2): many series, one scan.
 
     The table stores TIMESTAMP(NANOS); see ``events_ts_parts`` for the
-    two reader shapes handled."""
+    two reader shapes handled.
+
+    SESSION-WIDE SIDE EFFECT (deliberate, documented): the two confs
+    below outlive this call. ``nanosAsLong`` must be set before the
+    first nanos-parquet footer is read (a no-op on builds that ignore
+    it — ``events_ts_parts`` handles both shapes), and timestamp→ms
+    arithmetic assumes UTC at EXECUTION time, so restoring the timezone
+    after this (lazy) read would silently shift every derived ts_ms.
+    Sessions from ``potoos_spark.session.get_session`` already carry
+    both settings; this is a belt-and-braces for foreign sessions."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -296,3 +296,64 @@ def test_nearest_asof_picks_closer_side_ties_backward(spark):
     )
     got2 = nearest_asof_join(left2, right2, on="k").collect()[0]["rv"]
     assert got2 == 1.0
+
+
+def test_bitmap_detector_nan_point_does_not_corrupt_words(spark):
+    """Chunks touching a NaN point must contribute NO word — NaN cast to
+    int64 would alias to a valid symbol after base-p wraparound."""
+    import math
+
+    from potoos_spark.detectors.sequential import bitmap_detector
+
+    n = 60
+    rows = [
+        ("k", 1000 * i, float("nan") if i == 30 else float((i * 13) % 7))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
+    out = bitmap_detector(
+        df, lag_window_size=10, future_window_size=10, chunk_size=2
+    ).collect()
+    assert len(out) == n
+    for r in out:
+        assert r["score"] is None or not math.isinf(r["score"])
+
+
+def test_sequential_detectors_deterministic_on_duplicate_timestamps(spark):
+    """Duplicate timestamps must order by seq identically on every run —
+    the recurrences are order-dependent."""
+    from potoos_spark.detectors.sequential import exp_avg_detector
+
+    rows = [("k", 1000, 5.0, 1), ("k", 1000, 50.0, 2), ("k", 2000, 7.0, 3)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts_ms bigint, value double, seq bigint"
+    )
+    runs = [
+        tuple(sorted((r["ts_ms"], r["value"], r["score"])
+                     for r in exp_avg_detector(df.repartition(p)).collect()))
+        for p in (1, 7)
+    ]
+    assert runs[0] == runs[1]
+
+
+def test_refine_pass_isolates_windows_for_rolling_refiners(spark):
+    """A rolling refiner must not bridge two separate anomaly windows:
+    the second window's points cannot influence the first's peak."""
+    from potoos_spark.detectors.windows import refine_anomalies
+
+    pts = [("k", 1000 * i, 10.0 if i in (3, 4) else 1.0) for i in range(10)]
+    pts += [("k", 1_000_000 + 1000 * i, 500.0 if i == 2 else 1.0) for i in range(6)]
+    points = spark.createDataFrame(
+        pts, "series_key string, ts_ms bigint, value double"
+    )
+    anomalies = spark.createDataFrame(
+        [("k", 3000, 4000, 3000, 1.0), ("k", 1_002_000, 1_002_000, 1_002_000, 1.0)],
+        "series_key string, start_ts_ms bigint, end_ts_ms bigint, "
+        "exact_ts_ms bigint, anomaly_score double",
+    )
+    out = refine_anomalies(points, anomalies, "mad")
+    rows = {r["start_ts_ms"]: r for r in out.collect()}
+    assert set(rows) == {3000, 1_002_000}
+    # window 1's refined peak must come from window-1 points only: with
+    # per-window MAD both points are equal (10.0), peak = earliest
+    assert rows[3000]["exact_ts_ms"] == 3000

@@ -407,3 +407,33 @@ def test_page_hinkley_scores_match_bruteforce(spark, vals):
         dn = max(dn + ((mean - v) - delta), 0.0)
         want = max(up, dn) / rng if rng > 0 else 0.0
         assert got[1000 * i] == want, (vals, i)
+
+
+def test_asof_join_null_payload_field_not_backfilled(spark):
+    """The matched right row's NULL field must stay NULL — carrying
+    payload columns independently would backfill it from an older row,
+    emitting a mixed-row result that never existed."""
+    from potoos_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([("k", 25, 9.0)], "k string, ts_ms bigint, lv double")
+    r = spark.createDataFrame(
+        [("k", 10, 1.0, 2.0), ("k", 20, None, 3.0)],
+        "k string, ts_ms bigint, a double, b double",
+    )
+    row = asof_join(l, r, on="k").collect()[0]
+    assert row["a"] is None and row["b"] == 3.0
+
+
+def test_nearest_asof_join_accepts_right_seq(spark):
+    """right_seq is a tie-break input, not payload — it must not ride
+    into the backward pass's output and trip the forward pass's
+    collision check."""
+    from potoos_spark.operators.asof import nearest_asof_join
+
+    l = spark.createDataFrame([("k", 25, 9.0)], "k string, ts_ms bigint, lv double")
+    r = spark.createDataFrame(
+        [("k", 20, 1, 4.0), ("k", 20, 2, 5.0)],
+        "k string, ts_ms bigint, ing bigint, v double",
+    )
+    out = nearest_asof_join(l, r, on="k", right_seq="ing").collect()
+    assert len(out) == 1 and out[0]["v"] == 5.0  # max seq wins the tie
