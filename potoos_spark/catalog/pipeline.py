@@ -109,6 +109,11 @@ def _ngram_fn(spark, sf_dir):
     return D.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.1)
 
 
+def _containment_pairs_fn(spark, sf_dir):
+    sh = D.shingle_frame(_docs(spark, sf_dir))
+    return D.containment_pairs(sh).filter(F.col("containment") >= 0.5)
+
+
 def _emb_dup_fn(spark, sf_dir):
     return D.embedding_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
@@ -289,6 +294,20 @@ _MINHASH_SQL = (
 _NGRAM_SQL = (
     f"{_BASE_SH}, {_SIZES}, {_SHARED}, {_JACC} "
     "SELECT id_a, id_b, shared, union_size, jaccard FROM jac WHERE jaccard >= 0.1"
+)
+
+# Containment |A∩B| / min(|A|,|B|) — the asymmetric partial-dup score
+# (a short doc embedded in a long host scores 1.0 where Jaccard
+# vanishes). Same shingle/shared fragments as the Jaccard oracle; the
+# division is one double op over exact integer counts.
+_CONTAIN_PAIRS_SQL = (
+    f"{_BASE_SH}, {_SIZES}, {_SHARED}, "
+    "cont AS (SELECT s.id_a, s.id_b, s.shared, sa.sz AS sz_a, sb.sz AS sz_b, "
+    "CAST(s.shared AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) AS containment "
+    "FROM shared s JOIN sizes sa ON sa.doc_id = s.id_a "
+    "JOIN sizes sb ON sb.doc_id = s.id_b) "
+    "SELECT id_a, id_b, shared, sz_a, sz_b, containment FROM cont "
+    "WHERE containment >= 0.5"
 )
 
 # 32-bit SimHash SQL fragments, generated so every entry shares the
@@ -1436,6 +1455,9 @@ QUERIES: dict[str, QuerySpec] = {
     # exact recall; Manku et al. WWW'07)
     "dedup_simhash_hamming": QuerySpec(_simhash_hamming_fn, _SIMHASH_HAMMING_SQL),
     "dedup_ngram_jaccard": QuerySpec(_ngram_fn, _NGRAM_SQL),
+    # extension: asymmetric partial-dup score (Broder containment) —
+    # catches short-doc-embedded-in-host pairs Jaccard under-reports
+    "dedup_containment": QuerySpec(_containment_pairs_fn, _CONTAIN_PAIRS_SQL),
     "dedup_embedding": QuerySpec(_emb_dup_fn, _EMB_DUP_SQL),
     # similarity search
     "knn_bruteforce": QuerySpec(_knn_brute_fn, _KNN_BRUTE_SQL),

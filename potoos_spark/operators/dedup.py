@@ -123,22 +123,17 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(
+def _shared_counts(
     sh: DataFrame,
     id_col: str = "doc_id",
     min_shared: int = 1,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard via inverted-index join: count shared shingles per
-    doc pair, derive |A∪B| from per-doc set sizes. Returns
-    (id_a, id_b, shared, union_size, jaccard).
-
-    With ``candidates`` (an (id_a, id_b) frame, e.g. from LSH banding),
-    only those pairs are verified: the shingle join is pushed through the
-    candidate set, so cost scales with candidate volume — NOT with the
-    full co-occurrence matrix. Without it, all co-occurring pairs are
-    scored (the exact-baseline path; quadratic in bucket sizes)."""
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    """Shared-shingle counts per co-occurring doc pair (id_a < id_b) via
+    the inverted-index join — the common core of ``jaccard_pairs`` and
+    ``containment_pairs``. With ``candidates`` the join is pushed through
+    the candidate set (cost ∝ candidate volume); without it all
+    co-occurring pairs are counted (the exact-baseline path)."""
     if candidates is not None:
         a_sh = sh.withColumnsRenamed({id_col: "id_a"})
         b_sh = sh.withColumnsRenamed({id_col: "id_b"})
@@ -161,6 +156,26 @@ def jaccard_pairs(
             .agg(F.count("*").alias("shared"))
             .filter(F.col("shared") >= min_shared)
         )
+    return shared
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard via inverted-index join: count shared shingles per
+    doc pair, derive |A∪B| from per-doc set sizes. Returns
+    (id_a, id_b, shared, union_size, jaccard).
+
+    With ``candidates`` (an (id_a, id_b) frame, e.g. from LSH banding),
+    only those pairs are verified: the shingle join is pushed through the
+    candidate set, so cost scales with candidate volume — NOT with the
+    full co-occurrence matrix. Without it, all co-occurring pairs are
+    scored (the exact-baseline path; quadratic in bucket sizes)."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    shared = _shared_counts(sh, id_col, min_shared, candidates)
     out = (
         shared.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
@@ -170,6 +185,46 @@ def jaccard_pairs(
         )
     )
     return out.select("id_a", "id_b", "shared", "union_size", "jaccard")
+
+
+def containment_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Partial-duplicate detection via set containment: for each
+    co-occurring doc pair, containment = |A∩B| / min(|A|, |B|) — the
+    overlap normalized by the SMALLER shingle set. A short document
+    embedded verbatim in a longer one (a quoted article, a template
+    body, an excerpt) scores 1.0 here while Jaccard ≈ |A|/|B| shrinks
+    toward 0 as the host grows — exactly the asymmetric near-dup case
+    token-set Jaccard under-reports (same normalization as Broder's
+    containment measure, "On the resemblance and containment of
+    documents", SEQUENCES '97; the corpus-internal twin of
+    ``curate.containment_decontaminate``'s doc-vs-benchmark direction).
+
+    Physical shape: identical inverted-index funnel as
+    ``jaccard_pairs`` — shared counts from the per-shingle join (cost ∝
+    co-occurring pairs, or ∝ candidate volume when ``candidates`` from
+    LSH banding is supplied), per-doc sizes joined back as two thin
+    one-row-per-doc relations. The division is a single double op on
+    exact integer counts — hash-stable across engines.
+
+    Output: (id_a, id_b, shared, sz_a, sz_b, containment).
+    """
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    shared = _shared_counts(sh, id_col, min_shared, candidates)
+    out = (
+        shared.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "containment",
+            F.col("shared").cast("double")
+            / F.least("sz_a", "sz_b").cast("double"),
+        )
+    )
+    return out.select("id_a", "id_b", "shared", "sz_a", "sz_b", "containment")
 
 
 def minhash_dedup_pairs(

@@ -120,6 +120,34 @@ def test_containment_decontaminate_flags_embedded_eval(spark):
     assert got[3]["n_shingles"] == 0 and got[3]["contaminated"] == 0
 
 
+def test_containment_pairs_scores_embedded_doc_full(spark):
+    """A short doc fully embedded in a longer host must score
+    containment 1.0 while its Jaccard against the same host stays well
+    below 1 — the asymmetric partial-dup case the operator exists for.
+    An unrelated doc produces no pair row at all."""
+    from potoos_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingle_frame,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "gamma delta epsilon zeta eta"),  # embedded in doc 1
+            (3, "totally unrelated words about spark engines here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = shingle_frame(df)
+    cont = {(r["id_a"], r["id_b"]): r for r in containment_pairs(sh).collect()}
+    jac = {(r["id_a"], r["id_b"]): r for r in jaccard_pairs(sh).collect()}
+    assert cont[(1, 2)]["containment"] == 1.0
+    assert cont[(1, 2)]["shared"] == cont[(1, 2)]["sz_b"]
+    assert jac[(1, 2)]["jaccard"] < 0.5
+    assert all(3 not in pair for pair in cont)
+
+
 def test_bm25_idf_ranks_rare_term_and_plan(spark):
     """BM25 semantics: for a query mixing a rare and a common term, the
     doc holding the rare term must outrank docs that only repeat the
