@@ -494,6 +494,33 @@ _GAP_DETECT_SQL = (
 )
 
 
+HEARTBEAT_MS = HOUR
+
+
+def _heartbeat_sla_fn(spark, sf_dir):
+    """Per-series availability summary from heartbeat gaps — see
+    `operators/rate.heartbeat_sla` for semantics and the 100 TB
+    physical shape (one lag window + one per-series hash agg)."""
+    from ..operators.rate import heartbeat_sla
+
+    return heartbeat_sla(events_frame(spark, sf_dir), HEARTBEAT_MS)
+
+
+_HEARTBEAT_SLA_SQL = (
+    f"{_S}, g AS (SELECT series_key, ts_ms, "
+    "LEAD(ts_ms) OVER (PARTITION BY series_key ORDER BY ts_ms, seq) - ts_ms AS gap "
+    "FROM series), "
+    "a AS (SELECT series_key, MAX(ts_ms) - MIN(ts_ms) AS span_ms, "
+    "COUNT(*) AS n_points, "
+    f"COALESCE(SUM(CASE WHEN gap > {HEARTBEAT_MS} THEN 1 ELSE 0 END), 0) AS n_violations, "
+    f"COALESCE(SUM(GREATEST(gap - {HEARTBEAT_MS}, 0)), 0) AS downtime_ms "
+    "FROM g GROUP BY series_key) "
+    "SELECT series_key, span_ms, n_points, n_violations, downtime_ms, "
+    "CASE WHEN span_ms > 0 THEN 1.0 - CAST(downtime_ms AS DOUBLE) / "
+    "CAST(span_ms AS DOUBLE) END AS uptime_ratio FROM a"
+)
+
+
 
 
 def _pctl_bands_fn(spark, sf_dir):
@@ -709,6 +736,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_deriv_slope": QuerySpec(_deriv_fn, _DERIV_SLOPE_SQL),
     # extension: silence watchdog (gaps > threshold between points)
     "ts_gap_detect": QuerySpec(_gap_detect_fn, _GAP_DETECT_SQL),
+    # extension: per-series availability summary from heartbeat gaps
+    "ts_heartbeat_sla": QuerySpec(_heartbeat_sla_fn, _HEARTBEAT_SLA_SQL),
     # extension: exact LOW-percentile monitoring bands per bucket
     "ts_percentile_bands": QuerySpec(_pctl_bands_fn, _PCTL_BANDS_SQL),
 }

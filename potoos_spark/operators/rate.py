@@ -67,6 +67,53 @@ def time_weighted_avg(
     return g.select("series_key", "ts_ms", value.cast("double").alias("value"))
 
 
+def heartbeat_sla(df: DataFrame, heartbeat_ms: int) -> DataFrame:
+    """Per-series availability summary from heartbeat gaps: a series is
+    'down' whenever the spacing between consecutive points exceeds
+    ``heartbeat_ms``, and the downtime charged for such a gap is the
+    excess beyond the interval (the allowance covers normal spacing).
+    ``uptime_ratio = 1 - downtime/span`` — the availability number an
+    on-call dashboard shows next to the value-based detectors.
+
+    Physical shape: the same single lag-window sort per series as the
+    gap watchdog (`catalog/timeseries.ts_gap_detect`), then ONE
+    map-side-combinable hash agg — the shuffle carries one row per
+    series. Integer ms arithmetic end to end; the uptime ratio is the
+    only float op (a single division), so the result is bit-stable
+    across engines and partitionings. Single-point series have no gaps:
+    0 violations, 0 downtime, NULL ratio (zero span).
+
+    Output: (series_key, span_ms, n_points, n_violations, downtime_ms,
+    uptime_ratio).
+    """
+    w = W.partitionBy("series_key").orderBy("ts_ms", "seq")
+    gap = F.lead("ts_ms").over(w) - F.col("ts_ms")
+    g = df.select("series_key", "ts_ms", gap.alias("__gap"))
+    agg = g.groupBy("series_key").agg(
+        (F.max("ts_ms") - F.min("ts_ms")).alias("span_ms"),
+        F.count("*").alias("n_points"),
+        F.sum(
+            (F.col("__gap") > heartbeat_ms).cast("bigint")
+        ).alias("n_violations"),
+        F.sum(
+            F.greatest(F.col("__gap") - heartbeat_ms, F.lit(0))
+        ).alias("downtime_ms"),
+    )
+    ratio = F.when(
+        F.col("span_ms") > 0,
+        F.lit(1.0)
+        - F.col("downtime_ms").cast("double") / F.col("span_ms").cast("double"),
+    )
+    return agg.select(
+        "series_key",
+        "span_ms",
+        "n_points",
+        F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+        F.coalesce("downtime_ms", F.lit(0)).alias("downtime_ms"),
+        ratio.alias("uptime_ratio"),
+    )
+
+
 def counter_rate(df: DataFrame, bucket_ms: int, offset_ms: int = 0) -> DataFrame:
     """Reset-aware counter increase and rate per bucket (PromQL
     ``increase``/``rate`` semantics): per series, each point contributes

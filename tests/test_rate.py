@@ -32,6 +32,31 @@ def test_twa_segments_do_not_cross_buckets(spark):
     assert got == {0: 10.0, 10_000: 50.0}
 
 
+def test_heartbeat_sla_charges_gap_excess_only(spark):
+    """Points at 0/1000/5000 with a 1000ms heartbeat: the 1000ms step is
+    free, the 4000ms step charges its 3000ms excess → one violation,
+    uptime 1 - 3000/5000. A single-point series has zero span and a
+    NULL ratio."""
+    from potoos_spark.operators.rate import heartbeat_sla
+
+    rows = [
+        ("k", 0, 1.0, 1),
+        ("k", 1000, 1.0, 2),
+        ("k", 5000, 1.0, 3),
+        ("solo", 42, 1.0, 1),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["series_key"]: r for r in heartbeat_sla(df, 1000).collect()}
+    k = got["k"]
+    assert (k["span_ms"], k["n_points"], k["n_violations"], k["downtime_ms"]) == (
+        5000, 3, 1, 3000,
+    )
+    assert k["uptime_ratio"] == pytest.approx(1 - 3000 / 5000)
+    solo = got["solo"]
+    assert (solo["span_ms"], solo["n_violations"], solo["downtime_ms"]) == (0, 0, 0)
+    assert solo["uptime_ratio"] is None
+
+
 def test_counter_rate_monotone_and_reset(spark):
     # 0→5→12 in bucket of the later points (increase 5+7), reset 12→3
     # contributes 3 (counter restarted), then 3→10 adds 7
