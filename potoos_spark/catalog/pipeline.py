@@ -114,6 +114,12 @@ def _containment_pairs_fn(spark, sf_dir):
     return D.containment_pairs(sh).filter(F.col("containment") >= 0.5)
 
 
+def _minhash_estimate_fn(spark, sf_dir):
+    return D.minhash_estimate_pairs(
+        _docs(spark, sf_dir), k=K_MINHASH, rows_per_band=ROWS_PER_BAND
+    )
+
+
 def _emb_dup_fn(spark, sf_dir):
     return D.embedding_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
@@ -308,6 +314,24 @@ _CONTAIN_PAIRS_SQL = (
     "JOIN sizes sb ON sb.doc_id = s.id_b) "
     "SELECT id_a, id_b, shared, sz_a, sz_b, containment FROM cont "
     "WHERE containment >= 0.5"
+)
+
+# MinHash estimator diagnostics: per LSH candidate pair, the
+# fraction-of-matching-components Jaccard estimate vs the exact shingle
+# Jaccard. Both are single integer-ratio divisions; the error is one
+# IEEE subtraction of the two — hash-stable.
+_MH_MATCHES = " + ".join(
+    f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(K_MINHASH)
+)
+_MINHASH_EST_SQL = (
+    f"{_BASE_SH}, {_SIG}, {_BANDS}, {_CAND}, {_SIZES}, {_SHARED}, {_JACC}, "
+    f"est AS (SELECT c.id_a, c.id_b, CAST({_MH_MATCHES} AS DOUBLE) / "
+    f"{float(K_MINHASH)!r} AS est_jaccard "
+    "FROM cand c JOIN sig a ON a.doc_id = c.id_a "
+    "JOIN sig b ON b.doc_id = c.id_b) "
+    "SELECT e.id_a, e.id_b, e.est_jaccard, j.jaccard, "
+    "ABS(e.est_jaccard - j.jaccard) AS abs_err "
+    "FROM est e JOIN jac j ON j.id_a = e.id_a AND j.id_b = e.id_b"
 )
 
 # 32-bit SimHash SQL fragments, generated so every entry shares the
@@ -1450,6 +1474,9 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: SimHash-blocked exact edit-distance verification
     "dedup_levenshtein": QuerySpec(_dedup_lev_fn, _DEDUP_LEV_SQL),
     "dedup_minhash_lsh": QuerySpec(_minhash_fn, _MINHASH_SQL),
+    # extension: signature-estimate vs exact Jaccard diagnostics (how
+    # to tune k on a real corpus)
+    "dedup_minhash_estimate": QuerySpec(_minhash_estimate_fn, _MINHASH_EST_SQL),
     "dedup_simhash": QuerySpec(_simhash_fn, _SIMHASH_SQL),
     # extension: banded Hamming<=k near-dup pairs (pigeonhole bands,
     # exact recall; Manku et al. WWW'07)

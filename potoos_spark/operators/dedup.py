@@ -289,6 +289,71 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash estimator diagnostics: for every LSH candidate pair,
+    the signature-based Jaccard ESTIMATE (fraction of the k MinHash
+    components that agree — the unbiased estimator the sketch theory
+    promises) next to the EXACT shingle Jaccard, plus the absolute
+    error. This is how k (signature width) is tuned on a real corpus:
+    the error column shows directly whether k buys enough resolution
+    for the dedup threshold in use.
+
+    A matching MinHash component pins the same argmin shingle on both
+    sides (h_j is injective on shingle strings via md5), so every
+    candidate pair shares ≥ 1 shingle and the inner join against the
+    exact verifier loses no pairs.
+
+    Physical shape: signatures and candidates come from the standard
+    LSH funnel (one groupBy pass + band-bucket join); the estimate is
+    an in-row comparison after two thin signature joins keyed on doc
+    id; exact Jaccard runs candidate-only (cost ∝ candidate volume).
+    Estimate and exact are each a single integer-ratio division —
+    hash-stable; the error is one IEEE subtraction of the two.
+
+    Output: (id_a, id_b, est_jaccard, jaccard, abs_err).
+    """
+    sh = shingle_frame(df, text_col, id_col)
+    sig = minhash_signatures(sh, id_col, k)
+    cand = lsh_candidate_pairs(sig, id_col, k, rows_per_band).persist()
+    a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(k)],
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{j}").alias(f"__b{j}") for j in range(k)],
+    )
+    matches = sum(
+        F.when(F.col(f"__a{j}") == F.col(f"__b{j}"), 1).otherwise(0)
+        for j in range(k)
+    )
+    est = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches.cast("double") / F.lit(float(k))).alias("est_jaccard"),
+        )
+    )
+    exact = jaccard_pairs(sh, id_col, candidates=cand).select(
+        "id_a", "id_b", "jaccard"
+    )
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "jaccard",
+        F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
+    )
+
+
 def simhash_fingerprint(hashes: Column, n_bits: int = 32) -> Column:
     """n_bits-bit SimHash (n_bits ≤ 32) from a pre-materialized
     md5-per-distinct-token array column, explode-free: bit j votes

@@ -32,6 +32,30 @@ def _docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
 
+def test_minhash_estimate_exact_on_identical_docs(spark):
+    """Identical documents agree on every signature component → the
+    estimator reads exactly 1.0 with zero error against exact Jaccard;
+    every estimate is a k-quantized value in [0, 1] and the error
+    column is |est - exact| by construction."""
+    from potoos_spark.operators.dedup import minhash_estimate_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight"),
+            (2, "one two three four five six seven eight"),
+            (3, "one two three four nine ten eleven twelve"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in minhash_estimate_pairs(df, k=8).collect()}
+    dup = rows[(1, 2)]
+    assert dup["est_jaccard"] == 1.0 and dup["jaccard"] == 1.0
+    assert dup["abs_err"] == 0.0
+    for r in rows.values():
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert r["abs_err"] == abs(r["est_jaccard"] - r["jaccard"])
+
+
 def test_levenshtein_canon_join_not_forced_broadcast(spark):
     df = levenshtein_pairs(_docs(spark))
     # no broadcast hint survives analysis: AQE decides at runtime
