@@ -120,6 +120,12 @@ def _minhash_estimate_fn(spark, sf_dir):
     )
 
 
+def _ngram_novelty_fn(spark, sf_dir):
+    from ..operators.curate import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir))
+
+
 def _emb_dup_fn(spark, sf_dir):
     return D.embedding_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
@@ -314,6 +320,20 @@ _CONTAIN_PAIRS_SQL = (
     "JOIN sizes sb ON sb.doc_id = s.id_b) "
     "SELECT id_a, id_b, shared, sz_a, sz_b, containment FROM cont "
     "WHERE containment >= 0.5"
+)
+
+# Marginal n-gram novelty per document: fraction of a doc's distinct
+# shingles whose corpus-wide first owner (min doc_id) is the doc
+# itself. One first-owner agg + one join back + one per-doc agg; the
+# ratio is a single double division of exact counts.
+_NGRAM_NOVELTY_SQL = (
+    f"{_BASE_SH}, "
+    "f AS (SELECT s, MIN(doc_id) AS first_id FROM sh GROUP BY s), "
+    "j AS (SELECT sh.doc_id, CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END "
+    "AS novel FROM sh JOIN f USING (s)) "
+    "SELECT doc_id, COUNT(*) AS n_shingles, CAST(SUM(novel) AS BIGINT) AS n_novel, "
+    "CAST(SUM(novel) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty "
+    "FROM j GROUP BY doc_id"
 )
 
 # MinHash estimator diagnostics: per LSH candidate pair, the
@@ -1519,6 +1539,8 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_centroid": QuerySpec(_centroid_fn, _CENTROID_SQL),
     "corpus_sample_split": QuerySpec(_sample_split_fn, _SAMPLE_SPLIT_SQL),
     "corpus_stratified_sample": QuerySpec(_stratified_sample_fn, _STRATIFIED_SAMPLE_SQL),
+    # extension: marginal n-gram novelty (coverage-driven data selection)
+    "corpus_ngram_novelty": QuerySpec(_ngram_novelty_fn, _NGRAM_NOVELTY_SQL),
     "emb_random_projection": QuerySpec(_random_projection_fn, _RANDOM_PROJECTION_SQL),
     # extension: per-source token-budget sampling (data mixing)
     "corpus_token_budget": QuerySpec(_token_budget_fn, _TOKEN_BUDGET_SQL),

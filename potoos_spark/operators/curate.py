@@ -311,6 +311,54 @@ def containment_decontaminate(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Marginal-novelty scoring for data selection: per document, the
+    fraction of its distinct n-gram shingles that appear for the FIRST
+    time in the corpus at that document (ordered by ``id_col``, the
+    ingest order). High-novelty documents extend corpus coverage;
+    near-zero novelty marks late arrivals assembled from already-seen
+    text — the greedy facility-location intuition behind
+    coverage-driven selection (Sorscher et al. 2022, "Beyond neural
+    scaling laws", applied at n-gram rather than embedding granularity)
+    without any model in the loop.
+
+    Physical shape: one shingle explosion, then (1) a
+    map-side-combinable ``groupBy(shingle).agg(min(id))`` — the global
+    first-owner table, one row per distinct shingle; (2) a
+    co-partitioned join back to the (doc, shingle) list; (3) one
+    per-doc hash agg. No window over the corpus, no self-join; a viral
+    shingle collapses to one first-owner row per map task before the
+    shuffle. The novelty ratio is a single double division of two exact
+    counts. Documents with no shingles (< n tokens) are absent from the
+    output (no denominator).
+
+    Output: (id_col, n_shingles, n_novel, novelty).
+    """
+    from .dedup import shingle_frame
+
+    sh = shingle_frame(df, text_col, id_col, n)
+    first = sh.groupBy("s").agg(F.min(id_col).alias("__first_id"))
+    j = sh.join(first, "s")
+    novel = (F.col("__first_id") == F.col(id_col)).cast("bigint")
+    agg = j.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(novel).alias("n_novel"),
+    )
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_novel",
+        (
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

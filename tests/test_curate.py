@@ -4,6 +4,8 @@ cannot depend on cluster layout) and stage monotonicity."""
 
 from __future__ import annotations
 
+import pytest
+
 from potoos_spark.catalog.common import table
 from potoos_spark.operators.curate import curate_corpus
 from tests.conftest import SF_DIR
@@ -118,6 +120,29 @@ def test_containment_decontaminate_flags_embedded_eval(spark):
     assert got[1]["contaminated"] == 1 and got[1]["containment"] >= 0.5
     assert got[2]["contaminated"] == 0 and got[2]["containment"] == 0.0
     assert got[3]["n_shingles"] == 0 and got[3]["contaminated"] == 0
+
+
+def test_ngram_novelty_first_owner_semantics(spark):
+    """Doc 1 introduces all its shingles (novelty 1.0); an identical
+    later doc introduces none (0.0); a partial overlap scores the exact
+    new-shingle fraction. A sub-n-token doc has no shingles and is
+    absent from the output."""
+    from potoos_spark.operators.curate import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),
+            (3, "c d e f g"),
+            (4, "xy"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert got[1]["novelty"] == 1.0 and got[1]["n_shingles"] == 3
+    assert got[2]["novelty"] == 0.0
+    assert got[3]["n_novel"] == 2 and got[3]["novelty"] == pytest.approx(2 / 3)
+    assert 4 not in got
 
 
 def test_containment_pairs_scores_embedded_doc_full(spark):
