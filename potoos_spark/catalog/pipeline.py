@@ -180,6 +180,10 @@ def _text_quality_fn(spark, sf_dir):
     return T.quality_features(_docs(spark, sf_dir))
 
 
+def _text_readability_fn(spark, sf_dir):
+    return T.readability(_docs(spark, sf_dir))
+
+
 def _text_langid_fn(spark, sf_dir):
     return T.language_id(_docs(spark, sf_dir))
 
@@ -464,6 +468,23 @@ _TEXT_QUALITY_SQL = (
     "/ CAST(GREATEST(len(toks), 1) AS DOUBLE) AS stopword_ratio, "
     "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS uniq_ratio "
     "FROM d"
+)
+
+# Flesch–Kincaid grade from three in-row counts (words = shared token
+# definition; sentences = .!? runs floored at 1; syllable proxy =
+# vowel-group runs). The grade is a fixed three-term double expression
+# evaluated in the same order by both engines.
+_TEXT_READABILITY_SQL = (
+    f"WITH {_TOK}, d AS (SELECT doc_id, toks, text FROM tok JOIN documents USING (doc_id)), "
+    "c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
+    "CAST(GREATEST(length(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences, "
+    "CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables "
+    "FROM d) "
+    "SELECT doc_id, n_words, n_sentences, n_syllables, "
+    "CASE WHEN n_words > 0 THEN "
+    "0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) "
+    "+ 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) "
+    "- 15.59 END AS fk_grade FROM c"
 )
 
 _LANG_LISTS = {
@@ -1518,6 +1539,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_tokens": QuerySpec(_text_tokens_fn, _TEXT_TOKENS_SQL),
     "text_bpe_tokens": QuerySpec(_text_bpe_fn, _TEXT_BPE_SQL),
     "text_quality": QuerySpec(_text_quality_fn, _TEXT_QUALITY_SQL),
+    # extension: Flesch–Kincaid grade (dictionary-free syllable proxy)
+    "text_readability": QuerySpec(_text_readability_fn, _TEXT_READABILITY_SQL),
     "text_quality_filter": QuerySpec(_quality_filter_fn, _QUALITY_FILTER_SQL),
     "dedup_exact_streaming": QuerySpec(_stream_dedup_fn, _STREAM_DEDUP_SQL),
     "dedup_chunks_streaming": QuerySpec(_stream_chunk_dedup_fn, _STREAM_CHUNK_DEDUP_SQL),

@@ -123,6 +123,47 @@ def quality_features(
     )
 
 
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch–Kincaid grade-level readability (Kincaid et al. 1975) from
+    three in-row counts: words (the shared token definition), sentences
+    (runs of ``.!?``, floored at 1 so a fragment counts as one
+    sentence), and a syllable PROXY (vowel-group runs ``[aeiouy]+`` —
+    the standard dictionary-free approximation; consistent, not
+    phonetically exact). grade = 0.39·words/sentence +
+    11.8·syllables/word − 15.59; NULL for token-less documents.
+
+    Pure per-row regex/array expressions — scan-local, zero shuffle,
+    whole-stage codegen; pipelines into the same scan as the other
+    quality features. The grade is a fixed three-term double expression
+    over exact integer counts, evaluated in the same order by any
+    engine — hash-stable.
+
+    Output: (id_col, n_words, n_sentences, n_syllables, fk_grade).
+    """
+    staged = _with_tokens(df, text_col, [id_col, text_col])
+    n_words = F.size(F.col("_t")).cast("bigint")
+    n_sent = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    n_syl = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+")).cast(
+        "bigint"
+    )
+    grade = (
+        F.lit(0.39) * (n_words.cast("double") / n_sent.cast("double"))
+        + F.lit(11.8) * (n_syl.cast("double") / n_words.cast("double"))
+        - F.lit(15.59)
+    )
+    return staged.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        F.when(n_words > 0, grade).alias("fk_grade"),
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

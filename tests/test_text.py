@@ -44,6 +44,26 @@ def test_repetition_flags_boilerplate(spark):
     assert got[1]["dup_trigram_frac"] == 0.0
 
 
+def test_readability_counts_and_grade_formula(spark):
+    """Hand-computed Flesch–Kincaid on a two-sentence text: 6 words,
+    2 sentence runs, 6 vowel-group syllables → grade 0.39·3 + 11.8·1
+    − 15.59. A token-less doc keeps its row with a NULL grade and the
+    sentence floor at 1."""
+    from potoos_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "...")],
+        "doc_id bigint, text string",
+    )
+    got = _rows(readability(docs))
+    r = got[1]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    assert r["fk_grade"] == pytest.approx(0.39 * 3 + 11.8 * 1 - 15.59)
+    e = got[2]
+    assert e["n_words"] == 0 and e["n_sentences"] == 1
+    assert e["fk_grade"] is None
+
+
 def test_clean_html_strips_tags_and_decodes_entities(spark):
     from potoos_spark.operators.text import clean_html
 
