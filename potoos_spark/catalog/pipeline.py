@@ -93,6 +93,10 @@ def _dedup_exact_fn(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
 
+def _dedup_keep_longest_fn(spark, sf_dir):
+    return D.exact_dedup_keep_longest(_docs(spark, sf_dir))
+
+
 def _minhash_fn(spark, sf_dir):
     return D.minhash_dedup_pairs(
         _docs(spark, sf_dir), k=K_MINHASH, rows_per_band=ROWS_PER_BAND,
@@ -299,6 +303,22 @@ _MM_BYTE_HISTOGRAM_SQL = (
 _DEDUP_EXACT_SQL = (
     "SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash, "
     "MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM documents GROUP BY 1"
+)
+
+# Keep-longest canonicalization: same content-hash groups as the exact
+# dedup oracle, keeper = longest raw text (tie → min doc_id) via one
+# ranked window in SQL (the engine side is a max_by aggregation — no
+# window — with identical semantics).
+_DEDUP_KEEP_LONGEST_SQL = (
+    "WITH h AS (SELECT doc_id, "
+    "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash, "
+    "CAST(length(text) AS BIGINT) AS len FROM documents), "
+    "r AS (SELECT content_hash, doc_id, len, "
+    "ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY len DESC, doc_id ASC) AS rn, "
+    "COUNT(*) OVER (PARTITION BY content_hash) AS n_docs, "
+    "MAX(len) OVER (PARTITION BY content_hash) AS keep_chars FROM h) "
+    "SELECT content_hash, CAST(n_docs AS BIGINT) AS n_docs, doc_id AS keep_id, "
+    "keep_chars FROM r WHERE rn = 1"
 )
 
 _MINHASH_SQL = (
@@ -1508,6 +1528,9 @@ _BIGRAM_LM_SQL = (
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
+    # extension: keep-longest keeper policy (canonicalize on the most
+    # complete raw form, not the arbitrary min id)
+    "dedup_keep_longest": QuerySpec(_dedup_keep_longest_fn, _DEDUP_KEEP_LONGEST_SQL),
     "dedup_chunks": QuerySpec(_chunk_dedup_fn, _CHUNK_DEDUP_SQL),
     # extension: transitive near-dup connected components (attribute
     # label propagation; recursive-closure oracle)

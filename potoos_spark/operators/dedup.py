@@ -46,6 +46,40 @@ def exact_dedup(
     )
 
 
+def exact_dedup_keep_longest(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup with a keep-longest canonicalization policy: groups
+    are the same normalized-content hashes as ``exact_dedup``, but the
+    keeper is the document with the LONGEST raw text (ties broken by
+    min id). Normalization collapses case/punctuation/whitespace, so
+    raw variants inside one group genuinely differ — pipelines usually
+    canonicalize on the most complete raw form rather than the
+    arbitrary min id.
+
+    Same physical shape as ``exact_dedup``: ONE map-side-combinable
+    hash aggregation (``max_by`` on a (length, -id) priority struct —
+    no ranked window, so a viral duplicate collapses per map task
+    before the shuffle).
+
+    Output: (content_hash, n_docs, keep_id, keep_chars).
+    """
+    h = F.md5(normalize(text_col))
+    staged = df.select(
+        h.alias("content_hash"),
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("__len"),
+    )
+    pri = F.struct(
+        F.col("__len").alias("len"), (-F.col(id_col)).alias("negid")
+    )
+    return staged.groupBy("content_hash").agg(
+        F.count("*").alias("n_docs"),
+        F.max_by(id_col, pri).alias("keep_id"),
+        F.max("__len").alias("keep_chars"),
+    )
+
+
 def streaming_exact_dedup(
     sdf: DataFrame,
     text_col: str = "text",

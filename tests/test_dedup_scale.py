@@ -32,6 +32,28 @@ def _docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
 
+def test_keep_longest_policy_and_aggregate_plan(spark):
+    """Raw variants of one normalized content: the keeper is the longest
+    raw text, ties break to the min id, and the plan is an aggregation
+    (map-side combinable), not a ranked window."""
+    from potoos_spark.operators.dedup import exact_dedup_keep_longest
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "Hello, World!!!"),   # same normalized text, longer raw
+            (3, "HELLO world"),
+            (9, "something else"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = exact_dedup_keep_longest(df)
+    rows = {r["keep_id"]: r for r in out.collect()}
+    assert rows[2]["n_docs"] == 3 and rows[2]["keep_chars"] == 15
+    assert rows[9]["n_docs"] == 1
+    assert "Window" not in _plan(out)
+
+
 def test_minhash_estimate_exact_on_identical_docs(spark):
     """Identical documents agree on every signature component → the
     estimator reads exactly 1.0 with zero error against exact Jaccard;
