@@ -139,6 +139,11 @@ def _knn_brute_fn(spark, sf_dir):
     return S.cosine_topk(e.filter(F.col("vec_id") < 5), e, k=10)
 
 
+def _knn_matryoshka_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.matryoshka_topk(e.filter(F.col("vec_id") < 5), e, dims=16, k=10)
+
+
 def _hard_negatives_fn(spark, sf_dir):
     e = _embs(spark, sf_dir)
     return S.hard_negatives(e.filter(F.col("vec_id") < 5), e, k=10)
@@ -436,6 +441,25 @@ _EMB_DUP_SQL = (
 
 _KNN_BRUTE_SQL = (
     f"WITH {_SCALED_V}, "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id, "
+    + _COS.format(a="q", b="c")
+    + " AS cosine FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id "
+    "JOIN nrm na ON na.vec_id = q.vec_id JOIN nrm nb ON nb.vec_id = c.vec_id) "
+    "SELECT query_id, match_id, cosine, rank FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank FROM scored) "
+    "WHERE rank <= 10"
+)
+
+# Matryoshka-truncated search: cosine over the first 16 components
+# only — same scored/ranked shape as the brute oracle, over a
+# list-sliced prefix.
+_SCALED_V16 = (
+    "v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+    "for x in embedding[1:16]] AS e FROM embeddings), "
+    "nrm AS (SELECT vec_id, CAST(list_sum([x * x for x in e]) AS BIGINT) AS nn FROM v)"
+)
+_KNN_MATRYOSHKA_SQL = (
+    f"WITH {_SCALED_V16}, "
     "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id, "
     + _COS.format(a="q", b="c")
     + " AS cosine FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id "
@@ -1554,6 +1578,9 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_bruteforce": QuerySpec(_knn_brute_fn, _KNN_BRUTE_SQL),
     # extension: brute-force search over the int8-quantized lattice
     "knn_quantized": QuerySpec(_knn_quantized_fn, _KNN_QUANT_SQL),
+    # extension: Matryoshka prefix-truncated search (retrieve cheap,
+    # re-rank at full width)
+    "knn_matryoshka": QuerySpec(_knn_matryoshka_fn, _KNN_MATRYOSHKA_SQL),
     "knn_lsh_bucket": QuerySpec(_knn_lsh_fn, _KNN_LSH_SQL),
     "knn_ivf": QuerySpec(_knn_ivf_fn, None),  # KMeans quantizer: rows-only
     # extension: contrastive hard-negative mining (different-label top-k)

@@ -59,6 +59,34 @@ def cosine_topk(
     return _ranked_topk(scored, k)
 
 
+def matryoshka_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Truncated-prefix cosine top-k — the Matryoshka retrieval trick
+    (Kusupati et al. 2022, "Matryoshka Representation Learning"): rank
+    by cosine over only the FIRST ``dims`` components. With
+    MRL-trained embeddings the prefix carries most of the signal, so
+    this cuts dot-product cost (and candidate-scan memory traffic) by
+    d/dims; the standard deployment retrieves a candidate pool at low
+    dims and re-ranks it at full width (compose with ``cosine_topk``
+    over the candidates). ``dims = full width`` degenerates to exactly
+    ``cosine_topk`` — pinned by a unit test.
+
+    The truncation is a pure in-row ``slice`` before the same
+    broadcast-queries-vs-corpus scan as the brute path — no extra
+    shuffle, no Python.
+    """
+    def trunc(df: DataFrame) -> DataFrame:
+        return df.withColumn(vec_col, F.slice(F.col(vec_col), 1, int(dims)))
+
+    return cosine_topk(trunc(queries), trunc(corpus), vec_col, id_col, k)
+
+
 def hard_negatives(
     queries: DataFrame,
     corpus: DataFrame,

@@ -90,6 +90,26 @@ def test_lsh_tables_raise_recall(spark, embeddings, exact):
     assert many > one
 
 
+def test_matryoshka_full_width_degenerates_to_exact(spark, embeddings, exact):
+    """dims = the full embedding width must reproduce the brute-force
+    ranking exactly (the truncation is then the identity); a real
+    truncation still returns a full top-k per query with valid
+    cosines."""
+    from potoos_spark.operators.similarity import matryoshka_topk
+
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    full = matryoshka_topk(q, embeddings, dims=64, k=K).collect()
+    assert {(r["query_id"], r["match_id"]) for r in full} == exact
+
+    trunc = matryoshka_topk(q, embeddings, dims=16, k=K).collect()
+    per_q = {}
+    for r in trunc:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert -1.0001 <= r["cosine"] <= 1.0001
+    assert all(len(v) == K for v in per_q.values())
+    assert len(per_q) == N_QUERIES
+
+
 def test_brute_force_is_self_consistent(spark, embeddings, exact):
     # every query returns exactly K neighbors, none of them itself
     assert len(exact) == N_QUERIES * K
