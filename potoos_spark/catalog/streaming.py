@@ -489,6 +489,29 @@ def _stream_ohlc_fn(spark, sf_dir):
     return _replay(stream_ohlc(_events_stream(spark, sf_dir)), "complete")
 
 
+_GAP_MS = 2 * HOUR
+
+
+def _stream_gap_fn(spark, sf_dir):
+    from ..streaming.stateful import streaming_gap_detect
+
+    return _replay(
+        streaming_gap_detect(_events_stream(spark, sf_dir), _GAP_MS), "append"
+    )
+
+
+# Alerts emit at arrival of the closing point, so the replay equals the
+# batch lead-window watchdog exactly (same SQL as ts_gap_detect).
+_STREAM_GAP_SQL = (
+    f"{_S}, g AS (SELECT series_key, ts_ms AS gap_start_ms, "
+    "LEAD(ts_ms) OVER (PARTITION BY series_key ORDER BY ts_ms, seq) AS gap_end_ms "
+    "FROM series) "
+    "SELECT series_key, gap_start_ms, gap_end_ms, "
+    "gap_end_ms - gap_start_ms AS gap_ms FROM g "
+    f"WHERE gap_end_ms - gap_start_ms > {_GAP_MS}"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_ohlc_replay": QuerySpec(_stream_ohlc_fn, _OHLC_REPLAY_SQL),
     "stream_bucket_agg_replay": QuerySpec(_stream_agg_fn, _STREAM_AGG_SQL),
@@ -516,6 +539,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_m4_replay": QuerySpec(_stream_m4_fn, _STREAM_M4_SQL),
     # extension: streaming cooldown debounce (immediate emission)
     "stream_debounce_replay": QuerySpec(_stream_debounce_fn, _STREAM_DEBOUNCE_SQL),
+    # extension: streaming silence watchdog (O(1) state per series;
+    # replay equals the batch lead-window gap detector)
+    "stream_gap_detect_replay": QuerySpec(_stream_gap_fn, _STREAM_GAP_SQL),
     # causal Page-Hinkley per-point scoring (running-range allowance)
     "stream_page_hinkley_replay": QuerySpec(_stream_ph_fn, _STREAM_PH_SQL),
 }

@@ -503,6 +503,64 @@ def streaming_debounce(sdf: DataFrame, cooldown_ms: int) -> DataFrame:
     )
 
 
+GAP_STATE_SCHEMA = "last_ts bigint, has bigint"
+
+
+def streaming_gap_detect(sdf: DataFrame, threshold_ms: int) -> DataFrame:
+    """Streaming silence watchdog — the stateful twin of the batch gap
+    detector (`catalog/timeseries.ts_gap_detect`): whenever a point
+    arrives more than ``threshold_ms`` after its series' previous
+    point, emit the closed gap. State is O(1) per series (the last
+    seen timestamp), and alerts emit at arrival of the closing point —
+    nothing is withheld at end-of-stream, so a full replay equals the
+    batch lead-window answer exactly (every reported gap has a closing
+    point by construction; an UNCLOSED trailing silence is the
+    processing-time-timeout variant's job and is intentionally out of
+    scope for the replay contract).
+
+    Arrival contract as the other stateful ops: per-series ts order
+    (cross-batch late data is the reorder-buffer variant's job).
+
+    Output (append): (series_key, gap_start_ms, gap_end_ms, gap_ms).
+    """
+    th = int(threshold_ms)
+    out_schema = (
+        "series_key string, gap_start_ms bigint, gap_end_ms bigint, gap_ms bigint"
+    )
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last, has = state.get
+        else:
+            last, has = 0, 0
+        pdf = _gather_sorted(batches, ("ts_ms", "seq"))
+        if pdf is not None:
+            starts, ends = [], []
+            for t in pdf["ts_ms"]:
+                t = int(t)
+                if has and t - last > th:
+                    starts.append(last)
+                    ends.append(t)
+                last, has = t, 1
+            if starts:
+                out = pd.DataFrame({"gap_start_ms": starts, "gap_end_ms": ends})
+                out.insert(0, "series_key", key[0])
+                out["gap_ms"] = out["gap_end_ms"] - out["gap_start_ms"]
+                yield out
+        state.update((last, has))
+
+    cols = ["series_key", "ts_ms"] + (["seq"] if "seq" in sdf.columns else [])
+    return (
+        sdf.select(*cols)
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            fn, out_schema, GAP_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 PH_STATE_SCHEMA = "cnt bigint, s double, up double, dn double, mn double, mx double"
 
 

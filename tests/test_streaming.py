@@ -16,7 +16,7 @@ import time
 
 import pytest
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from potoos_spark.config import DetectorConfig, TimeSeriesConfig
 from potoos_spark.operators.retrieval import apply_aggregation, apply_latest
@@ -327,6 +327,39 @@ def test_streaming_counter_rate_boundary_invariant_and_matches_batch(spark, chun
             inc.alias("increase"),
             (inc / (BUCKET / 1000.0)).alias("rate_per_sec"),
         )
+    )
+    assert outs[0] == expected
+
+
+def test_streaming_gap_detect_boundary_invariant_and_matches_batch(spark, chunked):
+    """Gap alerts must not depend on where micro-batch boundaries fall
+    (a gap spanning two batches emits when its closing point arrives),
+    and a full replay equals the batch lead-window watchdog."""
+    from potoos_spark.streaming.stateful import streaming_gap_detect
+
+    tmpdir, batch_df = chunked
+    # fixture points are uniformly 10s apart: a 5s threshold flags every
+    # step — including the steps that SPAN a micro-batch boundary, which
+    # is exactly the state-carry case this test exists to pin
+    th = 5_000
+    outs = []
+    for chunked_read in (True, False):
+        sdf = _read_stream(spark, tmpdir, one_file_per_batch=chunked_read)
+        name = _run_to_memory(
+            streaming_gap_detect(sdf, th), f"gap_{int(chunked_read)}", "append"
+        )
+        outs.append(_collect_sorted(spark.table(name)))
+    assert outs[0] == outs[1] and outs[0]
+
+    w = W.partitionBy("series_key").orderBy("ts_ms", "seq")
+    nxt = F.lead("ts_ms").over(w)
+    expected = _collect_sorted(
+        batch_df.select(
+            "series_key",
+            F.col("ts_ms").alias("gap_start_ms"),
+            nxt.alias("gap_end_ms"),
+            (nxt - F.col("ts_ms")).alias("gap_ms"),
+        ).filter(F.col("gap_ms") > th)
     )
     assert outs[0] == expected
 
