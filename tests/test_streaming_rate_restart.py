@@ -14,6 +14,7 @@ from potoos_spark.streaming import (
     streaming_debounce,
     streaming_page_hinkley,
 )
+from potoos_spark.streaming.stateful import streaming_gap_detect
 
 SCHEMA = "series_key string, ts_ms bigint, value double, seq bigint"
 BUCKET = 60_000
@@ -72,6 +73,15 @@ def _whole_run(spark, mk_sdf, whole_src, name):
             "ph",
             lambda spark: lambda src: streaming_page_hinkley(
                 spark.readStream.schema(SCHEMA).parquet(str(src))
+            ),
+        ),
+        (
+            # fixture spacing is exactly 5s, so a 4s threshold alerts on
+            # every step — including the one spanning the restart point,
+            # which is exactly the last-ts state the checkpoint must carry
+            "gap",
+            lambda spark: lambda src: streaming_gap_detect(
+                spark.readStream.schema(SCHEMA).parquet(str(src)), 4_000
             ),
         ),
     ],
