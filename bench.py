@@ -55,6 +55,11 @@ HEADLINE = [
     "q_profile_stats",
     "corpus_pack_bins",
     "text_unigram_lm",
+    # round-3-late additions
+    "dedup_containment",
+    "corpus_ngram_novelty",
+    "knn_matryoshka",
+    "text_readability",
     # LLM-pipeline tier (documents 5k, embeddings 2k)
     "dedup_exact",
     "dedup_minhash_lsh",

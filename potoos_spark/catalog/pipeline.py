@@ -108,13 +108,22 @@ def _simhash_fn(spark, sf_dir):
     return D.simhash_dup_groups(_docs(spark, sf_dir))
 
 
+def _spread_docs(spark, sf_dir):
+    """Documents repartitioned to full width BEFORE the shingle
+    projection — the interpreted HOF shingle cost must not run on a
+    single scan task when the fixture is one parquet file (same
+    pre-explosion move as minhash_dedup_pairs)."""
+    n_part = spark.sparkContext.defaultParallelism
+    return _docs(spark, sf_dir).repartition(n_part, "doc_id")
+
+
 def _ngram_fn(spark, sf_dir):
-    sh = D.shingle_frame(_docs(spark, sf_dir))
+    sh = D.shingle_frame(_spread_docs(spark, sf_dir))
     return D.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.1)
 
 
 def _containment_pairs_fn(spark, sf_dir):
-    sh = D.shingle_frame(_docs(spark, sf_dir))
+    sh = D.shingle_frame(_spread_docs(spark, sf_dir))
     return D.containment_pairs(sh).filter(F.col("containment") >= 0.5)
 
 

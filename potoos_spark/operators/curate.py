@@ -156,7 +156,10 @@ def decontaminate(
     from .dedup import shingle_frame
 
     eval_sh = shingle_frame(eval_df, text_col, id_col, n).select("s").distinct()
-    train_sh = shingle_frame(df, text_col, id_col, n)
+    # spread the corpus before the interpreted shingle projection so it
+    # runs at full width even on a single-file input layout
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    train_sh = shingle_frame(df.repartition(n_part, id_col), text_col, id_col, n)
     hits = (
         train_sh.join(F.broadcast(eval_sh), "s")
         .groupBy(id_col)
@@ -280,7 +283,8 @@ def containment_decontaminate(
     """
     from .dedup import shingle_frame
 
-    sh = shingle_frame(df, text_col, id_col, n)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sh = shingle_frame(df.repartition(n_part, id_col), text_col, id_col, n)
     ev = shingle_frame(eval_df, text_col, id_col, n).select("s").distinct()
     totals = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     hits = (
@@ -327,35 +331,50 @@ def ngram_novelty(
     scaling laws", applied at n-gram rather than embedding granularity)
     without any model in the loop.
 
-    Physical shape: one shingle explosion, then (1) a
-    map-side-combinable ``groupBy(shingle).agg(min(id))`` — the global
-    first-owner table, one row per distinct shingle; (2) a
-    co-partitioned join back to the (doc, shingle) list; (3) one
-    per-doc hash agg. No window over the corpus, no self-join; a viral
-    shingle collapses to one first-owner row per map task before the
-    shuffle. The novelty ratio is a single double division of two exact
-    counts. Documents with no shingles (< n tokens) are absent from the
-    output (no denominator).
+    Physical shape — NO join on the shingle key at all: a shingle's
+    owner is a MEMBER of the owning document by definition, so the
+    per-doc novel count is just the first-owner table re-grouped by
+    owner — (1) per-doc totals: one map-side-combinable hash agg over
+    the explosion; (2) ``groupBy(shingle).agg(min(id))`` →
+    ``groupBy(owner).count()`` — two stacked combinable aggs whose
+    second input is one row per DISTINCT shingle; (3) one thin
+    doc-keyed join of two one-row-per-doc relations. The first version
+    of this operator joined the first-owner table back to the full
+    (doc, shingle) list — a corpus-sized shuffle on long string keys
+    that measured 24s at sf0.1 vs ~1s for this shape, and strictly
+    worse at scale. No window over the corpus, no self-join; a viral
+    shingle collapses to one first-owner row per map task before any
+    shuffle. The novelty ratio is a single double division of two
+    exact counts. Documents with no shingles (< n tokens) are absent
+    from the output (no denominator).
 
     Output: (id_col, n_shingles, n_novel, novelty).
     """
     from .dedup import shingle_frame
 
-    sh = shingle_frame(df, text_col, id_col, n)
-    first = sh.groupBy("s").agg(F.min(id_col).alias("__first_id"))
-    j = sh.join(first, "s")
-    novel = (F.col("__first_id") == F.col(id_col)).cast("bigint")
-    agg = j.groupBy(id_col).agg(
-        F.count("*").alias("n_shingles"),
-        F.sum(novel).alias("n_novel"),
+    # The shingle projection is the dominant per-row cost (interpreted
+    # HOF lambdas); repartition the SMALL raw documents first so it
+    # runs at full width even when the input layout is a single file
+    # (same pre-explosion move as minhash_dedup_pairs — measured 12s →
+    # ~1s at sf0.1, whose fixture is one parquet file / one scan task).
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sh = shingle_frame(df.repartition(n_part, id_col), text_col, id_col, n)
+    totals = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    owned = (
+        sh.groupBy("s")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_novel"))
     )
-    return agg.select(
+    j = totals.join(owned, id_col, "left")
+    n_novel = F.coalesce("n_novel", F.lit(0)).cast("bigint")
+    return j.select(
         id_col,
         "n_shingles",
-        "n_novel",
-        (
-            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
-        ).alias("novelty"),
+        n_novel.alias("n_novel"),
+        (n_novel.cast("double") / F.col("n_shingles").cast("double")).alias(
+            "novelty"
+        ),
     )
 
 

@@ -352,7 +352,8 @@ def minhash_estimate_pairs(
 
     Output: (id_a, id_b, est_jaccard, jaccard, abs_err).
     """
-    sh = shingle_frame(df, text_col, id_col)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sh = shingle_frame(df.repartition(n_part, id_col), text_col, id_col)
     sig = minhash_signatures(sh, id_col, k)
     cand = lsh_candidate_pairs(sig, id_col, k, rows_per_band).persist()
     a = sig.select(
