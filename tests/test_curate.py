@@ -145,6 +145,25 @@ def test_ngram_novelty_first_owner_semantics(spark):
     assert 4 not in got
 
 
+def test_ngram_novelty_joins_only_on_doc_id(spark):
+    """Scale-shape pin: the novelty plan's only join is the thin
+    doc-keyed merge of totals and owner counts — never a join on the
+    shingle key (the corpus-sized string shuffle the rewrite removed)."""
+    import re
+
+    from potoos_spark.operators.curate import ngram_novelty
+    from tests.test_plans import _plan
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "c d e f g")], "doc_id bigint, text string"
+    )
+    p = _plan(ngram_novelty(df))
+    keys = [ln for ln in p.splitlines() if re.search(r"(Left|Right) keys", ln)]
+    assert keys, "expected the doc-keyed totals/owner join"
+    assert all("doc_id" in ln for ln in keys)
+    assert not any(re.search(r"\[s#\d+", ln) for ln in keys)
+
+
 def test_containment_pairs_scores_embedded_doc_full(spark):
     """A short doc fully embedded in a longer host must score
     containment 1.0 while its Jaccard against the same host stays well
