@@ -202,6 +202,10 @@ def _text_readability_fn(spark, sf_dir):
     return T.readability(_docs(spark, sf_dir))
 
 
+def _text_zipf_fn(spark, sf_dir):
+    return T.zipf_slope(_docs(spark, sf_dir), top_n=100)
+
+
 def _text_langid_fn(spark, sf_dir):
     return T.language_id(_docs(spark, sf_dir))
 
@@ -538,6 +542,23 @@ _TEXT_READABILITY_SQL = (
     "0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) "
     "+ 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) "
     "- 15.59 END AS fk_grade FROM c"
+)
+
+# Zipf slope over the top-100 term frequencies: integer-scaled lns
+# (round(ln·1e6), the LM convention), exact integer co-moment sums, one
+# final double division.
+_TEXT_ZIPF_SQL = (
+    f"WITH {_TOK}, tt AS (SELECT unnest(toks) AS term FROM tok), "
+    "c AS (SELECT term, COUNT(*) AS cnt FROM tt GROUP BY 1), "
+    "top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 100), "
+    "r AS (SELECT CAST(round(ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, term)) * 1e6) "
+    "AS BIGINT) AS x, CAST(round(ln(cnt) * 1e6) AS BIGINT) AS y FROM top), "
+    "a AS (SELECT COUNT(*) AS n_terms, SUM(x) AS sx, SUM(y) AS sy, "
+    "SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM r) "
+    "SELECT CAST(n_terms AS BIGINT) AS n_terms, "
+    "CAST(n_terms * sxy - sx * sy AS DOUBLE) / "
+    "CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope "
+    "FROM a WHERE n_terms >= 2"
 )
 
 _LANG_LISTS = {
@@ -1600,6 +1621,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(_text_quality_fn, _TEXT_QUALITY_SQL),
     # extension: Flesch–Kincaid grade (dictionary-free syllable proxy)
     "text_readability": QuerySpec(_text_readability_fn, _TEXT_READABILITY_SQL),
+    # extension: Zipf-slope corpus-health monitor
+    "text_zipf": QuerySpec(_text_zipf_fn, _TEXT_ZIPF_SQL),
     "text_quality_filter": QuerySpec(_quality_filter_fn, _QUALITY_FILTER_SQL),
     "dedup_exact_streaming": QuerySpec(_stream_dedup_fn, _STREAM_DEDUP_SQL),
     "dedup_chunks_streaming": QuerySpec(_stream_chunk_dedup_fn, _STREAM_CHUNK_DEDUP_SQL),

@@ -407,6 +407,58 @@ def top_terms(
     )
 
 
+def zipf_slope(
+    df: DataFrame, top_n: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-health check: least-squares slope of log(frequency) vs
+    log(rank) over the ``top_n`` most frequent terms. Natural-language
+    corpora follow Zipf's law with slope ≈ −1; a much flatter or
+    steeper fit flags template/boilerplate floods or synthetic text —
+    a one-number drift monitor for an ingest pipeline.
+
+    Physical shape: one explode → term-count hash agg (map-side
+    combined; the shuffle carries one row per distinct term), then the
+    top-N selection is ``orderBy().limit()`` — Catalyst compiles it to
+    TakeOrderedAndProject, each partition forwarding only its local
+    top-N. The regression runs over exactly ``top_n`` rows (the rank
+    window is bounded by that constant, not the corpus). Determinism:
+    ln values are scaled to integers (round(ln·1e6), the same
+    convention as the LM scorers), co-moments accumulate as exact
+    bigint sums (|Σxy| ≤ n·(ln(cnt)·1e6)² ≈ 1e16 ≪ 2⁶³), and the
+    slope is a single double division — bit-stable across engines and
+    partitionings. Ties rank lexicographically on the term.
+
+    Output: one row (n_terms, zipf_slope); empty corpus → zero rows.
+    """
+    t = _with_tokens(df, text_col, [id_col])
+    counts = (
+        t.select(F.explode("_t").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "term").limit(int(top_n))
+    w = W.orderBy(F.col("cnt").desc(), "term")
+    le6 = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("bigint")
+    ranked = top.select(
+        le6(F.row_number().over(w).cast("bigint")).alias("x"),
+        le6(F.col("cnt")).alias("y"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return agg.filter(F.col("n_terms") >= 2).select(
+        "n_terms", slope.alias("zipf_slope")
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -64,6 +64,26 @@ def test_readability_counts_and_grade_formula(spark):
     assert e["fk_grade"] is None
 
 
+def test_zipf_slope_near_minus_one_on_zipfian_corpus(spark):
+    """A corpus whose term counts follow cnt(rank) = 1200/rank must fit
+    slope ≈ −1; the top-N selection must compile to
+    TakeOrderedAndProject (partition-local top-N, no global sort)."""
+    from potoos_spark.operators.text import zipf_slope
+    from tests.test_plans import _plan
+
+    words = []
+    for i in range(1, 21):
+        words += [f"w{i:02d}"] * (1200 // i)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id bigint, text string"
+    )
+    q = zipf_slope(docs, top_n=20)
+    assert "TakeOrderedAndProject" in _plan(q)
+    r = q.collect()[0]
+    assert r["n_terms"] == 20
+    assert -1.1 < r["zipf_slope"] < -0.9
+
+
 def test_clean_html_strips_tags_and_decodes_entities(spark):
     from potoos_spark.operators.text import clean_html
 
