@@ -52,6 +52,13 @@ QUERIES = [
     # round-3 late additions: the two heaviest new entries
     "text_hybrid_rrf",
     "text_bigram_lm",
+    # round-3 tail: the shingle-funnel entries (post single-file fix).
+    # Uncapped containment is the quadratic exact baseline (kept here
+    # deliberately so the probe re-measures its superlinear exponent);
+    # the df-capped form is the ~linear production path.
+    "dedup_containment",
+    "dedup_containment_capped",
+    "corpus_ngram_novelty",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]

@@ -32,6 +32,39 @@ def _docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
 
+def test_df_cap_drops_boilerplate_keeps_discriminative(spark):
+    """A shingle present in every doc (boilerplate) must vanish at
+    df_cap below the corpus size, while rare shingles survive — and the
+    capped containment still scores the embedded pair via the
+    discriminative shingles alone."""
+    from potoos_spark.operators.dedup import (
+        containment_pairs,
+        df_capped_shingles,
+        shingle_frame,
+    )
+
+    boiler = "click here to subscribe now"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta epsilon"),
+            (2, f"{boiler} alpha beta gamma"),
+            (3, f"{boiler} totally different content here"),
+            (4, f"{boiler} yet more unrelated words everywhere"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = shingle_frame(df)
+    capped = df_capped_shingles(sh, df_cap=2)
+    surviving = {r["s"] for r in capped.select("s").distinct().collect()}
+    assert "click_here_to" not in surviving  # df=4 > cap
+    assert any("alpha" in s for s in surviving)  # df=2 shingles survive
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(capped).collect()
+    }
+    assert cont[(1, 2)] == 1.0  # doc 2's capped shingles all inside doc 1
+
+
 def test_keep_longest_policy_and_aggregate_plan(spark):
     """Raw variants of one normalized content: the keeper is the longest
     raw text, ties break to the min id, and the plan is an aggregation
