@@ -137,6 +137,13 @@ def _containment_capped_fn(spark, sf_dir):
     return D.containment_pairs(sh).filter(F.col("containment") >= 0.5)
 
 
+def _ngram_capped_fn(spark, sf_dir):
+    sh = D.df_capped_shingles(
+        D.shingle_frame(_spread_docs(spark, sf_dir)), _DF_CAP
+    )
+    return D.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.1)
+
+
 def _minhash_estimate_fn(spark, sf_dir):
     return D.minhash_estimate_pairs(
         _docs(spark, sf_dir), k=K_MINHASH, rows_per_band=ROWS_PER_BAND
@@ -372,6 +379,24 @@ _CONTAIN_PAIRS_SQL = (
     "JOIN sizes sb ON sb.doc_id = s.id_b) "
     "SELECT id_a, id_b, shared, sz_a, sz_b, containment FROM cont "
     "WHERE containment >= 0.5"
+)
+
+# df-capped exact Jaccard: same boilerplate-shingle prune as the
+# containment twin — sizes/Jaccard are over discriminative shingles.
+_NGRAM_CAPPED_SQL = (
+    f"{_BASE_SH}, "
+    "keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100), "
+    "shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id), "
+    "shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared "
+    "FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+    "jac AS (SELECT s.id_a, s.id_b, s.shared, "
+    "sa.sz + sb.sz - s.shared AS union_size, "
+    "CAST(s.shared AS DOUBLE) / CAST(sa.sz + sb.sz - s.shared AS DOUBLE) AS jaccard "
+    "FROM shared s JOIN sizes sa ON sa.doc_id = s.id_a "
+    "JOIN sizes sb ON sb.doc_id = s.id_b) "
+    "SELECT id_a, id_b, shared, union_size, jaccard FROM jac "
+    "WHERE jaccard >= 0.1"
 )
 
 # df-capped containment: boilerplate shingles (df > 100) are dropped
@@ -1629,6 +1654,8 @@ QUERIES: dict[str, QuerySpec] = {
     # exact recall; Manku et al. WWW'07)
     "dedup_simhash_hamming": QuerySpec(_simhash_hamming_fn, _SIMHASH_HAMMING_SQL),
     "dedup_ngram_jaccard": QuerySpec(_ngram_fn, _NGRAM_SQL),
+    # extension: df-capped production form of the Jaccard baseline
+    "dedup_ngram_jaccard_capped": QuerySpec(_ngram_capped_fn, _NGRAM_CAPPED_SQL),
     # extension: asymmetric partial-dup score (Broder containment) —
     # catches short-doc-embedded-in-host pairs Jaccard under-reports
     "dedup_containment": QuerySpec(_containment_pairs_fn, _CONTAIN_PAIRS_SQL),
