@@ -437,3 +437,78 @@ def test_nearest_asof_join_accepts_right_seq(spark):
     )
     out = nearest_asof_join(l, r, on="k", right_seq="ing").collect()
     assert len(out) == 1 and out[0]["v"] == 5.0  # max seq wins the tie
+
+
+WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+
+
+@given(
+    docs=st.lists(
+        st.lists(WORD, min_size=3, max_size=10), min_size=2, max_size=5
+    ),
+)
+@SETTINGS
+def test_containment_dominates_jaccard_and_matches_bruteforce(spark, docs):
+    """For every co-occurring pair: containment ≥ jaccard (min-size
+    normalization can only grow the score), both within [0, 1], and
+    both match a brute-force Python reference over 3-gram shingle
+    sets."""
+    from potoos_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingle_frame,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = shingle_frame(df)
+    cont = {(r["id_a"], r["id_b"]): r for r in containment_pairs(sh).collect()}
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(sh).collect()}
+
+    def sset(ws):
+        return {"_".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: sset(ws) for i, ws in enumerate(docs)}
+    assert set(cont) == set(jac)
+    for (a, b), r in cont.items():
+        inter = len(sets[a] & sets[b])
+        assert r["shared"] == inter
+        expect_c = inter / min(len(sets[a]), len(sets[b]))
+        assert r["containment"] == pytest.approx(expect_c)
+        assert r["containment"] >= jac[(a, b)] - 1e-12
+        assert 0.0 <= r["containment"] <= 1.0
+
+
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=500_000),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    th=st.sampled_from([1, 1000, 60_000]),
+)
+@SETTINGS
+def test_heartbeat_sla_matches_bruteforce(spark, ts, th):
+    """Downtime equals the sum of gap excesses; uptime ∈ [0, 1] (NULL
+    only for zero span); violations count gaps over the threshold."""
+    from potoos_spark.operators.rate import heartbeat_sla
+
+    rows = [("k", t, 0.0, i) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts_ms bigint, value double, seq bigint"
+    )
+    r = heartbeat_sla(df, th).collect()[0]
+    s = sorted(ts)
+    gaps = [b - a for a, b in zip(s, s[1:])]
+    span = s[-1] - s[0]
+    down = sum(max(g - th, 0) for g in gaps)
+    assert r["span_ms"] == span
+    assert r["n_points"] == len(ts)
+    assert r["n_violations"] == sum(1 for g in gaps if g > th)
+    assert r["downtime_ms"] == down
+    if span > 0:
+        assert r["uptime_ratio"] == pytest.approx(1 - down / span)
+        assert 0.0 <= r["uptime_ratio"] <= 1.0
+    else:
+        assert r["uptime_ratio"] is None
