@@ -494,6 +494,50 @@ _GAP_DETECT_SQL = (
 )
 
 
+DAY = 24 * HOUR
+
+
+def _calendar_profile_fn(spark, sf_dir):
+    """Seasonality heatmap: per (series, day-of-week, hour-of-day) —
+    the dashboard profile behind 'is Tuesday 9am normally this busy'.
+    Calendar parts come from pure INTEGER epoch-ms arithmetic (hour =
+    ts/3600000 mod 24; dow = epoch-day + 4 mod 7, 0 = Sunday — epoch
+    day 0 was a Thursday), never timezone-dependent date functions
+    whose session-zone semantics differ across engines. One map-side-
+    combinable hash agg; the shuffle carries ≤ series×168 rows. The avg
+    is one double division over an exact DECIMAL sum.
+
+    Output: (series_key, dow, hour, n, avg_value)."""
+    df = events_frame(spark, sf_dir)
+    hour = F.floor(F.col("ts_ms") / HOUR).cast("bigint") % 24
+    dow = (F.floor(F.col("ts_ms") / DAY).cast("bigint") + 4) % 7
+    g = df.groupBy(
+        "series_key", dow.alias("dow"), hour.alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).alias("__s"),
+    )
+    return g.select(
+        "series_key",
+        "dow",
+        "hour",
+        "n",
+        (F.col("__s").cast("double") / F.col("n").cast("double")).alias(
+            "avg_value"
+        ),
+    )
+
+
+_CALENDAR_PROFILE_SQL = (
+    f"{_S} SELECT series_key, "
+    f"(CAST(floor(ts_ms / {DAY}) AS BIGINT) + 4) % 7 AS dow, "
+    f"CAST(floor(ts_ms / {HOUR}) AS BIGINT) % 24 AS hour, "
+    "COUNT(*) AS n, "
+    f"CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value "
+    "FROM series GROUP BY 1, 2, 3"
+)
+
+
 HEARTBEAT_MS = HOUR
 
 
@@ -738,6 +782,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_gap_detect": QuerySpec(_gap_detect_fn, _GAP_DETECT_SQL),
     # extension: per-series availability summary from heartbeat gaps
     "ts_heartbeat_sla": QuerySpec(_heartbeat_sla_fn, _HEARTBEAT_SLA_SQL),
+    # extension: dow×hour seasonality heatmap (integer calendar parts)
+    "ts_calendar_profile": QuerySpec(_calendar_profile_fn, _CALENDAR_PROFILE_SQL),
     # extension: exact LOW-percentile monitoring bands per bucket
     "ts_percentile_bands": QuerySpec(_pctl_bands_fn, _PCTL_BANDS_SQL),
 }
