@@ -504,9 +504,15 @@ def streaming_debounce(sdf: DataFrame, cooldown_ms: int) -> DataFrame:
 
 
 GAP_STATE_SCHEMA = "last_ts bigint, has bigint"
+GAP_REORDER_STATE_SCHEMA = "last_ts bigint, has bigint, pend array<bigint>"
 
 
-def streaming_gap_detect(sdf: DataFrame, threshold_ms: int) -> DataFrame:
+def streaming_gap_detect(
+    sdf: DataFrame,
+    threshold_ms: int,
+    ordered: bool = True,
+    watermark: str = "10 minutes",
+) -> DataFrame:
     """Streaming silence watchdog — the stateful twin of the batch gap
     detector (`catalog/timeseries.ts_gap_detect`): whenever a point
     arrives more than ``threshold_ms`` after its series' previous
@@ -518,8 +524,15 @@ def streaming_gap_detect(sdf: DataFrame, threshold_ms: int) -> DataFrame:
     processing-time-timeout variant's job and is intentionally out of
     scope for the replay contract).
 
-    Arrival contract as the other stateful ops: per-series ts order
-    (cross-batch late data is the reorder-buffer variant's job).
+    Arrival contract: with ``ordered=True`` (default), per-series ts
+    order like the other stateful ops. ``ordered=False`` folds the same
+    event-time reorder buffer as ``streaming_scores(ordered=False)``
+    into this state machine: arrivals buffer in state and feed the gap
+    rule in ts order only once the watermark passes them; rows at or
+    behind the already-processed frontier drop (a gap already reported
+    cannot be retracted — standard late-data policy), and a
+    late-but-in-time backfill point SPLITS what would have been one big
+    gap into the true smaller ones.
 
     Output (append): (series_key, gap_start_ms, gap_end_ms, gap_ms).
     """
@@ -528,35 +541,90 @@ def streaming_gap_detect(sdf: DataFrame, threshold_ms: int) -> DataFrame:
         "series_key string, gap_start_ms bigint, gap_end_ms bigint, gap_ms bigint"
     )
 
-    def fn(
+    def _emit(key, starts, ends):
+        out = pd.DataFrame({"gap_start_ms": starts, "gap_end_ms": ends})
+        out.insert(0, "series_key", key[0])
+        out["gap_ms"] = out["gap_end_ms"] - out["gap_start_ms"]
+        return out
+
+    if ordered:
+
+        def fn(
+            key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            if state.exists:
+                last, has = state.get
+            else:
+                last, has = 0, 0
+            pdf = _gather_sorted(batches, ("ts_ms", "seq"))
+            if pdf is not None:
+                starts, ends = [], []
+                for t in pdf["ts_ms"]:
+                    t = int(t)
+                    if has and t - last > th:
+                        starts.append(last)
+                        ends.append(t)
+                    last, has = t, 1
+                if starts:
+                    yield _emit(key, starts, ends)
+            state.update((last, has))
+
+        cols = ["series_key", "ts_ms"] + (["seq"] if "seq" in sdf.columns else [])
+        return (
+            sdf.select(*cols)
+            .groupBy("series_key")
+            .applyInPandasWithState(
+                fn, out_schema, GAP_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+            )
+        )
+
+    def fn_buffered(
         key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            last, has = state.get
+            last, has, pend = state.get
+            pend = list(pend or [])
         else:
-            last, has = 0, 0
-        pdf = _gather_sorted(batches, ("ts_ms", "seq"))
-        if pdf is not None:
-            starts, ends = [], []
+            last, has, pend = 0, 0, []
+        wm = state.getCurrentWatermarkMs()
+        seen = set(pend)
+        for pdf in batches:
             for t in pdf["ts_ms"]:
                 t = int(t)
+                # behind the processed frontier (gap already judged) or dup
+                if (has and t <= last) or t in seen:
+                    continue
+                seen.add(t)
+                pend.append(t)
+        pend.sort()
+        flush = [t for t in pend if t <= wm]
+        keep = [t for t in pend if t > wm]
+        if flush:
+            starts, ends = [], []
+            for t in flush:
                 if has and t - last > th:
                     starts.append(last)
                     ends.append(t)
                 last, has = t, 1
             if starts:
-                out = pd.DataFrame({"gap_start_ms": starts, "gap_end_ms": ends})
-                out.insert(0, "series_key", key[0])
-                out["gap_ms"] = out["gap_end_ms"] - out["gap_start_ms"]
-                yield out
-        state.update((last, has))
+                yield _emit(key, starts, ends)
+        state.update((last, has, keep))
 
-    cols = ["series_key", "ts_ms"] + (["seq"] if "seq" in sdf.columns else [])
+    from pyspark.sql import functions as F
+
+    sdf2 = sdf
+    if "event_time" not in sdf2.columns:
+        sdf2 = sdf2.withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    sdf2 = sdf2.withWatermark("event_time", watermark)
     return (
-        sdf.select(*cols)
+        sdf2.select("series_key", "ts_ms", "event_time")
         .groupBy("series_key")
         .applyInPandasWithState(
-            fn, out_schema, GAP_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+            fn_buffered,
+            out_schema,
+            GAP_REORDER_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
         )
     )
 

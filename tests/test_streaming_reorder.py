@@ -106,3 +106,51 @@ def test_too_late_rows_are_dropped(spark, tmp_path):
     # row 5 was already scored in an earlier flush; its late duplicate
     # must not be emitted twice
     assert sum(1 for r in rows if r["ts_ms"] == BASE + 5 * STEP) == 1
+
+
+def test_reorder_gap_detect_backfill_splits_gap(spark, tmp_path):
+    """Out-of-order gap detection: points every 1s except 50-59 missing
+    from file 1; t55 arrives LATE in file 2 (within watermark). The
+    buffered variant must report the two true gaps around the backfill
+    (49->55, 55->60), never the naive 49->60 a no-buffer pass would
+    emit; rows the watermark passed match an ordered full replay."""
+    from potoos_spark.streaming.stateful import streaming_gap_detect
+
+    src = tmp_path / "src_gap"
+    chunks = [
+        [_row(i) for i in range(100) if not 50 <= i < 60],
+        [_row(55)],
+        [_row(i) for i in range(100, 200)],
+    ]
+    for chunk in chunks:
+        spark.createDataFrame(chunk, SCHEMA).repartition(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        time.sleep(1.1)
+
+    sdf = streaming_gap_detect(
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        threshold_ms=3 * STEP,
+        ordered=False,
+        watermark="30 seconds",
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("reorder_gaps")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    got = sorted(
+        (r["gap_start_ms"], r["gap_end_ms"], r["gap_ms"])
+        for r in spark.table("reorder_gaps").collect()
+    )
+    t = lambda i: BASE + i * STEP
+    assert (t(49), t(55), 6 * STEP) in got
+    assert (t(55), t(60), 5 * STEP) in got
+    assert (t(49), t(60), 11 * STEP) not in got
+    # no other gaps exist in the flushed range
+    assert len(got) == 2
