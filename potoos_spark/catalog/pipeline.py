@@ -137,6 +137,13 @@ def _containment_capped_fn(spark, sf_dir):
     return D.containment_pairs(sh).filter(F.col("containment") >= 0.5)
 
 
+def _containment_bottomk_fn(spark, sf_dir):
+    sh = D.df_capped_shingles(
+        D.shingle_frame(_spread_docs(spark, sf_dir)), _DF_CAP
+    )
+    return D.bottomk_containment_pairs(sh, k=8, threshold=0.5)
+
+
 def _ngram_capped_fn(spark, sf_dir):
     sh = D.df_capped_shingles(
         D.shingle_frame(_spread_docs(spark, sf_dir)), _DF_CAP
@@ -379,6 +386,28 @@ _CONTAIN_PAIRS_SQL = (
     "JOIN sizes sb ON sb.doc_id = s.id_b) "
     "SELECT id_a, id_b, shared, sz_a, sz_b, containment FROM cont "
     "WHERE containment >= 0.5"
+)
+
+# Bottom-k containment estimate over df-capped shingles: per doc, the
+# 8 smallest md5 shingle hashes probe other docs' full hash sets;
+# est = hits / min(8, |H(A)|), directional (id_a = contained side).
+# Deterministic md5 ranking → exact SQL mirror.
+_CONTAIN_BOTTOMK_SQL = (
+    f"{_BASE_SH}, "
+    "keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100), "
+    "shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)), "
+    "hh AS (SELECT doc_id, md5(s) AS h FROM shc), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hh GROUP BY doc_id), "
+    "bk AS (SELECT doc_id, h FROM (SELECT doc_id, h, ROW_NUMBER() OVER "
+    "(PARTITION BY doc_id ORDER BY h) AS rn FROM hh) WHERE rn <= 8), "
+    "m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS m "
+    "FROM bk a JOIN hh b ON a.h = b.h AND a.doc_id <> b.doc_id GROUP BY 1, 2), "
+    "est AS (SELECT m.id_a, m.id_b, m.m, "
+    "CAST(LEAST(sz.sz, 8) AS BIGINT) AS k_used, "
+    "CAST(m.m AS DOUBLE) / CAST(LEAST(sz.sz, 8) AS DOUBLE) AS est_containment "
+    "FROM m JOIN sizes sz ON sz.doc_id = m.id_a) "
+    "SELECT id_a, id_b, m, k_used, est_containment FROM est "
+    "WHERE est_containment >= 0.5"
 )
 
 # df-capped exact Jaccard: same boilerplate-shingle prune as the
@@ -1663,6 +1692,11 @@ QUERIES: dict[str, QuerySpec] = {
     # df-capped before pair scoring
     "dedup_containment_capped": QuerySpec(
         _containment_capped_fn, _CONTAIN_CAPPED_SQL
+    ),
+    # extension: bottom-k sampled containment estimate (directional;
+    # candidate volume cut by |H|/k vs the exact join)
+    "dedup_containment_bottomk": QuerySpec(
+        _containment_bottomk_fn, _CONTAIN_BOTTOMK_SQL
     ),
     "dedup_embedding": QuerySpec(_emb_dup_fn, _EMB_DUP_SQL),
     # similarity search

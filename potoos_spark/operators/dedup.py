@@ -350,6 +350,68 @@ def minhash_dedup_pairs(
     )
 
 
+def bottomk_containment_pairs(
+    sh: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Scalable DIRECTIONAL containment estimation via bottom-k hash
+    sampling (Broder/Cohen bottom-k sketches): for each document A,
+    its k smallest md5 shingle hashes are a uniform sample of H(A);
+    probing them against other documents' FULL hash sets estimates
+    containment(A in B) = |H(A) ∩ H(B)| / |H(A)| as m / min(k, |H(A)|),
+    where m counts A's sampled hashes found in B. Exact whenever
+    |H(A)| ≤ k (the sample IS the set).
+
+    Why this is the production form: the exact containment join
+    generates candidates from EVERY posting (quadratic in posting-list
+    length — probe-measured exp 1.26); here the candidate-generating
+    side carries only k rows per document, cutting candidate volume by
+    |H|/k while the directional semantics — the whole point of
+    containment — are preserved (pairs appear as (contained, host),
+    not unordered). Compose with ``df_capped_shingles`` first to keep
+    host-side posting lists bounded too.
+
+    Physical shape: one per-doc bottom-k ranked window (local per-doc
+    sort, bounded output k), one inverted-index join keyed on the
+    sampled hash, one pair hash agg, one thin doc-keyed size join.
+    The estimate is a single double division of exact integers.
+
+    Output: (id_a, id_b, m, k_used, est_containment) — id_a is the
+    contained-candidate side; est ≥ ``threshold``.
+    """
+    from pyspark.sql import Window as W
+
+    h = sh.select(F.col(id_col), F.md5("s").alias("h"))
+    sizes = h.groupBy(id_col).agg(F.count("*").alias("sz"))
+    w = W.partitionBy(id_col).orderBy("h")
+    bk = (
+        h.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )
+    m = (
+        bk.withColumnsRenamed({id_col: "id_a"})
+        .join(h.withColumnsRenamed({id_col: "id_b"}), "h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("m"))
+    )
+    k_used = F.least(F.col("sz"), F.lit(int(k)))
+    est = (
+        m.join(sizes.withColumnsRenamed({id_col: "id_a"}), "id_a")
+        .withColumn("k_used", k_used.cast("bigint"))
+        .withColumn(
+            "est_containment",
+            F.col("m").cast("double") / F.col("k_used").cast("double"),
+        )
+    )
+    return est.select("id_a", "id_b", "m", "k_used", "est_containment").filter(
+        F.col("est_containment") >= float(threshold)
+    )
+
+
 def minhash_estimate_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -32,6 +32,33 @@ def _docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
 
+def test_bottomk_containment_exact_for_small_docs_and_directional(spark):
+    """A contained doc with ≤ k shingles gets an EXACT containment
+    (the bottom-k sample is the full set): est 1.0 toward its host,
+    with the pair oriented (contained, host). The reverse direction
+    scores the host's overlap fraction, strictly below 1."""
+    from potoos_spark.operators.dedup import (
+        bottomk_containment_pairs,
+        shingle_frame,
+    )
+
+    host = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    df = spark.createDataFrame(
+        [(1, host), (2, "gamma delta epsilon zeta eta")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in bottomk_containment_pairs(shingle_frame(df), k=8).collect()
+    }
+    fwd = rows[(2, 1)]  # doc 2 (3 shingles) contained in doc 1
+    assert fwd["k_used"] == 3 and fwd["m"] == 3
+    assert fwd["est_containment"] == 1.0
+    rev = rows[(1, 2)]  # host direction: 8-sample of doc 1, 3 hits max
+    assert rev["k_used"] == 8 and rev["m"] <= 3
+    assert rev["est_containment"] < 1.0
+
+
 def test_df_cap_drops_boilerplate_keeps_discriminative(spark):
     """A shingle present in every doc (boilerplate) must vanish at
     df_cap below the corpus size, while rare shingles survive — and the
