@@ -59,6 +59,7 @@ HEADLINE = [
     # production form; the uncapped entry is the quadratic baseline and
     # stays out of the headline, like dedup_ngram_jaccard)
     "dedup_containment_capped",
+    "dedup_containment_bottomk",
     "corpus_ngram_novelty",
     "knn_matryoshka",
     "text_readability",
