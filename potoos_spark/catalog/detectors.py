@@ -173,6 +173,31 @@ def _scored(algorithm: str, params: dict, with_baseline: bool = False):
     return fn
 
 
+def _calibrated_fn(spark, sf_dir):
+    """Percentile-rank score calibration: raw detector scores live on
+    arbitrary, detector-specific scales (an EMA deviation and a MAD
+    z-ish score are not comparable), so ensembles and cross-series
+    alerting first map each series' scores to their within-series
+    percentile rank — uniform on [0, 1] by construction, making 'top
+    1% most anomalous' mean the same thing for every series and every
+    detector. percent_rank = (rank − 1)/(n − 1) is pure integer
+    arithmetic over a total order ((score, ts) — bucket ts is unique
+    per series), so the calibrated scores are bit-exact. One window
+    sort per series on top of the detector's own shuffles."""
+    from pyspark.sql import Window as W
+
+    g = hourly_avg_frame(spark, sf_dir)
+    cfg = DetectorConfig(algorithm_name="mad", algorithm_params={})
+    scored = detect_score(g, cfg)
+    w = W.partitionBy("series_key").orderBy("score", "ts_ms")
+    return scored.select(
+        "series_key",
+        "ts_ms",
+        "score",
+        F.percent_rank().over(w).alias("calibrated"),
+    )
+
+
 def _windows_fn(spark, sf_dir):
     g = hourly_avg_frame(spark, sf_dir)
     scores = detect_score(
@@ -357,6 +382,15 @@ _MAD_SQL = (
     "CASE WHEN CAST(1.4826 AS DOUBLE) * mad.mad > 0 "
     "THEN dv.dev / (CAST(1.4826 AS DOUBLE) * mad.mad) ELSE 0.0 END AS score "
     "FROM dv JOIN mad USING (series_key)"
+)
+
+# Percentile-rank calibration over the MAD scores: percent_rank is
+# (rank-1)/(n-1) integer arithmetic over the total (score, ts) order —
+# bit-exact. DuckDB accepts the full WITH query as a subquery.
+_CALIBRATED_SQL = (
+    "SELECT series_key, ts_ms, score, "
+    "PERCENT_RANK() OVER (PARTITION BY series_key ORDER BY score, ts_ms) "
+    f"AS calibrated FROM ({_MAD_SQL}) scored"
 )
 
 
@@ -605,6 +639,9 @@ QUERIES: dict[str, QuerySpec] = {
     "det_bitmap": QuerySpec(_bitmap_fn, _BITMAP_SQL),
     # extension: robust MAD scorer (low-median — no interpolation, exact)
     "det_mad": QuerySpec(_scored("mad", {}), _MAD_SQL),
+    # extension: percentile-rank score calibration (uniform [0,1] per
+    # series — the precursor to mixing heterogeneous detectors)
+    "det_score_calibrated": QuerySpec(_calibrated_fn, _CALIBRATED_SQL),
     # extension: seasonal-naive baseline scorer (daily season over hourly buckets)
     "det_seasonal_naive": QuerySpec(
         _scored("seasonal_naive", {"period": 24}), _SEASONAL_SQL

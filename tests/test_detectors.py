@@ -357,3 +357,22 @@ def test_refine_pass_isolates_windows_for_rolling_refiners(spark):
     # window 1's refined peak must come from window-1 points only: with
     # per-window MAD both points are equal (10.0), peak = earliest
     assert rows[3000]["exact_ts_ms"] == 3000
+
+
+def test_score_calibration_uniform_and_monotone(spark):
+    """Calibrated scores are the within-series percentile rank: bounded
+    to [0, 1] with min 0 and max 1, and order-preserving in the raw
+    score (a higher raw score never calibrates lower)."""
+    from potoos_spark.catalog.detectors import _calibrated_fn
+    from tests.conftest import SF_DIR
+
+    rows = _calibrated_fn(spark, SF_DIR).collect()
+    assert rows
+    by_series: dict = {}
+    for r in rows:
+        by_series.setdefault(r["series_key"], []).append(r)
+    for srs in by_series.values():
+        cal = [r["calibrated"] for r in srs]
+        assert min(cal) == 0.0 and max(cal) == 1.0
+        srs.sort(key=lambda r: (r["score"], r["ts_ms"]))
+        assert all(a["calibrated"] <= b["calibrated"] for a, b in zip(srs, srs[1:]))
