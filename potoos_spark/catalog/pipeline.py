@@ -845,6 +845,35 @@ FROM u GROUP BY label, dim
 """
 
 
+def _centroid_drift_fn(spark, sf_dir):
+    return S.centroid_drift(_embs(spark, sf_dir))
+
+
+# Per-label centroid drift between md5 halves: cosine is scale-
+# invariant, so it is computed on exact integer SUM vectors — the one
+# division is the only float op.
+_CENTROID_DRIFT_SQL = """
+WITH v AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'a' ELSE 'b' END AS half,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) for x in embedding] AS e
+  FROM embeddings
+),
+c AS (SELECT label, half, COUNT(*) AS n FROM v GROUP BY 1, 2),
+u AS (SELECT label, half, generate_subscripts(e, 1) - 1 AS dim, unnest(e) AS milli FROM v),
+s AS (SELECT label, half, dim, SUM(milli) AS s FROM u GROUP BY 1, 2, 3),
+j AS (SELECT a.label, SUM(a.s * b.s) AS dot, SUM(a.s * a.s) AS na, SUM(b.s * b.s) AS nb
+      FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+      AND a.half = 'a' AND b.half = 'b' GROUP BY 1)
+SELECT j.label, ca.n AS n_a, cb.n AS n_b,
+       CAST(j.dot AS DOUBLE) / sqrt(CAST(j.na * j.nb AS DOUBLE)) AS drift_cosine
+FROM j
+JOIN c ca ON ca.label = j.label AND ca.half = 'a'
+JOIN c cb ON cb.label = j.label AND cb.half = 'b'
+"""
+
+
 # --- deterministic hash split (reproducible train/val sampling) -----------
 # Split membership = first two hex chars of md5(doc_id): content-stable,
 # engine-independent, and rerunnable on any cluster size — the pattern
@@ -1737,6 +1766,9 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_curate_e2e": QuerySpec(_curate_fn, _CURATE_SQL),
     "corpus_stats": QuerySpec(_corpus_stats_fn, _CORPUS_STATS_SQL),
     "emb_centroid": QuerySpec(_centroid_fn, _CENTROID_SQL),
+    # extension: per-label centroid drift between deterministic halves
+    # (embedding-ops go/no-go monitor; exact integer-sum cosine)
+    "emb_centroid_drift": QuerySpec(_centroid_drift_fn, _CENTROID_DRIFT_SQL),
     "corpus_sample_split": QuerySpec(_sample_split_fn, _SAMPLE_SPLIT_SQL),
     "corpus_stratified_sample": QuerySpec(_stratified_sample_fn, _STRATIFIED_SAMPLE_SQL),
     # extension: marginal n-gram novelty (coverage-driven data selection)

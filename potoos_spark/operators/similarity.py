@@ -87,6 +87,72 @@ def matryoshka_topk(
     return cosine_topk(trunc(queries), trunc(corpus), vec_col, id_col, k)
 
 
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding drift monitor: per label, the cosine between the
+    class centroid computed on two deterministic halves of the data
+    (md5(id) first hex digit < '8' → half 'a'). Drift ≈ 1 means the
+    class occupies the same region in both halves; a drop flags
+    distribution shift, labeling drift, or an embedding-model change —
+    the standard go/no-go check before mixing corpora or retraining.
+    In production the 'halves' are time periods or sources; the
+    hash-half form here makes the statistic reproducible on fixtures.
+
+    Exactness: cosine is scale-invariant, so it is computed on the
+    per-half integer SUM vectors directly — no float means anywhere.
+    Per-dim sums are exact bigints (one map-side-combinable hash agg
+    over the posexploded scaled vectors), the dot/norm reductions are
+    exact bigint sums, and the single division is the only float op —
+    bit-stable across engines and partitionings.
+
+    Shape: one explode → (label, half, dim) hash agg (shuffle carries
+    labels × 2 × d rows), one co-keyed join of the two half relations,
+    one per-label agg. Labels present in only one half are omitted
+    (no drift is defined for them).
+
+    Output: (label, n_a, n_b, drift_cosine).
+    """
+    from .dedup import scaled_vec
+
+    half = F.when(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    base = df.select(
+        F.col(label_col).cast("bigint").alias("label"),
+        half.alias("half"),
+        scaled_vec(vec_col).alias("e"),
+    )
+    counts = base.groupBy("label", "half").agg(F.count("*").alias("n"))
+    sums = base.select(
+        "label", "half", F.posexplode("e").alias("dim", "milli")
+    ).groupBy("label", "half", "dim").agg(F.sum("milli").alias("s"))
+    a = sums.filter(F.col("half") == "a").select("label", "dim", F.col("s").alias("sa"))
+    b = sums.filter(F.col("half") == "b").select("label", "dim", F.col("s").alias("sb"))
+    per_label = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("__dot"),
+            F.sum(F.col("sa") * F.col("sa")).alias("__na"),
+            F.sum(F.col("sb") * F.col("sb")).alias("__nb"),
+        )
+    )
+    drift = F.col("__dot").cast("double") / F.sqrt(
+        (F.col("__na") * F.col("__nb")).cast("double")
+    )
+    na = counts.filter(F.col("half") == "a").select("label", F.col("n").alias("n_a"))
+    nb = counts.filter(F.col("half") == "b").select("label", F.col("n").alias("n_b"))
+    return (
+        per_label.join(na, "label")
+        .join(nb, "label")
+        .select("label", "n_a", "n_b", drift.alias("drift_cosine"))
+    )
+
+
 def hard_negatives(
     queries: DataFrame,
     corpus: DataFrame,

@@ -110,6 +110,28 @@ def test_matryoshka_full_width_degenerates_to_exact(spark, embeddings, exact):
     assert len(per_q) == N_QUERIES
 
 
+def test_centroid_drift_identical_is_one_orthogonal_is_zero(spark):
+    """Identical class vectors in both md5 halves → drift exactly 1.0
+    (integer-sum cosine of proportional vectors); orthogonal halves →
+    0.0. ids 6/9 hash to half 'a', 0/1 to half 'b'."""
+    from potoos_spark.operators.similarity import centroid_drift
+
+    rows = [
+        # label 0: the same vector everywhere
+        (6, [1.0, 2.0], 0), (9, [1.0, 2.0], 0),
+        (0, [1.0, 2.0], 0), (1, [1.0, 2.0], 0),
+        # label 1: half a on x-axis, half b on y-axis
+        (11, [1.0, 0.0], 1), (2, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    got = {r["label"]: r for r in centroid_drift(df).collect()}
+    assert got[0]["drift_cosine"] == 1.0
+    assert (got[0]["n_a"], got[0]["n_b"]) == (2, 2)
+    assert got[1]["drift_cosine"] == 0.0
+
+
 def test_brute_force_is_self_consistent(spark, embeddings, exact):
     # every query returns exactly K neighbors, none of them itself
     assert len(exact) == N_QUERIES * K
