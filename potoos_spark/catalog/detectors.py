@@ -384,6 +384,31 @@ _MAD_SQL = (
     "FROM dv JOIN mad USING (series_key)"
 )
 
+def _incidents_fn(spark, sf_dir):
+    from ..detectors.windows import merge_incidents
+
+    return merge_incidents(_windows_fn(spark, sf_dir))
+
+
+# Global incident merge over the per-series windows: sweep as window
+# functions (running max end → break flag → running incident id) over
+# the alert-volume relation. DuckDB accepts the full windows query as
+# a subquery.
+_INCIDENTS_SQL = (
+    "SELECT incident_start_ms, incident_end_ms, n_windows, n_series, peak_score "
+    "FROM (SELECT inc, MIN(start_ts_ms) AS incident_start_ms, "
+    "MAX(end_ts_ms) AS incident_end_ms, COUNT(*) AS n_windows, "
+    "COUNT(DISTINCT series_key) AS n_series, MAX(anomaly_score) AS peak_score "
+    "FROM (SELECT *, SUM(brk) OVER "
+    "(ORDER BY start_ts_ms, end_ts_ms, series_key) AS inc "
+    "FROM (SELECT *, CASE WHEN pme IS NULL OR start_ts_ms > pme THEN 1 ELSE 0 END AS brk "
+    "FROM (SELECT *, MAX(end_ts_ms) OVER "
+    "(ORDER BY start_ts_ms, end_ts_ms, series_key "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme "
+    f"FROM ({_WINDOWS_SQL}) win) a) b) c GROUP BY inc) d"
+)
+
+
 # Percentile-rank calibration over the MAD scores: percent_rank is
 # (rank-1)/(n-1) integer arithmetic over the total (score, ts) order —
 # bit-exact. DuckDB accepts the full WITH query as a subquery.
@@ -642,6 +667,9 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: percentile-rank score calibration (uniform [0,1] per
     # series — the precursor to mixing heterogeneous detectors)
     "det_score_calibrated": QuerySpec(_calibrated_fn, _CALIBRATED_SQL),
+    # extension: global incident merge (the on-call rollup of
+    # per-series anomaly windows)
+    "det_incidents": QuerySpec(_incidents_fn, _INCIDENTS_SQL),
     # extension: seasonal-naive baseline scorer (daily season over hourly buckets)
     "det_seasonal_naive": QuerySpec(
         _scored("seasonal_naive", {"period": 24}), _SEASONAL_SQL

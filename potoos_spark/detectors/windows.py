@@ -125,3 +125,51 @@ def refine_anomalies(
         "exact_ts_ms",
         "anomaly_score",
     )
+
+
+def merge_incidents(windows: DataFrame, bridge_ms: int = 0) -> DataFrame:
+    """Fold per-series anomaly windows into GLOBAL incidents: windows
+    that overlap in time (or sit within ``bridge_ms`` of each other)
+    merge into one incident regardless of series — the on-call view
+    ("one outage hit 14 series for 20 minutes"), where per-series
+    window extraction answers the per-metric question.
+
+    Classic sweep as window functions: order all windows by start; a
+    new incident begins exactly where a window's start exceeds the
+    running maximum end (+ bridge) of everything before it; the
+    incident id is the running count of such breaks. Deterministic
+    total order via (start, end, series_key).
+
+    Scale note: the sweep runs over ONE global sort — deliberately.
+    The input is the ALERT stream (one row per extracted window, not
+    per point), orders of magnitude smaller than the data; if alert
+    volume ever challenges a single sort, the thresholds upstream are
+    wrong long before the plan is. This is the same judgment as a
+    TakeOrdered top-k: global, but over an intrinsically small relation.
+
+    Output: (incident_start_ms, incident_end_ms, n_windows, n_series,
+    peak_score).
+    """
+    w = W.orderBy("start_ts_ms", "end_ts_ms", "series_key")
+    prev_max_end = F.max("end_ts_ms").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_break = F.when(
+        prev_max_end.isNull()
+        | (F.col("start_ts_ms") > prev_max_end + int(bridge_ms)),
+        1,
+    ).otherwise(0)
+    staged = windows.withColumn("__brk", is_break).withColumn(
+        "__incident", F.sum("__brk").over(w)
+    )
+    return (
+        staged.groupBy("__incident")
+        .agg(
+            F.min("start_ts_ms").alias("incident_start_ms"),
+            F.max("end_ts_ms").alias("incident_end_ms"),
+            F.count("*").alias("n_windows"),
+            F.countDistinct("series_key").alias("n_series"),
+            F.max("anomaly_score").alias("peak_score"),
+        )
+        .drop("__incident")
+    )

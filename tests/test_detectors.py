@@ -376,3 +376,31 @@ def test_score_calibration_uniform_and_monotone(spark):
         assert min(cal) == 0.0 and max(cal) == 1.0
         srs.sort(key=lambda r: (r["score"], r["ts_ms"]))
         assert all(a["calibrated"] <= b["calibrated"] for a, b in zip(srs, srs[1:]))
+
+
+def test_merge_incidents_overlap_bridge_and_separation(spark):
+    """Overlapping windows from different series merge into one
+    incident; a window starting after every prior end opens a new one;
+    bridge_ms closes sub-bridge gaps. Counts cover windows and distinct
+    series; the peak is the incident-wide max score."""
+    from potoos_spark.detectors.windows import merge_incidents
+
+    wins = spark.createDataFrame(
+        [
+            ("a", 0, 100, 50, 3.0),
+            ("b", 50, 150, 60, 5.0),     # overlaps a's window -> same incident
+            ("a", 400, 500, 450, 2.0),   # separated -> new incident
+            ("c", 505, 600, 510, 4.0),   # within bridge=10 of 500
+        ],
+        "series_key string, start_ts_ms bigint, end_ts_ms bigint, "
+        "exact_ts_ms bigint, anomaly_score double",
+    )
+    plain = {r["incident_start_ms"]: r for r in merge_incidents(wins).collect()}
+    assert set(plain) == {0, 400, 505}
+    assert plain[0]["n_windows"] == 2 and plain[0]["n_series"] == 2
+    assert plain[0]["incident_end_ms"] == 150 and plain[0]["peak_score"] == 5.0
+
+    bridged = {r["incident_start_ms"]: r for r in merge_incidents(wins, 10).collect()}
+    assert set(bridged) == {0, 400}
+    assert bridged[400]["incident_end_ms"] == 600
+    assert bridged[400]["n_series"] == 2
