@@ -267,7 +267,46 @@ def _prof_sql() -> str:
 _PROFILE_SQL = _prof_sql()
 
 
+def _skyline_fn(spark, sf_dir):
+    """Pareto skyline of parts — minimize price, maximize size: a part
+    survives iff no other part is at-least-as-good on both axes and
+    strictly better on one (classic dominance/multi-criteria query,
+    Börzsönyi et al. ICDE'01). The engine uses the 2D SWEEP, not the
+    quadratic NOT EXISTS: group to one row per distinct price with the
+    group-max size [hash agg], take the running max size over strictly
+    cheaper price groups [one window over the tiny grouped relation],
+    and keep rows that top their own price group AND beat every cheaper
+    group's max. The oracle states dominance directly via NOT EXISTS —
+    an independent formulation, so parity checks the algorithm, not a
+    transliteration. Skyline is distributive (skyline(A∪B) =
+    skyline(skyline(A)∪skyline(B))), so at scale the same sweep runs
+    per partition first and the global pass sees only local skylines."""
+    from pyspark.sql import Window as W
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    g = p.groupBy("p_retailprice").agg(F.max("p_size").alias("__gmax"))
+    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    g2 = g.withColumn("__run", F.max("__gmax").over(w))
+    j = p.join(g2, "p_retailprice")
+    keep = (F.col("p_size") == F.col("__gmax")) & (
+        F.col("__run").isNull() | (F.col("p_size") > F.col("__run"))
+    )
+    return j.filter(keep).select("p_partkey", "p_retailprice", "p_size")
+
+
+_SKYLINE_SQL = (
+    "SELECT p_partkey, p_retailprice, p_size FROM part p "
+    "WHERE NOT EXISTS (SELECT 1 FROM part q "
+    "WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size "
+    "AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    # extension: Pareto-dominance skyline (sweep vs NOT-EXISTS oracle)
+    "q_skyline": QuerySpec(_skyline_fn, _SKYLINE_SQL),
     "q_union_all": QuerySpec(_union_all_fn, _UNION_ALL_SQL),
     "q_intersect": QuerySpec(_intersect_fn, _INTERSECT_SQL),
     "q_except": QuerySpec(_except_fn, _EXCEPT_SQL),

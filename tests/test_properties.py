@@ -512,3 +512,43 @@ def test_heartbeat_sla_matches_bruteforce(spark, ts, th):
         assert 0.0 <= r["uptime_ratio"] <= 1.0
     else:
         assert r["uptime_ratio"] is None
+
+
+PRICE = st.floats(min_value=1.0, max_value=9.0, allow_nan=False, width=16)
+SIZE = st.integers(min_value=1, max_value=9)
+
+
+@given(
+    pts=st.lists(st.tuples(PRICE, SIZE), min_size=1, max_size=14),
+)
+@SETTINGS
+def test_skyline_sweep_matches_dominance_bruteforce(spark, pts):
+    """The windowed sweep must return exactly the non-dominated set
+    under strict Pareto dominance (min price, max size) — including
+    duplicate-point ties, where both copies survive."""
+    import potoos_spark.catalog.relational_ext as rx
+
+    rows = [(i, float(p), int(s)) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "p_partkey bigint, p_retailprice double, p_size int"
+    )
+
+    class _Tbl:
+        def __call__(self, spark_, sf_dir_, name_):
+            return df
+
+    orig = rx.table
+    rx.table = _Tbl()
+    try:
+        got = {r["p_partkey"] for r in rx._skyline_fn(spark, "ignored").collect()}
+    finally:
+        rx.table = orig
+
+    def dominated(a):
+        return any(
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+            for b in rows
+        )
+
+    want = {a[0] for a in rows if not dominated(a)}
+    assert got == want
