@@ -230,6 +230,10 @@ def _text_zipf_fn(spark, sf_dir):
     return T.zipf_slope(_docs(spark, sf_dir), top_n=100)
 
 
+def _text_jsd_fn(spark, sf_dir):
+    return T.unigram_jsd(_docs(spark, sf_dir))
+
+
 def _text_langid_fn(spark, sf_dir):
     return T.language_id(_docs(spark, sf_dir))
 
@@ -642,6 +646,31 @@ _TEXT_ZIPF_SQL = (
     "CAST(n_terms * sxy - sx * sy AS DOUBLE) / "
     "CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope "
     "FROM a WHERE n_terms >= 2"
+)
+
+# Unigram JSD between md5 halves: ln args are exact integer ratios,
+# contributions accumulate as bigint (cnt · round(ln·1e6)) sums, three
+# fixed-order float ops at the end. Zero counts contribute exactly 0.
+_TEXT_JSD_SQL = (
+    f"WITH {_TOK}, "
+    "tt AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' "
+    "THEN 'a' ELSE 'b' END AS half, unnest(toks) AS term FROM tok), "
+    "per AS (SELECT term, "
+    "SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS ca, "
+    "SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS cb FROM tt GROUP BY 1), "
+    "tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per), "
+    "terms AS (SELECT per.*, tot.na, tot.nb, "
+    "CAST(per.ca * tot.nb + per.cb * tot.na AS BIGINT) AS denom FROM per, tot), "
+    "s AS (SELECT COUNT(*) AS n_terms, MAX(na) AS n_a, MAX(nb) AS n_b, "
+    "SUM(CASE WHEN ca > 0 THEN ca * CAST(round(ln(CAST(2 * ca * nb AS DOUBLE) "
+    "/ CAST(denom AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END) AS sa, "
+    "SUM(CASE WHEN cb > 0 THEN cb * CAST(round(ln(CAST(2 * cb * na AS DOUBLE) "
+    "/ CAST(denom AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END) AS sb FROM terms) "
+    "SELECT CAST(n_terms AS BIGINT) AS n_terms, CAST(n_a AS BIGINT) AS n_a, "
+    "CAST(n_b AS BIGINT) AS n_b, "
+    "0.5 * (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) "
+    "+ CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / 1e6 AS jsd "
+    "FROM s WHERE n_a > 0 AND n_b > 0"
 )
 
 _LANG_LISTS = {
@@ -1747,6 +1776,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_readability": QuerySpec(_text_readability_fn, _TEXT_READABILITY_SQL),
     # extension: Zipf-slope corpus-health monitor
     "text_zipf": QuerySpec(_text_zipf_fn, _TEXT_ZIPF_SQL),
+    # extension: unigram JSD drift between md5 halves (lexical twin of
+    # emb_centroid_drift)
+    "text_unigram_jsd": QuerySpec(_text_jsd_fn, _TEXT_JSD_SQL),
     "text_quality_filter": QuerySpec(_quality_filter_fn, _QUALITY_FILTER_SQL),
     "dedup_exact_streaming": QuerySpec(_stream_dedup_fn, _STREAM_DEDUP_SQL),
     "dedup_chunks_streaming": QuerySpec(_stream_chunk_dedup_fn, _STREAM_CHUNK_DEDUP_SQL),

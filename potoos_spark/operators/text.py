@@ -407,6 +407,81 @@ def top_terms(
     )
 
 
+def unigram_jsd(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Lexical drift monitor: Jensen–Shannon divergence between the
+    unigram distributions of two deterministic halves of the corpus
+    (md5(id) first hex < '8' → half 'a') — the text-distribution twin
+    of the embedding centroid-drift check. JSD ∈ [0, ln 2]; near 0
+    means both halves draw from the same vocabulary distribution, a
+    jump flags source drift or a template flood. In production the
+    halves are time periods or sources; the hash-half form is the
+    reproducible fixture statistic.
+
+    Exactness: every log argument reduces to an INTEGER ratio —
+    p_a/m = 2·cnt_a·N_b / (cnt_a·N_b + cnt_b·N_a) — so the ln inputs
+    are identical on any engine; per-term contributions are scaled to
+    integers (round(ln·1e6)) and accumulated as exact bigint products
+    (|cnt·le6| ≤ 2·10¹¹ per term — far inside bigint), with three
+    fixed-order float ops at the very end. Zero-count terms contribute
+    exactly 0 (the JSD limit), so no smoothing is needed.
+
+    Shape: one token explode → (term, half) hash agg (map-side
+    combined) → one conditional-sum re-group to a row per term → a
+    1-row totals cross join (broadcast) → one final agg. The shuffle
+    carries one row per distinct term.
+
+    Output: one row (n_terms, n_a, n_b, jsd).
+    """
+    half = F.when(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    t = _with_tokens(df, text_col, [id_col]).select(
+        half.alias("half"), F.explode("_t").alias("term")
+    )
+    per = t.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    totals = per.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    j = per.crossJoin(F.broadcast(totals))
+    # ln args as exact integer ratios; le6-scaled contributions
+    denom = F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")
+    la = F.round(
+        F.log(
+            (2 * F.col("ca") * F.col("nb")).cast("double") / denom.cast("double")
+        )
+        * 1e6
+    ).cast("bigint")
+    lb = F.round(
+        F.log(
+            (2 * F.col("cb") * F.col("na")).cast("double") / denom.cast("double")
+        )
+        * 1e6
+    ).cast("bigint")
+    agg = j.agg(
+        F.count("*").alias("n_terms"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.sum(F.when(F.col("ca") > 0, F.col("ca") * la).otherwise(0)).alias("__sa"),
+        F.sum(F.when(F.col("cb") > 0, F.col("cb") * lb).otherwise(0)).alias("__sb"),
+    )
+    jsd = (
+        F.lit(0.5)
+        * (
+            F.col("__sa").cast("double") / F.col("n_a").cast("double")
+            + F.col("__sb").cast("double") / F.col("n_b").cast("double")
+        )
+        / F.lit(1e6)
+    )
+    return agg.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "n_terms", "n_a", "n_b", jsd.alias("jsd")
+    )
+
+
 def zipf_slope(
     df: DataFrame, top_n: int = 100, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

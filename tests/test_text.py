@@ -185,3 +185,28 @@ def test_unigram_lm_flags_rare_vocabulary(spark):
     assert got[0].dl == 11
     # exact integer totals: all 20 identical docs get identical bigints
     assert len({got[i].nll_e9 for i in range(20)}) == 1
+
+
+def test_unigram_jsd_identical_zero_disjoint_ln2(spark):
+    """Identical token distributions in both md5 halves → JSD exactly 0
+    (every log argument is 1); fully disjoint vocabularies → JSD = ln 2
+    (at the 1e-6 integer-log resolution). ids 6/9 hash to half 'a',
+    0/1 to half 'b'."""
+    import math
+
+    from potoos_spark.operators.text import unigram_jsd
+
+    same = spark.createDataFrame(
+        [(6, "alpha beta gamma"), (0, "alpha beta gamma")],
+        "doc_id bigint, text string",
+    )
+    r = unigram_jsd(same).collect()[0]
+    assert r["jsd"] == 0.0 and r["n_terms"] == 3
+
+    disjoint = spark.createDataFrame(
+        [(6, "alpha beta"), (9, "alpha beta"), (0, "gamma delta")],
+        "doc_id bigint, text string",
+    )
+    d = unigram_jsd(disjoint).collect()[0]
+    assert d["jsd"] == pytest.approx(math.log(2), abs=1e-5)
+    assert (d["n_a"], d["n_b"]) == (4, 2)
