@@ -1378,6 +1378,65 @@ def _funnel_fn(spark, sf_dir):
     )
 
 
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _session_paths_fn(spark, sf_dir):
+    """Top behavioral paths: sessionize each user's events (a new
+    session opens after a 30-minute silence), concatenate the ordered
+    event types into a path string, and report the 20 most frequent
+    paths — the 'what do users actually do' rollup product analytics
+    builds on. Shape: one per-user window sort (lag → break flag →
+    running session id, one sort reused for both), one per-session
+    hash agg building the path in-row from a sorted collect (the same
+    reassembly as passage dedup — no second window), one path-count
+    hash agg (map-side combined), and a TakeOrderedAndProject top-20.
+    Ties rank (count desc, path asc) — deterministic at the cut."""
+    from ..operators.retrieval import events_ts_ms
+
+    raw = table(spark, sf_dir, "events")
+    e = raw.select(
+        "user_id",
+        F.col("event_type").alias("k"),
+        events_ts_ms(raw).alias("ts_ms"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    prev = F.lag("ts_ms").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("ts_ms") - prev > _SESSION_GAP_MS), 1
+    ).otherwise(0)
+    staged = e.withColumn("__brk", brk).withColumn(
+        "__sid", F.sum("__brk").over(w)
+    )
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts_ms", "event_id", "k"))),
+            lambda x: x["k"],
+        ),
+        ">",
+    )
+    sess = staged.groupBy("user_id", "__sid").agg(path.alias("path"))
+    return (
+        sess.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+_SESSION_PATHS_SQL = f"""
+WITH e AS (SELECT user_id, event_type AS k, epoch_ms(ts) AS ts_ms, event_id FROM events),
+x AS (SELECT *, CASE WHEN LAG(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+      OR ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > {_SESSION_GAP_MS}
+      THEN 1 ELSE 0 END AS brk FROM e),
+y AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS sid FROM x),
+p AS (SELECT user_id, sid, string_agg(k, '>' ORDER BY ts_ms, event_id) AS path FROM y GROUP BY 1, 2)
+SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
 _FUNNEL_SQL = f"""
 WITH series AS ({EVENTS_SQL}),
 e AS (SELECT ev.user_id, s.series_key, s.ts_ms
@@ -1475,6 +1534,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q16_supplier_relation": QuerySpec(_q16_fn, _Q16_SQL),
     "q2_min_cost_supplier": QuerySpec(_q2_fn, _Q2_SQL),
     "q_funnel": QuerySpec(_funnel_fn, _FUNNEL_SQL),
+    # extension: top behavioral session paths (30-min sessionization)
+    "q_session_paths": QuerySpec(_session_paths_fn, _SESSION_PATHS_SQL),
     "q_retention_cohorts": QuerySpec(_retention_fn, _RETENTION_SQL),
     "q_topk_with_ties": QuerySpec(_topk_ties_fn, _TOPK_TIES_SQL),
     "q_count_distinct": QuerySpec(_count_distinct_fn, _COUNT_DISTINCT_SQL),
