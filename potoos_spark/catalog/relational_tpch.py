@@ -1437,6 +1437,71 @@ ORDER BY n_sessions DESC, path LIMIT 20
 """
 
 
+def _transitions_fn(spark, sf_dir):
+    """Session-scoped event-transition matrix: P(next event type |
+    current), transitions never crossing a session boundary (the
+    Markov-chain companion to the path rollup — powers next-action
+    prediction and funnel-leak diagnosis). Shape: the SAME single
+    per-user window sort yields the session break, the running session
+    id, and the lead event type; transition counts and the per-source
+    totals are two stacked hash aggs (the second re-groups the first's
+    output — no second scan); probability is one double division of
+    exact counts. Deterministic: (ts, event_id) total order."""
+    from ..operators.retrieval import events_ts_ms
+
+    raw = table(spark, sf_dir, "events")
+    e = raw.select(
+        "user_id",
+        F.col("event_type").alias("k"),
+        events_ts_ms(raw).alias("ts_ms"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    prev = F.lag("ts_ms").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("ts_ms") - prev > _SESSION_GAP_MS), 1
+    ).otherwise(0)
+    staged = (
+        e.withColumn("__brk", brk)
+        .withColumn("__sid", F.sum("__brk").over(w))
+        .withColumn("__next_k", F.lead("k").over(w))
+        .withColumn("__next_sid", F.lead("__sid").over(w))
+    )
+    trans = (
+        staged.filter(
+            F.col("__next_k").isNotNull()
+            & (F.col("__next_sid") == F.col("__sid"))
+        )
+        .groupBy(F.col("k").alias("src"), F.col("__next_k").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_src = W.partitionBy("src")
+    return trans.select(
+        "src",
+        "dst",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(w_src).cast("double")
+        ).alias("p"),
+    )
+
+
+_TRANSITIONS_SQL = f"""
+WITH e AS (SELECT user_id, event_type AS k, epoch_ms(ts) AS ts_ms, event_id FROM events),
+x AS (SELECT *, CASE WHEN LAG(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+      OR ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > {_SESSION_GAP_MS}
+      THEN 1 ELSE 0 END AS brk FROM e),
+y AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS sid,
+      LEAD(k) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS next_k,
+      LEAD(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS next_brk FROM x),
+t AS (SELECT k AS src, next_k AS dst, COUNT(*) AS n FROM y
+      WHERE next_k IS NOT NULL AND next_brk = 0 GROUP BY 1, 2)
+SELECT src, dst, n, CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+FROM t
+"""
+
+
 _FUNNEL_SQL = f"""
 WITH series AS ({EVENTS_SQL}),
 e AS (SELECT ev.user_id, s.series_key, s.ts_ms
@@ -1536,6 +1601,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_funnel": QuerySpec(_funnel_fn, _FUNNEL_SQL),
     # extension: top behavioral session paths (30-min sessionization)
     "q_session_paths": QuerySpec(_session_paths_fn, _SESSION_PATHS_SQL),
+    # extension: session-scoped event transition matrix (Markov chain)
+    "q_event_transitions": QuerySpec(_transitions_fn, _TRANSITIONS_SQL),
     "q_retention_cohorts": QuerySpec(_retention_fn, _RETENTION_SQL),
     "q_topk_with_ties": QuerySpec(_topk_ties_fn, _TOPK_TIES_SQL),
     "q_count_distinct": QuerySpec(_count_distinct_fn, _COUNT_DISTINCT_SQL),
