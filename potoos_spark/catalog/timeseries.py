@@ -494,6 +494,59 @@ _GAP_DETECT_SQL = (
 )
 
 
+def _seasonal_strength_fn(spark, sf_dir):
+    """Hyndman's seasonal-strength statistic per series:
+    max(0, 1 − Var(residual)/Var(seasonal + residual)) over the STL
+    decomposition — ≈1 means the daily cycle explains nearly all
+    non-trend variation, ≈0 means no usable seasonality (so
+    seasonal-naive detectors would be noise). Determinism: residual
+    and seasonal+residual are integer-scaled (floor(x·1e2 + 0.5) — floor of the binary double is engine-pure where round() is not, and the COARSE 1e2 quantum keeps every co-moment product under 2^53 so the final double casts are exact: DuckDB's INT128→double conversion is not correctly rounded above 2^53) and the
+    two variances come from exact DECIMAL co-moment sums (n, Σx, Σx²)
+    — the strength is a fixed four-op float expression over exact
+    integers, identical on any engine or partitioning. One per-series
+    hash agg on top of the decomposition's own shuffles."""
+    from ..operators.rate import stl_decompose
+
+    d = stl_decompose(events_frame(spark, sf_dir)).filter(
+        F.col("residual").isNotNull()
+    )
+    D38 = "decimal(38,0)"
+    r = F.floor(F.col("residual") * 1e2 + 0.5).cast(D38)
+    y = F.floor((F.col("seasonal") + F.col("residual")) * 1e2 + 0.5).cast(D38)
+    agg = d.groupBy("series_key").agg(
+        F.count("*").cast(D38).alias("n"),
+        F.sum(r).alias("sr"),
+        F.sum(r * r).alias("srr"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("srr") - F.col("sr") * F.col("sr")).cast("double")
+    den = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    strength = F.greatest(F.lit(0.0), F.lit(1.0) - num / den)
+    return agg.filter(F.col("n") >= 3).select(
+        "series_key",
+        F.col("n").cast("bigint").alias("n_buckets"),
+        F.when(den > 0, strength).alias("seasonal_strength"),
+    )
+
+
+# Variances from exact integer co-moments over the STL subquery; the
+# strength is the same fixed float expression on both engines.
+_SEASONAL_STRENGTH_SQL = (
+    "SELECT series_key, CAST(n AS BIGINT) AS n_buckets, "
+    "CASE WHEN CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN "
+    "GREATEST(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE) / "
+    "CAST(n * syy - sy * sy AS DOUBLE)) END AS seasonal_strength "
+    "FROM (SELECT series_key, COUNT(*) AS n, "
+    "SUM(r) AS sr, SUM(r * r) AS srr, SUM(y) AS sy, SUM(y * y) AS syy "
+    "FROM (SELECT series_key, "
+    "CAST(floor(residual * 1e2 + 0.5) AS BIGINT) AS r, "
+    "CAST(floor((seasonal + residual) * 1e2 + 0.5) AS BIGINT) AS y "
+    f"FROM ({_STL_SQL}) stl WHERE residual IS NOT NULL) x "
+    "GROUP BY series_key) a WHERE n >= 3"
+)
+
+
 DAY = 24 * HOUR
 
 
@@ -784,6 +837,10 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_heartbeat_sla": QuerySpec(_heartbeat_sla_fn, _HEARTBEAT_SLA_SQL),
     # extension: dow×hour seasonality heatmap (integer calendar parts)
     "ts_calendar_profile": QuerySpec(_calendar_profile_fn, _CALENDAR_PROFILE_SQL),
+    # extension: Hyndman seasonal strength over the STL decomposition
+    "ts_seasonal_strength": QuerySpec(
+        _seasonal_strength_fn, _SEASONAL_STRENGTH_SQL
+    ),
     # extension: exact LOW-percentile monitoring bands per bucket
     "ts_percentile_bands": QuerySpec(_pctl_bands_fn, _PCTL_BANDS_SQL),
 }

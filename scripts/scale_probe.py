@@ -58,6 +58,7 @@ QUERIES = [
     # the df-capped form is the ~linear production path.
     "dedup_containment",
     "dedup_containment_capped",
+    "dedup_containment_bottomk",
     "corpus_ngram_novelty",
 ]
 
