@@ -328,3 +328,32 @@ def test_dedup_report_no_expand(spark):
     # two per-source aggs joined — never the multi-countDistinct Expand
     plan = _plan(CATALOG["corpus_dedup_report"].fn(spark, SF_DIR), "simple")
     assert "Expand" not in plan, plan
+
+
+def test_event_transitions_reuse_one_user_exchange(spark):
+    """The sessionize chain (lag -> break -> running sid -> leads) must
+    reuse ONE hash exchange on user_id — the three per-user Window
+    operators share a partitioning/sort; a regression that re-shuffles
+    per window triples the dominant shuffle."""
+    plan = _plan(CATALOG["q_event_transitions"].fn(spark, SF_DIR))
+    user_exchanges = [
+        ln for ln in plan.splitlines() if "hashpartitioning(user_id" in ln
+    ]
+    assert len(user_exchanges) == 1, plan
+
+
+def test_session_paths_no_second_window_for_path(spark):
+    """Path assembly is a sorted in-row collect inside the session agg,
+    not a ranked window over session members: exactly the per-user
+    window chain exists, and no Window partitioned by the session id."""
+    plan = _plan(CATALOG["q_session_paths"].fn(spark, SF_DIR))
+    user_exchanges = [
+        ln for ln in plan.splitlines() if "hashpartitioning(user_id" in ln
+    ]
+    assert len(user_exchanges) == 1, plan
+    # the (user, session) grouping is a hash AGG over the window output,
+    # never a second Window partitioned on the session id: every window
+    # spec in the plan is user-partitioned
+    total = plan.count("windowspecdefinition(")
+    user_partitioned = plan.count("windowspecdefinition(user_id")
+    assert total > 0 and total == user_partitioned, plan
