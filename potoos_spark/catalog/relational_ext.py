@@ -296,6 +296,68 @@ def _skyline_fn(spark, sf_dir):
     return j.filter(keep).select("p_partkey", "p_retailprice", "p_size")
 
 
+def _abc_fn(spark, sf_dir):
+    """ABC / Pareto classification: rank parts by lineitem revenue,
+    take the running revenue share, and bracket A (first 80% of
+    revenue), B (to 95%), C (tail) — the classic inventory rollup
+    ("which 20% of parts carry 80% of revenue"). Revenue accumulates
+    in DECIMAL (exact), the running share is one division per row over
+    exact sums, and class boundaries compare those deterministic
+    doubles — bit-stable. Shape: one fact-table hash agg to a row per
+    part, a 1-row total broadcast, one global cumsum window over the
+    per-part relation (bounded by distinct parts — at extreme part
+    cardinality swap the bracket thresholds to KLL quantile cuts from
+    operators/sketch.py), and a 3-row final agg."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev")
+    )
+    total = rev.agg(F.sum("rev").alias("total"))
+    w = W.orderBy(F.col("rev").desc(), "l_partkey")
+    c = (
+        rev.crossJoin(F.broadcast(total))
+        .withColumn("__cum", F.sum("rev").over(w))
+        .withColumn(
+            "__share", F.col("__cum").cast("double") / F.col("total").cast("double")
+        )
+    )
+    klass = (
+        F.when(F.col("__share") <= 0.80, "A")
+        .when(F.col("__share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        c.withColumn("class", klass)
+        .groupBy("class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+        )
+    )
+
+
+_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(rev) AS total FROM rev),
+c AS (SELECT rev.*, tot.total,
+      SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum FROM rev, tot),
+k AS (SELECT *, CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80 THEN 'A'
+      WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+      ELSE 'C' END AS class FROM c)
+SELECT class, COUNT(*) AS n_parts, CAST(SUM(rev) AS DOUBLE) AS class_revenue
+FROM k GROUP BY class
+"""
+
+
 _SKYLINE_SQL = (
     "SELECT p_partkey, p_retailprice, p_size FROM part p "
     "WHERE NOT EXISTS (SELECT 1 FROM part q "
@@ -307,6 +369,8 @@ _SKYLINE_SQL = (
 QUERIES: dict[str, QuerySpec] = {
     # extension: Pareto-dominance skyline (sweep vs NOT-EXISTS oracle)
     "q_skyline": QuerySpec(_skyline_fn, _SKYLINE_SQL),
+    # extension: ABC revenue classification (Pareto brackets)
+    "q_abc_classification": QuerySpec(_abc_fn, _ABC_SQL),
     "q_union_all": QuerySpec(_union_all_fn, _UNION_ALL_SQL),
     "q_intersect": QuerySpec(_intersect_fn, _INTERSECT_SQL),
     "q_except": QuerySpec(_except_fn, _EXCEPT_SQL),
