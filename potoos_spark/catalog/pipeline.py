@@ -234,6 +234,47 @@ def _text_jsd_fn(spark, sf_dir):
     return T.unigram_jsd(_docs(spark, sf_dir))
 
 
+def _coverage_curve_fn(spark, sf_dir):
+    """Corpus diminishing-returns curve: cumulative distinct shingles
+    after each document, in ingest (doc_id) order — the empirical
+    data-scaling view behind "how much new text does the next million
+    documents actually add". Composes the novelty machinery: per-doc
+    novel counts come from the first-owner aggregation (no shingle-key
+    join — see ngram_novelty), docs with no shingles contribute 0 via
+    the doc spine, and the cumulative sum is one window over the
+    one-row-per-doc relation (at extreme doc counts use the two-phase
+    distributed prefix sum from operators/curate.pack_bins — same
+    pattern, already implemented)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.curate import ngram_novelty
+
+    docs = _spread_docs(spark, sf_dir)
+    nov = ngram_novelty(docs).select("doc_id", "n_novel")
+    spine = docs.select("doc_id")
+    base = spine.join(nov, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_novel", F.lit(0)).alias("n_novel")
+    )
+    w = W.orderBy("doc_id")
+    return base.select(
+        "doc_id",
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.sum("n_novel").over(w).cast("bigint").alias("cum_distinct_shingles"),
+    )
+
+
+_COVERAGE_CURVE_SQL = (
+    f"{_BASE_SH}, "
+    "f AS (SELECT s, MIN(doc_id) AS first_id FROM sh GROUP BY s), "
+    "own AS (SELECT first_id AS doc_id, COUNT(*) AS n_novel FROM f GROUP BY 1), "
+    "b AS (SELECT d.doc_id, COALESCE(own.n_novel, 0) AS n_novel "
+    "FROM documents d LEFT JOIN own USING (doc_id)) "
+    "SELECT doc_id, CAST(n_novel AS BIGINT) AS n_novel, "
+    "CAST(SUM(n_novel) OVER (ORDER BY doc_id) AS BIGINT) AS cum_distinct_shingles "
+    "FROM b"
+)
+
+
 def _text_langid_fn(spark, sf_dir):
     return T.language_id(_docs(spark, sf_dir))
 
@@ -1805,6 +1846,8 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_stratified_sample": QuerySpec(_stratified_sample_fn, _STRATIFIED_SAMPLE_SQL),
     # extension: marginal n-gram novelty (coverage-driven data selection)
     "corpus_ngram_novelty": QuerySpec(_ngram_novelty_fn, _NGRAM_NOVELTY_SQL),
+    # extension: cumulative distinct-shingle coverage curve
+    "corpus_coverage_curve": QuerySpec(_coverage_curve_fn, _COVERAGE_CURVE_SQL),
     "emb_random_projection": QuerySpec(_random_projection_fn, _RANDOM_PROJECTION_SQL),
     # extension: per-source token-budget sampling (data mixing)
     "corpus_token_budget": QuerySpec(_token_budget_fn, _TOKEN_BUDGET_SQL),
