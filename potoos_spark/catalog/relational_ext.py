@@ -341,6 +341,52 @@ def _abc_fn(spark, sf_dir):
     )
 
 
+def _pct_total_fn(spark, sf_dir):
+    """Share-of-total BI pattern: revenue per nation with its percent
+    of the grand total and rank — the window-over-aggregate shape every
+    reporting layer needs. Revenue accumulates in DECIMAL per nation
+    (one fact hash agg with the small dims broadcast); the grand total
+    is an unpartitioned window over the TINY per-nation relation (25
+    rows at any scale — dims don't grow with facts), and the share is
+    one double division of exact decimals."""
+    from pyspark.sql import Window as W
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = W.orderBy(F.col("rev").desc(), "n_name")
+    total = W.partitionBy()
+    return rev.select(
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(total).cast("double")
+        ).alias("pct_of_total"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+_PCT_TOTAL_SQL = """
+WITH rev AS (
+  SELECT n.n_name, SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS pct_of_total,
+       ROW_NUMBER() OVER (ORDER BY rev DESC, n_name) AS rank
+FROM rev
+"""
+
+
 _ABC_SQL = """
 WITH rev AS (
   SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -371,6 +417,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_skyline": QuerySpec(_skyline_fn, _SKYLINE_SQL),
     # extension: ABC revenue classification (Pareto brackets)
     "q_abc_classification": QuerySpec(_abc_fn, _ABC_SQL),
+    # extension: percent-of-total + rank over a broadcast-dim rollup
+    "q_percent_of_total": QuerySpec(_pct_total_fn, _PCT_TOTAL_SQL),
     "q_union_all": QuerySpec(_union_all_fn, _UNION_ALL_SQL),
     "q_intersect": QuerySpec(_intersect_fn, _INTERSECT_SQL),
     "q_except": QuerySpec(_except_fn, _EXCEPT_SQL),
