@@ -373,6 +373,74 @@ def _pct_total_fn(spark, sf_dir):
     )
 
 
+def _basket_pairs_fn(spark, sf_dir):
+    """Market-basket co-occurrence: the 20 part pairs most often bought
+    in the same order, with lift = P(ab)/(P(a)·P(b)) — the association
+    signal behind "customers who bought X also bought Y". The self-join
+    is keyed on the ORDER (a natural basket): per-basket fan-out is
+    C(items_per_order, 2), bounded by the small basket size, so the
+    pair space grows linearly with orders — the safe co-occurrence
+    shape (unlike unbounded document-pair joins). Counts are exact;
+    lift is n_ab·N / (n_a·n_b) computed as DECIMAL products with one
+    final double division. Top-20 by (count desc, keys) — a
+    TakeOrderedAndProject with a deterministic cut."""
+    from pyspark.sql import Window as W
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = li.withColumnsRenamed({"l_partkey": "part_a"})
+    b = li.withColumnsRenamed({"l_partkey": "part_b"})
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    D38 = "decimal(38,0)"
+    j = (
+        pairs.join(
+            item.withColumnsRenamed({"l_partkey": "part_a", "n_item": "n_a"}),
+            "part_a",
+        )
+        .join(
+            item.withColumnsRenamed({"l_partkey": "part_b", "n_item": "n_b"}),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    lift = (
+        (F.col("n_ab").cast(D38) * F.col("n_orders").cast(D38)).cast("double")
+        / (F.col("n_a").cast(D38) * F.col("n_b").cast(D38)).cast("double")
+    )
+    return (
+        j.select("part_a", "part_b", "n_ab", lift.alias("lift"))
+        .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+_BASKET_PAIRS_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+item AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY 1),
+p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      AND a.l_partkey < b.l_partkey GROUP BY 1, 2)
+SELECT p.part_a, p.part_b, p.n_ab,
+       CAST(p.n_ab * n.n_orders AS DOUBLE) / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+FROM p JOIN item ia ON ia.l_partkey = p.part_a
+JOIN item ib ON ib.l_partkey = p.part_b, n
+ORDER BY p.n_ab DESC, p.part_a, p.part_b LIMIT 20
+"""
+
+
 _PCT_TOTAL_SQL = """
 WITH rev AS (
   SELECT n.n_name, SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
@@ -419,6 +487,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_abc_classification": QuerySpec(_abc_fn, _ABC_SQL),
     # extension: percent-of-total + rank over a broadcast-dim rollup
     "q_percent_of_total": QuerySpec(_pct_total_fn, _PCT_TOTAL_SQL),
+    # extension: market-basket pair lift (order-bounded co-occurrence)
+    "q_basket_pairs": QuerySpec(_basket_pairs_fn, _BASKET_PAIRS_SQL),
     "q_union_all": QuerySpec(_union_all_fn, _UNION_ALL_SQL),
     "q_intersect": QuerySpec(_intersect_fn, _INTERSECT_SQL),
     "q_except": QuerySpec(_except_fn, _EXCEPT_SQL),
