@@ -234,6 +234,61 @@ def _text_jsd_fn(spark, sf_dir):
     return T.unigram_jsd(_docs(spark, sf_dir))
 
 
+def _source_overlap_fn(spark, sf_dir):
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct normalized-content hashes appear in BOTH, and the overlap
+    ratio normalized by the smaller source's distinct-content count —
+    the 'is source B just a mirror of source A' diagnostic that decides
+    whether to drop a feed wholesale before any document-level dedup
+    runs. Matching is at the 32-bit SimHash fingerprint level, not the
+    exact content hash: mirrors re-wrap whitespace and boilerplate, so
+    near-dup fingerprints catch them where exact hashes report nothing
+    (the fixture itself has zero exact cross-source dups but real
+    fingerprint overlap — exact matching would make this entry
+    vacuous). Shape: the in-row fingerprint projection, one distinct
+    (fp, source) reduction, a self-join keyed on the FINGERPRINT
+    (fan-out per fp = number of sources carrying it — bounded by the
+    source count, never corpus-quadratic), map-side combined pair
+    counts, and two thin per-source total joins. One double division
+    at the end."""
+    d = _docs(spark, sf_dir)
+    hs = (
+        D.simhash(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select(F.col("simhash").alias("h"), "source")
+        .distinct()
+    )
+    totals = hs.groupBy("source").agg(F.count("*").alias("total"))
+    a = hs.withColumnsRenamed({"source": "source_a"})
+    b = hs.withColumnsRenamed({"source": "source_b"})
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    j = shared.join(
+        totals.withColumnsRenamed({"source": "source_a", "total": "total_a"}),
+        "source_a",
+    ).join(
+        totals.withColumnsRenamed({"source": "source_b", "total": "total_b"}),
+        "source_b",
+    )
+    return j.select(
+        "source_a",
+        "source_b",
+        "shared",
+        "total_a",
+        "total_b",
+        (
+            F.col("shared").cast("double")
+            / F.least("total_a", "total_b").cast("double")
+        ).alias("overlap"),
+    )
+
+
+
+
 def _coverage_curve_fn(spark, sf_dir):
     """Corpus diminishing-returns curve: cumulative distinct shingles
     after each document, in ingest (doc_id) order — the empirical
@@ -543,6 +598,21 @@ _SIMHASH_SQL = (
     "SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id FROM fp "
     "GROUP BY simhash HAVING COUNT(*) >= 2"
 )
+
+_SOURCE_OVERLAP_SQL = (
+    f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes), "
+    "hs AS (SELECT DISTINCT fp.simhash AS h, d.source "
+    "FROM fp JOIN documents d USING (doc_id)), "
+    "t2 AS (SELECT source, COUNT(*) AS total FROM hs GROUP BY 1), "
+    "s AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared "
+    "FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2) "
+    "SELECT s.source_a, s.source_b, s.shared, ta.total AS total_a, tb.total AS total_b, "
+    "CAST(s.shared AS DOUBLE) / CAST(LEAST(ta.total, tb.total) AS DOUBLE) AS overlap "
+    "FROM s JOIN t2 ta ON ta.source = s.source_a JOIN t2 tb ON tb.source = s.source_b"
+)
+
 
 # Banded Hamming-distance near-dup pairs (pigeonhole: k+1 bands, one
 # must match exactly for distance <= k). Mirrors
@@ -1848,6 +1918,8 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_ngram_novelty": QuerySpec(_ngram_novelty_fn, _NGRAM_NOVELTY_SQL),
     # extension: cumulative distinct-shingle coverage curve
     "corpus_coverage_curve": QuerySpec(_coverage_curve_fn, _COVERAGE_CURVE_SQL),
+    # extension: cross-source duplication matrix (mirror detection)
+    "corpus_source_overlap": QuerySpec(_source_overlap_fn, _SOURCE_OVERLAP_SQL),
     "emb_random_projection": QuerySpec(_random_projection_fn, _RANDOM_PROJECTION_SQL),
     # extension: per-source token-budget sampling (data mixing)
     "corpus_token_budget": QuerySpec(_token_budget_fn, _TOKEN_BUDGET_SQL),
