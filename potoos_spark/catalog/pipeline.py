@@ -422,6 +422,32 @@ def _mm_decode_fn(spark, sf_dir):
     return M.decode_features(M.attach_binary(_docs(spark, sf_dir)))
 
 
+def _mm_dhash_fn(spark, sf_dir):
+    """One 64-bit perceptual fingerprint per payload. Extraction only —
+    exact-equality grouping would be vacuous on text stand-ins (dHash
+    absorbs value noise, not the insertions text near-dups carry), so
+    downstream grouping composes the banded Hamming join exactly as the
+    SimHash pipeline does."""
+    return M.dhash_features(M.attach_binary(_docs(spark, sf_dir)))
+
+
+# dHash bit j compares the strided sample bytes j and j+1 (ASCII corpus:
+# ord == byte, same assumption as the byte-level decode oracle); the
+# HUGEINT bit sum converts to Spark's signed bigint range at the end.
+_DHASH_BITS = " + ".join(
+    f"CASE WHEN ord(substr(text, ({j} * (length(text) - 1)) // 64 + 1, 1)) "
+    f"> ord(substr(text, ({j + 1} * (length(text) - 1)) // 64 + 1, 1)) "
+    f"THEN {2 ** j} ELSE 0 END"
+    for j in range(64)
+)
+_MM_DHASH_SQL = (
+    f"WITH h AS (SELECT doc_id, {_DHASH_BITS} AS u FROM documents "
+    "WHERE length(text) > 0) "
+    "SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 "
+    "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS dhash FROM h"
+)
+
+
 def _mm_byte_histogram_fn(spark, sf_dir):
     return M.byte_histogram(M.attach_binary(_docs(spark, sf_dir)))
 
@@ -1956,6 +1982,9 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_framesample": QuerySpec(_mm_framesample_fn, _MM_FRAMESAMPLE_SQL),
     # extension: nontrivial batch kernel through the pluggable decode
     # interface (numpy bincount over Arrow batches; byte-level oracle)
+    # extension: perceptual dHash fingerprints through the pluggable
+    # binary kernel (group via banded Hamming downstream)
+    "multimodal_dhash": QuerySpec(_mm_dhash_fn, _MM_DHASH_SQL),
     "multimodal_byte_histogram": QuerySpec(
         _mm_byte_histogram_fn, _MM_BYTE_HISTOGRAM_SQL
     ),

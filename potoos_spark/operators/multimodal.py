@@ -152,6 +152,59 @@ def byte_histogram(
     )
 
 
+DHASH_SCHEMA = "doc_id bigint, dhash bigint"
+
+
+def dhash_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint over the binary
+    payload — the image near-dup primitive (adjacent-pixel gradient
+    signs), run here over 65 uniformly strided payload bytes standing
+    in for pixels (a production build swaps a real decode-and-resize
+    into the same kernel; the sampling, bit packing, and grouping
+    plumbing are identical). Bit j of the 64-bit hash is 1 iff sampled
+    byte j > sampled byte j+1; stride anchors are
+    ``idx_j = floor(j·(len−1)/64)`` — the same strided sampler as
+    ``frame_sample``, so short payloads degrade gracefully (repeated
+    anchors compare equal bytes → 0 bits). Runs as a vectorized numpy
+    kernel through the pluggable ``decode_features`` interface; empty
+    payloads yield no row.
+
+    Output: (id_col, dhash) — group equal hashes for near-dup sets.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, b in zip(pdf[id_col].values, pdf[payload_col]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = arr.size
+                if n == 0:
+                    continue
+                idx = (np.arange(65, dtype=np.int64) * (n - 1)) // 64
+                s = arr[idx].astype(np.int64)
+                bits = (s[:-1] > s[1:]).astype(np.uint64)
+                h = 0
+                for j in range(64):
+                    h |= int(bits[j]) << j
+                # store as signed 64-bit (Spark bigint)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(i)
+                hashes.append(h)
+            yield pd.DataFrame({id_col: ids, "dhash": hashes}, dtype="int64")
+
+    return decode_features(
+        df,
+        kernel=kernel,
+        schema=DHASH_SCHEMA,
+        id_col=id_col,
+        payload_col=payload_col,
+    )
+
+
 def frame_sample(
     df: DataFrame,
     k: int = 5,

@@ -73,3 +73,19 @@ def test_empty_payload_yields_no_histogram_rows(spark):
     )
     out = byte_histogram(attach_binary(df)).collect()
     assert {r["doc_id"] for r in out} == {2}
+
+
+def test_dhash_bit_packing_and_sign_convention(spark):
+    """Hand-computed dHash: a 2-byte payload places anchor 0..63 on
+    byte 0 and anchor 64 on byte 1, so only bit 63 can set — 'ba'
+    yields exactly the sign bit (−2⁶³ as signed bigint), 'ab' yields
+    0, and an empty payload yields no row."""
+    from potoos_spark.operators.multimodal import attach_binary, dhash_features
+
+    df = spark.createDataFrame(
+        [(1, "ba"), (2, "ab"), (3, "")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["dhash"] for r in dhash_features(attach_binary(df)).collect()}
+    assert got[1] == -(1 << 63)
+    assert got[2] == 0
+    assert 3 not in got
