@@ -426,6 +426,51 @@ def _basket_pairs_fn(spark, sf_dir):
     )
 
 
+def _ltv_deciles_fn(spark, sf_dir):
+    """Customer lifetime-value deciles: rank customers by total order
+    revenue, split into 10 equal-count buckets (NTILE over the total
+    (revenue desc, custkey) order — deterministic under ties), and
+    report each decile's size, revenue, and share — the 'top decile
+    drives X% of revenue' concentration view that complements the ABC
+    Pareto brackets. Revenue is DECIMAL-exact; shares are one double
+    division each against a 1-row broadcast total. The NTILE window
+    runs over the one-row-per-customer relation (bounded by customer
+    cardinality, not facts)."""
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    total = rev.agg(F.sum("rev").alias("total"))
+    w = W.orderBy(F.col("rev").desc(), "o_custkey")
+    d = rev.withColumn("decile", F.ntile(10).over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev").cast("double").alias("decile_revenue"),
+        (
+            F.sum("rev").cast("double") / F.max("total").cast("double")
+        ).alias("revenue_share"),
+    )
+
+
+_LTV_DECILES_SQL = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(rev) AS total FROM rev),
+d AS (SELECT rev.*, tot.total,
+      NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile FROM rev, tot)
+SELECT decile, COUNT(*) AS n_customers,
+       CAST(SUM(rev) AS DOUBLE) AS decile_revenue,
+       CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS revenue_share
+FROM d GROUP BY decile
+"""
+
+
 _BASKET_PAIRS_SQL = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
@@ -489,6 +534,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_percent_of_total": QuerySpec(_pct_total_fn, _PCT_TOTAL_SQL),
     # extension: market-basket pair lift (order-bounded co-occurrence)
     "q_basket_pairs": QuerySpec(_basket_pairs_fn, _BASKET_PAIRS_SQL),
+    # extension: customer LTV deciles (NTILE concentration view)
+    "q_ltv_deciles": QuerySpec(_ltv_deciles_fn, _LTV_DECILES_SQL),
     "q_union_all": QuerySpec(_union_all_fn, _UNION_ALL_SQL),
     "q_intersect": QuerySpec(_intersect_fn, _INTERSECT_SQL),
     "q_except": QuerySpec(_except_fn, _EXCEPT_SQL),
