@@ -289,6 +289,24 @@ def _source_overlap_fn(spark, sf_dir):
 
 
 
+def _cluster_sizes_fn(spark, sf_dir):
+    """Near-dup cluster-size distribution: how many fingerprint
+    clusters exist at each size (1 = unique content, the tail = viral
+    templates) — the figure-one diagnostic of every dedup paper, and
+    the number that predicts dedup's yield before running it
+    (tokens removed ≈ Σ (size−1)·avg_len). Two stacked map-side-
+    combinable hash aggs over the in-row SimHash projection; the
+    second input is one row per cluster, the output one row per
+    distinct size."""
+    s = D.simhash(_docs(spark, sf_dir))
+    clusters = s.groupBy("simhash").agg(F.count("*").alias("cluster_size"))
+    return clusters.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
+
+
 def _coverage_curve_fn(spark, sf_dir):
     """Corpus diminishing-returns curve: cumulative distinct shingles
     after each document, in ingest (doc_id) order — the empirical
@@ -638,6 +656,15 @@ _SOURCE_OVERLAP_SQL = (
     "CAST(s.shared AS DOUBLE) / CAST(LEAST(ta.total, tb.total) AS DOUBLE) AS overlap "
     "FROM s JOIN t2 ta ON ta.source = s.source_a JOIN t2 tb ON tb.source = s.source_b"
 )
+
+_CLUSTER_SIZES_SQL = (
+    f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes), "
+    "c AS (SELECT simhash, COUNT(*) AS cluster_size FROM fp GROUP BY 1) "
+    "SELECT cluster_size, COUNT(*) AS n_clusters FROM c GROUP BY 1"
+)
+
 
 
 # Banded Hamming-distance near-dup pairs (pigeonhole: k+1 bands, one
@@ -1946,6 +1973,8 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_coverage_curve": QuerySpec(_coverage_curve_fn, _COVERAGE_CURVE_SQL),
     # extension: cross-source duplication matrix (mirror detection)
     "corpus_source_overlap": QuerySpec(_source_overlap_fn, _SOURCE_OVERLAP_SQL),
+    # extension: near-dup cluster-size histogram (dedup yield predictor)
+    "dedup_cluster_sizes": QuerySpec(_cluster_sizes_fn, _CLUSTER_SIZES_SQL),
     "emb_random_projection": QuerySpec(_random_projection_fn, _RANDOM_PROJECTION_SQL),
     # extension: per-source token-budget sampling (data mixing)
     "corpus_token_budget": QuerySpec(_token_budget_fn, _TOKEN_BUDGET_SQL),
