@@ -456,6 +456,66 @@ def _ltv_deciles_fn(spark, sf_dir):
     )
 
 
+def _repeat_purchase_fn(spark, sf_dir):
+    """Retention core over the order stream: what fraction of
+    customers ever come back (≥ 2 orders), and the average day gap
+    between a repeat customer's consecutive orders — the two numbers
+    under every retention curve. One per-customer hash agg for counts;
+    gaps from one lag window per customer ((date, orderkey) total
+    order); both averages are single double divisions over exact
+    integer sums. Output: one row."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    counts = per_cust.agg(
+        F.count("*").alias("n_customers"),
+        F.sum((F.col("n_orders") >= 2).cast("bigint")).alias("n_repeat"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    gap_agg = gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_days").cast("bigint").alias("sum_gap_days"),
+    )
+    j = counts.crossJoin(gap_agg)
+    return j.select(
+        "n_customers",
+        "n_repeat",
+        (
+            F.col("n_repeat").cast("double") / F.col("n_customers").cast("double")
+        ).alias("repeat_rate"),
+        "n_gaps",
+        (
+            F.col("sum_gap_days").cast("double") / F.col("n_gaps").cast("double")
+        ).alias("avg_gap_days"),
+    )
+
+
+_REPEAT_PURCHASE_SQL = """
+WITH pc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+c AS (SELECT COUNT(*) AS n_customers,
+      SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS n_repeat FROM pc),
+g AS (SELECT date_diff('day',
+        LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        o_orderdate) AS gap_days FROM orders),
+ga AS (SELECT COUNT(*) AS n_gaps, CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days
+       FROM g WHERE gap_days IS NOT NULL)
+SELECT CAST(c.n_customers AS BIGINT) AS n_customers,
+       CAST(c.n_repeat AS BIGINT) AS n_repeat,
+       CAST(c.n_repeat AS DOUBLE) / CAST(c.n_customers AS DOUBLE) AS repeat_rate,
+       CAST(ga.n_gaps AS BIGINT) AS n_gaps,
+       CAST(ga.sum_gap_days AS DOUBLE) / CAST(ga.n_gaps AS DOUBLE) AS avg_gap_days
+FROM c, ga
+"""
+
+
 _LTV_DECILES_SQL = """
 WITH rev AS (
   SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
@@ -536,6 +596,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_basket_pairs": QuerySpec(_basket_pairs_fn, _BASKET_PAIRS_SQL),
     # extension: customer LTV deciles (NTILE concentration view)
     "q_ltv_deciles": QuerySpec(_ltv_deciles_fn, _LTV_DECILES_SQL),
+    # extension: repeat-purchase rate + mean inter-order gap
+    "q_repeat_purchase": QuerySpec(_repeat_purchase_fn, _REPEAT_PURCHASE_SQL),
     "q_union_all": QuerySpec(_union_all_fn, _UNION_ALL_SQL),
     "q_intersect": QuerySpec(_intersect_fn, _INTERSECT_SQL),
     "q_except": QuerySpec(_except_fn, _EXCEPT_SQL),

@@ -53,6 +53,7 @@ GLOBAL_AGG = {
     "q19_disjunctive_join",
     "q_correlated_avg",
     "q_funnel",
+    "q_repeat_purchase",  # counts + gap-average cross join: one zero row
 }
 
 
