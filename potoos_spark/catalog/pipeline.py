@@ -289,6 +289,43 @@ def _source_overlap_fn(spark, sf_dir):
 
 
 
+def _language_mix_fn(spark, sf_dir):
+    """Per-language corpus composition: docs, tokens, and token share
+    by the labeled `lang` column — the first table of any multilingual
+    training-data report (the labeled-column counterpart of the
+    heuristic `text_langid` scorer). Token counts are an in-row size
+    over the shared tokenizer, one hash agg, one 1-row broadcast
+    total, one double division per row."""
+    d = _docs(spark, sf_dir)
+    staged = d.select("lang", F.size(T.tokens("text")).alias("n_tok"))
+    g = staged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    total = g.agg(F.sum("n_tokens").alias("total"))
+    return g.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double") / F.col("total").cast("double")
+        ).alias("token_share"),
+    )
+
+
+_LANGUAGE_MIX_SQL = (
+    f"WITH {_TOK}, "
+    "s AS (SELECT d.lang, len(tok.toks) AS n_tok FROM tok "
+    "JOIN documents d USING (doc_id)), "
+    "g AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens "
+    "FROM s GROUP BY 1), "
+    "t2 AS (SELECT SUM(n_tokens) AS total FROM g) "
+    "SELECT g.lang, g.n_docs, g.n_tokens, "
+    "CAST(g.n_tokens AS DOUBLE) / CAST(t2.total AS DOUBLE) AS token_share "
+    "FROM g, t2"
+)
+
+
 def _cluster_sizes_fn(spark, sf_dir):
     """Near-dup cluster-size distribution: how many fingerprint
     clusters exist at each size (1 = unique content, the tail = viral
@@ -1975,6 +2012,8 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_source_overlap": QuerySpec(_source_overlap_fn, _SOURCE_OVERLAP_SQL),
     # extension: near-dup cluster-size histogram (dedup yield predictor)
     "dedup_cluster_sizes": QuerySpec(_cluster_sizes_fn, _CLUSTER_SIZES_SQL),
+    # extension: per-language corpus composition report
+    "corpus_language_mix": QuerySpec(_language_mix_fn, _LANGUAGE_MIX_SQL),
     "emb_random_projection": QuerySpec(_random_projection_fn, _RANDOM_PROJECTION_SQL),
     # extension: per-source token-budget sampling (data mixing)
     "corpus_token_budget": QuerySpec(_token_budget_fn, _TOKEN_BUDGET_SQL),
