@@ -1267,7 +1267,9 @@ _TOKEN_BUDGET_SQL = (
     "FROM documents d JOIN tok t USING (doc_id)), "
     "c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id "
     "ROWS UNBOUNDED PRECEDING) AS cum FROM w) "
-    "SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens "
+    # CAST AS BIGINT: DuckDB SUM(int)->HUGEINT->pandas float64 breaks
+    # the driver's value hash vs Spark's int64 (scripts/dtype_audit.py)
+    "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens "
     "FROM c WHERE cum <= 600 GROUP BY source"
 )
 
@@ -1861,7 +1863,10 @@ WITH c AS (
 )
 SELECT doc_id, size,
        CAST(floor(cum / 4096.0) AS BIGINT) AS bin_id,
-       cum % 4096 AS offset_in_bin
+       -- CAST: cum is HUGEINT (window SUM), and HUGEINT % int stays
+       -- HUGEINT -> pandas float64 -> driver hash mismatch vs Spark
+       -- int64 (scripts/dtype_audit.py)
+       CAST(cum % 4096 AS BIGINT) AS offset_in_bin
 FROM c
 """
 
@@ -1945,8 +1950,14 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: df-capped production form of the Jaccard baseline
     "dedup_ngram_jaccard_capped": QuerySpec(_ngram_capped_fn, _NGRAM_CAPPED_SQL),
     # extension: asymmetric partial-dup score (Broder containment) —
-    # catches short-doc-embedded-in-host pairs Jaccard under-reports
-    "dedup_containment": QuerySpec(_containment_pairs_fn, _CONTAIN_PAIRS_SQL),
+    # catches short-doc-embedded-in-host pairs Jaccard under-reports.
+    # EXACT BASELINE, measured SUPERLINEAR (sf0.1->sf1 exponent 1.10,
+    # SCALE.md): co-occurrence pair volume is quadratic in posting-list
+    # length. Named so nobody wires it as the production path — use
+    # dedup_containment_capped / _bottomk (sublinear twins) instead.
+    "dedup_containment_exact_baseline": QuerySpec(
+        _containment_pairs_fn, _CONTAIN_PAIRS_SQL
+    ),
     # extension: the ~linear production form — boilerplate shingles
     # df-capped before pair scoring
     "dedup_containment_capped": QuerySpec(

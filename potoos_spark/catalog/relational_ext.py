@@ -144,7 +144,9 @@ _CORRELATED_SQL = (
 
 def _scalar_json_fn(spark, sf_dir):
     """JSON extraction on the events.props payload column — scan-local
-    string work, zero shuffles besides the final aggregate."""
+    string work, zero shuffles besides the final aggregate.
+
+    r4: deterministic final ORDER BY (driver-hash hygiene)."""
     ev = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
@@ -156,14 +158,19 @@ def _scalar_json_fn(spark, sf_dir):
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
+        .orderBy("event_type")
     )
 
 
+# r4: SUM(k) CAST AS BIGINT — DuckDB SUM(BIGINT) yields HUGEINT, which
+# pandas turns into float64 (driver hash diverges from Spark's int64
+# even with identical values; the r3 driver hash failure).
 _SCALAR_JSON_SQL = (
-    "SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k, MIN(k) AS min_k, "
+    "SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k, "
+    "MIN(k) AS min_k, "
     "MAX(k) AS max_k FROM (SELECT event_type, "
     "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
-    "GROUP BY event_type"
+    "GROUP BY event_type ORDER BY event_type"
 )
 
 

@@ -597,24 +597,35 @@ HEARTBEAT_MS = HOUR
 def _heartbeat_sla_fn(spark, sf_dir):
     """Per-series availability summary from heartbeat gaps — see
     `operators/rate.heartbeat_sla` for semantics and the 100 TB
-    physical shape (one lag window + one per-series hash agg)."""
+    physical shape (one lag window + one per-series hash agg).
+
+    r4: deterministic final ORDER BY (driver-hash hygiene; a sort of
+    |series| rows is free at any scale)."""
     from ..operators.rate import heartbeat_sla
 
-    return heartbeat_sla(events_frame(spark, sf_dir), HEARTBEAT_MS)
+    return heartbeat_sla(events_frame(spark, sf_dir), HEARTBEAT_MS).orderBy(
+        "series_key"
+    )
 
 
+# r4 note: the integer SUMs are CAST AS BIGINT in the FINAL projection —
+# DuckDB's SUM over integers returns HUGEINT (int128), which pandas
+# materializes as float64 (6 -> 6.0) while Spark emits int64; a
+# pandas-mediated value hash then diverges even though fetchall()-based
+# comparison (the repo harness) says bit-exact.  This was the r3 driver
+# hash failure.  See scripts/dtype_audit.py.
 _HEARTBEAT_SLA_SQL = (
     f"{_S}, g AS (SELECT series_key, ts_ms, "
     "LEAD(ts_ms) OVER (PARTITION BY series_key ORDER BY ts_ms, seq) - ts_ms AS gap "
     "FROM series), "
     "a AS (SELECT series_key, MAX(ts_ms) - MIN(ts_ms) AS span_ms, "
     "COUNT(*) AS n_points, "
-    f"COALESCE(SUM(CASE WHEN gap > {HEARTBEAT_MS} THEN 1 ELSE 0 END), 0) AS n_violations, "
-    f"COALESCE(SUM(GREATEST(gap - {HEARTBEAT_MS}, 0)), 0) AS downtime_ms "
+    f"CAST(COALESCE(SUM(CASE WHEN gap > {HEARTBEAT_MS} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations, "
+    f"CAST(COALESCE(SUM(GREATEST(gap - {HEARTBEAT_MS}, 0)), 0) AS BIGINT) AS downtime_ms "
     "FROM g GROUP BY series_key) "
     "SELECT series_key, span_ms, n_points, n_violations, downtime_ms, "
     "CASE WHEN span_ms > 0 THEN 1.0 - CAST(downtime_ms AS DOUBLE) / "
-    "CAST(span_ms AS DOUBLE) END AS uptime_ratio FROM a"
+    "CAST(span_ms AS DOUBLE) END AS uptime_ratio FROM a ORDER BY series_key"
 )
 
 

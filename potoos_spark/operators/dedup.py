@@ -58,9 +58,10 @@ def exact_dedup_keep_longest(
     arbitrary min id.
 
     Same physical shape as ``exact_dedup``: ONE map-side-combinable
-    hash aggregation (``max_by`` on a (length, -id) priority struct —
-    no ranked window, so a viral duplicate collapses per map task
-    before the shuffle).
+    hash aggregation (``min_by`` on a (-length, id) priority struct —
+    struct ordering is field-by-field, so the tie-break works for ANY
+    orderable id type, numeric or string; no ranked window, so a viral
+    duplicate collapses per map task before the shuffle).
 
     Output: (content_hash, n_docs, keep_id, keep_chars).
     """
@@ -71,11 +72,11 @@ def exact_dedup_keep_longest(
         F.length(text_col).cast("bigint").alias("__len"),
     )
     pri = F.struct(
-        F.col("__len").alias("len"), (-F.col(id_col)).alias("negid")
+        (-F.col("__len")).alias("neglen"), F.col(id_col).alias("id")
     )
     return staged.groupBy("content_hash").agg(
         F.count("*").alias("n_docs"),
-        F.max_by(id_col, pri).alias("keep_id"),
+        F.min_by(id_col, pri).alias("keep_id"),
         F.max("__len").alias("keep_chars"),
     )
 
@@ -440,6 +441,15 @@ def minhash_estimate_pairs(
     hash-stable; the error is one IEEE subtraction of the two.
 
     Output: (id_a, id_b, est_jaccard, jaccard, abs_err).
+
+    Cache lifetime: the candidate-pair frame is persisted because both
+    the estimate branch and the exact-Jaccard verifier consume it, and
+    the result is LAZY — unpersisting here would force a recompute when
+    the caller materializes. The caller owns the cache: call
+    ``spark.catalog.clearCache()`` (or unpersist via
+    ``result.sparkSession``) once the result is materialized in a
+    long-lived session. ``bigram_logprob``/``unigram_logprob`` in
+    text.py follow the same contract.
     """
     n_part = df.sparkSession.sparkContext.defaultParallelism
     sh = shingle_frame(df.repartition(n_part, id_col), text_col, id_col)
@@ -906,8 +916,11 @@ def chunk_dedup(
     doc-keyed totals ⋈ doc-keyed reassembly.
 
     Output: (doc_id, n_chunks, n_kept, text_dedup) — one row per input
-    document; ``text_dedup`` is the space-joined surviving passages
-    (empty string when every passage was seen earlier).
+    document WITH non-NULL text; NULL-text documents are excluded (no
+    passages to chunk — the SQL oracle applies the same exclusion), so
+    coalesce NULLs to '' upstream if a row per input id is required.
+    ``text_dedup`` is the space-joined surviving passages (empty string
+    when every passage was seen earlier).
     """
     k = int(chunk_words)
     w = F.split(F.trim(F.col(text_col)), " ")

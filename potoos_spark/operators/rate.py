@@ -86,9 +86,11 @@ def heartbeat_sla(df: DataFrame, heartbeat_ms: int) -> DataFrame:
     Output: (series_key, span_ms, n_points, n_violations, downtime_ms,
     uptime_ratio).
     """
-    w = W.partitionBy("series_key").orderBy("ts_ms", "seq")
+    tie = F.col("seq") if "seq" in df.columns else F.col("value")
+    staged = df.select("series_key", "ts_ms", tie.alias("__tie"))
+    w = W.partitionBy("series_key").orderBy("ts_ms", "__tie")
     gap = F.lead("ts_ms").over(w) - F.col("ts_ms")
-    g = df.select("series_key", "ts_ms", gap.alias("__gap"))
+    g = staged.select("series_key", "ts_ms", gap.alias("__gap"))
     agg = g.groupBy("series_key").agg(
         (F.max("ts_ms") - F.min("ts_ms")).alias("span_ms"),
         F.count("*").alias("n_points"),

@@ -766,7 +766,10 @@ def bigram_logprob(
     # unpersisted, Catalyst would replay the bigram explode+agg once per
     # consumer (no cross-branch subtree reuse) — measured 3x slower at
     # sf0.1. Persisting the (doc, bigram, tf) relation is the standard
-    # multi-consumer trade; it spills to disk at corpus scale.
+    # multi-consumer trade; it spills to disk at corpus scale. The
+    # result is lazy, so the CALLER owns the cache lifetime (unpersist /
+    # clearCache after materializing) — same contract as
+    # dedup.minhash_estimate_pairs.
     tf = bg.groupBy(id_col, "bg").agg(F.count("*").alias("tf")).persist()
     cbg = tf.groupBy("bg").agg(F.sum("tf").alias("cbg"))
     c1 = (
@@ -875,6 +878,8 @@ def rrf_fuse(
 
     Output: (query_id, doc_id, rrf_e9, n_lists, rank) — top-``topk``
     per query by (rrf_e9 desc, doc_id asc)."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
     contribs = [
         r.select(
             F.col(query_id_col),

@@ -56,7 +56,7 @@ QUERIES = [
     # Uncapped containment is the quadratic exact baseline (kept here
     # deliberately so the probe re-measures its superlinear exponent);
     # the df-capped form is the ~linear production path.
-    "dedup_containment",
+    "dedup_containment_exact_baseline",
     "dedup_containment_capped",
     "dedup_containment_bottomk",
     "corpus_ngram_novelty",
