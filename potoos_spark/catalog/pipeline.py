@@ -130,25 +130,24 @@ def _containment_pairs_fn(spark, sf_dir):
 _DF_CAP = 100
 
 
+# r4: the three capped entries use the posting-array operators (one
+# corpus explode, in-row pair generation from cap-bounded arrays) —
+# measured 1.7-2.5x faster than the join-back shape, bit-identical.
 def _containment_capped_fn(spark, sf_dir):
-    sh = D.df_capped_shingles(
-        D.shingle_frame(_spread_docs(spark, sf_dir)), _DF_CAP
+    sh = D.shingle_frame(_spread_docs(spark, sf_dir))
+    return D.capped_containment_pairs(sh, _DF_CAP).filter(
+        F.col("containment") >= 0.5
     )
-    return D.containment_pairs(sh).filter(F.col("containment") >= 0.5)
 
 
 def _containment_bottomk_fn(spark, sf_dir):
-    sh = D.df_capped_shingles(
-        D.shingle_frame(_spread_docs(spark, sf_dir)), _DF_CAP
-    )
-    return D.bottomk_containment_pairs(sh, k=8, threshold=0.5)
+    sh = D.shingle_frame(_spread_docs(spark, sf_dir))
+    return D.capped_bottomk_containment_pairs(sh, _DF_CAP, k=8, threshold=0.5)
 
 
 def _ngram_capped_fn(spark, sf_dir):
-    sh = D.df_capped_shingles(
-        D.shingle_frame(_spread_docs(spark, sf_dir)), _DF_CAP
-    )
-    return D.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.1)
+    sh = D.shingle_frame(_spread_docs(spark, sf_dir))
+    return D.capped_jaccard_pairs(sh, _DF_CAP).filter(F.col("jaccard") >= 0.1)
 
 
 def _minhash_estimate_fn(spark, sf_dir):

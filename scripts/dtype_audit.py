@@ -51,7 +51,7 @@ def main() -> int:
         .getOrCreate()
     )
     con = duckdb_connection(sf_dir)
-    bad, errs = {}, {}
+    bad, widths, errs = {}, {}, {}
     names = [n for n in CATALOG if CATALOG[n].sql is not None]
     if only:
         names = [n for n in names if n in only]
@@ -70,7 +70,9 @@ def main() -> int:
             errs[name] = traceback.format_exc(limit=3)
             print(f"[{i + 1}/{len(names)}] {name}: ERROR", flush=True)
             continue
-        diffs = {}
+        d_full = {c.lower(): str(ddf[c].dtype) for c in ddf.columns}
+        s_full = {c.lower(): str(sdf[c].dtype) for c in sdf.columns}
+        diffs, width_diffs = {}, {}
         for c in sorted(set(d_kinds) | set(s_kinds)):
             dk, sk = d_kinds.get(c), s_kinds.get(c)
             # all-NULL columns come back as object/float depending on
@@ -78,6 +80,11 @@ def main() -> int:
             if dk != sk:
                 diffs[c] = {"duckdb": dk, "spark": sk,
                             "duck_sql_type": d_sqltypes.get(c)}
+            elif d_full.get(c) != s_full.get(c):
+                # same kind, different width (int32 vs int64 etc.) —
+                # recorded for calibration against driver-green entries
+                width_diffs[c] = {"duckdb": d_full.get(c),
+                                  "spark": s_full.get(c)}
         hugeints = {
             c: t for c, t in d_sqltypes.items()
             if "HUGEINT" in t.upper() or "INT128" in t.upper()
@@ -86,9 +93,14 @@ def main() -> int:
             bad[name] = {"kind_diffs": diffs, "duck_hugeint_cols": hugeints}
             print(f"[{i + 1}/{len(names)}] {name}: MISMATCH {diffs or hugeints}",
                   flush=True)
+        elif width_diffs:
+            widths[name] = width_diffs
+            print(f"[{i + 1}/{len(names)}] {name}: width {width_diffs}",
+                  flush=True)
         else:
             print(f"[{i + 1}/{len(names)}] {name}: ok", flush=True)
-    out = {"mismatches": bad, "errors": errs, "n_checked": len(names)}
+    out = {"mismatches": bad, "width_diffs": widths, "errors": errs,
+           "n_checked": len(names)}
     with open("scripts/dtype_audit_report.json", "w") as f:
         json.dump(out, f, indent=2)
     print(f"\n{len(bad)} mismatching entries, {len(errs)} errors "

@@ -60,6 +60,11 @@ QUERIES = [
     "dedup_containment_capped",
     "dedup_containment_bottomk",
     "corpus_ngram_novelty",
+    # round-4 additions (VERDICT r3 item 5): the untested heavy tier
+    "q_profile_stats",       # one-scan column profiler (union of aggs)
+    "text_bm25",             # the BM25 sub-part of text_hybrid_rrf
+    "corpus_pack_bins",      # two-phase prefix sum (skew-sensitive)
+    "dedup_chunks",          # passage-hash dedup (hash skew-sensitive)
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]

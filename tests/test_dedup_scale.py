@@ -92,6 +92,79 @@ def test_df_cap_drops_boilerplate_keeps_discriminative(spark):
     assert cont[(1, 2)] == 1.0  # doc 2's capped shingles all inside doc 1
 
 
+def test_capped_posting_operators_match_joinback_shapes(spark):
+    """The r4 posting-array operators (one corpus explode, in-row pair
+    generation from cap-bounded arrays) must be row-identical to the
+    join-back compositions they replace, for containment, Jaccard, and
+    bottom-k containment alike."""
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.dedup import (
+        bottomk_containment_pairs,
+        capped_bottomk_containment_pairs,
+        capped_containment_pairs,
+        capped_jaccard_pairs,
+        containment_pairs,
+        df_capped_shingles,
+        jaccard_pairs,
+        shingle_frame,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{base} variant {i % 7} tail {i % 3}") for i in range(40)] + [
+        (100 + i, f"totally unique document number {i} with its own words only")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = shingle_frame(df)
+    capped = df_capped_shingles(sh, df_cap=10)
+
+    want = sorted(map(tuple, containment_pairs(capped).collect()))
+    got = sorted(map(tuple, capped_containment_pairs(sh, 10).collect()))
+    assert got == want
+
+    want = sorted(map(tuple, jaccard_pairs(capped).collect()))
+    got = sorted(map(tuple, capped_jaccard_pairs(sh, 10).collect()))
+    assert got == want
+
+    want = sorted(
+        map(tuple, bottomk_containment_pairs(capped, k=4).collect())
+    )
+    got = sorted(
+        map(tuple, capped_bottomk_containment_pairs(sh, 10, k=4).collect())
+    )
+    assert got == want
+    spark.catalog.clearCache()
+
+
+def test_capped_posting_pair_plan_has_no_selfjoin_or_window(spark):
+    """Plan pin for the posting-array scorers: candidate pairs must come
+    from the in-row double explode (Generate nodes), never a shingle
+    self-join (the quadratic shuffle) or a per-doc row_number window."""
+    from potoos_spark.operators.dedup import (
+        capped_bottomk_containment_pairs,
+        capped_containment_pairs,
+        shingle_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y")], "doc_id bigint, text string"
+    )
+    sh = shingle_frame(df)
+    plan = capped_containment_pairs(sh, 5)._jdf.queryExecution().executedPlan().toString()
+    # the only joins are the two thin doc-keyed size joins
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
+    assert "Window" not in plan
+    bkplan = (
+        capped_bottomk_containment_pairs(sh, 5, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in bkplan  # bottom-k is an agg, not a ranked window
+    spark.catalog.clearCache()
+
+
 def test_keep_longest_policy_and_aggregate_plan(spark):
     """Raw variants of one normalized content: the keeper is the longest
     raw text, ties break to the min id, and the plan is an aggregation
