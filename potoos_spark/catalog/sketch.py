@@ -80,6 +80,49 @@ _CMS_SQL = (
 )
 
 
+def _kmv_fn(spark, sf_dir):
+    """Deterministic bottom-k (KMV) distinct estimate per source over
+    trigram shingles (~1.2-1.5k distinct per source at sf0.01, so the
+    estimator branch genuinely exercises; the fixture's ~31-token vocab
+    would make per-token counts trivially exact at k=64). md5 hashing
+    makes sketch AND estimate bit-reproducible, so this sketch entry is
+    hash-oracle-checked (unlike the seeded DataSketches HLL entries,
+    which are rows-only)."""
+    from ..operators.sketch import kmv_distinct
+    from ..operators.text import shingles, tokens
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(shingles(tokens("text"), 3)).alias("s")
+    )
+    return kmv_distinct(t, ["source"], "s", k=_KMV_K)
+
+
+_KMV_K = 64
+_HEX15 = 1152921504606846976.0  # 16^15, exact in a double
+_KMV_SQL = (
+    "WITH tok AS (SELECT source, doc_id, list_filter(string_split_regex(trim("
+    "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), "
+    "x -> x <> '') AS toks FROM documents), "
+    "t AS (SELECT source, doc_id, unnest(toks) AS tok, "
+    "generate_subscripts(toks, 1) AS pos FROM tok), "
+    "tk AS (SELECT a.source, a.tok || '_' || b.tok || '_' || c.tok AS tok "
+    "FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    "JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2), "
+    "d AS (SELECT DISTINCT source, md5(tok) AS h FROM tk), "
+    "r AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn, "
+    "COUNT(*) OVER (PARTITION BY source) AS nd FROM d), "
+    f"kth AS (SELECT * FROM r WHERE rn = LEAST({_KMV_K}, nd)), "
+    "est AS (SELECT source, nd, "
+    f"CASE WHEN nd <= {_KMV_K} THEN CAST(nd AS DOUBLE) "
+    f"ELSE {float(_KMV_K - 1)} / (CAST(CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS DOUBLE) / {_HEX15}) "
+    "END AS e FROM kth) "
+    "SELECT source, nd AS exact_distinct, "
+    f"CAST(LEAST({_KMV_K}, nd) AS BIGINT) AS k_used, "
+    "e AS est_distinct, e / CAST(nd AS DOUBLE) - 1.0 AS rel_err FROM est"
+)
+
+
 def _bloom_fn(spark, sf_dir):
     cust = table(spark, sf_dir, "customer")
     build = cust.filter(F.col("c_acctbal") > 5000)
@@ -130,4 +173,6 @@ QUERIES: dict[str, QuerySpec] = {
     "sketch_theta_overlap": QuerySpec(_theta_fn, None),
     "sketch_count_min": QuerySpec(_cms_fn, _CMS_SQL),
     "sketch_bloom_filter": QuerySpec(_bloom_fn, _BLOOM_SQL),
+    # r4: deterministic bottom-k distinct sketch — hash-oracle-checked
+    "sketch_kmv_distinct": QuerySpec(_kmv_fn, _KMV_SQL),
 }

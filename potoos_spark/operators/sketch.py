@@ -62,6 +62,63 @@ def hll_union_distinct(
     )
 
 
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002,
+    the bottom-k estimator Theta sketches generalize) — the
+    DETERMINISTIC sibling of ``hll_distinct``: hashing is md5, so the
+    sketch, the estimate, and a DuckDB oracle agree bit-for-bit, which
+    the seeded DataSketches HLL aggregates cannot offer. Per group, the
+    k smallest md5 hashes of the distinct values are a uniform sample
+    of the hash space; with h_k the k-th smallest hash mapped to (0,1),
+    est = (k-1) / h_k. Groups with ≤ k distinct values are EXACT (the
+    sketch holds the whole set).
+
+    Physical shape: one distinct hash agg (map-side combined — the
+    shuffle carries one row per distinct (group, value)), then one
+    bounded per-group ranked window over the DISTINCT relation (input
+    is vocabulary-sized, never corpus-sized). For extreme per-group
+    cardinality, two-level salted bottom-k (per (group, salt) first,
+    k×n_salts rows to the final pass) keeps every sort input bounded —
+    same merge-of-partials shape as the HLL path. The fraction uses the
+    first 15 hex digits (60 bits) so it is exact in a double ULP-for-ULP
+    across engines.
+
+    Output: (group_cols..., exact_distinct, k_used, est_distinct,
+    rel_err) — rel_err = est/exact - 1, the tuning diagnostic for k.
+    """
+    from pyspark.sql import Window as W
+
+    gcols = list(group_cols)
+    d = df.select(*gcols, F.md5(F.col(value_col)).alias("__h")).distinct()
+    w = W.partitionBy(*gcols).orderBy("__h")
+    r = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__nd", F.count("*").over(W.partitionBy(*gcols)))
+        .filter(F.col("__rn") <= int(k))
+    )
+    frac = F.conv(F.substring("__h", 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+    est = F.when(
+        F.col("__nd") <= int(k), F.col("__nd").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / frac)
+    kth = r.filter(
+        (F.col("__rn") == int(k)) | (F.col("__rn") == F.col("__nd"))
+    ).filter(F.col("__rn") == F.least(F.lit(int(k)), F.col("__nd")))
+    return kth.select(
+        *gcols,
+        F.col("__nd").alias("exact_distinct"),
+        F.least(F.lit(int(k)), F.col("__nd")).cast("bigint").alias("k_used"),
+        est.alias("est_distinct"),
+        (est / F.col("__nd").cast("double") - F.lit(1.0)).alias("rel_err"),
+    )
+
+
 def kll_quantiles(
     df: DataFrame,
     group_cols: Sequence[str],

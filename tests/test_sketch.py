@@ -122,3 +122,33 @@ def test_theta_overlap_bounds(spark):
     assert abs(row["n_b"] - nb) <= 0.05 * nb
     assert abs(row["n_intersection"] - ni) <= 0.10 * max(ni, 1)
     assert abs(row["n_only_a"] - (na - ni)) <= 0.10 * max(na - ni, 1)
+
+
+def test_kmv_distinct_exact_small_groups_and_error_envelope(spark):
+    """Groups with <= k distinct values must be EXACT (the sketch holds
+    the whole set); larger groups must estimate within the KMV standard
+    error envelope (~1/sqrt(k-2), generous 3-sigma bound) and the
+    estimate must be partitioning-independent (deterministic md5)."""
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.sketch import kmv_distinct
+
+    small = spark.range(40).select(
+        F.lit("small").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    big = spark.range(20_000).select(
+        F.lit("big").alias("g"),
+        F.concat(F.lit("w"), (F.col("id") % 5_000)).alias("v"),
+    )
+    df = small.unionAll(big)
+    rows = {r["g"]: r for r in kmv_distinct(df, ["g"], "v", k=64).collect()}
+    assert rows["small"]["exact_distinct"] == 40
+    assert rows["small"]["est_distinct"] == 40.0 and rows["small"]["rel_err"] == 0.0
+    assert rows["big"]["exact_distinct"] == 5_000
+    assert rows["big"]["k_used"] == 64
+    assert abs(rows["big"]["rel_err"]) <= 3.0 / (62 ** 0.5)  # 3 sigma
+    again = {
+        r["g"]: r["est_distinct"]
+        for r in kmv_distinct(df.repartition(13), ["g"], "v", k=64).collect()
+    }
+    assert again["big"] == rows["big"]["est_distinct"]
