@@ -1876,6 +1876,49 @@ def _unigram_lm_fn(spark, sf_dir):
     return T.unigram_logprob(_docs(spark, sf_dir))
 
 
+def _ppl_deciles_fn(spark, sf_dir):
+    """CCNet-style perplexity-partitioned data mix: documents ranked by
+    their self-trained unigram-LM per-token NLL and split into exact
+    global deciles — the head/middle/tail view quality-based selection
+    recipes cut on. The decile assignment uses the distributed
+    two-phase global NTILE (`skew.global_ntile`: range repartition →
+    per-slice row_number → broadcast offsets), NEVER a single-task
+    `Window.orderBy` over the corpus; per-decile totals are order-free
+    integer sums (the nll_e9 discipline), the per-token NLL one double
+    division."""
+    from ..operators.skew import global_ntile
+
+    u = T.unigram_logprob(_docs(spark, sf_dir))
+    d = global_ntile(u, ["avg_nll", "doc_id"], 10, tile_col="decile")
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_tokens"),
+        F.sum("nll_e9").cast("bigint").alias("nll_e9_total"),
+        (
+            F.sum("nll_e9").cast("double")
+            / F.sum("dl").cast("double")
+            / F.lit(1e9)
+        ).alias("nll_per_token"),
+        F.min("avg_nll").alias("min_avg_nll"),
+        F.max("avg_nll").alias("max_avg_nll"),
+    )
+
+
+# Exact global deciles over (avg_nll, doc_id) — ANSI NTILE in the
+# oracle, the closed-form two-phase rank on the Spark side (bit-equal
+# by construction). Integer-SUM outputs CAST AS BIGINT (HUGEINT rule).
+# Composed below, after _UNIGRAM_LM_SQL is defined.
+_PPL_DECILES_SQL_TEMPLATE = (
+    "SELECT decile, COUNT(*) AS n_docs, "
+    "CAST(SUM(dl) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(nll_e9) AS BIGINT) AS nll_e9_total, "
+    "CAST(SUM(nll_e9) AS DOUBLE) / CAST(SUM(dl) AS DOUBLE) / 1e9 AS nll_per_token, "
+    "MIN(avg_nll) AS min_avg_nll, MAX(avg_nll) AS max_avg_nll "
+    "FROM (SELECT u.*, NTILE(10) OVER (ORDER BY avg_nll, doc_id) AS decile "
+    "FROM ({unigram}) u) GROUP BY decile"
+)
+
+
 # Self-trained unigram LM scoring: per-term ln rounded to 9 decimals and
 # integer-scaled BEFORE summation -> order-free bigint totals.
 _UNIGRAM_LM_SQL = (
@@ -1891,6 +1934,8 @@ _UNIGRAM_LM_SQL = (
     "round(CAST(-SUM(le9 * tf) AS DOUBLE) / SUM(tf) / 1e9, 9) AS avg_nll "
     "FROM term GROUP BY doc_id"
 )
+
+_PPL_DECILES_SQL = _PPL_DECILES_SQL_TEMPLATE.format(unigram=_UNIGRAM_LM_SQL)
 
 
 def _bigram_lm_fn(spark, sf_dir):
@@ -2049,6 +2094,9 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: per-source duplication-rate report (policy input)
     "corpus_dedup_report": QuerySpec(_dedup_report_fn, _DEDUP_REPORT_SQL),
     "text_unigram_lm": QuerySpec(_unigram_lm_fn, _UNIGRAM_LM_SQL),
+    # r4: perplexity-partitioned decile mix via the distributed global
+    # NTILE (no single-task corpus window)
+    "corpus_ppl_deciles": QuerySpec(_ppl_deciles_fn, _PPL_DECILES_SQL),
     # extension: interpolated bigram LM (word order enters the score)
     "text_bigram_lm": QuerySpec(_bigram_lm_fn, _BIGRAM_LM_SQL),
     # extension: feature-hashing text embedding (in-row fold, zero shuffle)

@@ -152,3 +152,87 @@ def two_phase_cap(
         .filter(F.col("rk") <= int(cap))
         .select(by, id_col, "rk")
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "rank",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact global row_number over a TOTAL order without the
+    single-task global window (``Window.orderBy`` with no partition key
+    funnels the whole relation through one sort task — the same
+    driver-shaped mistake ``curate.pack_bins`` documents). Classic
+    distributed ranking, the rank twin of pack_bins' prefix sum:
+
+    1. ``repartitionByRange(order_cols)`` — order-respecting split;
+    2. per-partition ``row_number`` (window partitioned by
+       ``spark_partition_id`` — every sort input is a bounded range
+       slice);
+    3. partition COUNTS (≤ n_parts rows) prefix-summed at driver scale
+       and broadcast-joined back as rank offsets.
+
+    ``order_cols`` must be a total order (append a unique id as the
+    last column) or ranks are nondeterministic. The input is persisted
+    for the same reason as pack_bins: range sampling must happen ONCE —
+    a task retry re-sampling different split points would shift rows
+    between partitions inconsistently across the two branches. Caller
+    owns the cache.
+
+    Output: input columns + ``rank_col`` (1-based bigint).
+    """
+    from pyspark.sql import Window as W
+
+    cols = [F.col(c) for c in order_cols]
+    staged = (
+        df.repartitionByRange(int(n_parts), *cols)
+        .withColumn("__pid", F.spark_partition_id())
+    ).persist()
+    w_local = W.partitionBy("__pid").orderBy(*cols)
+    local = staged.withColumn("__rn", F.row_number().over(w_local))
+    counts = staged.groupBy("__pid").agg(F.count("*").alias("__n"))
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("bigint"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n: int,
+    tile_col: str = "tile",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact ANSI NTILE(n) over a total order, built on ``global_rank``
+    (so no single-task window): with t total rows, q = t div n and
+    r = t mod n, the first r tiles hold q+1 rows — computed closed-form
+    from the global rank, bit-identical to SQL NTILE. The total row
+    count is a 1-row broadcast.
+
+    Output: input columns + ``tile_col`` (1..n bigint)."""
+    ranked = global_rank(df, order_cols, rank_col="__grk", n_parts=n_parts)
+    total = ranked.agg(F.count("*").alias("__t"))
+    q = F.floor(F.col("__t") / n)
+    r = F.col("__t") % n
+    big_span = (q + 1) * r  # ranks 1..big_span fall in the q+1-sized tiles
+    tile = F.when(
+        F.col("__grk") <= big_span,
+        F.floor((F.col("__grk") - 1) / (q + 1)) + 1,
+    ).otherwise(
+        F.when(
+            q > 0, r + F.floor((F.col("__grk") - 1 - big_span) / q) + 1
+        )  # q == 0: every row sits in the first t tiles (rank = tile)
+        .otherwise(F.col("__grk"))
+    )
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(tile_col, tile.cast("bigint"))
+        .drop("__grk", "__t")
+    )

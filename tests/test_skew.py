@@ -196,3 +196,77 @@ def test_two_phase_cap_row_identical_to_single_window(spark):
     for n_salts in (1, 8, 32):
         got = sorted(map(tuple, two_phase_cap(df, cap=10, n_salts=n_salts).collect()))
         assert got == want, n_salts
+
+
+def test_global_rank_matches_single_window(spark):
+    """global_rank must reproduce the one-task Window.orderBy
+    row_number exactly, for any n_parts (including n_parts=1 and more
+    partitions than rows)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from potoos_spark.operators.skew import global_rank
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 101).alias("v"), F.col("id").alias("i")
+    )
+    w = W.orderBy("v", "i")
+    want = sorted(
+        (r["v"], r["i"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w).cast("bigint")).collect()
+    )
+    for n_parts in (1, 7, 32, 2000):
+        got = sorted(
+            (r["v"], r["i"], r["rank"])
+            for r in global_rank(df, ["v", "i"], n_parts=n_parts).collect()
+        )
+        assert got == want, n_parts
+    spark.catalog.clearCache()
+
+
+def test_global_ntile_matches_ansi_ntile(spark):
+    """global_ntile must equal SQL NTILE(n) bit-for-bit, including the
+    uneven-remainder layout (first t%n tiles one row larger) and the
+    t < n degenerate case."""
+    from pyspark.sql import Window as W, functions as F
+
+    from potoos_spark.operators.skew import global_ntile
+
+    for t, n in ((1003, 10), (10, 10), (7, 10), (100, 7)):
+        df = spark.range(t).select(
+            (F.col("id") * 13 % 89).alias("v"), F.col("id").alias("i")
+        )
+        w = W.orderBy("v", "i")
+        want = sorted(
+            (r["v"], r["i"], r["nt"])
+            for r in df.withColumn("nt", F.ntile(n).over(w).cast("bigint")).collect()
+        )
+        got = sorted(
+            (r["v"], r["i"], r["tile"])
+            for r in global_ntile(df, ["v", "i"], n, n_parts=8).collect()
+        )
+        assert got == want, (t, n)
+    spark.catalog.clearCache()
+
+
+def test_global_rank_plan_has_no_global_window(spark):
+    """The executed plan must not contain a partition-less Window (the
+    single-task global sort global_rank exists to avoid): every Window
+    operator must be partitioned."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.skew import global_rank
+
+    df = spark.range(100).select(
+        (F.col("id") % 11).alias("v"), F.col("id").alias("i")
+    )
+    plan = (
+        global_rank(df, ["v", "i"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for m in re.finditer(r"Window \[.*?\]", plan):
+        assert "__pid" in m.group(0), m.group(0)
+    spark.catalog.clearCache()
