@@ -357,8 +357,16 @@ def ngram_novelty(
     # runs at full width even when the input layout is a single file
     # (same pre-explosion move as minhash_dedup_pairs — measured 12s →
     # ~1s at sf0.1, whose fixture is one parquet file / one scan task).
+    # Persisted: the explosion feeds BOTH the per-doc totals and the
+    # first-owner chain; without the cache Catalyst replays the HOF
+    # explode per consumer (measured 2.3x slower at sf0.1). Spills to
+    # disk at corpus scale; the caller owns the cache lifetime
+    # (clearCache after materializing) — same contract as
+    # minhash_estimate_pairs.
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    sh = shingle_frame(df.repartition(n_part, id_col), text_col, id_col, n)
+    sh = shingle_frame(
+        df.repartition(n_part, id_col), text_col, id_col, n
+    ).persist()
     totals = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     owned = (
         sh.groupBy("s")
