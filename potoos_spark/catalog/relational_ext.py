@@ -592,6 +592,59 @@ _SKYLINE_SQL = (
 )
 
 
+def _global_pctl_fn(spark, sf_dir):
+    """EXACT global percentiles of l_extendedprice (LOW percentile at
+    rank ceil(q*n) — rank selection, no interpolation, so the answer is
+    a real data value and bit-stable). The global total order comes
+    from `skew.global_rank` (range repartition + per-slice row_number +
+    broadcast offsets), NEVER a partition-less window — the 100 TB
+    shape for exact quantiles when the approx KLL error bound is not
+    acceptable (e.g. contractual SLA cutoffs). Ties broken by
+    l_orderkey, l_linenumber (a total order); the selected rank rows
+    are a 4-row result regardless of scale."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..operators.skew import global_rank
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    r = global_rank(li, ["price", "l_orderkey", "l_linenumber"], rank_col="rk")
+    n = r.agg(F.count("*").alias("n"))
+    qs = [(0.5, "p50"), (0.9, "p90"), (0.99, "p99"), (0.999, "p999")]
+    picks = None
+    for q, name in qs:
+        p = (
+            r.join(F.broadcast(n))
+            .filter(F.col("rk") == F.ceil(F.col("n") * q).cast("bigint"))
+            .select(
+                F.lit(name).alias("pctl"),
+                F.lit(q).alias("q"),
+                F.col("price").cast("double").alias("value"),
+                F.col("rk").alias("rank"),
+                F.col("n").alias("n_rows"),
+            )
+        )
+        picks = p if picks is None else picks.unionAll(p)
+    return picks
+
+
+_GLOBAL_PCTL_SQL = (
+    "WITH r AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS price, "
+    "ROW_NUMBER() OVER (ORDER BY CAST(l_extendedprice AS DECIMAL(12,2)), "
+    "l_orderkey, l_linenumber) AS rk, "
+    "COUNT(*) OVER () AS n FROM lineitem) "
+    + " UNION ALL ".join(
+        f"SELECT '{name}' AS pctl, CAST({q} AS DOUBLE) AS q, "
+        "CAST(price AS DOUBLE) AS value, "
+        f"rk AS rank, n AS n_rows FROM r WHERE rk = CAST(ceil(n * {q}) AS BIGINT)"
+        for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99"), (0.999, "p999")]
+    )
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # extension: Pareto-dominance skyline (sweep vs NOT-EXISTS oracle)
     "q_skyline": QuerySpec(_skyline_fn, _SKYLINE_SQL),
@@ -613,4 +666,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_scalar_json": QuerySpec(_scalar_json_fn, _SCALAR_JSON_SQL),
     "q_conditional_agg": QuerySpec(_conditional_agg_fn, _CONDITIONAL_AGG_SQL),
     "q_profile_stats": QuerySpec(_profile_fn, _PROFILE_SQL),
+    # r4: exact global percentiles via the distributed rank (no
+    # single-task corpus sort)
+    "q_global_percentiles": QuerySpec(_global_pctl_fn, _GLOBAL_PCTL_SQL),
 }
