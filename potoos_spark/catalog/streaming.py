@@ -512,6 +512,42 @@ _STREAM_GAP_SQL = (
 )
 
 
+def _stream_sla_fn(spark, sf_dir):
+    from .timeseries import HEARTBEAT_MS
+    from ..streaming.stateful import streaming_heartbeat_sla
+
+    return _replay(
+        streaming_heartbeat_sla(_events_stream(spark, sf_dir), HEARTBEAT_MS),
+        "append",
+    )
+
+
+# Running SLA emits per point, so the replay equals the batch
+# cumulative-window form exactly (and the last row per series equals
+# the batch ts_heartbeat_sla summary). Integer SUMs CAST AS BIGINT
+# (DuckDB HUGEINT / pandas-float64 rule — scripts/dtype_audit.py).
+_STREAM_SLA_SQL = (
+    f"{_S}, g AS (SELECT series_key, ts_ms, seq, "
+    "ts_ms - LAG(ts_ms) OVER w AS gap, "
+    "MIN(ts_ms) OVER w2 AS first_ts, "
+    "ROW_NUMBER() OVER w AS n_points "
+    "FROM series WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms, seq), "
+    "w2 AS (PARTITION BY series_key ORDER BY ts_ms, seq "
+    "ROWS UNBOUNDED PRECEDING), "
+    "c AS (PARTITION BY series_key ORDER BY ts_ms, seq "
+    "ROWS UNBOUNDED PRECEDING)), "
+    "r AS (SELECT series_key, ts_ms, n_points, "
+    f"CAST(COALESCE(SUM(CASE WHEN gap > {HOUR} THEN 1 ELSE 0 END) OVER c, 0) AS BIGINT) AS n_violations, "
+    f"CAST(COALESCE(SUM(GREATEST(gap - {HOUR}, 0)) OVER c, 0) AS BIGINT) AS downtime_ms, "
+    "ts_ms - first_ts AS span "
+    "FROM g WINDOW c AS (PARTITION BY series_key ORDER BY ts_ms, seq "
+    "ROWS UNBOUNDED PRECEDING)) "
+    "SELECT series_key, ts_ms, n_points, n_violations, downtime_ms, "
+    "CASE WHEN span > 0 THEN 1.0 - CAST(downtime_ms AS DOUBLE) / "
+    "CAST(span AS DOUBLE) END AS uptime_ratio FROM r"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_ohlc_replay": QuerySpec(_stream_ohlc_fn, _OHLC_REPLAY_SQL),
     "stream_bucket_agg_replay": QuerySpec(_stream_agg_fn, _STREAM_AGG_SQL),
@@ -544,4 +580,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_gap_detect_replay": QuerySpec(_stream_gap_fn, _STREAM_GAP_SQL),
     # causal Page-Hinkley per-point scoring (running-range allowance)
     "stream_page_hinkley_replay": QuerySpec(_stream_ph_fn, _STREAM_PH_SQL),
+    # r4: live availability SLA (O(1) state/series; running per-point
+    # emission — replay equals the batch cumulative-window form)
+    "stream_heartbeat_sla_replay": QuerySpec(_stream_sla_fn, _STREAM_SLA_SQL),
 }

@@ -503,6 +503,82 @@ def streaming_debounce(sdf: DataFrame, cooldown_ms: int) -> DataFrame:
     )
 
 
+SLA_STATE_SCHEMA = (
+    "first_ts bigint, last_ts bigint, has bigint, n bigint, viol bigint, "
+    "down bigint"
+)
+
+
+def streaming_heartbeat_sla(sdf: DataFrame, heartbeat_ms: int) -> DataFrame:
+    """Live availability dashboard — the stateful twin of the batch
+    ``rate.heartbeat_sla``: per series, O(1) state (first/last ts,
+    point/violation counts, downtime) updated per arriving point, with
+    the RUNNING SLA emitted per point (append mode, nothing withheld at
+    end-of-stream). The final row per series equals the batch summary
+    exactly; the full per-point emission equals the batch cumulative-
+    window form, which is the replay oracle. Integer ms arithmetic end
+    to end; the ratio is one division of exact integers per emitted
+    row. Arrival contract: per-series (ts, seq) order, like the other
+    stateful ops.
+
+    Output (append): (series_key, ts_ms, n_points, n_violations,
+    downtime_ms, uptime_ratio) — ratio NULL until the span is nonzero.
+    """
+    th = int(heartbeat_ms)
+    out_schema = (
+        "series_key string, ts_ms bigint, n_points bigint, "
+        "n_violations bigint, downtime_ms bigint, uptime_ratio double"
+    )
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            first, last, has, n, viol, down = state.get
+        else:
+            first, last, has, n, viol, down = 0, 0, 0, 0, 0, 0
+        pdf = _gather_sorted(batches, ("ts_ms", "seq"))
+        if pdf is not None:
+            ts_o, n_o, v_o, d_o, r_o = [], [], [], [], []
+            for t in pdf["ts_ms"]:
+                t = int(t)
+                if has:
+                    gap = t - last
+                    if gap > th:
+                        viol += 1
+                        down += gap - th
+                else:
+                    first = t
+                has, last, n = 1, t, n + 1
+                span = last - first
+                ts_o.append(t)
+                n_o.append(n)
+                v_o.append(viol)
+                d_o.append(down)
+                r_o.append(1.0 - down / span if span > 0 else None)
+            out = pd.DataFrame(
+                {
+                    "ts_ms": pd.Series(ts_o, dtype="int64"),
+                    "n_points": pd.Series(n_o, dtype="int64"),
+                    "n_violations": pd.Series(v_o, dtype="int64"),
+                    "downtime_ms": pd.Series(d_o, dtype="int64"),
+                    "uptime_ratio": pd.Series(r_o, dtype="float64"),
+                }
+            )
+            out.insert(0, "series_key", key[0])
+            yield out
+        state.update((first, last, has, n, viol, down))
+
+    cols = ["series_key", "ts_ms"] + (["seq"] if "seq" in sdf.columns else [])
+    return (
+        sdf.select(*cols)
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            fn, out_schema, SLA_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 GAP_STATE_SCHEMA = "last_ts bigint, has bigint"
 GAP_REORDER_STATE_SCHEMA = "last_ts bigint, has bigint, pend array<bigint>"
 
