@@ -552,3 +552,69 @@ def test_skyline_sweep_matches_dominance_bruteforce(spark, pts):
 
     want = {a[0] for a in rows if not dominated(a)}
     assert got == want
+
+
+def _ntile_reference(n_rows: int, n: int) -> list[int]:
+    q, r = divmod(n_rows, n)
+    out = []
+    for tile in range(1, n + 1):
+        out.extend([tile] * (q + 1 if tile <= r else q))
+    return out
+
+
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    n=st.sampled_from([1, 3, 10]),
+    n_parts=st.sampled_from([1, 5, 64]),
+)
+@SETTINGS
+def test_global_rank_and_ntile_match_reference(spark, vals, n, n_parts):
+    """global_rank must equal the position in the sorted (v, i) order
+    for ANY data/partition-count; global_ntile must reproduce the ANSI
+    tile layout (first t%n tiles one row larger)."""
+    from potoos_spark.operators.skew import global_ntile, global_rank
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v bigint, i bigint")
+    order = sorted(rows)
+    want_rank = {t: k + 1 for k, t in enumerate(order)}
+    got_rank = {
+        (r["v"], r["i"]): r["rank"]
+        for r in global_rank(df, ["v", "i"], n_parts=n_parts).collect()
+    }
+    assert got_rank == want_rank
+    tiles = _ntile_reference(len(rows), n)
+    want_tile = {t: tiles[k] for k, t in enumerate(order)}
+    got_tile = {
+        (r["v"], r["i"]): r["tile"]
+        for r in global_ntile(df, ["v", "i"], n, n_parts=n_parts).collect()
+    }
+    assert got_tile == want_tile
+    spark.catalog.clearCache()
+
+
+@given(
+    n_distinct=st.integers(1, 300),
+    k=st.sampled_from([8, 64]),
+)
+@SETTINGS
+def test_kmv_distinct_exact_below_k_and_bounded_above(spark, n_distinct, k):
+    """KMV must be exact when the group has <= k distinct values and
+    must produce a positive finite estimate otherwise (the estimator is
+    unbiased but any single draw must at least be sane: est > k-1 since
+    h_k < 1)."""
+    from potoos_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(n_distinct * 2).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("v"), (F.col("id") % n_distinct)).alias("v"),
+    )
+    row = kmv_distinct(df, ["g"], "v", k=k).collect()[0]
+    assert row["exact_distinct"] == n_distinct
+    if n_distinct <= k:
+        assert row["est_distinct"] == float(n_distinct)
+        assert row["rel_err"] == 0.0
+    else:
+        assert row["k_used"] == k
+        assert row["est_distinct"] > k - 1
+        assert row["est_distinct"] == row["est_distinct"]  # not NaN
