@@ -91,8 +91,13 @@ def _kmv_fn(spark, sf_dir):
     from ..operators.sketch import kmv_distinct
     from ..operators.text import shingles, tokens
 
+    # pre-explosion repartition: the interpreted HOF shingle projection
+    # must run at full width even when the fixture is one parquet file
+    # (one scan task) — same move as pipeline._spread_docs; measured
+    # 13s -> ~1s at sf0.1 without it.
     docs = table(spark, sf_dir, "documents")
-    t = docs.select(
+    n_part = spark.sparkContext.defaultParallelism
+    t = docs.repartition(n_part, "doc_id").select(
         "source", F.explode(shingles(tokens("text"), 3)).alias("s")
     )
     return kmv_distinct(t, ["source"], "s", k=_KMV_K)
