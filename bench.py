@@ -71,6 +71,12 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "corpus_curate_e2e",
+    # round-4 additions: deterministic KMV sketch, perplexity-decile
+    # mix (distributed global NTILE), exact global percentiles
+    # (distributed rank selection)
+    "sketch_kmv_distinct",
+    "corpus_ppl_deciles",
+    "q_global_percentiles",
 ]
 
 
