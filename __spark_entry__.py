@@ -20,21 +20,40 @@ from potoos_spark.catalog import CATALOG
 
 
 def _ordered_catalog() -> dict:
-    """Catalog with never-driver-sampled entries first: the driver
-    samples a subset per round, so surfacing unsampled entries ahead of
-    already-green ones maximizes cumulative coverage across rounds.
-    Falls back to the raw order when no CORRECTNESS files exist."""
-    sampled: set[str] = set()
+    """Catalog ordered for the driver's per-round sample: (1) entries
+    whose MOST RECENT driver row was not fully green (so a shipped fix
+    gets re-checked immediately — e.g. the r3 hash failures fixed in
+    r4; the verdict's top item, and there are only ever a handful),
+    (2) entries never driver-sampled, (3) the already-green rest.
+    Heals red rows first, then maximizes cumulative coverage. Falls
+    back to the raw order when no CORRECTNESS files exist."""
+    latest: dict[str, dict] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                sampled.update(json.load(f).keys())
+                latest.update(json.load(f))
         except Exception:
             pass
-    fresh = {k: v for k, v in CATALOG.items() if k not in sampled}
-    seen = {k: v for k, v in CATALOG.items() if k in sampled}
-    return {**fresh, **seen}
+
+    def green(row: dict) -> bool:
+        return bool(
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match", True)
+            and not row.get("err")
+        )
+
+    fresh = {k: v for k, v in CATALOG.items() if k not in latest}
+    red = {
+        k: v
+        for k, v in CATALOG.items()
+        if k in latest and not green(latest[k])
+    }
+    seen = {
+        k: v for k, v in CATALOG.items() if k in latest and green(latest[k])
+    }
+    return {**red, **fresh, **seen}
 
 
 def entry(spark: SparkSession) -> DataFrame:
