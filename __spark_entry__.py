@@ -19,22 +19,30 @@ from pyspark.sql import DataFrame, SparkSession
 from potoos_spark.catalog import CATALOG
 
 
-def _ordered_catalog() -> dict:
+def _ordered_catalog(latest: dict | None = None) -> dict:
     """Catalog ordered for the driver's per-round sample: (1) entries
     whose MOST RECENT driver row was not fully green (so a shipped fix
     gets re-checked immediately — e.g. the r3 hash failures fixed in
     r4; the verdict's top item, and there are only ever a handful),
     (2) entries never driver-sampled, (3) the already-green rest.
     Heals red rows first, then maximizes cumulative coverage. Falls
-    back to the raw order when no CORRECTNESS files exist."""
-    latest: dict[str, dict] = {}
-    here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as f:
-                latest.update(json.load(f))
-        except Exception:
-            pass
+    back to the raw order when no CORRECTNESS files exist.
+
+    ``latest`` (entry name -> most recent driver row) is injectable for
+    tests; by default it is accumulated from the CORRECTNESS_r*.json
+    files next to this module, later rounds overriding earlier ones.
+    """
+    if latest is None:
+        latest = {}
+        here = os.path.dirname(os.path.abspath(__file__))
+        for path in sorted(
+            glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        ):
+            try:
+                with open(path) as f:
+                    latest.update(json.load(f))
+            except Exception:
+                pass
 
     def green(row: dict) -> bool:
         return bool(
