@@ -350,25 +350,28 @@ def _coverage_curve_fn(spark, sf_dir):
     documents actually add". Composes the novelty machinery: per-doc
     novel counts come from the first-owner aggregation (no shingle-key
     join — see ngram_novelty), docs with no shingles contribute 0 via
-    the doc spine, and the cumulative sum is one window over the
-    one-row-per-doc relation (at extreme doc counts use the two-phase
-    distributed prefix sum from operators/curate.pack_bins — same
-    pattern, already implemented)."""
-    from pyspark.sql import Window as W
-
+    the doc spine, and the cumulative sum is the distributed two-phase
+    prefix sum (`skew.global_cumsum`: range repartition on doc_id →
+    per-slice cumsum → broadcast offsets; exact — bigint sums), NEVER
+    a single-task `Window.orderBy` over the corpus."""
     from ..operators.curate import ngram_novelty
+    from ..operators.skew import global_cumsum
 
     docs = _spread_docs(spark, sf_dir)
     nov = ngram_novelty(docs).select("doc_id", "n_novel")
     spine = docs.select("doc_id")
     base = spine.join(nov, "doc_id", "left").select(
-        "doc_id", F.coalesce("n_novel", F.lit(0)).alias("n_novel")
+        "doc_id", F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel")
     )
-    w = W.orderBy("doc_id")
-    return base.select(
+    c = global_cumsum(
+        base, ["doc_id"], "n_novel", out_col="cum_distinct_shingles"
+    )
+    return c.select(
         "doc_id",
-        F.col("n_novel").cast("bigint").alias("n_novel"),
-        F.sum("n_novel").over(w).cast("bigint").alias("cum_distinct_shingles"),
+        "n_novel",
+        F.col("cum_distinct_shingles").cast("bigint").alias(
+            "cum_distinct_shingles"
+        ),
     )
 
 

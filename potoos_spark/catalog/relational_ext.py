@@ -311,11 +311,13 @@ def _abc_fn(spark, sf_dir):
     in DECIMAL (exact), the running share is one division per row over
     exact sums, and class boundaries compare those deterministic
     doubles — bit-stable. Shape: one fact-table hash agg to a row per
-    part, a 1-row total broadcast, one global cumsum window over the
-    per-part relation (bounded by distinct parts — at extreme part
-    cardinality swap the bracket thresholds to KLL quantile cuts from
-    operators/sketch.py), and a 3-row final agg."""
-    from pyspark.sql import Window as W
+    part, a 1-row total broadcast, the running revenue via the
+    distributed two-phase prefix sum (`skew.global_cumsum`: range
+    repartition on (rev desc, partkey) → per-slice cumsum → broadcast
+    offsets — exact because the sums are DECIMAL), NEVER a single-task
+    `Window.orderBy` over the per-part relation, and a 3-row final
+    agg."""
+    from ..operators.skew import global_cumsum
 
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -325,13 +327,10 @@ def _abc_fn(spark, sf_dir):
         ).alias("rev")
     )
     total = rev.agg(F.sum("rev").alias("total"))
-    w = W.orderBy(F.col("rev").desc(), "l_partkey")
-    c = (
-        rev.crossJoin(F.broadcast(total))
-        .withColumn("__cum", F.sum("rev").over(w))
-        .withColumn(
-            "__share", F.col("__cum").cast("double") / F.col("total").cast("double")
-        )
+    c = global_cumsum(
+        rev, [F.col("rev").desc(), "l_partkey"], "rev", out_col="__cum"
+    ).crossJoin(F.broadcast(total)).withColumn(
+        "__share", F.col("__cum").cast("double") / F.col("total").cast("double")
     )
     klass = (
         F.when(F.col("__share") <= 0.80, "A")
@@ -440,18 +439,21 @@ def _ltv_deciles_fn(spark, sf_dir):
     report each decile's size, revenue, and share — the 'top decile
     drives X% of revenue' concentration view that complements the ABC
     Pareto brackets. Revenue is DECIMAL-exact; shares are one double
-    division each against a 1-row broadcast total. The NTILE window
-    runs over the one-row-per-customer relation (bounded by customer
-    cardinality, not facts)."""
-    from pyspark.sql import Window as W
+    division each against a 1-row broadcast total. Deciles come from
+    the distributed two-phase NTILE (`skew.global_ntile`, bit-equal to
+    ANSI NTILE by construction), NEVER a single-task `Window.orderBy`
+    over the per-customer relation — customer cardinality grows with
+    the data."""
+    from ..operators.skew import global_ntile
 
     orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
     total = rev.agg(F.sum("rev").alias("total"))
-    w = W.orderBy(F.col("rev").desc(), "o_custkey")
-    d = rev.withColumn("decile", F.ntile(10).over(w)).crossJoin(
+    d = global_ntile(
+        rev, [F.col("rev").desc(), "o_custkey"], 10, tile_col="decile"
+    ).withColumn("decile", F.col("decile").cast("int")).crossJoin(
         F.broadcast(total)
     )
     return d.groupBy("decile").agg(

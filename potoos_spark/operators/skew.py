@@ -156,7 +156,7 @@ def two_phase_cap(
 
 def global_rank(
     df: DataFrame,
-    order_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
     rank_col: str = "rank",
     n_parts: int = 32,
 ) -> DataFrame:
@@ -174,7 +174,10 @@ def global_rank(
        and broadcast-joined back as rank offsets.
 
     ``order_cols`` must be a total order (append a unique id as the
-    last column) or ranks are nondeterministic. The input is persisted
+    last column) or ranks are nondeterministic; entries may be column
+    names (ascending) or Column sort specs (``F.col("x").desc()``) —
+    ``repartitionByRange`` honors SortOrder expressions, so descending
+    orders range-partition correctly too. The input is persisted
     for the same reason as pack_bins: range sampling must happen ONCE —
     a task retry re-sampling different split points would shift rows
     between partitions inconsistently across the two branches. Caller
@@ -184,7 +187,7 @@ def global_rank(
     """
     from pyspark.sql import Window as W
 
-    cols = [F.col(c) for c in order_cols]
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     staged = (
         df.repartitionByRange(int(n_parts), *cols)
         .withColumn("__pid", F.spark_partition_id())
@@ -205,7 +208,7 @@ def global_rank(
 
 def global_ntile(
     df: DataFrame,
-    order_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
     n: int,
     tile_col: str = "tile",
     n_parts: int = 32,
@@ -235,4 +238,65 @@ def global_ntile(
         ranked.join(F.broadcast(total))
         .withColumn(tile_col, tile.cast("bigint"))
         .drop("__grk", "__t")
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    value_col: str,
+    out_col: str = "cumsum",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact inclusive running sum of ``value_col`` over a TOTAL order
+    without the single-task global window — the prefix-sum twin of
+    ``global_rank`` (and the generalization of ``curate.pack_bins``'s
+    offset machinery):
+
+    1. ``repartitionByRange(order_cols)`` — order-respecting split;
+    2. per-slice inclusive cumsum (window partitioned by
+       ``spark_partition_id``);
+    3. per-slice TOTALS (≤ n_parts rows) prefix-summed over the tiny
+       offset relation and broadcast-joined back.
+
+    Bit-identical to ``F.sum(value_col).over(Window.orderBy(...))``
+    ONLY for exact-arithmetic value types (integer / DECIMAL) — float
+    sums are order-sensitive, so refuse them rather than silently
+    reassociate.
+
+    ``order_cols`` must be a total order; entries may be names
+    (ascending) or Column sort specs (``F.col("x").desc()``). The
+    input is persisted (range sampling must happen once across the two
+    branches); caller owns the cache, same contract as ``global_rank``.
+
+    Output: input columns + ``out_col``.
+    """
+    from pyspark.sql import Window as W
+
+    kind = dict(df.dtypes).get(value_col, "")
+    if kind in ("float", "double") or kind.startswith("float"):
+        raise ValueError(
+            f"global_cumsum({value_col!r}: {kind}) — float sums are "
+            "order-sensitive; scale to integer/decimal first"
+        )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    staged = (
+        df.repartitionByRange(int(n_parts), *cols)
+        .withColumn("__pid", F.spark_partition_id())
+    ).persist()
+    w_local = (
+        W.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = staged.withColumn("__lc", F.sum(value_col).over(w_local))
+    totals = staged.groupBy("__pid").agg(F.sum(value_col).alias("__s"))
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__s").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__lc"))
+        .drop("__pid", "__lc", "__off")
     )

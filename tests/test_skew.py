@@ -270,3 +270,98 @@ def test_global_rank_plan_has_no_global_window(spark):
     for m in re.finditer(r"Window \[.*?\]", plan):
         assert "__pid" in m.group(0), m.group(0)
     spark.catalog.clearCache()
+
+
+def test_global_cumsum_matches_single_window(spark):
+    """Bit-equality with the single-task global-window cumsum across
+    partition counts, descending order, and DECIMAL values — the exact
+    contract q_abc_classification / corpus_coverage_curve rely on."""
+    from pyspark.sql import Window as W
+
+    from potoos_spark.operators.skew import global_cumsum
+
+    df = spark.range(977).select(
+        F.col("id").alias("i"),
+        ((F.col("id") * 37) % 211).cast("decimal(18,2)").alias("v"),
+    )
+    w = W.orderBy(F.col("v").desc(), "i").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    want = {
+        (r["i"], str(r["c"]))
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    for n_parts in (2, 7, 32):
+        got = {
+            (r["i"], str(r["c"]))
+            for r in global_cumsum(
+                df,
+                [F.col("v").desc(), "i"],
+                "v",
+                out_col="c",
+                n_parts=n_parts,
+            ).collect()
+        }
+        assert got == want, n_parts
+    spark.catalog.clearCache()
+
+
+def test_global_cumsum_bigint_ascending(spark):
+    from pyspark.sql import Window as W
+
+    from potoos_spark.operators.skew import global_cumsum
+
+    df = spark.range(500).select(
+        F.col("id").alias("i"), (F.col("id") % 11).alias("v")
+    )
+    w = W.orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    want = [
+        (r["i"], r["c"])
+        for r in df.withColumn("c", F.sum("v").over(w)).orderBy("i").collect()
+    ]
+    got = [
+        (r["i"], r["c"])
+        for r in global_cumsum(df, ["i"], "v", out_col="c", n_parts=5)
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == want
+    spark.catalog.clearCache()
+
+
+def test_global_cumsum_rejects_float(spark):
+    from potoos_spark.operators.skew import global_cumsum
+
+    df = spark.range(10).select(
+        F.col("id").alias("i"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises(ValueError, match="order-sensitive"):
+        global_cumsum(df, ["i"], "v")
+
+
+def test_swapped_catalog_entries_have_no_global_window(spark):
+    """q_abc_classification, q_ltv_deciles, and corpus_coverage_curve
+    moved off single-task global windows onto the two-phase machinery;
+    every Window in their executed plans must mention __pid (either
+    partitioned by it, or the ≤ n_parts offset relation ordered by
+    it)."""
+    import re
+
+    from potoos_spark.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "q_abc_classification",
+        "q_ltv_deciles",
+        "corpus_coverage_curve",
+    ):
+        plan = (
+            CATALOG[name]
+            .fn(spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for m in re.finditer(r"Window \[.*?\]", plan):
+            assert "__pid" in m.group(0), (name, m.group(0))
+    spark.catalog.clearCache()
