@@ -285,17 +285,22 @@ def _skyline_fn(spark, sf_dir):
     and keep rows that top their own price group AND beat every cheaper
     group's max. The oracle states dominance directly via NOT EXISTS —
     an independent formulation, so parity checks the algorithm, not a
-    transliteration. Skyline is distributive (skyline(A∪B) =
-    skyline(skyline(A)∪skyline(B))), so at scale the same sweep runs
-    per partition first and the global pass sees only local skylines."""
-    from pyspark.sql import Window as W
+    transliteration. The strict-predecessor running max uses the
+    distributed two-phase prefix max (`skew.global_cummax`,
+    inclusive=False), NEVER a single-task `Window.orderBy` over the
+    distinct-price relation — price cardinality grows with the part
+    table. (Skyline is also distributive — skyline(A∪B) =
+    skyline(skyline(A)∪skyline(B)) — so a per-partition pre-filter is
+    a further option at extreme scale.)"""
+    from ..operators.skew import global_cummax
 
     p = table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
     g = p.groupBy("p_retailprice").agg(F.max("p_size").alias("__gmax"))
-    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
-    g2 = g.withColumn("__run", F.max("__gmax").over(w))
+    g2 = global_cummax(
+        g, ["p_retailprice"], "__gmax", out_col="__run", inclusive=False
+    )
     j = p.join(g2, "p_retailprice")
     keep = (F.col("p_size") == F.col("__gmax")) & (
         F.col("__run").isNull() | (F.col("p_size") > F.col("__run"))

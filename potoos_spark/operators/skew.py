@@ -300,3 +300,51 @@ def global_cumsum(
         .withColumn(out_col, F.col("__off") + F.col("__lc"))
         .drop("__pid", "__lc", "__off")
     )
+
+
+def global_cummax(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    value_col: str,
+    out_col: str = "cummax",
+    n_parts: int = 32,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Exact running max of ``value_col`` over a TOTAL order without
+    the single-task global window — the prefix-MAX sibling of
+    ``global_cumsum`` (max is associative and commutative, so the
+    two-phase reassociation is exact for every dtype, floats
+    included). ``inclusive=False`` gives the strict-predecessors frame
+    (``rowsBetween(unboundedPreceding, -1)``) the skyline sweep needs:
+    the slice-local exclusive max combines with the max of all prior
+    slices via ``greatest`` (null-skipping), so only the global first
+    row is NULL — identical to the one-window form.
+
+    Same persist/caller-owns-cache contract as ``global_rank``.
+
+    Output: input columns + ``out_col``.
+    """
+    from pyspark.sql import Window as W
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    staged = (
+        df.repartitionByRange(int(n_parts), *cols)
+        .withColumn("__pid", F.spark_partition_id())
+    ).persist()
+    end = 0 if inclusive else -1
+    w_local = (
+        W.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(W.unboundedPreceding, end)
+    )
+    local = staged.withColumn("__lm", F.max(value_col).over(w_local))
+    totals = staged.groupBy("__pid").agg(F.max(value_col).alias("__m"))
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.max("__m").over(w_off)
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.greatest(F.col("__off"), F.col("__lm")))
+        .drop("__pid", "__lm", "__off")
+    )

@@ -354,6 +354,7 @@ def test_swapped_catalog_entries_have_no_global_window(spark):
         "q_abc_classification",
         "q_ltv_deciles",
         "corpus_coverage_curve",
+        "q_skyline",
     ):
         plan = (
             CATALOG[name]
@@ -364,4 +365,40 @@ def test_swapped_catalog_entries_have_no_global_window(spark):
         )
         for m in re.finditer(r"Window \[.*?\]", plan):
             assert "__pid" in m.group(0), (name, m.group(0))
+    spark.catalog.clearCache()
+
+
+def test_global_cummax_matches_single_window(spark):
+    """Inclusive and strict-predecessor (exclusive) running max, bit
+    equal to the one-window form across partition counts — including
+    the NULL-only-for-the-global-first-row exclusive contract the
+    skyline sweep relies on."""
+    from pyspark.sql import Window as W
+
+    from potoos_spark.operators.skew import global_cummax
+
+    df = spark.range(600).select(
+        F.col("id").alias("i"),
+        ((F.col("id") * 89) % 331).cast("double").alias("v"),
+    )
+    for inclusive in (True, False):
+        end = 0 if inclusive else -1
+        w = W.orderBy("i").rowsBetween(W.unboundedPreceding, end)
+        want = [
+            (r["i"], r["m"])
+            for r in df.withColumn("m", F.max("v").over(w))
+            .orderBy("i")
+            .collect()
+        ]
+        for n_parts in (3, 32):
+            got = [
+                (r["i"], r["m"])
+                for r in global_cummax(
+                    df, ["i"], "v", out_col="m",
+                    n_parts=n_parts, inclusive=inclusive,
+                )
+                .orderBy("i")
+                .collect()
+            ]
+            assert got == want, (inclusive, n_parts)
     spark.catalog.clearCache()
