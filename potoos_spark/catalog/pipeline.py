@@ -1769,6 +1769,28 @@ WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
 """
 
 
+def _weighted_sample_fn(spark, sf_dir):
+    from ..operators.curate import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), 100, "n_chars")
+
+
+# Efraimidis–Spirakis exponential race: u from md5(doc_id) (8 hex
+# digits + 0.5 over 2^32 — the stratified_sample hash family), key
+# round(ln(u)/n_chars · 1e9) as an exact integer (the LM-scorer
+# convention), top-100 by (key desc, doc_id).
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars,
+       CAST(round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) + 0.5) / 4294967296.0)
+                  / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_e9
+FROM documents
+WHERE n_chars > 0
+ORDER BY key_e9 DESC, doc_id
+LIMIT 100
+"""
+
+
 def _random_projection_fn(spark, sf_dir):
     return S.random_projection(_embs(spark, sf_dir), in_dim=64, out_dim=8)
 
@@ -2062,6 +2084,9 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_centroid_drift": QuerySpec(_centroid_drift_fn, _CENTROID_DRIFT_SQL),
     "corpus_sample_split": QuerySpec(_sample_split_fn, _SAMPLE_SPLIT_SQL),
     "corpus_stratified_sample": QuerySpec(_stratified_sample_fn, _STRATIFIED_SAMPLE_SQL),
+    # extension: Efraimidis–Spirakis weighted sampling without
+    # replacement (length-proportional annotation/eval draws)
+    "corpus_weighted_sample": QuerySpec(_weighted_sample_fn, _WEIGHTED_SAMPLE_SQL),
     # extension: marginal n-gram novelty (coverage-driven data selection)
     "corpus_ngram_novelty": QuerySpec(_ngram_novelty_fn, _NGRAM_NOVELTY_SQL),
     # extension: cumulative distinct-shingle coverage curve

@@ -485,3 +485,48 @@ def pack_bins(
             (cum % capacity).alias("offset_in_bin"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis, IPL 2006): each row draws a uniform u from md5(id) and
+    enters the race with key ln(u)/w — the k largest keys are exactly
+    a weight-proportional sample without replacement (the classic
+    exponential-race argument: -ln(u)/w ~ Exp(w), and the k smallest
+    exponentials select items with probability proportional to their
+    weights at every step). The data-mix use: "sample 100k documents
+    for annotation, long documents proportionally more often" —
+    reproducibly, so two runs (or two engines) pick the same docs.
+
+    Determinism discipline: u = (first 8 hex digits of md5(id) + 0.5)
+    / 2^32 — seedless and partitioning-independent, the same hash
+    family as ``stratified_sample``; the key is rounded and scaled to
+    an INTEGER (round(ln(u)/w · 1e9), the LM-scorer convention) before
+    ranking, so a 1-ulp libm ln() difference can't flip a rank
+    boundary between engines. Ties (same scaled key) break on id.
+
+    Physical shape: one in-row map computes the keys (no shuffle),
+    then a top-k — Catalyst's TakeOrderedAndProject: per-partition
+    heaps of k rows, one k-row merge at the driver, no global sort.
+    Rows with weight ≤ 0 or NULL never race (documented exclusion).
+
+    Output: (id_col, weight_col, key_e9), the k winners.
+    """
+    h32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.round(
+        F.log(u) / F.col(weight_col).cast("double") * F.lit(1e9)
+    ).cast("bigint")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), key.alias("key_e9"))
+        .orderBy(F.col("key_e9").desc(), F.col(id_col))
+        .limit(int(k))
+    )

@@ -65,6 +65,12 @@ QUERIES = [
     "text_bm25",             # the BM25 sub-part of text_hybrid_rrf
     "corpus_pack_bins",      # two-phase prefix sum (skew-sensitive)
     "dedup_chunks",          # passage-hash dedup (hash skew-sensitive)
+    # r4-late: entries swapped off single-task global windows onto the
+    # two-phase prefix machinery (q_skyline excluded: its input is the
+    # part dim, copied as-is — no growth axis to measure)
+    "q_abc_classification",  # global_cumsum over per-part revenue
+    "q_ltv_deciles",         # global_ntile over per-customer revenue
+    "corpus_coverage_curve", # global_cumsum over the doc spine
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]

@@ -328,3 +328,47 @@ def test_pack_bins_offsets_are_contiguous(spark):
     for r in rows:
         assert (r.bin_id, r.offset_in_bin) == (cum // 4096, cum % 4096)
         cum += r.size
+
+
+class TestWeightedSample:
+    def test_weight_proportional_and_deterministic(self, spark):
+        """Heavier rows win the exponential race proportionally more
+        often, the draw is partitioning-independent, and the plan is a
+        TakeOrderedAndProject (no global sort)."""
+        from pyspark.sql import functions as F
+
+        from potoos_spark.operators.curate import weighted_sample
+
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            # ids < 200 are 50x heavier than the rest
+            F.when(F.col("id") < 200, 500).otherwise(10).alias("w"),
+        )
+        got = weighted_sample(df, 300, "w").collect()
+        assert len(got) == 300
+        heavy = sum(1 for r in got if r["doc_id"] < 200)
+        # heavy ids hold 1/10 of rows but 10/28 of total weight; with
+        # 50x weight each they must dominate the winners
+        assert heavy > 120, heavy
+        again = weighted_sample(df.repartition(13), 300, "w").collect()
+        assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
+        plan = (
+            weighted_sample(df, 300, "w")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+
+    def test_nonpositive_weights_never_race(self, spark):
+        from pyspark.sql import functions as F
+
+        from potoos_spark.operators.curate import weighted_sample
+
+        df = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, -5).otherwise(3).alias("w"),
+        )
+        got = weighted_sample(df, 100, "w").collect()
+        assert len(got) == 25
+        assert all(r["doc_id"] % 2 == 1 for r in got)
