@@ -620,22 +620,25 @@ def _global_pctl_fn(spark, sf_dir):
     )
     r = global_rank(li, ["price", "l_orderkey", "l_linenumber"], rank_col="rk")
     n = r.agg(F.count("*").alias("n"))
-    qs = [(0.5, "p50"), (0.9, "p90"), (0.99, "p99"), (0.999, "p999")]
-    picks = None
-    for q, name in qs:
-        p = (
-            r.join(F.broadcast(n))
-            .filter(F.col("rk") == F.ceil(F.col("n") * q).cast("bigint"))
-            .select(
-                F.lit(name).alias("pctl"),
-                F.lit(q).alias("q"),
-                F.col("price").cast("double").alias("value"),
-                F.col("rk").alias("rank"),
-                F.col("n").alias("n_rows"),
-            )
+    # ONE pass over the ranked relation: the 4 target quantiles ride
+    # along as a broadcast 4-row spec (a per-quantile union would
+    # re-run the rank window + filter once per quantile)
+    qspec = spark.createDataFrame(
+        [(0.5, "p50"), (0.9, "p90"), (0.99, "p99"), (0.999, "p999")],
+        "q double, pctl string",
+    )
+    return (
+        r.join(F.broadcast(n))
+        .join(F.broadcast(qspec))
+        .filter(F.col("rk") == F.ceil(F.col("n") * F.col("q")).cast("bigint"))
+        .select(
+            "pctl",
+            "q",
+            F.col("price").cast("double").alias("value"),
+            F.col("rk").alias("rank"),
+            F.col("n").alias("n_rows"),
         )
-        picks = p if picks is None else picks.unionAll(p)
-    return picks
+    )
 
 
 _GLOBAL_PCTL_SQL = (
