@@ -682,6 +682,40 @@ _SIMHASH_SQL = (
     "GROUP BY simhash HAVING COUNT(*) >= 2"
 )
 
+def _keep_best_fn(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    scores = T.unigram_logprob(docs).select("doc_id", "avg_nll")
+    return D.simhash_keep_best(docs, scores)
+
+
+# Quality-keeper near-dup groups: SimHash buckets, keeper = lowest
+# per-token NLL under the corpus's own unigram LM (most fluent copy),
+# ties by min id. The SQL keeper uses a per-group ranked window; the
+# engine uses a min_by struct agg — independent formulations of the
+# same policy.
+_KEEP_BEST_SQL = (
+    f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes), "
+    "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2), "
+    "cnt AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY 1), "
+    "tot AS (SELECT SUM(cnt) AS total FROM cnt), "
+    "term AS (SELECT doc_id, tf, "
+    "CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1e9) AS BIGINT) AS le9 "
+    "FROM tf JOIN cnt USING (tok), tot), "
+    "lm AS (SELECT doc_id, "
+    "round(CAST(-SUM(le9 * tf) AS DOUBLE) / SUM(tf) / 1e9, 9) AS avg_nll "
+    "FROM term GROUP BY doc_id), "
+    "sel AS (SELECT simhash, doc_id, avg_nll, "
+    "ROW_NUMBER() OVER (PARTITION BY simhash ORDER BY avg_nll, doc_id) AS rn, "
+    "COUNT(*) OVER (PARTITION BY simhash) AS n_docs, "
+    "MIN(avg_nll) OVER (PARTITION BY simhash) AS keep_score "
+    "FROM fp JOIN lm USING (doc_id)) "
+    "SELECT simhash, n_docs, doc_id AS keep_id, keep_score "
+    "FROM sel WHERE rn = 1 AND n_docs >= 2"
+)
+
+
 _SOURCE_OVERLAP_SQL = (
     f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
     f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
@@ -1791,6 +1825,34 @@ LIMIT 100
 """
 
 
+def _weighted_sample_grouped_fn(spark, sf_dir):
+    from ..operators.curate import weighted_sample_grouped
+
+    return weighted_sample_grouped(
+        _docs(spark, sf_dir), 20, "n_chars", group_col="source"
+    )
+
+
+# Quota form: 20 weighted winners per source, same race key, ranked by
+# a window PARTITIONED on source (per-group sorts only).
+_WEIGHTED_SAMPLE_GROUPED_SQL = """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         CAST(round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) + 0.5) / 4294967296.0)
+                    / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_e9
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT * FROM (
+  SELECT source, doc_id, n_chars, key_e9,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY key_e9 DESC, doc_id) AS rk
+  FROM keyed
+) WHERE rk <= 20
+"""
+
+
 def _random_projection_fn(spark, sf_dir):
     return S.random_projection(_embs(spark, sf_dir), in_dim=64, out_dim=8)
 
@@ -2087,6 +2149,10 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: Efraimidis–Spirakis weighted sampling without
     # replacement (length-proportional annotation/eval draws)
     "corpus_weighted_sample": QuerySpec(_weighted_sample_fn, _WEIGHTED_SAMPLE_SQL),
+    # extension: per-source quota draws (weighted, without replacement)
+    "corpus_weighted_sample_grouped": QuerySpec(
+        _weighted_sample_grouped_fn, _WEIGHTED_SAMPLE_GROUPED_SQL
+    ),
     # extension: marginal n-gram novelty (coverage-driven data selection)
     "corpus_ngram_novelty": QuerySpec(_ngram_novelty_fn, _NGRAM_NOVELTY_SQL),
     # extension: cumulative distinct-shingle coverage curve
@@ -2095,6 +2161,9 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_source_overlap": QuerySpec(_source_overlap_fn, _SOURCE_OVERLAP_SQL),
     # extension: near-dup cluster-size histogram (dedup yield predictor)
     "dedup_cluster_sizes": QuerySpec(_cluster_sizes_fn, _CLUSTER_SIZES_SQL),
+    # extension: quality-keeper near-dup canonicalization (keep the
+    # most fluent copy under the corpus's own unigram LM)
+    "dedup_keep_best": QuerySpec(_keep_best_fn, _KEEP_BEST_SQL),
     # extension: per-language corpus composition report
     "corpus_language_mix": QuerySpec(_language_mix_fn, _LANGUAGE_MIX_SQL),
     "emb_random_projection": QuerySpec(_random_projection_fn, _RANDOM_PROJECTION_SQL),

@@ -530,3 +530,48 @@ def weighted_sample(
         .orderBy(F.col("key_e9").desc(), F.col(id_col))
         .limit(int(k))
     )
+
+
+def weighted_sample_grouped(
+    df: DataFrame,
+    k_per_group: int,
+    weight_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group Efraimidis–Spirakis draws: ``k_per_group`` weighted
+    winners WITHOUT replacement from every group — the quota form of
+    ``weighted_sample`` ("200 docs from each source for review, long
+    docs proportionally more often"). Same deterministic key (md5
+    uniform, ln(u)/w rounded+integer-scaled), ranked by a window
+    PARTITIONED on the group key — per-group sorts, bounded by group
+    size, no global order anywhere. A pathologically hot group can
+    ride ``skew.two_phase_cap``'s salted shape; at k ≪ group size the
+    one-window form is the right default.
+
+    Output: (group_col, id_col, weight_col, key_e9, rk), rk 1-based
+    within the group.
+    """
+    from pyspark.sql import Window as W
+
+    h32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.round(
+        F.log(u) / F.col(weight_col).cast("double") * F.lit(1e9)
+    ).cast("bigint")
+    w = W.partitionBy(group_col).orderBy(
+        F.col("key_e9").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col(weight_col),
+            key.alias("key_e9"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= int(k_per_group))
+    )

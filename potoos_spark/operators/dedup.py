@@ -1164,3 +1164,45 @@ def streaming_chunk_dedup(
         .dropDuplicatesWithinWatermark(["chunk_hash"])
         .select("chunk_hash", F.col(id_col), "ci", "chunk")
     )
+
+
+def simhash_keep_best(
+    df: DataFrame,
+    scores: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "avg_nll",
+) -> DataFrame:
+    """Near-dup groups with a QUALITY-keeper policy: groups are the
+    identical-32-bit-SimHash buckets of ``simhash_dup_groups``, but the
+    keeper is the member with the LOWEST ``score_col`` (ties broken by
+    min id) — "keep the most fluent duplicate", the canonicalization
+    real pipelines use when near-copies differ in boilerplate or OCR
+    noise (pass ``unigram_logprob``'s per-token NLL as the score:
+    lower = more fluent under the corpus's own LM).
+
+    Physical shape: the in-row fingerprint joins the (id, score) frame
+    on the id key, then ONE map-side-combinable hash agg (``min_by``
+    on a (score, id) struct — field-by-field struct ordering, so the
+    tie-break works for any orderable id type); no ranked window, so a
+    viral duplicate group collapses per map task before the shuffle.
+    The score itself must be deterministic across engines — avg_nll is
+    rounded to 9 decimals before it leaves ``unigram_logprob``.
+
+    Output: (simhash, n_docs, keep_id, keep_score), groups of ≥ 2.
+    """
+    s = simhash(df, text_col, id_col).join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    pri = F.struct(
+        F.col(score_col).alias("s"), F.col(id_col).alias("id")
+    )
+    return (
+        s.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min_by(id_col, pri).alias("keep_id"),
+            F.min(score_col).alias("keep_score"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -372,3 +372,30 @@ class TestWeightedSample:
         got = weighted_sample(df, 100, "w").collect()
         assert len(got) == 25
         assert all(r["doc_id"] % 2 == 1 for r in got)
+
+    def test_grouped_quota_and_weights(self, spark):
+        """weighted_sample_grouped: ≤ k winners per group, weights
+        bias within each group, deterministic across partitionings."""
+        from pyspark.sql import functions as F
+
+        from potoos_spark.operators.curate import weighted_sample_grouped
+
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("string").alias("source"),
+            F.when(F.col("id") % 5 == 0, 1000).otherwise(1).alias("w"),
+        )
+        got = weighted_sample_grouped(df, 25, "w", group_col="source").collect()
+        per = {}
+        for r in got:
+            per.setdefault(r["source"], []).append(r["doc_id"])
+        assert set(per) == {"0", "1", "2", "3"}
+        assert all(len(v) == 25 for v in per.values())
+        # heavy ids (50 per group at 1000x weight, 25 slots) should
+        # sweep nearly every slot in every group
+        heavy = sum(1 for r in got if r["doc_id"] % 5 == 0)
+        assert heavy > 85, heavy
+        again = weighted_sample_grouped(
+            df.repartition(17), 25, "w", group_col="source"
+        ).collect()
+        assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}

@@ -262,3 +262,39 @@ def test_simhash_hamming_zero_contains_dup_groups(spark):
     ).collect()[0]["p"]
     pairs0 = simhash_hamming_pairs(docs, max_hamming=0).count()
     assert pairs0 == (n_grouped or 0)
+
+
+def test_simhash_keep_best_picks_lowest_score(spark):
+    """The keeper of every group is the member with the minimum
+    (score, id); keep_score is that member's score; singletons are
+    dropped; the plan has no Window (min_by hash agg only)."""
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.dedup import simhash_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),   # same fingerprint as 1
+            (3, "alpha beta gamma delta"),   # same fingerprint as 1
+            (4, "completely different words entirely"),
+        ],
+        "doc_id int, text string",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 3.5), (3, 3.5), (4, 1.0)],
+        "doc_id int, avg_nll double",
+    )
+    got = simhash_keep_best(docs, scores).collect()
+    assert len(got) == 1
+    (g,) = got
+    assert g["n_docs"] == 3
+    assert g["keep_id"] == 2       # min score 3.5, tie -> min id
+    assert g["keep_score"] == 3.5
+    plan = (
+        simhash_keep_best(docs, scores)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
