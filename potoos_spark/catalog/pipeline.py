@@ -1719,6 +1719,45 @@ _KNN_QUANT_SQL = (
 
 
 
+def _knn_rerank_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.rerank_topk(e.filter(F.col("vec_id") < 5), e, k=10, expand=4)
+
+
+# Two-stage funnel: the int8 lattice (emb_quantize CTE) nominates 40
+# candidates per query, the 1000x-scaled exact cosine re-ranks them to
+# the final 10. Both stages integer-deterministic with id tiebreaks,
+# so the SQL replay is bit-identical.
+_KNN_RERANK_SQL = (
+    "WITH qa AS (SELECT vec_id, embedding, "
+    "list_max([ABS(CAST(x AS DOUBLE)) for x in embedding]) AS amax FROM embeddings), "
+    "qv AS (SELECT vec_id, CASE WHEN amax > 0 THEN "
+    "[CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) for x in embedding] "
+    "ELSE [CAST(0 AS BIGINT) for x in embedding] END AS e FROM qa), "
+    "qn AS (SELECT vec_id, CAST(list_sum([x * x for x in e]) AS BIGINT) AS nn FROM qv), "
+    "cand AS (SELECT query_id, match_id FROM ("
+    "SELECT q.vec_id AS query_id, c.vec_id AS match_id, ROW_NUMBER() OVER ("
+    "PARTITION BY q.vec_id ORDER BY "
+    "CAST(CAST(list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) AS BIGINT) "
+    "AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) DESC, c.vec_id) AS rn "
+    "FROM qv q JOIN qv c ON q.vec_id < 5 AND q.vec_id <> c.vec_id "
+    "JOIN qn na ON na.vec_id = q.vec_id JOIN qn nb ON nb.vec_id = c.vec_id"
+    ") WHERE rn <= 40), "
+    "fv AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+    "for x in embedding] AS e FROM embeddings), "
+    "fn2 AS (SELECT vec_id, CAST(list_sum([x * x for x in e]) AS BIGINT) AS nn FROM fv), "
+    "scored AS (SELECT cd.query_id, cd.match_id, "
+    "CAST(CAST(list_sum(list_transform(list_zip(fq.e, fc.e), p -> p[1] * p[2])) AS BIGINT) "
+    "AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) AS cosine "
+    "FROM cand cd JOIN fv fq ON fq.vec_id = cd.query_id "
+    "JOIN fv fc ON fc.vec_id = cd.match_id "
+    "JOIN fn2 na ON na.vec_id = cd.query_id JOIN fn2 nb ON nb.vec_id = cd.match_id) "
+    "SELECT query_id, match_id, cosine, rank FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank FROM scored) "
+    "WHERE rank <= 10"
+)
+
+
 def _dedup_lev_fn(spark, sf_dir):
     return D.levenshtein_pairs(_docs(spark, sf_dir), max_distance=40)
 
@@ -2104,6 +2143,9 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_bruteforce": QuerySpec(_knn_brute_fn, _KNN_BRUTE_SQL),
     # extension: brute-force search over the int8-quantized lattice
     "knn_quantized": QuerySpec(_knn_quantized_fn, _KNN_QUANT_SQL),
+    # extension: two-stage retrieval (quantized candidates -> exact
+    # full-precision re-rank)
+    "knn_rerank": QuerySpec(_knn_rerank_fn, _KNN_RERANK_SQL),
     # extension: Matryoshka prefix-truncated search (retrieve cheap,
     # re-rank at full width)
     "knn_matryoshka": QuerySpec(_knn_matryoshka_fn, _KNN_MATRYOSHKA_SQL),

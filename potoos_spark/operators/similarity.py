@@ -487,3 +487,47 @@ def random_projection(
         .select(F.col(id_col), F.explode(proj).alias("p"))
         .select(F.col(id_col), F.col("p.j").alias("j"), F.col("p.y").alias("y"))
     )
+
+
+def rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    expand: int = 4,
+) -> DataFrame:
+    """Two-stage retrieval — the production ANN shape: a cheap
+    int8-quantized first pass nominates ``expand × k`` candidates per
+    query (4× smaller vectors, integer dot products), then the exact
+    full-precision cosine re-ranks ONLY those candidates for the final
+    top-k. At 100 TB the first pass is the corpus scan you can afford
+    (int8 lattice, cold fp32 storage untouched) and the second pass
+    touches |Q|·expand·k rows — the recall loss of quantization is
+    confined to the candidate CUTOFF, not the final ordering.
+
+    Both stages are deterministic (integer lattices on both sides,
+    ties broken by id), so the whole funnel is engine-reproducible —
+    the oracle replays both stages in SQL. The candidate set rides a
+    broadcast (bounded by the query set by construction).
+
+    Output: (query_id, match_id, cosine, rank) — exact cosines, top-k.
+    """
+    cands = quantized_topk(
+        queries, corpus, vec_col, id_col, k=int(k) * int(expand)
+    ).select("query_id", "match_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), scaled_vec(vec_col).alias("qe")
+    ).withColumn("qn", sqnorm_expr(F.col("qe")))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), scaled_vec(vec_col).alias("ce")
+    ).withColumn("cn", sqnorm_expr(F.col("ce")))
+    pairs = c.join(F.broadcast(cands.join(F.broadcast(q), "query_id")), "match_id")
+    scored = pairs.select(
+        "query_id",
+        "match_id",
+        cosine_from_norms(
+            F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
+    )
+    return _ranked_topk(scored, k)

@@ -175,3 +175,47 @@ def test_quantized_topk_recall_vs_exact(spark):
         len(exact[qid] & quant.get(qid, set())) / len(exact[qid]) for qid in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_rerank_recall_at_least_quantized(spark):
+    """The two-stage funnel's recall@10 vs exact must be ≥ the
+    quantized-only recall (re-ranking candidates with exact cosines
+    can only fix stage-1 ordering mistakes, never add new ones), and
+    its reported cosines must EQUAL the exact cosines for every
+    returned pair (final scores are full-precision)."""
+    from potoos_spark.operators.similarity import (
+        cosine_topk,
+        quantized_topk,
+        rerank_topk,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["match_id"])
+        return out
+
+    exact_df = cosine_topk(q, e, k=10)
+    exact = topk_sets(exact_df)
+    quant = topk_sets(quantized_topk(q, e, k=10))
+    rr_df = rerank_topk(q, e, k=10, expand=4)
+    rr = topk_sets(rr_df)
+
+    def recall(got):
+        return sum(
+            len(exact[qid] & got.get(qid, set())) / len(exact[qid])
+            for qid in exact
+        ) / len(exact)
+
+    assert recall(rr) >= recall(quant), (recall(rr), recall(quant))
+    assert recall(rr) >= 0.9, recall(rr)
+    exact_cos = {
+        (r["query_id"], r["match_id"]): r["cosine"] for r in exact_df.collect()
+    }
+    for r in rr_df.collect():
+        key = (r["query_id"], r["match_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key], key
