@@ -1795,6 +1795,29 @@ def _chunk_dedup_fn(spark, sf_dir):
 # (row_number over the passage hash, ordered by doc_id then chunk
 # index — deterministic on both engines), docs reassembled from the
 # surviving passages in order. Empty reassembly coalesces to ''.
+def _chunk_overlap_fn(spark, sf_dir):
+    from ..operators.curate import chunk_overlap
+
+    return chunk_overlap(_docs(spark, sf_dir), chunk_words=12, stride_words=8)
+
+
+# Sliding 12-word windows every 8 words (adjacent chunks share 4
+# words); window count = 1 + ceil(max(nw-12,0)/8) so every word lands
+# in >= 1 chunk and no empty trailing window emits.
+_CHUNK_OVERLAP_SQL = """
+WITH s AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+n AS (SELECT doc_id, w, len(w) AS nw FROM s),
+c AS (
+  SELECT doc_id, gs - 1 AS ci, (gs - 1) * 8 AS start_word,
+         list_aggregate(w[(gs-1)*8+1 : (gs-1)*8+12], 'string_agg', ' ') AS chunk
+  FROM n, LATERAL (
+    SELECT unnest(range(1, 2 + CAST(ceil(GREATEST(nw - 12, 0) / 8.0) AS BIGINT))) AS gs
+  )
+)
+SELECT doc_id, ci, start_word, chunk FROM c
+"""
+
+
 _CHUNK_DEDUP_SQL = """
 WITH s AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
 c AS (
@@ -2103,6 +2126,8 @@ QUERIES: dict[str, QuerySpec] = {
     # complete raw form, not the arbitrary min id)
     "dedup_keep_longest": QuerySpec(_dedup_keep_longest_fn, _DEDUP_KEEP_LONGEST_SQL),
     "dedup_chunks": QuerySpec(_chunk_dedup_fn, _CHUNK_DEDUP_SQL),
+    # extension: sliding-window retrieval-context chunking (overlap)
+    "corpus_chunk_overlap": QuerySpec(_chunk_overlap_fn, _CHUNK_OVERLAP_SQL),
     # extension: transitive near-dup connected components (attribute
     # label propagation; recursive-closure oracle)
     "dedup_components": QuerySpec(_dup_components_fn, _DUP_COMPONENTS_SQL),

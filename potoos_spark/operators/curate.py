@@ -575,3 +575,60 @@ def weighted_sample_grouped(
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= int(k_per_group))
     )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    chunk_words: int = 64,
+    stride_words: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking for retrieval-context prep: overlapping
+    ``chunk_words``-word windows every ``stride_words`` words (stride <
+    size ⇒ adjacent chunks share size−stride words, the standard RAG
+    trade between context continuity and index size). The last window
+    starts at the final stride position that still introduces new
+    words, so every word lands in ≥ 1 chunk and no empty trailing
+    windows emit.
+
+    Pure in-row higher-order functions (sequence/slice/posexplode) —
+    map-only, whole-stage codegen, no shuffle, no state; the same
+    projection works on an unbounded stream. The passage-dedup chunker
+    (``dedup.chunk_passages``) is the non-overlapping special case
+    (stride = size).
+
+    Output: (id, ci, start_word, chunk) — ci is the 0-based window
+    index, start_word its word offset.
+    """
+    size, stride = int(chunk_words), int(stride_words)
+    if stride <= 0 or size <= 0:
+        raise ValueError("chunk_words and stride_words must be positive")
+    if stride > size:
+        raise ValueError("stride_words must be <= chunk_words (gaps drop words)")
+    w = F.split(F.trim(F.col(text_col)), " ")
+    n = F.size(w)
+    # number of windows: 1 + ceil(max(n - size, 0) / stride)
+    n_win = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - size, F.lit(0)) / F.lit(stride)).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_win - 1),
+                lambda i: F.struct(
+                    (i * stride).alias("start_word"),
+                    F.array_join(
+                        F.slice(w, i * stride + 1, size), " "
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("ci", "__s"),
+    ).select(
+        id_col,
+        "ci",
+        F.col("__s.start_word").alias("start_word"),
+        F.col("__s.chunk").alias("chunk"),
+    )

@@ -399,3 +399,57 @@ class TestWeightedSample:
             df.repartition(17), 25, "w", group_col="source"
         ).collect()
         assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
+
+
+class TestChunkOverlap:
+    def test_coverage_overlap_and_plan(self, spark):
+        """Every word appears in >= 1 chunk; adjacent chunks share
+        size-stride words; short docs emit exactly one window; the
+        plan is map-only (no shuffle)."""
+        from pyspark.sql import functions as F
+
+        from potoos_spark.operators.curate import chunk_overlap
+
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"w{i}" for i in range(20))),  # 20 words
+                (2, "a b c"),                               # < size
+                (3, " ".join(f"x{i}" for i in range(13))),  # size+1
+            ],
+            "doc_id int, text string",
+        )
+        got = chunk_overlap(docs, chunk_words=12, stride_words=8).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 1: windows at 0 and 8 (1 + ceil(8/8) = 2)
+        assert [r["start_word"] for r in sorted(by_doc[1], key=lambda r: r["ci"])] == [0, 8]
+        c0, c1 = [r["chunk"].split() for r in sorted(by_doc[1], key=lambda r: r["ci"])]
+        assert c0 == [f"w{i}" for i in range(12)]
+        assert c1 == [f"w{i}" for i in range(8, 20)]
+        assert set(c0) & set(c1) == {f"w{i}" for i in range(8, 12)}
+        # doc 2: one window holding the whole text
+        assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk"] == "a b c"
+        # doc 3: 13 words -> windows at 0 and 8; union covers all words
+        words = set()
+        for r in by_doc[3]:
+            words.update(r["chunk"].split())
+        assert words == {f"x{i}" for i in range(13)}
+        plan = (
+            chunk_overlap(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_rejects_bad_stride(self, spark):
+        import pytest as _pytest
+
+        from potoos_spark.operators.curate import chunk_overlap
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+        with _pytest.raises(ValueError):
+            chunk_overlap(docs, chunk_words=4, stride_words=5)
+        with _pytest.raises(ValueError):
+            chunk_overlap(docs, chunk_words=4, stride_words=0)
