@@ -77,6 +77,10 @@ HEADLINE = [
     "sketch_kmv_distinct",
     "corpus_ppl_deciles",
     "q_global_percentiles",
+    # round-4-late additions: two-stage quantized->exact retrieval
+    # funnel, quality-keeper near-dup canonicalization
+    "knn_rerank",
+    "dedup_keep_best",
 ]
 
 
