@@ -618,3 +618,47 @@ def test_kmv_distinct_exact_below_k_and_bounded_above(spark, n_distinct, k):
         assert row["k_used"] == k
         assert row["est_distinct"] > k - 1
         assert row["est_distinct"] == row["est_distinct"]  # not NaN
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=1, max_value=5_000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=20),
+)
+def test_weighted_sample_matches_python_race(spark, rows, k):
+    """Third-engine check: the Efraimidis–Spirakis winners computed by
+    Spark equal a pure-Python replay of the identical md5 race (same
+    uniform, same integer-scaled key, same (key desc, id) order) — the
+    engine-portability claim behind the DuckDB oracle, reproduced
+    against hashlib instead of an SQL engine."""
+    import hashlib
+    import math
+
+    from potoos_spark.operators.curate import weighted_sample
+
+    def half_up(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    want = []
+    for i, w in rows:
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (v + 0.5) / 4294967296.0
+        want.append((half_up(math.log(u) / w * 1e9), i, w))
+    want.sort(key=lambda t: (-t[0], t[1]))
+    expect = [(i, w, key) for key, i, w in want[:k]]
+
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    got = [
+        (r["doc_id"], r["w"], r["key_e9"])
+        for r in weighted_sample(df, k, "w").collect()
+    ]
+    got.sort(key=lambda t: (-t[2], t[0]))
+    assert got == expect
