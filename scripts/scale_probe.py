@@ -71,6 +71,11 @@ QUERIES = [
     "q_abc_classification",  # global_cumsum over per-part revenue
     "q_ltv_deciles",         # global_ntile over per-customer revenue
     "corpus_coverage_curve", # global_cumsum over the doc spine
+    # r4-late additions
+    "knn_rerank",            # quantized-candidates -> exact re-rank
+    "dedup_keep_best",       # simhash groups + LM-score keeper
+    "corpus_chunk_overlap",  # map-only sliding-window chunker
+    "corpus_weighted_sample",  # map + TakeOrdered race
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
