@@ -157,11 +157,19 @@ def run_one(spark, name, sf_dir, repeats=2):
 def main():
     import math
 
+    # Positional args (other than --keep) select a subset of QUERIES so a
+    # newly added entry can be probed without re-timing the whole list.
+    subset = [a for a in sys.argv[1:] if not a.startswith("--")]
+    names = subset or QUERIES
+    unknown = [n for n in names if n not in CATALOG]
+    if unknown:
+        sys.exit(f"unknown catalog entries: {unknown}")
+
     spark = get_session("scale_probe")
     print("replicating sf0.1 x10 ->", DST, file=sys.stderr)
     replicate(spark)
     rows = []
-    for name in QUERIES:
+    for name in names:
         t_small = run_one(spark, name, SRC)
         t_big = run_one(spark, name, DST)
         ratio = t_big / t_small
