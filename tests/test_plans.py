@@ -357,3 +357,32 @@ def test_session_paths_no_second_window_for_path(spark):
     total = plan.count("windowspecdefinition(")
     user_partitioned = plan.count("windowspecdefinition(user_id")
     assert total > 0 and total == user_partitioned, plan
+
+
+def test_weighted_sample_is_take_ordered_race(spark):
+    """The Efraimidis-Spirakis race is a map + top-k: per-partition
+    heaps merged at the driver (TakeOrderedAndProject), never a global
+    sort (rangepartitioning exchange) and never a window or join."""
+    plan = _plan(CATALOG["corpus_weighted_sample"].fn(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_rerank_candidates_ride_broadcasts(spark):
+    """Stage 2 touches only |Q|*expand*k candidate rows: the candidate
+    set and the query vectors ride broadcast joins back to the corpus —
+    no shuffle join of the corpus, no cartesian product."""
+    plan = _plan(CATALOG["knn_rerank"].fn(spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_keep_best_no_ranked_window(spark):
+    """The quality keeper is ONE map-side-combinable min_by struct agg
+    over the simhash groups — a ranked window here would shuffle every
+    duplicate member to one task per viral group."""
+    plan = _plan(CATALOG["dedup_keep_best"].fn(spark, SF_DIR), "simple")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
