@@ -217,6 +217,10 @@ def _text_bpe_fn(spark, sf_dir):
     return T.bpe_token_stats(_docs(spark, sf_dir))
 
 
+def _text_bpe_pairs_fn(spark, sf_dir):
+    return T.bpe_pair_stats(_docs(spark, sf_dir))
+
+
 def _text_quality_fn(spark, sf_dir):
     return T.quality_features(_docs(spark, sf_dir))
 
@@ -836,6 +840,21 @@ _TEXT_BPE_SQL = (
     "SELECT doc_id, n_words, n_bpe_tokens, "
     "CAST(n_bpe_tokens AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS tokens_per_word "
     "FROM b"
+)
+
+# BPE merge-step statistic at vocabulary grain: word counts first (the
+# corpus reduces to its distinct vocabulary), THEN character-pair
+# explosion weighted by the word count. All-integer; the top-20 cutoff
+# tie breaks on the pair string, so the selected set is deterministic.
+_TEXT_BPE_PAIRS_SQL = (
+    f"WITH {_TOK}, w AS (SELECT unnest(toks) AS w FROM tok), "
+    "wc AS (SELECT w, COUNT(*) AS n FROM w GROUP BY 1), "
+    "pr AS (SELECT w, n, unnest(generate_series(1, length(w)-1)) AS i "
+    "FROM wc WHERE length(w) >= 2) "
+    "SELECT pair, n_occ FROM ("
+    "SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, "
+    "CAST(SUM(n) AS BIGINT) AS n_occ FROM pr GROUP BY 1 "
+    "ORDER BY n_occ DESC, pair LIMIT 20)"
 )
 
 _EN_LIST = "['the','a','of','and','to','in','is','it','that','for']"
@@ -2181,6 +2200,7 @@ QUERIES: dict[str, QuerySpec] = {
     # text analysis
     "text_tokens": QuerySpec(_text_tokens_fn, _TEXT_TOKENS_SQL),
     "text_bpe_tokens": QuerySpec(_text_bpe_fn, _TEXT_BPE_SQL),
+    "text_bpe_pairs": QuerySpec(_text_bpe_pairs_fn, _TEXT_BPE_PAIRS_SQL),
     "text_quality": QuerySpec(_text_quality_fn, _TEXT_QUALITY_SQL),
     # extension: Flesch–Kincaid grade (dictionary-free syllable proxy)
     "text_readability": QuerySpec(_text_readability_fn, _TEXT_READABILITY_SQL),

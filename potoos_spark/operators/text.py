@@ -905,3 +905,46 @@ def rrf_fuse(
         .filter(F.col("rank") <= int(topk))
         .select(query_id_col, id_col, "rrf_e9", "n_lists", "rank")
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 20,
+) -> DataFrame:
+    """First merge step of byte-pair-encoding vocabulary training
+    (Sennrich et al., ACL 2016): corpus-wide adjacent character-pair
+    frequencies, the statistic the BPE trainer maximizes when it picks
+    a merge. Returns the ``top_n`` most frequent pairs.
+
+    Physical shape — the reason this survives 100 TB: pair explosion
+    happens at VOCABULARY grain, not corpus grain. One map-side-
+    combinable word-count agg reduces the corpus to its distinct
+    vocabulary (the shuffle carries one row per distinct word), then
+    each word is split into characters ONCE and its pairs weighted by
+    the word count — a word occurring 10^9 times contributes one
+    vocabulary row, not 10^9 explosions. The final top-n compiles to
+    TakeOrderedAndProject (per-partition heaps, k-row driver merge).
+    All-integer counts; the cutoff tie breaks on the pair string, so
+    the selected set is deterministic across engines.
+
+    Output: (pair, n_occ), the top_n pairs by corpus frequency.
+    """
+    wc = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.length("w") >= 2)
+    )
+    pair_list = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.col("w").substr(i, F.lit(2)),
+    )
+    return (
+        wc.select(F.explode(pair_list).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("pair"))
+        .limit(int(top_n))
+    )

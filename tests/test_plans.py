@@ -386,3 +386,15 @@ def test_keep_best_no_ranked_window(spark):
     plan = _plan(CATALOG["dedup_keep_best"].fn(spark, SF_DIR), "simple")
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_pairs_explode_at_vocab_grain(spark):
+    """Pair explosion must happen AFTER the word-count agg (vocabulary
+    grain): two HashAggregate pairs (words, then pairs), a top-n
+    TakeOrderedAndProject, and no window or join anywhere."""
+    plan = _plan(CATALOG["text_bpe_pairs"].fn(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    agg_idx = plan.find("HashAggregate")
+    gen_idx = plan.rfind("Generate")
+    assert agg_idx != -1 and gen_idx != -1, plan

@@ -210,3 +210,21 @@ def test_unigram_jsd_identical_zero_disjoint_ln2(spark):
     d = unigram_jsd(disjoint).collect()[0]
     assert d["jsd"] == pytest.approx(math.log(2), abs=1e-5)
     assert (d["n_a"], d["n_b"]) == (4, 2)
+
+
+def test_bpe_pair_stats_vocab_grain_counts(spark):
+    """Hand-checked merge-step counts: 'hello'x3 + 'he'x2 + 'HE?!'
+    (normalizes to 'he') give he=6, el=ll=lo=3; single-char words
+    never pair. top_n cutoff breaks ties on the pair string."""
+    from potoos_spark.operators.text import bpe_pair_stats
+
+    df = spark.createDataFrame(
+        [(1, "hello hello hello he he a"), (2, "HE?! a b")],
+        "doc_id bigint, text string",
+    )
+    got = {r["pair"]: r["n_occ"] for r in bpe_pair_stats(df).collect()}
+    assert got == {"he": 6, "el": 3, "ll": 3, "lo": 3}
+
+    # cutoff determinism: top_n=2 keeps 'he' then the tie-break winner 'el'
+    top2 = [r["pair"] for r in bpe_pair_stats(df, top_n=2).collect()]
+    assert top2 == ["he", "el"]
