@@ -221,6 +221,10 @@ def _text_bpe_pairs_fn(spark, sf_dir):
     return T.bpe_pair_stats(_docs(spark, sf_dir))
 
 
+def _text_fertility_fn(spark, sf_dir):
+    return T.fertility_by_lang(_docs(spark, sf_dir))
+
+
 def _text_quality_fn(spark, sf_dir):
     return T.quality_features(_docs(spark, sf_dir))
 
@@ -855,6 +859,21 @@ _TEXT_BPE_PAIRS_SQL = (
     "SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, "
     "CAST(SUM(n) AS BIGINT) AS n_occ FROM pr GROUP BY 1 "
     "ORDER BY n_occ DESC, pair LIMIT 20)"
+)
+
+# Tokenizer fertility per language: integer token sums, one division
+# of exact bigints (bit-stable across engines); CAST SUM AS BIGINT
+# (HUGEINT rule).
+_TEXT_FERTILITY_SQL = (
+    "WITH b AS (SELECT lang, "
+    "CAST(len(list_filter(string_split_regex(trim(regexp_replace("
+    "lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS BIGINT) AS w, "
+    "CAST(len(regexp_extract_all(text, '" + _BPE_RE.replace("'", "''") + "')) AS BIGINT) AS b "
+    "FROM documents) "
+    "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_words, "
+    "CAST(SUM(b) AS BIGINT) AS n_bpe_tokens, "
+    "CAST(SUM(b) AS DOUBLE) / CAST(GREATEST(SUM(w), 1) AS DOUBLE) AS fertility "
+    "FROM b GROUP BY lang"
 )
 
 _EN_LIST = "['the','a','of','and','to','in','is','it','that','for']"
@@ -2201,6 +2220,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_tokens": QuerySpec(_text_tokens_fn, _TEXT_TOKENS_SQL),
     "text_bpe_tokens": QuerySpec(_text_bpe_fn, _TEXT_BPE_SQL),
     "text_bpe_pairs": QuerySpec(_text_bpe_pairs_fn, _TEXT_BPE_PAIRS_SQL),
+    "text_fertility_by_lang": QuerySpec(_text_fertility_fn, _TEXT_FERTILITY_SQL),
     "text_quality": QuerySpec(_text_quality_fn, _TEXT_QUALITY_SQL),
     # extension: Flesch–Kincaid grade (dictionary-free syllable proxy)
     "text_readability": QuerySpec(_text_readability_fn, _TEXT_READABILITY_SQL),

@@ -948,3 +948,35 @@ def bpe_pair_stats(
         .orderBy(F.col("n_occ").desc(), F.col("pair"))
         .limit(int(top_n))
     )
+
+
+def fertility_by_lang(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word, the multiplier LLM-data teams budget by when mixing languages
+    (a fertility-2 language costs twice the context per word). One
+    in-row pass computes both counts; ONE map-side-combinable hash agg
+    groups by language — the shuffle carries one row per language. The
+    ratio is a single division of exact bigint sums, so it is
+    bit-stable across engines and partitionings.
+
+    Output: (lang, n_docs, n_words, n_bpe_tokens, fertility).
+    """
+    words = F.size(tokens(text_col)).cast("bigint")
+    bpe = bpe_token_count(text_col)
+    return (
+        df.select(F.col(lang_col), words.alias("__w"), bpe.alias("__b"))
+        .groupBy(lang_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__w").cast("bigint").alias("n_words"),
+            F.sum("__b").cast("bigint").alias("n_bpe_tokens"),
+            (
+                F.sum("__b").cast("double")
+                / F.greatest(F.sum("__w"), F.lit(1)).cast("double")
+            ).alias("fertility"),
+        )
+    )

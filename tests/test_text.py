@@ -228,3 +228,25 @@ def test_bpe_pair_stats_vocab_grain_counts(spark):
     # cutoff determinism: top_n=2 keeps 'he' then the tie-break winner 'el'
     top2 = [r["pair"] for r in bpe_pair_stats(df, top_n=2).collect()]
     assert top2 == ["he", "el"]
+
+
+def test_fertility_by_lang_counts_and_ratio(spark):
+    """Punctuation and digits tokenize separately under the BPE-ish
+    pre-tokenizer but fuse into words under whitespace normalization,
+    so fertility > 1 for marked-up text and exactly 1 for clean text."""
+    from potoos_spark.operators.text import fertility_by_lang
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "hello world"),            # 2 words, 2 bpe tokens
+            (2, "en", "it's 2024, ok?!"),        # 4 norm words, 6 bpe tokens
+            (3, "de", "guten tag"),              # clean: fertility 1.0
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    got = {r["lang"]: r for r in fertility_by_lang(df).collect()}
+    assert got["de"]["fertility"] == 1.0
+    en = got["en"]
+    assert en["n_docs"] == 2 and en["n_words"] == 6
+    assert en["n_bpe_tokens"] > en["n_words"]
+    assert en["fertility"] == en["n_bpe_tokens"] / en["n_words"]
