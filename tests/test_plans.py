@@ -398,3 +398,13 @@ def test_bpe_pairs_explode_at_vocab_grain(spark):
     agg_idx = plan.find("HashAggregate")
     gen_idx = plan.rfind("Generate")
     assert agg_idx != -1 and gen_idx != -1, plan
+
+
+def test_fertility_single_partial_agg(spark):
+    """Both token counts are in-row expressions feeding ONE partial->
+    final hash agg on lang: a single exchange, no window, no join."""
+    plan = _plan(CATALOG["text_fertility_by_lang"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2 and "partial_sum" in plan, plan
+    simple = _plan(CATALOG["text_fertility_by_lang"].fn(spark, SF_DIR), "simple")
+    assert simple.count("Exchange") == 1, simple
+    assert "Window" not in simple and "Join" not in simple, simple
