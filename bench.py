@@ -78,9 +78,11 @@ HEADLINE = [
     "corpus_ppl_deciles",
     "q_global_percentiles",
     # round-4-late additions: two-stage quantized->exact retrieval
-    # funnel, quality-keeper near-dup canonicalization
+    # funnel, quality-keeper near-dup canonicalization, BPE merge-step
+    # pair statistics (vocabulary-grain explosion)
     "knn_rerank",
     "dedup_keep_best",
+    "text_bpe_pairs",
 ]
 
 
