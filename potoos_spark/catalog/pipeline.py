@@ -444,6 +444,38 @@ def _stream_dedup_fn(spark, sf_dir):
     return spark.table(name)
 
 
+def _stream_simhash_dedup_fn(spark, sf_dir):
+    """Replay documents as a stream; survivors of the watermarked
+    SimHash near-dup suppression = one per distinct 32-bit fingerprint
+    (the fingerprint set is deterministic; which near-copy passes first
+    is arrival order, so only the fingerprint is emitted)."""
+    import uuid
+
+    from ..operators.dedup import streaming_simhash_dedup
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    docs = docs.withColumn(
+        "ingest_time", F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("doc_id"))
+    )
+    out = streaming_simhash_dedup(docs).select("simhash")
+    name = f"ssim_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _stream_quality_fn(spark, sf_dir):
     """Ingest-time quality gate: the batch quality_filter applied to an
     unbounded documents stream. Stateless (pure column predicates), so
@@ -688,6 +720,16 @@ _SIMHASH_SQL = (
     f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes) "
     "SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id FROM fp "
     "GROUP BY simhash HAVING COUNT(*) >= 2"
+)
+
+# Streaming near-dup replay oracle: the survivor fingerprint SET is the
+# batch distinct-fingerprint set (the replay horizon — 1h watermark vs
+# a few seconds of synthetic ingest span — guarantees every near-copy
+# is suppressed, so exactly one survivor per fingerprint).
+_STREAM_SIMHASH_DEDUP_SQL = (
+    f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id) "
+    f"SELECT DISTINCT CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes"
 )
 
 def _keep_best_fn(spark, sf_dir):
@@ -2232,6 +2274,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality_filter": QuerySpec(_quality_filter_fn, _QUALITY_FILTER_SQL),
     "dedup_exact_streaming": QuerySpec(_stream_dedup_fn, _STREAM_DEDUP_SQL),
     "dedup_chunks_streaming": QuerySpec(_stream_chunk_dedup_fn, _STREAM_CHUNK_DEDUP_SQL),
+    "dedup_simhash_streaming": QuerySpec(
+        _stream_simhash_dedup_fn, _STREAM_SIMHASH_DEDUP_SQL
+    ),
     "stream_quality_filter": QuerySpec(_stream_quality_fn, _QUALITY_FILTER_SQL),
     "text_langid": QuerySpec(_text_langid_fn, _TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(_text_fp_fn, _TEXT_FP_SQL),

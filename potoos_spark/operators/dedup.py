@@ -102,6 +102,40 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_simhash_dedup(
+    sdf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time_col: str = "ingest_time",
+    watermark: str = "1 hour",
+    n_bits: int = 32,
+) -> DataFrame:
+    """NEAR-dup suppression over an unbounded document stream: first
+    arrival per identical ``n_bits``-bit SimHash fingerprint passes,
+    later near-copies (vote-identical token distributions — boilerplate
+    or OCR variants of the same page) drop. The fingerprint is the same
+    fully in-row fold as batch ``simhash`` (no shuffle before the
+    dedup), so the only stateful operator is the watermarked key-dedup:
+    state = one row per distinct fingerprint inside the horizon,
+    evicted once the watermark guarantees no near-copy can still
+    arrive. The batch ``simhash_dup_groups`` is the retroactive sweep;
+    token-less documents (empty/punctuation-only text) carry no
+    fingerprint and are dropped, exactly as in batch (no spurious fp=0
+    group)."""
+    hs = F.transform(F.array_distinct(tokens(text_col)), F.md5)
+    staged = sdf.select(
+        F.col(id_col), F.col(event_time_col), hs.alias("__hs")
+    ).filter(F.size("__hs") > 0)
+    fp = staged.select(
+        F.col(id_col),
+        F.col(event_time_col),
+        simhash_fingerprint(F.col("__hs"), n_bits).alias("simhash"),
+    )
+    return fp.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        ["simhash"]
+    )
+
+
 def shingle_frame(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

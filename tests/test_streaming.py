@@ -381,3 +381,50 @@ def test_streaming_debounce_boundary_invariant_and_matches_batch(spark, chunked)
         debounce(batch_df, 25_000).select("series_key", "ts_ms", "value")
     )
     assert outs[0] == expected
+
+
+def test_stream_simhash_dedup_suppresses_shuffled_near_copy(spark, tmp_path):
+    """The streaming near-dup guard catches what the exact guard cannot:
+    a word-order-shuffled copy has a different content hash but an
+    IDENTICAL SimHash fingerprint (the in-row fold is over the distinct
+    token set), so exactly one of the pair survives. Distinct texts
+    survive independently; punctuation-only docs are dropped."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.dedup import (
+        simhash,
+        streaming_simhash_dedup,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "jumps fox brown quick the"),   # shuffled near-copy of 1
+        (3, "an entirely different document"),
+        (4, "?!...   "),                      # token-less: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "ingest_time",
+        F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("doc_id")),
+    )
+    src = tmp_path / "near_src"
+    df.repartition(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema("doc_id bigint, text string, ingest_time timestamp")
+        .parquet(str(src))
+    )
+    out = streaming_simhash_dedup(sdf)
+    name = f"m_simdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name)
+    assert got.count() == 2  # {1,2} collapse; 3 survives; 4 dropped
+    want = {r["simhash"] for r in simhash(df).select("simhash").distinct().collect()}
+    assert {r["simhash"] for r in got.collect()} == want
