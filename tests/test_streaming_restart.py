@@ -135,3 +135,52 @@ def test_chunk_dedup_dedups_across_restart(spark, tmp_path):
     assert got.count() == 3  # not 4: "a b c" deduped across the restart
     fresh = {r.chunk for r in got.filter("doc_id = 2").collect()}
     assert fresh == {"n e w"}
+
+
+def test_simhash_dedup_dedups_across_restart(spark, tmp_path):
+    """A fingerprint seen before a restart must still suppress a
+    near-copy arriving after the restart — the dedup key state lives in
+    the checkpointed state store, not in memory."""
+    import datetime
+
+    from potoos_spark.operators.dedup import streaming_simhash_dedup
+
+    schema = "doc_id bigint, text string, ingest_time timestamp"
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_available():
+        sdf = streaming_simhash_dedup(
+            spark.readStream.schema(schema).parquet(str(src))
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, txt, t0 + datetime.timedelta(seconds=i)) for i, txt in rows],
+            schema,
+        ).repartition(1).write.mode("append").parquet(str(src))
+
+    write([(1, "the quick brown fox")])
+    run_available()
+    assert spark.read.parquet(out).count() == 1
+
+    time.sleep(1.1)
+    # post-restart: doc 2 is a shuffled near-copy of doc 1 (identical
+    # fingerprint) and must be suppressed by restored state; doc 3 is new
+    write([(2, "fox brown quick the"), (3, "completely new words here")])
+    run_available()
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # not 3: the near-copy deduped across restart
+    assert {r["doc_id"] for r in got.collect()} == {1, 3}
