@@ -85,6 +85,28 @@ def _docs(spark, sf_dir):
     return table(spark, sf_dir, "documents")
 
 
+_DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _docs_stream(spark, sf_dir):
+    """File-source replay of the documents table, layout-agnostic. The
+    file stream source requires a DIRECTORY: a directory-per-table
+    layout (the production shape — any real table is many part files)
+    streams the table path directly; the test fixture's single-file
+    layout streams the parent dir with a filename glob (a glob on the
+    parent would silently match NOTHING under a directory layout)."""
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        return spark.readStream.schema(_DOCS_SCHEMA).parquet(path)
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def _embs(spark, sf_dir):
     return table(spark, sf_dir, "embeddings")
 
@@ -421,13 +443,7 @@ def _stream_dedup_fn(spark, sf_dir):
 
     from ..operators.dedup import streaming_exact_dedup
 
-    docs = (
-        spark.readStream.schema(
-            "doc_id bigint, text string, lang string, source string, n_chars bigint"
-        )
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = _docs_stream(spark, sf_dir)
     docs = docs.withColumn(
         "ingest_time", F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("doc_id"))
     )
@@ -453,13 +469,7 @@ def _stream_simhash_dedup_fn(spark, sf_dir):
 
     from ..operators.dedup import streaming_simhash_dedup
 
-    docs = (
-        spark.readStream.schema(
-            "doc_id bigint, text string, lang string, source string, n_chars bigint"
-        )
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = _docs_stream(spark, sf_dir)
     docs = docs.withColumn(
         "ingest_time", F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("doc_id"))
     )
@@ -484,13 +494,7 @@ def _stream_quality_fn(spark, sf_dir):
     the same predicate expressions by construction."""
     import uuid
 
-    docs = (
-        spark.readStream.schema(
-            "doc_id bigint, text string, lang string, source string, n_chars bigint"
-        )
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = _docs_stream(spark, sf_dir)
     out = T.quality_filter(docs).select("doc_id")
     name = f"squal_{uuid.uuid4().hex[:12]}"
     q = (
@@ -2033,13 +2037,7 @@ def _stream_chunk_dedup_fn(spark, sf_dir):
 
     from ..operators.dedup import streaming_chunk_dedup
 
-    docs = (
-        spark.readStream.schema(
-            "doc_id bigint, text string, lang string, source string, n_chars bigint"
-        )
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = _docs_stream(spark, sf_dir)
     docs = docs.withColumn(
         "ingest_time", F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("doc_id"))
     )

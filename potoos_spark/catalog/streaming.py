@@ -45,18 +45,27 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     work (int64 ns / TIMESTAMP_NTZ — see retrieval.events_ts_parts)."""
     from ..operators.retrieval import events_ts_ms
 
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    batch = (
-        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    )
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_ms = events_ts_ms(batch)
-    # file-source streams take a directory; glob-filter to the events file
-    ev = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # file-source streams take a DIRECTORY: a directory-per-table layout
+    # (the production shape) streams the table path directly; the test
+    # fixture's single-file layout streams the parent with a filename
+    # glob (a glob on the parent matches nothing under a directory
+    # layout, so the branch is load-bearing, not cosmetic).
+    if os.path.isdir(f"{sf_dir}/events.parquet"):
+        ev = spark.readStream.schema(batch.schema).parquet(
+            f"{sf_dir}/events.parquet"
+        )
+    else:
+        ev = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return ev.select(
         F.col("event_type").alias("series_key"),
         ts_ms.alias("ts_ms"),
