@@ -38,6 +38,34 @@ GAP_MS = 1_800_000  # 30 min session gap
 
 _S = f"WITH series AS ({EVENTS_SQL})"
 
+
+def _events_raw_stream(spark: SparkSession, sf_dir: str):
+    """(batch, stream) pair over the raw events table, layout-agnostic.
+    The stream schema is probed from a batch footer read so both
+    parquet-nanos reader shapes work (int64 ns / TIMESTAMP_NTZ — see
+    retrieval.events_ts_parts). The file stream source requires a
+    DIRECTORY: a directory-per-table layout (the production shape)
+    streams the table path directly; the single-file fixture layout
+    streams the parent with a filename glob (a glob on the parent
+    matches nothing under a directory layout, so the branch is
+    load-bearing, not cosmetic)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)
+    if os.path.isdir(path):
+        ev = spark.readStream.schema(batch.schema).parquet(path)
+    else:
+        ev = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    return batch, ev
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events table as the canonical series
     frame (same reshape as the batch events_frame). The stream schema is
@@ -45,27 +73,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     work (int64 ns / TIMESTAMP_NTZ — see retrieval.events_ts_parts)."""
     from ..operators.retrieval import events_ts_ms
 
-    import os
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch, ev = _events_raw_stream(spark, sf_dir)
     ts_ms = events_ts_ms(batch)
-    # file-source streams take a DIRECTORY: a directory-per-table layout
-    # (the production shape) streams the table path directly; the test
-    # fixture's single-file layout streams the parent with a filename
-    # glob (a glob on the parent matches nothing under a directory
-    # layout, so the branch is load-bearing, not cosmetic).
-    if os.path.isdir(f"{sf_dir}/events.parquet"):
-        ev = spark.readStream.schema(batch.schema).parquet(
-            f"{sf_dir}/events.parquet"
-        )
-    else:
-        ev = (
-            spark.readStream.schema(batch.schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
     return ev.select(
         F.col("event_type").alias("series_key"),
         ts_ms.alias("ts_ms"),
@@ -260,14 +269,7 @@ def _stream_enrich_fn(spark, sf_dir):
     order-free exact."""
     from ..operators.retrieval import events_ts_ms
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    batch = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    ev = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    batch, ev = _events_raw_stream(spark, sf_dir)
     cust = F.broadcast(
         spark.read.parquet(f"{sf_dir}/customer.parquet").select(
             "c_custkey", "c_mktsegment"
@@ -291,14 +293,7 @@ def _stream_stream_join_fn(spark, sf_dir):
     produces the complete (batch-identical) pair set."""
     from ..operators.retrieval import events_ts_ms
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    batch = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    ev = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    batch, ev = _events_raw_stream(spark, sf_dir)
     ms = events_ts_ms(batch)
     base = ev.select(
         "event_type",
