@@ -98,13 +98,17 @@ def _docs_stream(spark, sf_dir):
     import os
 
     path = f"{sf_dir}/documents.parquet"
-    if os.path.isdir(path):
-        return spark.readStream.schema(_DOCS_SCHEMA).parquet(path)
-    return (
-        spark.readStream.schema(_DOCS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    # Only a verifiably-LOCAL single file takes the parent+glob branch;
+    # directories and object-store URIs (where os.path sees nothing)
+    # stream the table path directly — the branch that is correct at
+    # scale must be the default, not the exception.
+    if os.path.isfile(path):
+        return (
+            spark.readStream.schema(_DOCS_SCHEMA)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    return spark.readStream.schema(_DOCS_SCHEMA).parquet(path)
 
 
 def _embs(spark, sf_dir):

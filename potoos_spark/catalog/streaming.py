@@ -55,14 +55,18 @@ def _events_raw_stream(spark: SparkSession, sf_dir: str):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     batch = spark.read.parquet(path)
-    if os.path.isdir(path):
-        ev = spark.readStream.schema(batch.schema).parquet(path)
-    else:
+    # Only a verifiably-LOCAL single file takes the parent+glob branch;
+    # directories and object-store URIs (where os.path sees nothing)
+    # stream the table path directly — the branch that is correct at
+    # scale must be the default, not the exception.
+    if os.path.isfile(path):
         ev = (
             spark.readStream.schema(batch.schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
+    else:
+        ev = spark.readStream.schema(batch.schema).parquet(path)
     return batch, ev
 
 
