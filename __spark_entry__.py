@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from potoos_spark.catalog import CATALOG
 
 
-def _ordered_catalog(latest: dict | None = None) -> dict:
+def _ordered_catalog(
+    latest: dict | None = None, specs: dict | None = None
+) -> dict:
     """Catalog ordered for the driver's per-round sample: (1) entries
     whose MOST RECENT driver row was not fully green (so a shipped fix
     gets re-checked immediately — e.g. the r3 hash failures fixed in
@@ -28,10 +30,14 @@ def _ordered_catalog(latest: dict | None = None) -> dict:
     Heals red rows first, then maximizes cumulative coverage. Falls
     back to the raw order when no CORRECTNESS files exist.
 
-    ``latest`` (entry name -> most recent driver row) is injectable for
-    tests; by default it is accumulated from the CORRECTNESS_r*.json
-    files next to this module, later rounds overriding earlier ones.
+    ``latest`` (entry name -> most recent driver row) and ``specs``
+    (entry name -> QuerySpec) are injectable for tests; by default
+    ``latest`` accumulates from the CORRECTNESS_r*.json files next to
+    this module (later rounds overriding earlier ones) and ``specs``
+    is the live CATALOG.
     """
+    if specs is None:
+        specs = CATALOG
     if latest is None:
         latest = {}
         here = os.path.dirname(os.path.abspath(__file__))
@@ -44,7 +50,19 @@ def _ordered_catalog(latest: dict | None = None) -> dict:
             except Exception:
                 pass
 
-    def green(row: dict) -> bool:
+    def resolved(name: str, row: dict) -> bool:
+        """True when re-sampling this entry first would buy nothing.
+        A rows-only row (the driver writes null matches + err
+        "no_oracle") is as green as a no-SQL entry can ever get, so it
+        counts as seen — UNLESS the entry has since gained an oracle,
+        in which case it must be re-checked red-first (ADVICE r4: the
+        old rule parked no-oracle entries in the red tier forever,
+        burning sampler slots every round)."""
+        if row.get("err") == "no_oracle" and specs[name].sql is None:
+            return (
+                row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+            )
         return bool(
             row.get("rows_match")
             and row.get("schema_match")
@@ -52,14 +70,16 @@ def _ordered_catalog(latest: dict | None = None) -> dict:
             and not row.get("err")
         )
 
-    fresh = {k: v for k, v in CATALOG.items() if k not in latest}
+    fresh = {k: v for k, v in specs.items() if k not in latest}
     red = {
         k: v
-        for k, v in CATALOG.items()
-        if k in latest and not green(latest[k])
+        for k, v in specs.items()
+        if k in latest and not resolved(k, latest[k])
     }
     seen = {
-        k: v for k, v in CATALOG.items() if k in latest and green(latest[k])
+        k: v
+        for k, v in specs.items()
+        if k in latest and resolved(k, latest[k])
     }
     return {**red, **fresh, **seen}
 

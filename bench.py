@@ -92,6 +92,12 @@ def run_one(spark, name: str, sf_dir: str, repeats: int = 2) -> float:
     fn = CATALOG[name].fn
     best = float("inf")
     for _ in range(repeats):
+        # Entries that persist() intermediates (capped posting lists,
+        # novelty, global prefix sums) must not hand their cache to the
+        # next repeat/entry: CacheManager matches by logical plan, so a
+        # warm cache would make repeat 2 measure cached reads (ADVICE
+        # r4) and caches would accumulate across the whole HEADLINE run.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)

@@ -36,6 +36,23 @@ def _normalize(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def is_single_file(spark: SparkSession, path: str) -> bool:
+    """Layout probe for streaming file sources, via the Hadoop
+    FileSystem API so ANY scheme answers correctly (local path, HDFS,
+    s3a:// — ADVICE r4: a driver-local ``os.path.isfile`` reports False
+    for every object-store URI, silently sending single-file tables
+    down the directory branch the file stream source rejects). Missing
+    paths report False — the caller's directory branch raises the real
+    error with Spark's own message."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        return bool(fs.getFileStatus(hpath).isFile())
+    except Exception:
+        return False
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _normalize(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -95,14 +95,13 @@ def _docs_stream(spark, sf_dir):
     streams the table path directly; the test fixture's single-file
     layout streams the parent dir with a filename glob (a glob on the
     parent would silently match NOTHING under a directory layout)."""
-    import os
+    from .common import is_single_file
 
     path = f"{sf_dir}/documents.parquet"
-    # Only a verifiably-LOCAL single file takes the parent+glob branch;
-    # directories and object-store URIs (where os.path sees nothing)
-    # stream the table path directly — the branch that is correct at
-    # scale must be the default, not the exception.
-    if os.path.isfile(path):
+    # Hadoop-FS probe (ADVICE r4): single files behind ANY scheme take
+    # the parent+glob branch; directories stream the table path
+    # directly — the branch that is correct at scale is the default.
+    if is_single_file(spark, path):
         return (
             spark.readStream.schema(_DOCS_SCHEMA)
             .option("pathGlobFilter", "documents.parquet")

@@ -49,17 +49,17 @@ def _events_raw_stream(spark: SparkSession, sf_dir: str):
     streams the parent with a filename glob (a glob on the parent
     matches nothing under a directory layout, so the branch is
     load-bearing, not cosmetic)."""
-    import os
+    from .common import is_single_file
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     batch = spark.read.parquet(path)
-    # Only a verifiably-LOCAL single file takes the parent+glob branch;
-    # directories and object-store URIs (where os.path sees nothing)
-    # stream the table path directly — the branch that is correct at
-    # scale must be the default, not the exception.
-    if os.path.isfile(path):
+    # The probe goes through the Hadoop FileSystem API so single-file
+    # tables behind object-store URIs take the parent+glob branch too
+    # (ADVICE r4); directories stream the table path directly — the
+    # branch that is correct at scale is the default.
+    if is_single_file(spark, path):
         ev = (
             spark.readStream.schema(batch.schema)
             .option("pathGlobFilter", "events.parquet")

@@ -86,7 +86,16 @@ def heartbeat_sla(df: DataFrame, heartbeat_ms: int) -> DataFrame:
     Output: (series_key, span_ms, n_points, n_violations, downtime_ms,
     uptime_ratio).
     """
-    tie = F.col("seq") if "seq" in df.columns else F.col("value")
+    if "seq" in df.columns:
+        tie = F.col("seq")
+    elif "value" in df.columns:
+        tie = F.col("value")
+    else:
+        raise ValueError(
+            "heartbeat_sla needs a deterministic tie-break column for "
+            "equal timestamps: expected 'seq' (preferred) or 'value' in "
+            f"the input, got {df.columns}"
+        )
     staged = df.select("series_key", "ts_ms", tie.alias("__tie"))
     w = W.partitionBy("series_key").orderBy("ts_ms", "__tie")
     gap = F.lead("ts_ms").over(w) - F.col("ts_ms")

@@ -67,6 +67,62 @@ def test_hash_match_absent_counts_as_green():
     assert ordered[: len(names) - 1] == names[1:]
 
 
+_NO_ORACLE_ROW = {
+    # the driver's REAL rows-only shape: null-valued match keys, not
+    # absent ones (CORRECTNESS_r04.json, e.g. sketch_distinct_hll)
+    "rows_match": None,
+    "schema_match": None,
+    "hash_match": None,
+    "spark_rows": 3,
+    "oracle_rows": None,
+    "err": "no_oracle",
+}
+
+
+def _fake_specs(names, with_sql):
+    from potoos_spark.catalog.common import QuerySpec
+
+    return {
+        n: QuerySpec(lambda s, d: None, "SELECT 1" if n in with_sql else None)
+        for n in names
+    }
+
+
+def test_no_oracle_row_without_sql_counts_as_seen():
+    """ADVICE r4: a rows-only entry's no_oracle row must not park it in
+    the red tier forever — with no oracle to gain, re-sampling it first
+    buys nothing."""
+    mod = _entry_module()
+    names = ["a", "b", "c"]
+    specs = _fake_specs(names, with_sql={"b", "c"})
+    ordered = list(
+        mod._ordered_catalog(latest={"a": dict(_NO_ORACLE_ROW)}, specs=specs)
+    )
+    assert ordered == ["b", "c", "a"]  # fresh first, 'a' seen-last, no red
+
+
+def test_no_oracle_row_with_new_oracle_is_red_first():
+    """Once the entry gains an oracle, the stale no_oracle row must be
+    re-checked red-first (this is how the r5 sketch rewires heal)."""
+    mod = _entry_module()
+    names = ["a", "b", "c"]
+    specs = _fake_specs(names, with_sql={"a", "b", "c"})
+    ordered = list(
+        mod._ordered_catalog(latest={"c": dict(_NO_ORACLE_ROW)}, specs=specs)
+    )
+    assert ordered == ["c", "a", "b"]
+
+
+def test_no_oracle_row_with_failed_rows_match_stays_red():
+    """A rows-only entry that actually FAILED (rows_match False) is a
+    real defect: red-first even without an oracle."""
+    mod = _entry_module()
+    row = dict(_NO_ORACLE_ROW, rows_match=False)
+    specs = _fake_specs(["a", "b"], with_sql={"b"})
+    ordered = list(mod._ordered_catalog(latest={"a": row}, specs=specs))
+    assert ordered == ["a", "b"]
+
+
 def test_no_history_preserves_catalog_order():
     mod = _entry_module()
     assert list(mod._ordered_catalog(latest={})) == list(mod.CATALOG)

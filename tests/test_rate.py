@@ -57,6 +57,19 @@ def test_heartbeat_sla_charges_gap_excess_only(spark):
     assert solo["uptime_ratio"] is None
 
 
+def test_heartbeat_sla_names_missing_tiebreak_column(spark):
+    """ADVICE r4: a frame with neither seq nor value must fail with a
+    clear ValueError naming the expected columns, not an opaque
+    unresolved-column AnalysisException."""
+    from potoos_spark.operators.rate import heartbeat_sla
+
+    df = spark.createDataFrame(
+        [("k", 0), ("k", 1000)], "series_key string, ts_ms long"
+    )
+    with pytest.raises(ValueError, match="seq.*value|tie-break"):
+        heartbeat_sla(df, 1000)
+
+
 def test_counter_rate_monotone_and_reset(spark):
     # 0→5→12 in bucket of the later points (increase 5+7), reset 12→3
     # contributes 3 (counter restarted), then 3→10 adds 7
