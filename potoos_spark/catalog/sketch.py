@@ -1,48 +1,167 @@
-"""Catalog: sketch tier. The DataSketches-backed entries (HLL / KLL /
-theta) are rows-only — approximate by design, so there is no
-hash-matchable SQL oracle; tests/test_sketch.py pins the error
-envelope against exact counts instead. The Count-Min and Bloom entries
-use md5-derived hash families, so although the ANSWERS are
-approximate, the sketches themselves are deterministic — DuckDB
-reproduces them bit-for-bit and the oracle hash-matches."""
+"""Catalog: sketch tier. Every entry is hash-oracle-checked: all hash
+families are md5-derived, so although the ANSWERS are approximate, the
+sketches themselves are deterministic — DuckDB reproduces them
+bit-for-bit. The seeded DataSketches operators (``hll_distinct``,
+``hll_union_distinct``, ``kll_quantiles``, ``theta_overlap``) remain
+the library API for JVM-side production use (tests/test_sketch.py pins
+their error envelopes), but their CATALOG slots are wired to the
+deterministic md5 twins (r4 verdict item 1: ``QuerySpec(fn, None)``
+rows can never pass the driver gate — the driver has no rows-only
+check — and burned red-first sampler slots every round)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from ..operators.sketch import (
+    _HLL_P,
+    _HLL_RHO_CAP,
+    _hll_alpha_m2_scaled,
     bloom_probe,
     count_min_estimate,
-    hll_distinct,
-    hll_union_distinct,
-    kll_quantiles,
-    theta_overlap,
+    hll_distinct_md5,
+    hll_union_md5,
+    kmv_theta_overlap,
+    sampled_quantiles_md5,
 )
-from .common import QuerySpec, events_frame, table
+from .common import EVENTS_SQL, QuerySpec, events_frame, table
 
 
 def _hll_fn(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
-    return hll_distinct(li, ["l_returnflag"], "l_partkey")
+    return hll_distinct_md5(li, ["l_returnflag"], "l_orderkey")
 
 
 def _hll_union_fn(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
-    return hll_union_distinct(
-        li, ["l_returnflag", "l_linestatus"], ["l_returnflag"], "l_partkey"
+    return hll_union_md5(
+        li, ["l_returnflag", "l_linestatus"], ["l_returnflag"], "l_orderkey"
     )
 
 
 def _kll_fn(spark, sf_dir):
     ev = events_frame(spark, sf_dir)
-    return kll_quantiles(ev, ["series_key"], "value")
+    return sampled_quantiles_md5(ev, ["series_key"], "value", "seq")
 
 
 def _theta_fn(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(
         F.year("l_shipdate").alias("yr"), "l_partkey"
     )
-    return theta_overlap(li, "yr", "l_partkey", 1996, 1997)
+    return kmv_theta_overlap(li, "yr", "l_partkey", 1996, 1997, k=_THETA_K)
+
+
+# --- deterministic-HLL SQL (mirrors operators.sketch.hll_distinct_md5) ----
+
+_HLL_M = 1 << _HLL_P
+_HLL_A2 = repr(_hll_alpha_m2_scaled(_HLL_M, _HLL_RHO_CAP))
+# rho over the 60-bit window after the bucket hex digits; string-op
+# leading-zero count (no log2 — libm-portable), capped at the register
+# cap so the scaled harmonic sum stays an exact integer
+_HLL_TRIM = "ltrim(substr(h, 3, 15), '0')"
+_HLL_RHO = (
+    f"LEAST(CASE WHEN {_HLL_TRIM} = '' THEN 61 "
+    f"ELSE 4 * (15 - length({_HLL_TRIM})) + (4 - CASE "
+    f"WHEN substr({_HLL_TRIM}, 1, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 4 "
+    f"WHEN substr({_HLL_TRIM}, 1, 1) IN ('4','5','6','7') THEN 3 "
+    f"WHEN substr({_HLL_TRIM}, 1, 1) IN ('2','3') THEN 2 "
+    f"ELSE 1 END) + 1 END, {_HLL_RHO_CAP})"
+)
+_HLL_S = (
+    f"CAST(sp + ({_HLL_M} - nb) * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP}) "
+    "AS DOUBLE)"
+)
+_HLL_EST = f"{_HLL_A2} / {_HLL_S}"
+
+_HLL_SQL = (
+    "WITH d AS (SELECT DISTINCT l_returnflag AS g, "
+    "CAST(l_orderkey AS VARCHAR) AS v FROM lineitem), "
+    "hh AS (SELECT g, md5(v) AS h FROM d), "
+    "rho AS (SELECT g, CAST(('0x' || substr(h, 1, 2)) AS INT) AS b, "
+    f"{_HLL_RHO} AS r FROM hh), "
+    "reg AS (SELECT g, b, MAX(r) AS m FROM rho GROUP BY 1, 2), "
+    f"pg AS (SELECT g, SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - m)) AS sp, "
+    "COUNT(*) AS nb FROM reg GROUP BY 1), "
+    "ex AS (SELECT g, COUNT(*) AS exact_distinct FROM d GROUP BY 1) "
+    f"SELECT pg.g AS l_returnflag, ex.exact_distinct, {_HLL_EST} AS est_distinct, "
+    f"({_HLL_EST}) / CAST(ex.exact_distinct AS DOUBLE) - 1.0 AS rel_err "
+    "FROM pg JOIN ex USING (g)"
+)
+
+# two-level union twin: registers per fine (flag, status) group, merged
+# up to the coarse flag group by register-wise MAX before estimating
+_HLL_UNION_SQL = (
+    "WITH d AS (SELECT DISTINCT l_returnflag AS g, l_linestatus AS g2, "
+    "CAST(l_orderkey AS VARCHAR) AS v FROM lineitem), "
+    "hh AS (SELECT g, g2, md5(v) AS h FROM d), "
+    "rho AS (SELECT g, g2, CAST(('0x' || substr(h, 1, 2)) AS INT) AS b, "
+    f"{_HLL_RHO} AS r FROM hh), "
+    "regf AS (SELECT g, g2, b, MAX(r) AS m FROM rho GROUP BY 1, 2, 3), "
+    "reg AS (SELECT g, b, MAX(m) AS m FROM regf GROUP BY 1, 2), "
+    f"pg AS (SELECT g, SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - m)) AS sp, "
+    "COUNT(*) AS nb FROM reg GROUP BY 1), "
+    "ex AS (SELECT g, COUNT(*) AS exact_distinct FROM "
+    "(SELECT DISTINCT g, v FROM d) GROUP BY 1) "
+    f"SELECT pg.g AS l_returnflag, ex.exact_distinct, {_HLL_EST} AS est_distinct, "
+    f"({_HLL_EST}) / CAST(ex.exact_distinct AS DOUBLE) - 1.0 AS rel_err "
+    "FROM pg JOIN ex USING (g)"
+)
+
+# deterministic sampled-quantile twin: md5(seq) % 8 == 0 row sample,
+# exact lower quantiles (rank = ceil(n * num / den)) of the sample
+_KLL_RANK = "CAST(ceil(CAST(n * {num} AS DOUBLE) / {den}.0) AS BIGINT)"
+_KLL_SQL = (
+    f"WITH series AS ({EVENTS_SQL}), "
+    "s AS (SELECT series_key, value AS v FROM series WHERE "
+    "CAST(('0x' || substr(md5(CAST(seq AS VARCHAR)), 1, 4)) AS BIGINT) % 8 = 0), "
+    "r AS (SELECT series_key, v, "
+    "ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY v) AS rn, "
+    "COUNT(*) OVER (PARTITION BY series_key) AS n FROM s) "
+    "SELECT series_key, MAX(n) AS n_sampled, "
+    + ", ".join(
+        "MIN(CASE WHEN rn = "
+        + _KLL_RANK.format(num=num, den=den)
+        + f" THEN v END) AS p{100 * num // den}"
+        for num, den in ((50, 100), (95, 100), (99, 100))
+    )
+    + " FROM r GROUP BY series_key"
+)
+
+# bottom-k theta set algebra: θ = min of the two sides' k-th hash
+# fractions (1.0 when a side is exact); sets cut to hashes < θ,
+# intersected/differenced as plain sets, estimates = count / θ
+_THETA_K = 256
+_HEX15_D = "1152921504606846976.0"  # 16^15, exact in a double
+_THETA_SQL = (
+    "WITH d AS (SELECT DISTINCT CAST(year(l_shipdate) AS INT) AS p, "
+    "md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem "
+    "WHERE year(l_shipdate) IN (1996, 1997)), "
+    "r AS (SELECT p, h, ROW_NUMBER() OVER (PARTITION BY p ORDER BY h) AS rn, "
+    "COUNT(*) OVER (PARTITION BY p) AS nd FROM d), "
+    "bk AS (SELECT p, h, rn, nd, "
+    f"CAST(CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS DOUBLE) / {_HEX15_D} "
+    f"AS frac FROM r WHERE rn <= {_THETA_K}), "
+    f"st AS (SELECT p, nd, CASE WHEN nd <= {_THETA_K} THEN 1.0 ELSE frac END "
+    f"AS th FROM bk WHERE rn = LEAST({_THETA_K}, nd)), "
+    "sa AS (SELECT nd AS nd_a, th AS th_a FROM st WHERE p = 1996), "
+    "sb AS (SELECT nd AS nd_b, th AS th_b FROM st WHERE p = 1997), "
+    "t AS (SELECT nd_a, nd_b, th_a, th_b, LEAST(th_a, th_b) AS theta "
+    "FROM sa, sb), "
+    "kac AS (SELECT h FROM bk, t WHERE p = 1996 AND frac < theta), "
+    "kbc AS (SELECT h FROM bk, t WHERE p = 1997 AND frac < theta), "
+    "i AS (SELECT COUNT(*) AS n_inter FROM kac JOIN kbc USING (h)), "
+    "o AS (SELECT COUNT(*) AS n_only FROM kac "
+    "WHERE h NOT IN (SELECT h FROM kbc)) "
+    "SELECT "
+    f"CAST(CASE WHEN nd_a <= {_THETA_K} THEN CAST(nd_a AS DOUBLE) "
+    f"ELSE floor({float(_THETA_K - 1)} / th_a) END AS BIGINT) AS n_a, "
+    f"CAST(CASE WHEN nd_b <= {_THETA_K} THEN CAST(nd_b AS DOUBLE) "
+    f"ELSE floor({float(_THETA_K - 1)} / th_b) END AS BIGINT) AS n_b, "
+    "CAST(floor(CAST(n_inter AS DOUBLE) / theta) AS BIGINT) AS n_intersection, "
+    "CAST(floor(CAST(n_only AS DOUBLE) / theta) AS BIGINT) AS n_only_a "
+    "FROM t, i, o"
+)
 
 
 def _cms_fn(spark, sf_dir):
@@ -172,10 +291,12 @@ _BLOOM_SQL = (
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "sketch_distinct_hll": QuerySpec(_hll_fn, None),
-    "sketch_hll_union": QuerySpec(_hll_union_fn, None),
-    "sketch_kll_quantiles": QuerySpec(_kll_fn, None),
-    "sketch_theta_overlap": QuerySpec(_theta_fn, None),
+    # r5: wired to the deterministic md5 twins (hash-oracle-checked);
+    # the seeded DataSketches forms remain library API (test_sketch.py)
+    "sketch_distinct_hll": QuerySpec(_hll_fn, _HLL_SQL),
+    "sketch_hll_union": QuerySpec(_hll_union_fn, _HLL_UNION_SQL),
+    "sketch_kll_quantiles": QuerySpec(_kll_fn, _KLL_SQL),
+    "sketch_theta_overlap": QuerySpec(_theta_fn, _THETA_SQL),
     "sketch_count_min": QuerySpec(_cms_fn, _CMS_SQL),
     "sketch_bloom_filter": QuerySpec(_bloom_fn, _BLOOM_SQL),
     # r4: deterministic bottom-k distinct sketch — hash-oracle-checked

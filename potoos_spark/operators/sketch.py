@@ -119,6 +119,345 @@ def kmv_distinct(
     )
 
 
+def _md5_rho(h_col: str, window_start: int, window_hex: int = 15):
+    """rho = 1 + number of leading zero BITS of a hex window of the md5
+    digest column named ``h_col`` — the HLL register observable —
+    computed with string ops only (no log2, whose libm rounding differs
+    across engines): count leading '0' hex chars, then the leading-zero
+    bits of the first nonzero nibble by CASE. All-zero window →
+    4*window_hex + 1."""
+    trimmed = F.expr(
+        f"trim(LEADING '0' FROM substring({h_col}, {window_start}, {window_hex}))"
+    )
+    z_chars = F.lit(window_hex) - F.length(trimmed)
+    first = F.substring(trimmed, 1, 1)
+    nibble_bits = (
+        F.when(first.isin(*"89abcdef"), 4)
+        .when(first.isin(*"4567"), 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first == "1", 1)
+        .otherwise(0)
+    )
+    return F.when(
+        F.length(trimmed) == 0, F.lit(4 * window_hex + 1)
+    ).otherwise(4 * z_chars + (4 - nibble_bits) + 1)
+
+
+_HLL_P = 8  # 2^8 = 256 registers
+_HLL_RHO_CAP = 30  # register cap keeps the scaled harmonic sum exact
+
+
+def _hll_alpha_m2_scaled(m: int, cap: int) -> float:
+    """alpha_m * m^2 * 2^cap as ONE Python double, inlined as a literal
+    on both engines so the only runtime float op is a single division.
+    (alpha_m = 0.7213/(1 + 1.079/m), the standard HLL constant for
+    m >= 128; Flajolet et al. 2007.)"""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(2**cap)
+
+
+def hll_distinct_md5(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = _HLL_P,
+    rho_cap: int = _HLL_RHO_CAP,
+) -> DataFrame:
+    """Deterministic md5 HyperLogLog — the hash-oracle-checked twin of
+    ``hll_distinct`` (the seeded DataSketches aggregate stays the
+    library API; its registers aren't reproducible in set-oriented
+    SQL). Registers: bucket = first ``p`` bits of md5, register value
+    M_j = max rho (leading-zero run of the next 60-bit window, +1),
+    capped at ``rho_cap``. Raw estimate alpha_m * m^2 / sum 2^-M_j —
+    the harmonic sum is kept EXACT by scaling to integers
+    (sum of 2^(cap - M_j), a bigint <= m * 2^cap < 2^38 for the
+    defaults, hence exact in the final double division too). No
+    small-range linear-counting branch: it needs ln(), whose libm
+    rounding differs across engines — the raw estimator's bias below
+    ~2.5m distincts is the documented trade for bit-exact portability.
+    The rho cap only biases beyond ~2^cap distincts per register
+    (~10^11 * m) — far past any fixture.
+
+    Physical shape: one distinct hash agg (map-side combined), one
+    (group, bucket) max agg, one per-group sum — shuffles carry the
+    vocabulary then m rows per group, never the corpus. The
+    ``exact_distinct``/``rel_err`` columns are free off the distinct
+    relation and are the error diagnostic; a 100 TB run drops them.
+
+    Output: (group_cols..., exact_distinct, est_distinct, rel_err).
+    """
+    gcols = list(group_cols)
+    m = 1 << p
+    d = df.select(
+        *gcols, F.col(value_col).cast("string").alias("__v")
+    ).distinct()
+    hh = d.select(*gcols, F.md5("__v").alias("__h"))
+    bucket_hex = p // 4
+    bucket = F.conv(F.substring("__h", 1, bucket_hex), 16, 10).cast("int")
+    rho = _md5_rho("__h", bucket_hex + 1)
+    reg = (
+        hh.select(*gcols, bucket.alias("__b"), F.least(rho, F.lit(rho_cap)).alias("__r"))
+        .groupBy(*gcols, "__b")
+        .agg(F.max("__r").alias("__m"))
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {rho_cap} - __m)")
+    per_g = reg.groupBy(*gcols).agg(
+        F.sum(term).alias("__s_present"), F.count("*").alias("__nb")
+    )
+    s = F.col("__s_present") + (F.lit(m) - F.col("__nb")) * F.lit(
+        1 << rho_cap
+    ).cast("bigint")
+    est = F.lit(_hll_alpha_m2_scaled(m, rho_cap)) / s.cast("double")
+    exact = d.groupBy(*gcols).agg(F.count("*").alias("exact_distinct"))
+    return (
+        per_g.join(exact, gcols)
+        .select(
+            *gcols,
+            "exact_distinct",
+            est.alias("est_distinct"),
+            (est / F.col("exact_distinct").cast("double") - F.lit(1.0)).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+def hll_union_md5(
+    df: DataFrame,
+    fine_cols: Sequence[str],
+    coarse_cols: Sequence[str],
+    value_col: str,
+    p: int = _HLL_P,
+    rho_cap: int = _HLL_RHO_CAP,
+) -> DataFrame:
+    """Mergeability demo on the deterministic HLL twin: registers are
+    built per FINE group (per partition/day in production), then
+    merged UP to the coarse group by register-wise max — the sketch
+    union — and only then estimated. max is associative/idempotent, so
+    the merge is exactly as cheap and exact as building coarse
+    registers directly (asserted equal in tests); what the two-level
+    form buys at 100 TB is reuse: the fine sketches (m rows per fine
+    group) serve ANY coarser rollup without rescanning the corpus.
+
+    Output: (coarse_cols..., exact_distinct, est_distinct, rel_err).
+    """
+    gfine = list(fine_cols)
+    gcoarse = list(coarse_cols)
+    m = 1 << p
+    d = df.select(
+        *gfine, F.col(value_col).cast("string").alias("__v")
+    ).distinct()
+    hh = d.select(*gfine, F.md5("__v").alias("__h"))
+    bucket_hex = p // 4
+    bucket = F.conv(F.substring("__h", 1, bucket_hex), 16, 10).cast("int")
+    rho = _md5_rho("__h", bucket_hex + 1)
+    reg_fine = (
+        hh.select(
+            *gfine, bucket.alias("__b"), F.least(rho, F.lit(rho_cap)).alias("__r")
+        )
+        .groupBy(*gfine, "__b")
+        .agg(F.max("__r").alias("__m"))
+    )
+    reg_coarse = reg_fine.groupBy(*gcoarse, "__b").agg(
+        F.max("__m").alias("__m")
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {rho_cap} - __m)")
+    per_g = reg_coarse.groupBy(*gcoarse).agg(
+        F.sum(term).alias("__s_present"), F.count("*").alias("__nb")
+    )
+    s = F.col("__s_present") + (F.lit(m) - F.col("__nb")) * F.lit(
+        1 << rho_cap
+    ).cast("bigint")
+    est = F.lit(_hll_alpha_m2_scaled(m, rho_cap)) / s.cast("double")
+    exact = (
+        d.select(*gcoarse, "__v")
+        .distinct()
+        .groupBy(*gcoarse)
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    return per_g.join(exact, gcoarse).select(
+        *gcoarse,
+        "exact_distinct",
+        est.alias("est_distinct"),
+        (est / F.col("exact_distinct").cast("double") - F.lit(1.0)).alias(
+            "rel_err"
+        ),
+    )
+
+
+# quantile fractions as integer (numerator, denominator) pairs so the
+# rank boundary ceil(n * num / den) never depends on a decimal literal
+QUANTILE_FRACTIONS = ((50, 100), (95, 100), (99, 100))
+
+
+def sampled_quantiles_md5(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    key_col: str,
+    fractions: Sequence[tuple] = QUANTILE_FRACTIONS,
+    mod: int = 8,
+) -> DataFrame:
+    """Deterministic sampled-quantile sketch — the hash-oracle-checked
+    twin of ``kll_quantiles`` (the DataSketches KLL aggregate stays the
+    library API; its compactor layout isn't SQL-reproducible). The
+    'sketch' is a deterministic md5 row sample: keep rows whose
+    md5(key) bucket ≡ 0 (mod ``mod``) — a uniform 1/mod sample that is
+    partitioning- and engine-independent, unlike ``df.sample`` — then
+    take EXACT lower quantiles of the sample: value at rank
+    ceil(n * num / den) in the per-group value order. The sample is
+    hashed on the row KEY (never the double value — float→string
+    formatting differs across engines).
+
+    The rank arithmetic is n*num (exact in a double far past 2^40
+    rows) divided by den and ceil'd — correctly-rounded IEEE ops, so
+    both engines select the same rank. Sample size is the error knob
+    exactly like KLL's k (ε ~ 1/sqrt(n/mod) per the DKW bound).
+
+    Output: (group_cols..., n_sampled, p50, p95, p99) — one column per
+    fraction, named p<100*num/den>.
+    """
+    from pyspark.sql import Window as W
+
+    gcols = list(group_cols)
+    keep = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % mod
+        == 0
+    )
+    s = df.filter(keep).select(*gcols, F.col(value_col).alias("__v"))
+    w = W.partitionBy(*gcols).orderBy("__v")
+    r = s.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(W.partitionBy(*gcols))
+    )
+    aggs = [F.max("__n").alias("n_sampled")]
+    for num, den in fractions:
+        rank = F.ceil(
+            (F.col("__n") * F.lit(int(num))).cast("double") / F.lit(float(den))
+        ).cast("bigint")
+        label = f"p{100 * num // den}"
+        aggs.append(
+            F.min(F.when(F.col("__rn") == rank, F.col("__v"))).alias(label)
+        )
+    return r.groupBy(*gcols).agg(*aggs)
+
+
+def kmv_theta_overlap(
+    df: DataFrame,
+    part_col: str,
+    key_col: str,
+    part_a,
+    part_b,
+    k: int = 64,
+) -> DataFrame:
+    """Deterministic bottom-k set algebra — the hash-oracle-checked
+    twin of ``theta_overlap`` (the DataSketches theta pipeline stays
+    the library API). This IS the theta-sketch construction with the
+    md5 hash family: per side, the k smallest md5 hashes of the
+    distinct keys; θ_side = 1.0 when the side is exact (≤ k distinct)
+    else the k-th hash mapped to (0,1); θ = min(θ_a, θ_b); both
+    bottom-k sets are cut back to hashes < θ and intersected/differenced
+    as plain sets, estimates = count/θ (Dasgupta et al. 2016, the KMV
+    form of theta set operations). Every per-side estimate uses the
+    same (k-1)/θ_side estimator as ``kmv_distinct``. floor() before the
+    bigint cast on BOTH engines — DuckDB's double→bigint CAST rounds
+    while Spark's truncates (the r3 dtype lesson).
+
+    Physical shape: one distinct hash agg over the two partitions, one
+    bounded per-side ranked window (input = the distinct key sets), then
+    KB-scale bottom-k frames: the θ scalar broadcast and the set
+    join/anti-join touch ≤ 2k rows regardless of corpus size.
+
+    Output: one row (n_a, n_b, n_intersection, n_only_a) — estimates
+    as bigints.
+    """
+    from pyspark.sql import Window as W
+
+    d = (
+        df.filter(F.col(part_col).isin(part_a, part_b))
+        .select(
+            F.col(part_col).alias("__p"),
+            F.md5(F.col(key_col).cast("string")).alias("__h"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("__p").orderBy("__h")
+    r = d.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__nd", F.count("*").over(W.partitionBy("__p"))
+    )
+    bk = r.filter(F.col("__rn") <= int(k))
+    frac = F.conv(F.substring("__h", 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+    stats = (
+        bk.filter(F.col("__rn") == F.least(F.lit(int(k)), F.col("__nd")))
+        .select(
+            "__p",
+            "__nd",
+            F.when(F.col("__nd") <= int(k), F.lit(1.0))
+            .otherwise(frac)
+            .alias("__theta_side"),
+        )
+    )
+    sa = stats.filter(F.col("__p") == part_a).select(
+        F.col("__nd").alias("__nd_a"), F.col("__theta_side").alias("__th_a")
+    )
+    sb = stats.filter(F.col("__p") == part_b).select(
+        F.col("__nd").alias("__nd_b"), F.col("__theta_side").alias("__th_b")
+    )
+    theta = sa.crossJoin(sb).select(
+        "__nd_a",
+        "__nd_b",
+        "__th_a",
+        "__th_b",
+        F.least("__th_a", "__th_b").alias("__theta"),
+    )
+
+    def side_est(nd, th):
+        return F.when(nd <= int(k), nd.cast("double")).otherwise(
+            F.floor(F.lit(float(k - 1)) / th)
+        ).cast("bigint")
+
+    ka = bk.filter(F.col("__p") == part_a).select(
+        F.col("__h").alias("__ha"), frac.alias("__fa")
+    )
+    kb = bk.filter(F.col("__p") == part_b).select(
+        F.col("__h").alias("__hb"), frac.alias("__fb")
+    )
+    # cut both retained sets back to hashes strictly below θ (θ ≤ each
+    # side's own threshold, so this only ever shrinks the bottom-k set)
+    ka_cut = ka.crossJoin(F.broadcast(theta.select("__theta"))).filter(
+        F.col("__fa") < F.col("__theta")
+    )
+    kb_cut = kb.crossJoin(F.broadcast(theta.select("__theta"))).filter(
+        F.col("__fb") < F.col("__theta")
+    )
+    inter = ka_cut.join(
+        kb_cut.select("__hb"), F.col("__ha") == F.col("__hb")
+    ).agg(F.count("*").alias("__n_inter"))
+    only_a = ka_cut.join(
+        kb_cut.select("__hb"),
+        F.col("__ha") == F.col("__hb"),
+        "left_anti",
+    ).agg(F.count("*").alias("__n_only"))
+    return (
+        theta.crossJoin(inter)
+        .crossJoin(only_a)
+        .select(
+            side_est(F.col("__nd_a"), F.col("__th_a")).alias("n_a"),
+            side_est(F.col("__nd_b"), F.col("__th_b")).alias("n_b"),
+            F.floor(F.col("__n_inter").cast("double") / F.col("__theta"))
+            .cast("bigint")
+            .alias("n_intersection"),
+            F.floor(F.col("__n_only").cast("double") / F.col("__theta"))
+            .cast("bigint")
+            .alias("n_only_a"),
+        )
+    )
+
+
 def kll_quantiles(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -152,3 +152,134 @@ def test_kmv_distinct_exact_small_groups_and_error_envelope(spark):
         for r in kmv_distinct(df.repartition(13), ["g"], "v", k=64).collect()
     }
     assert again["big"] == rows["big"]["est_distinct"]
+
+
+# --- deterministic md5 twins (r5: the catalog-wired, oracle-checked
+# forms; the seeded DataSketches ops above remain library API) --------
+
+
+def test_hll_md5_error_envelope_and_exact_column(spark):
+    """Raw md5-HLL estimate within 3σ (1.04/sqrt(256) ≈ 6.5% RSE) of
+    the true distinct count, and the exact_distinct diagnostic column
+    IS the true count."""
+    from potoos_spark.operators.sketch import hll_distinct_md5
+
+    li = table(spark, SF_ORACLE_DIR, "lineitem")
+    exact = _exact("l_returnflag")  # l_partkey grain
+    rows = hll_distinct_md5(li, ["l_returnflag"], "l_partkey").collect()
+    assert {r["l_returnflag"] for r in rows} == set(exact)
+    for r in rows:
+        e = exact[r["l_returnflag"]]
+        assert r["exact_distinct"] == e
+        assert abs(r["rel_err"]) <= 3 * 1.04 / (256 ** 0.5), r
+        assert r["est_distinct"] == pytest.approx(e * (1 + r["rel_err"]))
+
+
+def test_hll_md5_union_merge_equals_direct_build(spark):
+    """Register-wise max merge of fine sketches must equal building the
+    coarse sketch directly — bit-for-bit, not approximately (max is
+    associative/idempotent). This is the mergeability contract."""
+    from potoos_spark.operators.sketch import hll_distinct_md5, hll_union_md5
+
+    li = table(spark, SF_ORACLE_DIR, "lineitem")
+    merged = {
+        r["l_returnflag"]: r["est_distinct"]
+        for r in hll_union_md5(
+            li, ["l_returnflag", "l_linestatus"], ["l_returnflag"], "l_orderkey"
+        ).collect()
+    }
+    direct = {
+        r["l_returnflag"]: r["est_distinct"]
+        for r in hll_distinct_md5(li, ["l_returnflag"], "l_orderkey").collect()
+    }
+    assert merged == direct
+
+
+def test_sampled_quantiles_md5_partitioning_independent(spark):
+    """The md5 row sample (unlike df.sample) must not depend on the
+    physical partitioning, and the quantiles must be ordered values
+    drawn from the sample."""
+    from potoos_spark.catalog.common import events_frame
+    from potoos_spark.operators.sketch import sampled_quantiles_md5
+
+    ev = events_frame(spark, SF_ORACLE_DIR)
+    a = sorted(
+        sampled_quantiles_md5(ev, ["series_key"], "value", "seq").collect()
+    )
+    b = sorted(
+        sampled_quantiles_md5(
+            ev.repartition(17), ["series_key"], "value", "seq"
+        ).collect()
+    )
+    assert a == b
+    n_total = ev.count()
+    for r in a:
+        assert r["p50"] <= r["p95"] <= r["p99"]
+        # ~1/8 sample per series (5 series, binomial slack)
+        assert 0.08 * n_total / 5 <= r["n_sampled"] <= 0.18 * n_total / 5
+
+
+def test_sampled_quantiles_md5_rank_error_vs_exact(spark):
+    """DKW-style sanity: the sampled p50 lands within a generous rank
+    band of the exact per-series p50 (n≈250 ⇒ ε ≈ 1.22/sqrt(n) ≈ 0.077
+    at 95%; assert 3x that)."""
+    from potoos_spark.catalog.common import events_frame
+    from potoos_spark.operators.sketch import sampled_quantiles_md5
+
+    ev = events_frame(spark, SF_ORACLE_DIR)
+    got = {
+        r["series_key"]: r["p50"]
+        for r in sampled_quantiles_md5(
+            ev, ["series_key"], "value", "seq"
+        ).collect()
+    }
+    con = duckdb.connect()
+    ranks = {
+        k: con.sql(
+            "SELECT CAST(SUM(CASE WHEN value <= ? THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / COUNT(*) FROM "
+            f"'{SF_ORACLE_DIR}/events.parquet' WHERE event_type = ?"
+        , params=[v, k]).fetchone()[0]
+        for k, v in got.items()
+    }
+    con.close()
+    for k, frac in ranks.items():
+        assert abs(frac - 0.5) <= 0.25, (k, frac)
+
+
+def test_kmv_theta_overlap_exact_when_small(spark):
+    """Both sides ≤ k ⇒ θ = 1.0 and every output is EXACT set algebra."""
+    from potoos_spark.operators.sketch import kmv_theta_overlap
+
+    rows = [("a", i) for i in range(40)] + [("b", i) for i in range(20, 70)]
+    df = spark.createDataFrame(rows, "p string, key long")
+    got = kmv_theta_overlap(df, "p", "key", "a", "b", k=64).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (40, 50)
+    assert got["n_intersection"] == 20
+    assert got["n_only_a"] == 20
+
+
+def test_kmv_theta_overlap_error_envelope(spark):
+    """Estimator branch (sides ≫ k): every estimate within 3σ ≈
+    3/sqrt(256) of truth on the sf0.01 lineitem year overlap."""
+    from pyspark.sql import functions as F
+    from potoos_spark.operators.sketch import kmv_theta_overlap
+
+    li = table(spark, SF_ORACLE_DIR, "lineitem").select(
+        F.year("l_shipdate").alias("yr"), "l_partkey"
+    )
+    got = kmv_theta_overlap(li, "yr", "l_partkey", 1996, 1997, k=256).collect()[0]
+    con = duckdb.connect()
+    a, b, inter = con.sql(
+        f"""WITH d AS (SELECT DISTINCT year(l_shipdate) AS y, l_partkey AS k
+        FROM '{SF_ORACLE_DIR}/lineitem.parquet' WHERE year(l_shipdate) IN (1996, 1997))
+        SELECT COUNT(DISTINCT k) FILTER (y = 1996),
+               COUNT(DISTINCT k) FILTER (y = 1997),
+               COUNT(*) - COUNT(DISTINCT k) FROM d"""
+    ).fetchone()
+    con.close()
+    tol = 3.0 / (256 ** 0.5)
+    assert abs(got["n_a"] - a) <= tol * a
+    assert abs(got["n_b"] - b) <= tol * b
+    assert abs(got["n_intersection"] - inter) <= tol * inter
+    assert abs(got["n_only_a"] - (a - inter)) <= 3 * tol * max(a - inter, 50)
