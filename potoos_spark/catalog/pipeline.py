@@ -230,8 +230,10 @@ def _knn_lsh_fn(spark, sf_dir):
 
 
 def _knn_ivf_fn(spark, sf_dir):
+    # r5: deterministic md5-medoid IVF (hash-oracle-checked); the
+    # MLlib-KMeans quantizer ivf_topk stays library API (test_ann_recall)
     e = _embs(spark, sf_dir)
-    return S.ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+    return S.ivf_topk_md5(e.filter(F.col("vec_id") < 5), e, k=5)
 
 
 def _text_tokens_fn(spark, sf_dir):
@@ -866,6 +868,38 @@ _KNN_MATRYOSHKA_SQL = (
 _BUCKET = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(8)
 )
+# Deterministic md5-medoid IVF (mirrors similarity.ivf_topk_md5): the
+# 16 corpus vectors with smallest md5(id) are the cells; assignment and
+# probing rank exact-integer squared L2 (nn + cn - 2*dot, all bigint)
+# with cell-id ties; probe the best 2 cells per query; exact integer
+# cosine over the probed candidates only.
+_IVF_SQDIST = (
+    "n.nn + c.cn2 - 2 * CAST(list_sum(list_transform(list_zip(v.e, c.ce), "
+    "p -> p[1] * p[2])) AS BIGINT)"
+)
+_KNN_IVF_SQL = (
+    f"WITH {_SCALED_V}, "
+    "cent AS (SELECT vec_id AS cell, e AS ce, "
+    "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2 FROM "
+    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)), "
+    "asg AS (SELECT match_id, ce2, cn_m, cell FROM ("
+    "SELECT v.vec_id AS match_id, v.e AS ce2, n.nn AS cn_m, c.cell, "
+    f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_IVF_SQDIST}, c.cell) AS rn "
+    "FROM v JOIN nrm n ON n.vec_id = v.vec_id CROSS JOIN cent c) WHERE rn = 1), "
+    "prob AS (SELECT query_id, qe, qn, cell FROM ("
+    "SELECT v.vec_id AS query_id, v.e AS qe, n.nn AS qn, c.cell, "
+    f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_IVF_SQDIST}, c.cell) AS rn "
+    "FROM v JOIN nrm n ON n.vec_id = v.vec_id CROSS JOIN cent c "
+    "WHERE v.vec_id < 5) WHERE rn <= 2), "
+    "scored AS (SELECT p.query_id, a.match_id, "
+    "CAST(CAST(list_sum(list_transform(list_zip(p.qe, a.ce2), x -> x[1] * x[2])) "
+    "AS BIGINT) AS DOUBLE) / sqrt(CAST(p.qn * a.cn_m AS DOUBLE)) AS cosine "
+    "FROM prob p JOIN asg a ON a.cell = p.cell AND p.query_id <> a.match_id) "
+    "SELECT query_id, match_id, cosine, rank FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank FROM scored) "
+    "WHERE rank <= 5"
+)
+
 _KNN_LSH_SQL = (
     f"WITH {_SCALED_V}, "
     f"bk AS (SELECT vec_id, CAST({_BUCKET} AS BIGINT) AS bucket FROM embeddings), "
@@ -2256,7 +2290,7 @@ QUERIES: dict[str, QuerySpec] = {
     # re-rank at full width)
     "knn_matryoshka": QuerySpec(_knn_matryoshka_fn, _KNN_MATRYOSHKA_SQL),
     "knn_lsh_bucket": QuerySpec(_knn_lsh_fn, _KNN_LSH_SQL),
-    "knn_ivf": QuerySpec(_knn_ivf_fn, None),  # KMeans quantizer: rows-only
+    "knn_ivf": QuerySpec(_knn_ivf_fn, _KNN_IVF_SQL),
     # extension: contrastive hard-negative mining (different-label top-k)
     "knn_hard_negatives": QuerySpec(_hard_negatives_fn, _HARD_NEG_SQL),
     # text analysis

@@ -103,6 +103,58 @@ def brp_lsh_neighbors(
     )
 
 
+def quantile_centroid_scores(
+    df: DataFrame, k: int = 8, value_col: str = "value"
+) -> DataFrame:
+    """Deterministic twin of ``kmeans_distance_scores`` for 1-D
+    features — the hash-oracle-checked catalog form (seeded MLlib
+    KMeans centroids aren't SQL-reproducible). Centroids are the k
+    exact LOW quantiles of ``value_col`` at the odd mid-fractions
+    (2i+1)/(2k) — the classic 1-D k-means seeding — selected by RANK
+    (order statistics, not float means, so no summation-order
+    dependence anywhere); score = distance to the nearest centroid,
+    exactly the model-distance anomaly signal of the KMeans form.
+
+    Physical shape: the total order comes from ``skew.global_rank``
+    (range repartition + per-slice row_number + broadcast offsets —
+    never a partition-less window); the ≤ k selected centroid values
+    collapse to a 1-row array that broadcasts back, and scoring is one
+    in-row array fold. Rank boundaries use the integer-fraction
+    arithmetic of ``sampled_quantiles_md5`` (ceil(n*(2i+1)/(2k)) via
+    correctly-rounded IEEE ops), so both engines select identical
+    centroids.
+
+    Output: (series_key, ts_ms, value, score) — same as the MLlib form.
+    """
+    from .skew import global_rank
+
+    base = df.select("series_key", "ts_ms", F.col(value_col).alias("value"))
+    ranked = global_rank(
+        base, ["value", "series_key", "ts_ms"], rank_col="__rk"
+    )
+    n = ranked.agg(F.count("*").alias("__n"))
+    spec = df.sparkSession.createDataFrame(
+        [(2 * i + 1, 2 * k) for i in range(k)], "num int, den int"
+    )
+    target = F.ceil(
+        (F.col("__n") * F.col("num")).cast("double") / F.col("den").cast("double")
+    ).cast("bigint")
+    cents = (
+        ranked.join(F.broadcast(n))
+        .join(F.broadcast(spec))
+        .filter(F.col("__rk") == target)
+        .select(F.col("value").alias("c"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("c")).alias("__cs"))
+    )
+    score = F.array_min(
+        F.transform(F.col("__cs"), lambda c: F.abs(F.col("value") - c))
+    )
+    return base.join(F.broadcast(cents)).select(
+        "series_key", "ts_ms", "value", score.alias("score")
+    )
+
+
 def kmeans_distance_scores(
     df: DataFrame,
     k: int = 8,

@@ -357,6 +357,100 @@ def ivf_topk(
     return _ranked_topk(scored, k)
 
 
+def ivf_topk_md5(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Deterministic IVF — the hash-oracle-checked twin of ``ivf_topk``
+    (the MLlib-KMeans quantizer stays the library API; its seeded
+    centroids aren't SQL-reproducible). Coarse centroids are ACTUAL
+    corpus vectors — the ``n_cells`` whose md5(id) hashes are smallest
+    (a uniform, engine-portable random draw; medoid-style seeds, so no
+    float centroid means anywhere) — and the cell id is the centroid's
+    own vector id. Assignment and probing use exact-integer squared
+    L2 on the scaled vectors (||a-c||² = na + nc − 2·a·c, all bigint),
+    ties on cell id, so cell membership is bit-deterministic.
+
+    Physical shape mirrors the production IVF exactly: the centroid
+    draw is a TakeOrderedAndProject (per-partition heaps — never a
+    global sort or partition-less window); the KB-scale centroid table
+    broadcasts to both assignment scans; candidates are only the rows
+    of probed cells (n_probe/n_cells of the corpus in expectation).
+
+    Output: (query_id, match_id, cosine, rank) — same as the other
+    knn entries.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), scaled_vec(vec_col).alias("ce")
+    ).withColumn("cn", sqnorm_expr(F.col("ce")))
+    cent = (
+        c.withColumn("__hm", F.md5(F.col("match_id").cast("string")))
+        .orderBy("__hm")
+        .limit(int(n_cells))
+        .select(
+            F.col("match_id").alias("cell"),
+            F.col("ce").alias("cent_e"),
+            F.col("cn").alias("cent_n"),
+        )
+    )
+
+    def sqdist(e, n):
+        dot = F.aggregate(
+            F.zip_with(e, F.col("cent_e"), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        return n + F.col("cent_n") - 2 * dot
+
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "match_id",
+            "ce",
+            "cn",
+            "cell",
+            sqdist(F.col("ce"), F.col("cn")).alias("__sq"),
+        )
+        .groupBy("match_id")
+        .agg(
+            F.min_by(
+                F.struct("ce", "cn", "cell"), F.struct("__sq", "cell")
+            ).alias("__a")
+        )
+        .select("match_id", "__a.ce", "__a.cn", "__a.cell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), scaled_vec(vec_col).alias("qe")
+    ).withColumn("qn", sqnorm_expr(F.col("qe")))
+    wq = W.partitionBy("query_id").orderBy("__sq", "cell")
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qe", "qn", "cell",
+            sqdist(F.col("qe"), F.col("qn")).alias("__sq"),
+        )
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= int(n_probe))
+        .select("query_id", "qe", "qn", "cell")
+    )
+    cand = F.broadcast(probed).join(assigned, "cell").filter(
+        F.col("query_id") != F.col("match_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "match_id",
+        cosine_from_norms(
+            F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
+    )
+    return _ranked_topk(scored, k)
+
+
 def quantize_embeddings(
     df: DataFrame, emb_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -433,6 +527,110 @@ def quantized_topk(
         ).alias("cosine"),
     )
     return _ranked_topk(scored, k)
+
+
+def brp_sign(t: int, i: int) -> int:
+    """±1 hyperplane entry for (table t, dim i) — md5-derived, seedless
+    (each engine re-derives the same constant at plan-build time;
+    shared by ``brp_lsh_neighbors_md5`` and its SQL oracle generator so
+    the two sides can't drift)."""
+    import hashlib
+
+    h = hashlib.md5(f"brp|{t}|{i}".encode()).hexdigest()[0]
+    return 1 if h in "02468ace" else -1
+
+
+def brp_lsh_neighbors_md5(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 2.0,
+    bucket_length: float = 0.5,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic bucketed-random-projection (Euclidean) LSH — the
+    hash-oracle-checked twin of ``ml.brp_lsh_neighbors`` (the fitted,
+    seeded MLlib hash family stays the library API). Datar et al. 2004
+    E2LSH with ±1 projection lines derived from md5 (``brp_sign``):
+    bucket_t(v) = floor((v · s_t) / w). Projections are exact bigint
+    folds over the integer-scaled vectors (w scales with them), so
+    bucket membership is bit-deterministic; candidates are pairs
+    sharing any (table, bucket); the distance filter compares SQUARED
+    integer distance against the squared scaled threshold — no float
+    boundary can flip membership. Only the reported distance is a
+    float (one sqrt + one division).
+
+    Physical shape: two in-row projection scans (no plane broadcast —
+    the ±1 constants are codegen literals, same trick as
+    ``random_projection``), one bucket-equality join that prunes the
+    pair space to co-bucketed rows, exact verification on candidates
+    only — the MLlib approxSimilarityJoin plan re-expressed in
+    DataFrame ops.
+
+    Output: (query_id, match_id, euclidean_dist) for pairs within
+    ``threshold`` (original units).
+    """
+    from .dedup import scaled_vec, sqnorm_expr
+
+    scale = 1000
+    w = float(bucket_length * scale)
+    sq_thresh = int(round(threshold * scale)) ** 2
+
+    def buckets(e):
+        def dot_t(t):
+            return F.aggregate(
+                F.array(*[
+                    F.element_at(e, i + 1) * F.lit(brp_sign(t, i))
+                    for i in range(dim)
+                ]),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            )
+
+        return F.array(*[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.floor(dot_t(t).cast("double") / F.lit(w))
+                .cast("bigint")
+                .alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])
+
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), scaled_vec(vec_col).alias("ce")
+    ).withColumn("cn", sqnorm_expr(F.col("ce")))
+    cb = c.select(
+        "match_id", "ce", "cn", F.explode(buckets(F.col("ce"))).alias("b")
+    ).select("match_id", "ce", "cn", "b.t", "b.bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), scaled_vec(vec_col).alias("qe")
+    ).withColumn("qn", sqnorm_expr(F.col("qe")))
+    qb = q.select(
+        "query_id", "qe", "qn", F.explode(buckets(F.col("qe"))).alias("b")
+    ).select("query_id", "qe", "qn", "b.t", "b.bucket")
+    cand = (
+        qb.join(cb, ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    scored = cand.withColumn(
+        "__sq", F.col("qn") + F.col("cn") - 2 * dot
+    ).filter(F.col("__sq") <= sq_thresh)
+    return scored.select(
+        "query_id",
+        "match_id",
+        (F.sqrt(F.col("__sq").cast("double")) / F.lit(float(scale))).alias(
+            "euclidean_dist"
+        ),
+    )
 
 
 def random_projection(
