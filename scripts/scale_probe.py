@@ -76,6 +76,14 @@ QUERIES = [
     "dedup_keep_best",       # simhash groups + LM-score keeper
     "corpus_chunk_overlap",  # map-only sliding-window chunker
     "corpus_weighted_sample",  # map + TakeOrdered race
+    # r5 (VERDICT r4 item 4): streaming replay entries — runnable on
+    # the replicated scratch dir now that the sources are
+    # layout-agnostic (the replicate() writes are Spark directory
+    # tables, the production layout)
+    "stream_debounce_replay",
+    "stream_heartbeat_sla_replay",
+    "dedup_exact_streaming",     # exact sibling of streaming_simhash_dedup
+    "dedup_simhash_streaming",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
@@ -148,6 +156,9 @@ def run_one(spark, name, sf_dir, repeats=2):
     fn = CATALOG[name].fn
     best = float("inf")
     for _ in range(repeats):
+        # cold cache per repeat (same discipline as bench.run_one):
+        # persisted intermediates must not turn repeat 2 into a read
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)

@@ -298,3 +298,90 @@ def test_simhash_keep_best_picks_lowest_score(spark):
         .toString()
     )
     assert "Window" not in plan
+
+
+# --- skewed-corpus stress (VERDICT r4 item 5): one boilerplate text
+# owns 50% of the corpus — the viral-dup shape a crawl develops --------
+
+
+def _skewed_corpus(spark, n_hot=10_000, n_cold=10_000):
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "breaking update subscribe to our newsletter terms of service "
+            "apply contact the editors for syndication rights today"
+        ).alias("text"),
+    )
+    cold = spark.range(n_cold).select(
+        (F.col("id") + n_hot).alias("doc_id"),
+        F.concat(
+            F.lit("unique report segment "),
+            F.col("id").cast("string"),
+            F.lit(" covering district "),
+            (F.col("id") % 997).cast("string"),
+            F.lit(" with independent findings and measurement "),
+            (F.col("id") * 7919).cast("string"),
+        ).alias("text"),
+    )
+    return hot.unionAll(cold)
+
+
+def test_chunk_dedup_on_boilerplate_dominated_corpus(spark):
+    """50% of docs are the SAME passage set: the first doc keeps every
+    passage, the other 9,999 hot docs keep nothing, and the plan stays
+    the map-side-combinable min-struct agg (no Window anywhere — a
+    ranked window over the passage-hash partition would funnel the
+    10k-occurrence hash through one sort task). Wall-time bounded."""
+    import time
+
+    from potoos_spark.operators.dedup import chunk_dedup
+
+    docs = _skewed_corpus(spark)
+    out = chunk_dedup(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+    t0 = time.perf_counter()
+    rows = {r["doc_id"]: r for r in out.collect()}
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 90, f"skewed chunk_dedup took {elapsed:.0f}s"
+
+    assert len(rows) == 20_000
+    first = rows[0]
+    assert first["n_kept"] == first["n_chunks"] > 0
+    # every other hot doc: all passages seen at doc 0
+    for did in (1, 5_000, 9_999):
+        assert rows[did]["n_kept"] == 0 and rows[did]["text_dedup"] == ""
+    # cold docs survive with most of their text
+    assert rows[15_000]["n_kept"] > 0
+
+
+def test_simhash_keep_best_on_boilerplate_dominated_corpus(spark):
+    """The 10k-member fingerprint group must collapse through the
+    min_by hash agg (windowless plan) to the single lowest-score
+    member, ties to the min id."""
+    import time
+
+    from potoos_spark.operators.dedup import simhash_keep_best
+
+    docs = _skewed_corpus(spark)
+    # synthetic fluency scores: minimum 0.0 at every doc_id % 100 == 7,
+    # so the hot group has many tied best scores -> keeper = min id (7)
+    scores = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 100 == 7, 0.0)
+        .otherwise(((F.col("doc_id") % 100) + 1).cast("double"))
+        .alias("avg_nll"),
+    )
+    out = simhash_keep_best(docs, scores)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+    t0 = time.perf_counter()
+    groups = out.collect()
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 90, f"skewed simhash_keep_best took {elapsed:.0f}s"
+
+    hot = max(groups, key=lambda r: r["n_docs"])
+    assert hot["n_docs"] == 10_000
+    assert hot["keep_id"] == 7 and hot["keep_score"] == 0.0
