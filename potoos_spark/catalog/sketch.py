@@ -22,6 +22,7 @@ from ..operators.sketch import (
     hll_distinct_md5,
     hll_union_md5,
     kmv_theta_overlap,
+    kmv_union,
     sampled_quantiles_md5,
 )
 from .common import EVENTS_SQL, QuerySpec, events_frame, table
@@ -164,6 +165,43 @@ _THETA_SQL = (
 )
 
 
+def _kmv_union_fn(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return kmv_union(
+        li, ["l_returnflag", "l_linestatus"], ["l_returnflag"], "l_orderkey",
+        k=_KMVU_K,
+    )
+
+
+# Direct coarse bottom-k sketch — the Spark side computes the two-level
+# fine→coarse MERGE instead; hash equality of the two formulations IS
+# the mergeability proof (union of fine bottom-k sets contains the
+# coarse bottom-k by pigeonhole). Exact branch is nd < k STRICT: the
+# merged set cannot tell nd == k from nd > k, so both engines use the
+# estimator there.
+_KMVU_K = 64
+_KMVU_FRAC = (
+    f"(CAST(CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS DOUBLE) / {_HEX15_D})"
+)
+_KMVU_EST = (
+    f"CASE WHEN nd < {_KMVU_K} THEN CAST(nd AS DOUBLE) "
+    f"ELSE {float(_KMVU_K - 1)} / {_KMVU_FRAC} END"
+)
+_KMV_UNION_SQL = (
+    "WITH d AS (SELECT DISTINCT l_returnflag AS g, "
+    "md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem), "
+    "r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn, "
+    "COUNT(*) OVER (PARTITION BY g) AS nd FROM d), "
+    f"kth AS (SELECT * FROM r WHERE rn = LEAST({_KMVU_K}, nd)), "
+    "ex AS (SELECT g, COUNT(*) AS exact_distinct FROM d GROUP BY 1) "
+    "SELECT kth.g AS l_returnflag, ex.exact_distinct, "
+    f"CAST(LEAST({_KMVU_K}, nd) AS BIGINT) AS k_used, "
+    f"{_KMVU_EST} AS est_distinct, "
+    f"({_KMVU_EST}) / CAST(ex.exact_distinct AS DOUBLE) - 1.0 AS rel_err "
+    "FROM kth JOIN ex USING (g)"
+)
+
+
 def _cms_fn(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     return count_min_estimate(ev, "user_id", depth=4, width=64)
@@ -301,4 +339,7 @@ QUERIES: dict[str, QuerySpec] = {
     "sketch_bloom_filter": QuerySpec(_bloom_fn, _BLOOM_SQL),
     # r4: deterministic bottom-k distinct sketch — hash-oracle-checked
     "sketch_kmv_distinct": QuerySpec(_kmv_fn, _KMV_SQL),
+    # r5: mergeable KMV rollup — Spark merges fine sketches, the oracle
+    # builds the coarse sketch directly; equality = mergeability proof
+    "sketch_kmv_union": QuerySpec(_kmv_union_fn, _KMV_UNION_SQL),
 }

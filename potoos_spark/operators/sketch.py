@@ -119,6 +119,76 @@ def kmv_distinct(
     )
 
 
+def kmv_union(
+    df: DataFrame,
+    fine_cols: Sequence[str],
+    coarse_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Mergeable KMV rollup — bottom-k sketches built per FINE group
+    (per partition/day in production), merged UP to the coarse group,
+    then estimated. The merge is exact by pigeonhole: every one of the
+    coarse group's k smallest hashes ranks ≤ k inside its own fine
+    group, so the union of fine bottom-k sets CONTAINS the coarse
+    bottom-k — re-taking the k smallest of the merged set reproduces
+    the direct coarse sketch bit-for-bit. That is the correctness
+    contract the driver hash-checks: the SQL oracle computes the
+    DIRECT coarse sketch; this operator computes the two-level merge;
+    equality is the mergeability proof.
+
+    One estimator boundary differs from ``kmv_distinct`` by design:
+    the merged set cannot distinguish nd == k from nd > k (both leave
+    exactly k survivors), so the exact branch is ``merged < k``
+    (strict) and nd == k uses the (k-1)/h_k estimator — the same rule
+    on both engines. exact_distinct/rel_err remain free diagnostics
+    off the distinct relation; a 100 TB run drops them and keeps only
+    the fine sketches (k rows per fine group — reusable for ANY
+    coarser rollup without rescanning).
+
+    Output: (coarse_cols..., exact_distinct, k_used, est_distinct,
+    rel_err) — the ``kmv_distinct`` schema.
+    """
+    from pyspark.sql import Window as W
+
+    gfine = list(fine_cols)
+    gcoarse = list(coarse_cols)
+    d = df.select(
+        *gfine, F.md5(F.col(value_col).cast("string")).alias("__h")
+    ).distinct()
+    w_f = W.partitionBy(*gfine).orderBy("__h")
+    bk_fine = d.withColumn("__rn", F.row_number().over(w_f)).filter(
+        F.col("__rn") <= int(k)
+    )
+    merged = bk_fine.select(*gcoarse, "__h").distinct()
+    w_c = W.partitionBy(*gcoarse).orderBy("__h")
+    r = merged.withColumn("__rn", F.row_number().over(w_c)).withColumn(
+        "__nm", F.count("*").over(W.partitionBy(*gcoarse))
+    )
+    frac = F.conv(F.substring("__h", 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+    est = F.when(
+        F.col("__nm") < int(k), F.col("__nm").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / frac)
+    kth = r.filter(F.col("__rn") == F.least(F.lit(int(k)), F.col("__nm")))
+    exact = (
+        df.select(*gcoarse, F.col(value_col).cast("string").alias("__v"))
+        .distinct()
+        .groupBy(*gcoarse)
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    return kth.join(exact, gcoarse).select(
+        *gcoarse,
+        "exact_distinct",
+        F.least(F.lit(int(k)), F.col("__nm")).cast("bigint").alias("k_used"),
+        est.alias("est_distinct"),
+        (est / F.col("exact_distinct").cast("double") - F.lit(1.0)).alias(
+            "rel_err"
+        ),
+    )
+
+
 def _md5_rho(h_col: str, window_start: int, window_hex: int = 15):
     """rho = 1 + number of leading zero BITS of a hex window of the md5
     digest column named ``h_col`` — the HLL register observable —

@@ -283,3 +283,44 @@ def test_kmv_theta_overlap_error_envelope(spark):
     assert abs(got["n_b"] - b) <= tol * b
     assert abs(got["n_intersection"] - inter) <= tol * inter
     assert abs(got["n_only_a"] - (a - inter)) <= 3 * tol * max(a - inter, 50)
+
+
+def test_kmv_union_merge_equals_direct_and_exact_branch(spark):
+    """Two-level fine→coarse bottom-k merge must equal the direct
+    coarse sketch (pigeonhole containment), including when one fine
+    group overflows k and others don't; a coarse group with < k
+    distinct values is EXACT."""
+    from pyspark.sql import functions as F
+    from potoos_spark.operators.sketch import kmv_distinct, kmv_union
+
+    K = 32
+    rows = (
+        # coarse 'big': fine 'x' has 200 values, fine 'y' has 5
+        # (overlapping x), true nd = 200
+        [("big", "x", i) for i in range(200)]
+        + [("big", "y", i) for i in range(5)]
+        # coarse 'small': 7 distinct values split across two fines
+        + [("small", "x", i) for i in range(4)]
+        + [("small", "y", i) for i in range(3, 7)]
+    )
+    df = spark.createDataFrame(rows, "g string, g2 string, v long")
+    merged = {
+        r["g"]: r for r in kmv_union(df, ["g", "g2"], ["g"], "v", k=K).collect()
+    }
+    assert merged["small"]["exact_distinct"] == 7
+    assert merged["small"]["est_distinct"] == 7.0  # nd < k branch: exact
+    assert merged["small"]["k_used"] == 7
+    assert merged["big"]["exact_distinct"] == 200
+    assert merged["big"]["k_used"] == K
+    # fixed deterministic fixture: the md5 draw for 0..199 lands at
+    # +24% with k=32 (2.4 sigma less lucky than average); assert a
+    # 4-sigma envelope so the check guards estimator bugs, not luck
+    assert abs(merged["big"]["rel_err"]) <= 4.0 / (K ** 0.5)
+
+    # the estimator branch of the direct sketch must agree bit-for-bit
+    direct = {
+        r["g"]: r for r in kmv_distinct(
+            df.select("g", F.col("v").cast("string").alias("v")), ["g"], "v", k=K
+        ).collect()
+    }
+    assert merged["big"]["est_distinct"] == direct["big"]["est_distinct"]
