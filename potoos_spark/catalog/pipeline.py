@@ -900,6 +900,62 @@ _KNN_IVF_SQL = (
     "WHERE rank <= 5"
 )
 
+# Product quantization (deterministic md5-medoid codebooks, shared by
+# emb_pq_codes and knn_pq_adc): 8 subspaces x 8 dims, 16 centroids per
+# subspace = the subvectors of the 16 smallest-md5(id) corpus vectors;
+# assignment/lookup are exact integer squared L2 with cid ties.
+_PQ_SUB = 8
+_PQ_CENTS = 16
+_PQ_SUBDIM = 8  # 64 dims / 8 subspaces
+_PQ_SQ = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+)
+_PQ_BASE = (
+    f"{_SCALED_V}, "
+    f"med AS (SELECT vec_id AS cid, e FROM v "
+    f"ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_PQ_CENTS}), "
+    f"ss AS (SELECT unnest(range(0, {_PQ_SUB})) AS s), "
+    f"cb AS (SELECT s, cid, e[(s*{_PQ_SUBDIM}+1):(s*{_PQ_SUBDIM}+{_PQ_SUBDIM})] "
+    "AS csub FROM med, ss), "
+    f"sub AS (SELECT vec_id, s, e[(s*{_PQ_SUBDIM}+1):(s*{_PQ_SUBDIM}+{_PQ_SUBDIM})] "
+    "AS sub FROM v, ss), "
+    "dist AS (SELECT sub.vec_id, sub.s, cb.cid, "
+    + _PQ_SQ.format(a="sub.sub", b="cb.csub")
+    + " AS sq FROM sub JOIN cb ON cb.s = sub.s), "
+    "asg AS (SELECT vec_id, s, cid, sq, ROW_NUMBER() OVER "
+    "(PARTITION BY vec_id, s ORDER BY sq, cid) AS rn FROM dist)"
+)
+_PQ_CODES_SQL = (
+    f"WITH {_PQ_BASE} "
+    "SELECT vec_id, CAST(s AS BIGINT) AS s, cid AS code, sq AS sub_sqdist "
+    "FROM asg WHERE rn = 1"
+)
+_PQ_ADC_SQL = (
+    f"WITH {_PQ_BASE}, "
+    "codes AS (SELECT vec_id AS match_id, s, cid AS code FROM asg WHERE rn = 1), "
+    "lut AS (SELECT sub.vec_id AS query_id, sub.s, cb.cid, "
+    + _PQ_SQ.format(a="sub.sub", b="cb.csub")
+    + " AS lsq FROM sub JOIN cb ON cb.s = sub.s WHERE sub.vec_id < 5), "
+    "tot AS (SELECT l.query_id, c.match_id, SUM(l.lsq) AS total "
+    "FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.code "
+    "WHERE l.query_id <> c.match_id GROUP BY 1, 2) "
+    "SELECT query_id, match_id, "
+    "sqrt(CAST(total AS DOUBLE)) / 1000.0 AS adc_dist, rank "
+    "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY total, match_id) AS rank FROM tot) WHERE rank <= 10"
+)
+
+
+def _pq_codes_fn(spark, sf_dir):
+    return S.pq_codes(_embs(spark, sf_dir))
+
+
+def _pq_adc_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.pq_adc_topk(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
 _KNN_LSH_SQL = (
     f"WITH {_SCALED_V}, "
     f"bk AS (SELECT vec_id, CAST({_BUCKET} AS BIGINT) AS bucket FROM embeddings), "
@@ -2291,6 +2347,9 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_matryoshka": QuerySpec(_knn_matryoshka_fn, _KNN_MATRYOSHKA_SQL),
     "knn_lsh_bucket": QuerySpec(_knn_lsh_fn, _KNN_LSH_SQL),
     "knn_ivf": QuerySpec(_knn_ivf_fn, _KNN_IVF_SQL),
+    # r5: product quantization — codes (long form) + ADC search
+    "emb_pq_codes": QuerySpec(_pq_codes_fn, _PQ_CODES_SQL),
+    "knn_pq_adc": QuerySpec(_pq_adc_fn, _PQ_ADC_SQL),
     # extension: contrastive hard-negative mining (different-label top-k)
     "knn_hard_negatives": QuerySpec(_hard_negatives_fn, _HARD_NEG_SQL),
     # text analysis

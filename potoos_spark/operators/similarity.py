@@ -529,6 +529,156 @@ def quantized_topk(
     return _ranked_topk(scored, k)
 
 
+def _pq_parts(df: DataFrame, vec_col: str, id_col: str, out_id: str,
+              n_sub: int, dim: int) -> DataFrame:
+    """(id, s, sub) — contiguous integer-scaled subvectors, one row per
+    (vector, subspace). The slice array is built in-row (compile-time
+    bounds) and posexploded — no shuffle."""
+    sub_dim = dim // n_sub
+    slices = F.array(*[
+        F.slice(F.col("__e"), s * sub_dim + 1, sub_dim) for s in range(n_sub)
+    ])
+    return df.select(
+        F.col(id_col).alias(out_id), scaled_vec(vec_col).alias("__e")
+    ).select(out_id, F.posexplode(slices).alias("s", "sub"))
+
+
+def _pq_codebook(corpus: DataFrame, vec_col: str, id_col: str,
+                 n_sub: int, n_centroids: int, dim: int) -> DataFrame:
+    """(s, cid, csub) — per-subspace codebooks from ONE md5-medoid draw:
+    the ``n_centroids`` corpus vectors with smallest md5(id) (the
+    ``ivf_topk_md5`` seeding), each contributing its s-th subvector to
+    subspace s's codebook. n_sub × n_centroids rows ≈ KBs at any corpus
+    size — always the broadcast side."""
+    sub_dim = dim // n_sub
+    med = (
+        corpus.select(
+            F.col(id_col).alias("cid"), scaled_vec(vec_col).alias("__e")
+        )
+        .withColumn("__hm", F.md5(F.col("cid").cast("string")))
+        .orderBy("__hm")
+        .limit(int(n_centroids))
+    )
+    slices = F.array(*[
+        F.slice(F.col("__e"), s * sub_dim + 1, sub_dim) for s in range(n_sub)
+    ])
+    return med.select("cid", F.posexplode(slices).alias("s", "csub"))
+
+
+def _sub_sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_sub: int = 8,
+    n_centroids: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search") — the storage/ANN workhorse at
+    billion-vector scale: each vector splits into ``n_sub`` contiguous
+    subvectors, each encoded as the id of its nearest per-subspace
+    centroid, compressing d floats to n_sub small codes. Deterministic
+    twin construction throughout: codebooks are md5-medoid draws (real
+    corpus subvectors — no float k-means means), assignment is exact
+    integer squared L2 with centroid-id ties, so codes are
+    bit-reproducible and SQL-oracle-checkable.
+
+    Physical shape: one in-row slice+posexplode scan (n_sub rows per
+    vector), a broadcast codebook join (n_sub × n_centroids rows — KBs
+    regardless of corpus size), one map-side-combinable min-struct agg.
+    No corpus self-join, no window over corpus-sized data.
+
+    Output LONG form (catalog outputs carry no arrays): one row per
+    (vector, subspace) — (vec_id, s, code, sub_sqdist); ``sub_sqdist``
+    is the exact integer quantization error of that subspace, so
+    SUM(sub_sqdist) per vector is the reconstruction error the PQ
+    recall/compression trade is tuned by.
+    """
+    cb = _pq_codebook(df, vec_col, id_col, n_sub, n_centroids, dim)
+    sub = _pq_parts(df, vec_col, id_col, "vec_id", n_sub, dim)
+    scored = sub.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "cid", _sub_sqdist(F.col("sub"), F.col("csub")).alias("__sq")
+    )
+    m = scored.groupBy("vec_id", "s").agg(
+        F.min(F.struct("__sq", "cid")).alias("__m")
+    )
+    return m.select(
+        "vec_id",
+        F.col("s").cast("bigint").alias("s"),
+        F.col("__m.cid").alias("code"),
+        F.col("__m.__sq").alias("sub_sqdist"),
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_sub: int = 8,
+    n_centroids: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ search with asymmetric distance computation (ADC): the query
+    stays full-precision; per (query, subspace) a lookup table of exact
+    integer squared distances to every centroid is built once, and each
+    corpus vector's approximate distance is the SUM of n_sub table
+    lookups keyed by its stored codes — the corpus is never touched
+    beyond its code columns. This is the memory-bandwidth shape that
+    makes PQ run at billions of vectors: scan codes (n_sub small ints
+    per vector), not floats.
+
+    Plan: corpus codes (from ``pq_codes``) join the broadcast LUT
+    (|Q| × n_sub × n_centroids rows) on (subspace, code), then one
+    map-side-combinable sum per (query, match) and a bounded ranked
+    window. Integer end-to-end; the only float is the reported
+    distance (sqrt of an exact ≤2^31 integer / scale).
+
+    Output: (query_id, match_id, adc_dist, rank) — ascending distance,
+    ties on match_id.
+    """
+    codes = pq_codes(corpus, vec_col, id_col, n_sub, n_centroids, dim).select(
+        F.col("vec_id").alias("match_id"), "s", "code"
+    )
+    cb = _pq_codebook(corpus, vec_col, id_col, n_sub, n_centroids, dim)
+    qsub = _pq_parts(queries, vec_col, id_col, "query_id", n_sub, dim)
+    lut = qsub.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "cid",
+        _sub_sqdist(F.col("sub"), F.col("csub")).alias("__lsq"),
+    )
+    tot = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["s"] == lut["s"]) & (codes["code"] == lut["cid"]),
+        )
+        .filter(F.col("query_id") != F.col("match_id"))
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("__lsq").alias("__total"))
+    )
+    w = W.partitionBy("query_id").orderBy("__total", "match_id")
+    return (
+        tot.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            "match_id",
+            (F.sqrt(F.col("__total").cast("double")) / F.lit(1000.0)).alias(
+                "adc_dist"
+            ),
+            "rank",
+        )
+    )
+
+
 def brp_sign(t: int, i: int) -> int:
     """±1 hyperplane entry for (table t, dim i) — md5-derived, seedless
     (each engine re-derives the same constant at plan-build time;
