@@ -132,7 +132,12 @@ def test_moving_range_frame_single_sort(spark):
 
 
 def test_hll_sketch_partial_aggregation(spark):
-    plan = _plan(CATALOG["sketch_distinct_hll"].fn(spark, SF_DIR))
+    # the DataSketches library op (the catalog slot wires the md5 twin
+    # since r5 — its own plan pin is test_hll_md5_is_two_hash_aggregates)
+    from potoos_spark.operators.sketch import hll_distinct
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = _plan(hll_distinct(li, ["l_returnflag"], "l_partkey"))
     assert "partial_hll_sketch_agg" in plan, "sketch must combine map-side"
 
 
@@ -408,3 +413,52 @@ def test_fertility_single_partial_agg(spark):
     simple = _plan(CATALOG["text_fertility_by_lang"].fn(spark, SF_DIR), "simple")
     assert simple.count("Exchange") == 1, simple
     assert "Window" not in simple and "Join" not in simple, simple
+
+
+def test_ivf_md5_centroid_draw_is_take_ordered(spark):
+    """The md5-medoid centroid draw must compile to
+    TakeOrderedAndProject (per-partition heaps), never a global sort or
+    a partition-less window, and both assignment scans must consume the
+    centroids via broadcast."""
+    df = CATALOG["knn_ivf"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    # the only Window is the bounded per-query probe/rank
+    assert all(
+        "query_id" in l
+        for l in plan.splitlines()
+        if "Window" in l and "partitionBy" in l.lower()
+    )
+
+
+def test_pq_adc_broadcasts_lut_and_codebook(spark):
+    """PQ-ADC must broadcast the KB-scale LUT/codebook sides; the
+    corpus side is scanned once for codes and never self-joined."""
+    df = CATALOG["knn_pq_adc"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brp_md5_planes_are_codegen_literals(spark):
+    """The ±1 projection lines are compile-time literals — no plane
+    relation may appear as a join side (the only joins are the bucket
+    equality join and the candidate re-join)."""
+    df = CATALOG["knn_brp_lsh_mllib"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bucket join is an equality hash join on (t, bucket)
+    assert "bucket" in plan
+
+
+def test_hll_md5_is_two_hash_aggregates(spark):
+    """The deterministic HLL twin must stay window-free: distinct →
+    (group, bucket) max → per-group sum, all hash aggregates with
+    map-side partials."""
+    df = CATALOG["sketch_distinct_hll"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per level
