@@ -83,6 +83,12 @@ HEADLINE = [
     "knn_rerank",
     "dedup_keep_best",
     "text_bpe_pairs",
+    # round-5 additions: deterministic md5-HLL twin, md5-medoid IVF,
+    # PQ asymmetric-distance search, quantile-centroid distance scoring
+    "sketch_distinct_hll",
+    "knn_ivf",
+    "knn_pq_adc",
+    "det_kmeans_distance",
 ]
 
 
