@@ -956,6 +956,62 @@ def _pq_adc_fn(spark, sf_dir):
     return S.pq_adc_topk(e.filter(F.col("vec_id") < 5), e, k=10)
 
 
+def _pq_rerank_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.pq_rerank_topk(e.filter(F.col("vec_id") < 5), e, k=10, expand=4)
+
+
+def _pq_blocked_fn(spark, sf_dir):
+    return S.pq_blocked_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+# PQ funnel: ADC nominates 40 candidates per query (codes-only scan),
+# exact integer squared L2 re-ranks them to the final 10.
+_PQ_RERANK_SQL = (
+    f"WITH {_PQ_BASE}, "
+    "codes AS (SELECT vec_id AS match_id, s, cid AS code FROM asg WHERE rn = 1), "
+    "lut AS (SELECT sub.vec_id AS query_id, sub.s, cb.cid, "
+    + _PQ_SQ.format(a="sub.sub", b="cb.csub")
+    + " AS lsq FROM sub JOIN cb ON cb.s = sub.s WHERE sub.vec_id < 5), "
+    "tot AS (SELECT l.query_id, c.match_id, SUM(l.lsq) AS total "
+    "FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.code "
+    "WHERE l.query_id <> c.match_id GROUP BY 1, 2), "
+    "cand AS (SELECT query_id, match_id FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY total, match_id) AS rn FROM tot) "
+    "WHERE rn <= 40), "
+    "re AS (SELECT cand.query_id, cand.match_id, "
+    "nq.nn + nc.nn - 2 * CAST(list_sum(list_transform(list_zip(vq.e, vc.e), "
+    "p -> p[1] * p[2])) AS BIGINT) AS sq "
+    "FROM cand JOIN v vq ON vq.vec_id = cand.query_id "
+    "JOIN v vc ON vc.vec_id = cand.match_id "
+    "JOIN nrm nq ON nq.vec_id = cand.query_id "
+    "JOIN nrm nc ON nc.vec_id = cand.match_id) "
+    "SELECT query_id, match_id, sqrt(CAST(sq AS DOUBLE)) / 1000.0 "
+    "AS euclidean_dist, rank FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY sq, match_id) AS rank FROM re) "
+    "WHERE rank <= 10"
+)
+
+# Banded PQ-code blocking: each (subspace, code) is a band key;
+# pairs sharing any band are candidates, exact integer cosine verifies.
+_PQ_BLOCKED_SQL = (
+    f"WITH {_PQ_BASE}, "
+    "codes AS (SELECT vec_id, s, cid AS code FROM asg WHERE rn = 1), "
+    "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+    "FROM codes a JOIN codes b ON a.s = b.s AND a.code = b.code "
+    "AND a.vec_id < b.vec_id), "
+    "p AS (SELECT cand.id_a, cand.id_b, "
+    "CAST(CAST(list_sum(list_transform(list_zip(va.e, vb.e), "
+    "x -> x[1] * x[2])) AS BIGINT) AS DOUBLE) "
+    "/ sqrt(CAST(na.nn * nb.nn AS DOUBLE)) AS cosine "
+    "FROM cand JOIN v va ON va.vec_id = cand.id_a "
+    "JOIN v vb ON vb.vec_id = cand.id_b "
+    "JOIN nrm na ON na.vec_id = cand.id_a "
+    "JOIN nrm nb ON nb.vec_id = cand.id_b) "
+    "SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4"
+)
+
+
 _KNN_LSH_SQL = (
     f"WITH {_SCALED_V}, "
     f"bk AS (SELECT vec_id, CAST({_BUCKET} AS BIGINT) AS bucket FROM embeddings), "
@@ -2347,9 +2403,12 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_matryoshka": QuerySpec(_knn_matryoshka_fn, _KNN_MATRYOSHKA_SQL),
     "knn_lsh_bucket": QuerySpec(_knn_lsh_fn, _KNN_LSH_SQL),
     "knn_ivf": QuerySpec(_knn_ivf_fn, _KNN_IVF_SQL),
-    # r5: product quantization — codes (long form) + ADC search
+    # r5: product quantization — codes (long form), ADC search, the
+    # ADC->exact funnel, and code-tuple blocked near-dup pairs
     "emb_pq_codes": QuerySpec(_pq_codes_fn, _PQ_CODES_SQL),
     "knn_pq_adc": QuerySpec(_pq_adc_fn, _PQ_ADC_SQL),
+    "knn_pq_rerank": QuerySpec(_pq_rerank_fn, _PQ_RERANK_SQL),
+    "dedup_pq_blocked": QuerySpec(_pq_blocked_fn, _PQ_BLOCKED_SQL),
     # extension: contrastive hard-negative mining (different-label top-k)
     "knn_hard_negatives": QuerySpec(_hard_negatives_fn, _HARD_NEG_SQL),
     # text analysis

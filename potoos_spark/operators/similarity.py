@@ -679,6 +679,121 @@ def pq_adc_topk(
     )
 
 
+def pq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    expand: int = 4,
+    n_sub: int = 8,
+    n_centroids: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """The production PQ funnel: ADC nominates ``expand × k``
+    candidates per query from CODES ONLY (the cheap scan), then the
+    exact integer squared L2 on the full-precision vectors re-ranks
+    just those candidates to the final top-k — same two-stage shape as
+    ``rerank_topk`` (int8 funnel), with PQ's stronger compression on
+    stage 1. Both stages deterministic with id ties, so the SQL oracle
+    replays the funnel bit-exactly. Stage-2 cost is |Q|·expand·k rows
+    regardless of corpus size.
+
+    Output: (query_id, match_id, euclidean_dist, rank) — exact
+    distances, ascending.
+    """
+    cand = pq_adc_topk(
+        queries, corpus, vec_col, id_col, k * expand, n_sub, n_centroids, dim
+    ).select("query_id", "match_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), scaled_vec(vec_col).alias("qe")
+    ).withColumn("qn", sqnorm_expr(F.col("qe")))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), scaled_vec(vec_col).alias("ce")
+    ).withColumn("cn", sqnorm_expr(F.col("ce")))
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "match_id")
+        .withColumn("__sq", F.col("qn") + F.col("cn") - 2 * dot)
+    )
+    w = W.partitionBy("query_id").orderBy("__sq", "match_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            "match_id",
+            (F.sqrt(F.col("__sq").cast("double")) / F.lit(1000.0)).alias(
+                "euclidean_dist"
+            ),
+            "rank",
+        )
+    )
+
+
+def pq_blocked_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_sub: int = 8,
+    n_centroids: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup with BANDED PQ-code blocking — SimHash-band
+    economics in embedding space: each subspace code is a band key,
+    vectors sharing ANY (subspace, code) band become a candidate pair,
+    and exact integer cosine verifies only candidates. No false
+    positives (the verify is exact); recall is the banding miss rate —
+    for production-tight near-dups (cosine ≥ 0.9, i.e. re-encoded /
+    perturbed copies) per-band collision probability is high and the
+    pruning is strong, while on this repo's deliberately weak fixture
+    'dups' (cosine 0.4–0.51) the measured trade at the default
+    operating point is 86% recall with ~21% of the all-pairs volume
+    pruned (test-pinned) — the honest statement of what banding does
+    when 'near' isn't very near. Tighten ``n_centroids`` to prune
+    harder at lower recall (64 → 17% candidate volume, 61% fixture
+    recall).
+
+    Plan shape: the candidate join is an EQUALITY join on
+    (subspace, code) — never a cartesian — followed by one distinct
+    and an exact verify bounded by candidate volume.
+
+    Output: (id_a, id_b, cosine) — candidate pairs with
+    cosine ≥ threshold, id_a < id_b.
+    """
+    codes = pq_codes(df, vec_col, id_col, n_sub, n_centroids, dim)
+    a = codes.select(F.col("vec_id").alias("id_a"), "s", "code")
+    b = codes.select(F.col("vec_id").alias("id_b"), "s", "code")
+    cand = (
+        a.join(b, ["s", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = df.select(
+        F.col(id_col).alias("vec_id"), scaled_vec(vec_col).alias("e")
+    ).withColumn("n", sqnorm_expr(F.col("e")))
+    va = v.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
+        F.col("n").alias("na"),
+    )
+    vb = v.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+    cos = cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def brp_sign(t: int, i: int) -> int:
     """±1 hyperplane entry for (table t, dim i) — md5-derived, seedless
     (each engine re-derives the same constant at plan-build time;

@@ -239,3 +239,67 @@ def test_pq_adc_candidate_recall_and_funnel_shape(spark):
         rows.sort(key=lambda r: r["rank"])
         dists = [r["adc_dist"] for r in rows]
         assert dists == sorted(dists)
+
+
+def test_pq_rerank_recall_at_least_adc_and_exact_distances(spark):
+    """The ADC->exact funnel's recall@10 vs the exact euclidean top-10
+    must be >= the ADC-only recall (exact re-ranking of the candidate
+    pool can only fix stage-1 ordering), and every reported distance
+    must EQUAL the exact distance for that pair."""
+    from pyspark.sql import Window as W
+
+    from potoos_spark.operators.similarity import pq_adc_topk, pq_rerank_topk
+
+    e = table(spark, SF_ORACLE_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    qe = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ce = e.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("cv"))
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv").cast("array<double>"),
+                F.col("cv").cast("array<double>"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("d"), F.col("match_id"))
+    exact_rows = (
+        qe.crossJoin(ce)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("d", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    )
+    exact = {(r["query_id"], r["match_id"]) for r in exact_rows}
+    exact_d = {(r["query_id"], r["match_id"]): r["d"] for r in exact_rows}
+
+    adc = {(r["query_id"], r["match_id"]) for r in pq_adc_topk(q, e, k=10).collect()}
+    rr_rows = pq_rerank_topk(q, e, k=10, expand=8).collect()
+    rr = {(r["query_id"], r["match_id"]) for r in rr_rows}
+    assert len(rr & exact) >= len(adc & exact)
+    for r in rr_rows:
+        key = (r["query_id"], r["match_id"])
+        if key in exact_d:
+            # same integer-scaled arithmetic -> ~quantization-level agreement
+            assert abs(r["euclidean_dist"] - exact_d[key]) < 2e-3, key
+
+
+def test_pq_blocked_no_false_positives_and_fixture_recall(spark):
+    """Banded PQ blocking: every returned pair is truly >= threshold
+    (exact verify), and the measured fixture recall vs the all-pairs
+    exact baseline holds at the documented 0.8 gate (weak fixture dups,
+    cosine 0.4-0.51 — see operator docstring)."""
+    from potoos_spark.operators.dedup import embedding_dup_pairs
+    from potoos_spark.operators.similarity import pq_blocked_dup_pairs
+
+    e = table(spark, SF_ORACLE_DIR, "embeddings")
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(e, threshold=0.4).collect()}
+    got_rows = pq_blocked_dup_pairs(e, threshold=0.4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got <= exact  # exact verify: no false positives possible
+    assert all(r["cosine"] >= 0.4 for r in got_rows)
+    assert len(got) / len(exact) >= 0.8, f"recall {len(got) / len(exact):.2f}"
