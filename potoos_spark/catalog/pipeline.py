@@ -114,6 +114,24 @@ def _embs(spark, sf_dir):
     return table(spark, sf_dir, "embeddings")
 
 
+_EMBS_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def _embs_stream(spark, sf_dir):
+    """File-source replay of the embeddings table, layout-agnostic
+    (same Hadoop-FS probe branch rule as _docs_stream)."""
+    from .common import is_single_file
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if is_single_file(spark, path):
+        return (
+            spark.readStream.schema(_EMBS_SCHEMA)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+    return spark.readStream.schema(_EMBS_SCHEMA).parquet(path)
+
+
 def _dedup_exact_fn(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
@@ -489,6 +507,43 @@ def _stream_simhash_dedup_fn(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _stream_embedding_dedup_fn(spark, sf_dir):
+    """Replay embeddings as a stream through the watermarked
+    sign-fingerprint near-dup guard; survivors = one per distinct
+    16-dim sign bucket (which vector passes first is arrival order, so
+    only the bucket is emitted)."""
+    import uuid
+
+    from ..operators.similarity import streaming_embedding_dedup
+
+    embs = _embs_stream(spark, sf_dir).withColumn(
+        "ingest_time", F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("vec_id"))
+    )
+    out = streaming_embedding_dedup(embs).select("bucket")
+    name = f"sedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# survivors = the distinct 16-dim sign buckets (same bit packing as
+# the batch _BUCKET fragment, widened to 16 bits)
+_STREAM_EMB_DEDUP_SQL = (
+    "SELECT DISTINCT CAST("
+    + " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(16)
+    )
+    + " AS BIGINT) AS bucket FROM embeddings"
+)
 
 
 def _stream_quality_fn(spark, sf_dir):
@@ -2429,6 +2484,10 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_chunks_streaming": QuerySpec(_stream_chunk_dedup_fn, _STREAM_CHUNK_DEDUP_SQL),
     "dedup_simhash_streaming": QuerySpec(
         _stream_simhash_dedup_fn, _STREAM_SIMHASH_DEDUP_SQL
+    ),
+    # r5: the embedding sibling of the streaming near-dup guard
+    "dedup_embedding_streaming": QuerySpec(
+        _stream_embedding_dedup_fn, _STREAM_EMB_DEDUP_SQL
     ),
     "stream_quality_filter": QuerySpec(_stream_quality_fn, _QUALITY_FILTER_SQL),
     "text_langid": QuerySpec(_text_langid_fn, _TEXT_LANGID_SQL),

@@ -219,6 +219,39 @@ def sign_bucket(vec_col, n_bits: int = 8, offset: int = 0):
     ).cast("bigint")
 
 
+def streaming_embedding_dedup(
+    sdf: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    event_time_col: str = "ingest_time",
+    watermark: str = "1 hour",
+    n_bits: int = 16,
+) -> DataFrame:
+    """Embedding near-dup suppression over an unbounded stream — the
+    vector sibling of ``dedup.streaming_simhash_dedup``: first arrival
+    per ``n_bits``-dim sign-pattern fingerprint (``sign_bucket``)
+    passes, later sign-identical vectors (re-encoded / near-parallel
+    copies — production near-dups at cosine ≥ 0.99 share all signs
+    w.h.p.) drop. The fingerprint is a fully in-row fold, so the only
+    shuffle in the plan is the state-store partitioning on the bucket
+    key; state = one row per distinct fingerprint inside the watermark
+    horizon, evicted at the horizon. ``n_bits`` tunes the
+    collision/recall trade exactly like the batch LSH paths (wider =
+    stricter 'near'); the batch ``pq_blocked_dup_pairs`` /
+    ``embedding_dup_pairs`` are the retroactive sweeps.
+
+    Output: (id, event_time, bucket) — survivors only.
+    """
+    fp = sdf.select(
+        F.col(id_col),
+        F.col(event_time_col),
+        sign_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    return fp.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        ["bucket"]
+    )
+
+
 def sign_buckets_multi(vec_col, n_bits: int, n_tables: int):
     """array of (table_id, bucket) structs — one bucket per hash table,
     table t reading dimensions [t*n_bits, (t+1)*n_bits)."""

@@ -22,13 +22,11 @@ QUERIES = entrymod.queries()
 SKIP = {
     # streaming file-source replays: nothing to trigger on
     name for name in QUERIES if name.startswith("stream_")
-} | {
-    # seeded-model fits are defined to raise on empty input
-    "knn_ivf",
-    "det_kmeans_distance",
-    "dedup_minhash_mllib",
-    "knn_brp_lsh_mllib",
 }
+# r5: the formerly seeded-model slots (knn_ivf, det_kmeans_distance,
+# dedup_minhash_mllib, knn_brp_lsh_mllib) are wired to deterministic
+# twins that degrade to zero rows on empty input like every other
+# batch entry — no longer skipped.
 
 
 @pytest.fixture(scope="module")

@@ -184,3 +184,53 @@ def test_simhash_dedup_dedups_across_restart(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2  # not 3: the near-copy deduped across restart
     assert {r["doc_id"] for r in got.collect()} == {1, 3}
+
+
+def test_embedding_dedup_dedups_across_restart(spark, tmp_path):
+    """A sign-fingerprint seen before a restart must still suppress a
+    sign-identical vector arriving after the restart (r5 embedding
+    sibling of the SimHash guard) — state lives in the checkpointed
+    state store."""
+    import datetime
+
+    from potoos_spark.operators.similarity import streaming_embedding_dedup
+
+    schema = "vec_id bigint, embedding array<float>, ingest_time timestamp"
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_available():
+        sdf = streaming_embedding_dedup(
+            spark.readStream.schema(schema).parquet(str(src)), n_bits=4
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, vec, t0 + datetime.timedelta(seconds=i)) for i, vec in rows],
+            schema,
+        ).repartition(1).write.mode("append").parquet(str(src))
+
+    write([(1, [1.0, 2.0, 3.0, 4.0])])
+    run_available()
+    assert spark.read.parquet(out).count() == 1
+
+    time.sleep(1.1)
+    # vec 2: scaled copy (identical sign pattern) -> suppressed by
+    # restored state; vec 3: one sign flipped -> new bucket, passes
+    write([(2, [0.5, 1.0, 1.5, 2.0]), (3, [-1.0, 2.0, 3.0, 4.0])])
+    run_available()
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {r["vec_id"] for r in got.collect()} == {1, 3}
