@@ -880,3 +880,49 @@ _ROLLING_QUANTILE_SQL = (
 )
 
 QUERIES["ts_rolling_quantile"] = QuerySpec(_rolling_quantile_fn, _ROLLING_QUANTILE_SQL)
+
+
+def _psi_drift_fn(spark, sf_dir):
+    from ..operators.rate import psi_drift
+
+    return psi_drift(events_frame(spark, sf_dir), n_buckets=10)
+
+
+# PSI per series: first-vs-second time half, 10 equal-width value bins
+# over the series' own range, Laplace-smoothed shares; per-bucket terms
+# rounded+integer-scaled BEFORE summation (order-free bigint total —
+# the unigram_logprob idiom).
+_PSI_SQL = (
+    f"WITH series AS ({EVENTS_SQL}), "
+    "st AS (SELECT series_key, MIN(ts_ms) AS mnt, MAX(ts_ms) AS mxt, "
+    "MIN(value) AS mnv, MAX(value) AS mxv FROM series GROUP BY 1), "
+    "pts AS (SELECT s.series_key, "
+    "CASE WHEN s.ts_ms <= (st.mnt + st.mxt) // 2 THEN 0 ELSE 1 END AS h, "
+    "CASE WHEN st.mxv > st.mnv THEN "
+    "CAST(LEAST(floor(((s.value - st.mnv) * 10.0) / (st.mxv - st.mnv)), 9.0) "
+    "AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b "
+    "FROM series s JOIN st USING (series_key)), "
+    "c AS (SELECT series_key, b, "
+    "SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS ca, "
+    "SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS cb FROM pts GROUP BY 1, 2), "
+    "tot AS (SELECT series_key, CAST(SUM(ca) AS BIGINT) AS na, "
+    "CAST(SUM(cb) AS BIGINT) AS nb FROM c GROUP BY 1), "
+    "spine AS (SELECT st.series_key, gs.b FROM st, "
+    "(SELECT unnest(range(0, 10)) AS b) gs), "
+    "f AS (SELECT sp.series_key, COALESCE(c.ca, 0) + 1 AS ca1, "
+    "COALESCE(c.cb, 0) + 1 AS cb1, t.na, t.nb FROM spine sp "
+    "LEFT JOIN c ON c.series_key = sp.series_key AND c.b = sp.b "
+    "JOIN tot t ON t.series_key = sp.series_key), "
+    "tm AS (SELECT series_key, na, nb, CAST(round("
+    "(CAST(ca1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) "
+    "- CAST(cb1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)) "
+    "* ln((CAST(ca1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)) "
+    "/ (CAST(cb1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))) "
+    "* 1000000000.0) AS BIGINT) AS e9 FROM f) "
+    "SELECT series_key, MAX(na) AS n_a, MAX(nb) AS n_b, "
+    "CAST(SUM(e9) AS BIGINT) AS psi_e9, "
+    "CAST(CAST(SUM(e9) AS BIGINT) AS DOUBLE) / 1000000000.0 AS psi "
+    "FROM tm GROUP BY series_key"
+)
+
+QUERIES["ts_psi_drift"] = QuerySpec(_psi_drift_fn, _PSI_SQL)

@@ -436,3 +436,98 @@ def stl_decompose(
         "seasonal",
         (F.col("detrended") - F.col("seasonal")).alias("residual"),
     )
+
+
+def psi_drift(
+    df: DataFrame, n_buckets: int = 10, round_digits: int = 9
+) -> DataFrame:
+    """Population Stability Index per series — the standard
+    distribution-drift monitor (credit-scoring lineage; the go/no-go
+    check before trusting a model or a data feed whose inputs may have
+    shifted): split each series' points into two halves at its time
+    midpoint, bucket values into ``n_buckets`` equal-width bins over
+    the series' own [min, max], and score
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with Laplace-smoothed shares
+    p = (c_a+1)/(n_a+B), q = (c_b+1)/(n_b+B) (smoothing makes empty
+    buckets well-defined AND deterministic — no epsilon tuning).
+    Rule-of-thumb reading: < 0.1 stable, 0.1–0.25 moderate shift,
+    > 0.25 action.
+
+    Exactness discipline: every per-bucket term is rounded to
+    ``round_digits`` decimals and scaled to an INTEGER before the
+    per-series summation (the ``unigram_logprob`` idiom), so the total
+    is an order-free bigint sum — a 1-ulp libm ln() difference cannot
+    leak through partitioning or engine.
+
+    Physical shape: one per-series stats agg broadcast back, in-row
+    half/bucket assignment, one (series, bucket) count agg, a
+    B-row-per-series spine join (B·|series| rows — tiny), one final
+    per-series sum. No windows, no self-joins; shuffles carry series
+    and (series, bucket) grains only.
+
+    Output: (series_key, n_a, n_b, psi_e9, psi) — psi_e9 the exact
+    scaled-integer total, psi the double view.
+    """
+    B = int(n_buckets)
+    spark = df.sparkSession
+    stats = df.groupBy("series_key").agg(
+        F.min("ts_ms").alias("__mnt"),
+        F.max("ts_ms").alias("__mxt"),
+        F.min("value").alias("__mnv"),
+        F.max("value").alias("__mxv"),
+    )
+    pts = df.join(F.broadcast(stats), "series_key")
+    mid = F.expr("(__mnt + __mxt) div 2")
+    half = F.when(F.col("ts_ms") <= mid, 0).otherwise(1)
+    bucket = F.when(
+        F.col("__mxv") > F.col("__mnv"),
+        F.least(
+            F.floor(
+                ((F.col("value") - F.col("__mnv")) * F.lit(float(B)))
+                / (F.col("__mxv") - F.col("__mnv"))
+            ),
+            F.lit(B - 1).cast("bigint"),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    c = (
+        pts.select("series_key", half.alias("__h"), bucket.alias("__b"))
+        .groupBy("series_key", "__b")
+        .agg(
+            F.sum(F.when(F.col("__h") == 0, 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(F.col("__h") == 1, 1).otherwise(0)).alias("__cb"),
+        )
+    )
+    tot = c.groupBy("series_key").agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    spine = stats.select("series_key").crossJoin(
+        F.broadcast(spark.range(B).select(F.col("id").alias("__b")))
+    )
+    f = (
+        spine.join(c, ["series_key", "__b"], "left")
+        .join(tot, "series_key")
+        .select(
+            "series_key",
+            (F.coalesce("__ca", F.lit(0)) + 1).alias("__ca1"),
+            (F.coalesce("__cb", F.lit(0)) + 1).alias("__cb1"),
+            "__na",
+            "__nb",
+        )
+    )
+    p = F.col("__ca1").cast("double") / (F.col("__na") + B).cast("double")
+    q = F.col("__cb1").cast("double") / (F.col("__nb") + B).cast("double")
+    term_e9 = F.round((p - q) * F.log(p / q) * F.lit(10.0 ** round_digits)).cast(
+        "bigint"
+    )
+    return (
+        f.select("series_key", "__na", "__nb", term_e9.alias("__e9"))
+        .groupBy("series_key")
+        .agg(
+            F.max("__na").cast("bigint").alias("n_a"),
+            F.max("__nb").cast("bigint").alias("n_b"),
+            F.sum("__e9").cast("bigint").alias("psi_e9"),
+        )
+        .withColumn(
+            "psi", F.col("psi_e9").cast("double") / F.lit(10.0 ** round_digits)
+        )
+    )

@@ -144,3 +144,30 @@ def test_rolling_quantiles_matches_pandas(spark):
         for ts, a, b in zip(g["ts_ms"], q50, q95):
             ga, gb = got[(key, ts)]
             assert ga == round(a, 9) and gb == round(b, 9), (key, ts)
+
+
+def test_psi_drift_zero_for_identical_halves_and_flags_shift(spark):
+    """Two halves with identical value distributions give PSI exactly 0
+    (p == q per bucket -> every scaled term is round(0) == 0); a
+    wholesale level shift between halves scores far beyond the 0.25
+    action threshold. Single-valued series (mxv == mnv) collapse to one
+    bucket and score 0."""
+    from potoos_spark.operators.rate import psi_drift
+
+    rows = []
+    # 'stable': same 100-value ramp in each half
+    for half, base_ts in ((0, 0), (1, 1_000_000)):
+        rows += [("stable", base_ts + i, float(i % 100), i) for i in range(100)]
+    # 'shifted': first half lives in [0,100), second in [900,1000)
+    rows += [("shifted", i, float(i), i) for i in range(100)]
+    rows += [("shifted", 1_000_000 + i, 900.0 + i, i) for i in range(100)]
+    # 'flat': one constant value throughout
+    rows += [("flat", i * 1000, 42.0, i) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts_ms long, value double, seq long"
+    )
+    got = {r["series_key"]: r for r in psi_drift(df).collect()}
+    assert got["stable"]["psi_e9"] == 0 and got["stable"]["psi"] == 0.0
+    assert got["stable"]["n_a"] == got["stable"]["n_b"] == 100
+    assert got["shifted"]["psi"] > 0.25
+    assert got["flat"]["psi_e9"] == 0
