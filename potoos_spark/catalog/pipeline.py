@@ -1016,8 +1016,13 @@ def _pq_rerank_fn(spark, sf_dir):
     return S.pq_rerank_topk(e.filter(F.col("vec_id") < 5), e, k=10, expand=4)
 
 
+_PQ_CELL_CAP = 200  # scale guardrail: bands denser than this are skipped
+
+
 def _pq_blocked_fn(spark, sf_dir):
-    return S.pq_blocked_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
+    return S.pq_blocked_dup_pairs(
+        _embs(spark, sf_dir), threshold=0.4, cell_cap=_PQ_CELL_CAP
+    )
 
 
 # PQ funnel: ADC nominates 40 candidates per query (codes-only scan),
@@ -1048,10 +1053,15 @@ _PQ_RERANK_SQL = (
 )
 
 # Banded PQ-code blocking: each (subspace, code) is a band key;
-# pairs sharing any band are candidates, exact integer cosine verifies.
+# pairs sharing any band are candidates (bands denser than the cell
+# cap skipped — the linearity guardrail), exact integer cosine verifies.
 _PQ_BLOCKED_SQL = (
     f"WITH {_PQ_BASE}, "
-    "codes AS (SELECT vec_id, s, cid AS code FROM asg WHERE rn = 1), "
+    "codes0 AS (SELECT vec_id, s, cid AS code FROM asg WHERE rn = 1), "
+    "keep AS (SELECT s, code FROM (SELECT s, code, COUNT(*) AS n "
+    f"FROM codes0 GROUP BY 1, 2) WHERE n <= {_PQ_CELL_CAP}), "
+    "codes AS (SELECT codes0.* FROM codes0 JOIN keep "
+    "ON keep.s = codes0.s AND keep.code = codes0.code), "
     "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
     "FROM codes a JOIN codes b ON a.s = b.s AND a.code = b.code "
     "AND a.vec_id < b.vec_id), "

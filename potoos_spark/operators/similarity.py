@@ -777,6 +777,7 @@ def pq_blocked_dup_pairs(
     n_sub: int = 8,
     n_centroids: int = 16,
     dim: int = 64,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup with BANDED PQ-code blocking — SimHash-band
     economics in embedding space: each subspace code is a band key,
@@ -793,6 +794,18 @@ def pq_blocked_dup_pairs(
     harder at lower recall (64 → 17% candidate volume, 61% fixture
     recall).
 
+    SCALE GUARDRAIL — ``cell_cap``: with a FIXED codebook, cell
+    population grows linearly with the corpus, so per-band pair volume
+    grows quadratically (the sf1 probe measured exp 1.68 uncapped —
+    SCALE.md r5). ``cell_cap`` skips bands whose cell exceeds the cap
+    (an at-average-density cell holds vectors agreeing on one subspace
+    by CHANCE — non-discriminative, the df-capped-shingle rationale),
+    bounding candidates by cells × C(cap, 2) — linear in the corpus at
+    fixed cap. The production lever is scaling ``n_centroids`` with
+    the corpus so cells stay small (then the cap never bites); the cap
+    is the safety net that keeps a mis-sized codebook from going
+    quadratic. None = uncapped (correctness baseline).
+
     Plan shape: the candidate join is an EQUALITY join on
     (subspace, code) — never a cartesian — followed by one distinct
     and an exact verify bounded by candidate volume.
@@ -801,6 +814,14 @@ def pq_blocked_dup_pairs(
     cosine ≥ threshold, id_a < id_b.
     """
     codes = pq_codes(df, vec_col, id_col, n_sub, n_centroids, dim)
+    if cell_cap is not None:
+        keep = (
+            codes.groupBy("s", "code")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= int(cell_cap))
+            .select("s", "code")
+        )
+        codes = codes.join(keep, ["s", "code"])
     a = codes.select(F.col("vec_id").alias("id_a"), "s", "code")
     b = codes.select(F.col("vec_id").alias("id_b"), "s", "code")
     cand = (
