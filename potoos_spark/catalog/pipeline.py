@@ -2586,3 +2586,28 @@ QUERIES: dict[str, QuerySpec] = {
         _mm_byte_histogram_fn, _MM_BYTE_HISTOGRAM_SQL
     ),
 }
+
+
+def _token_entropy_fn(spark, sf_dir):
+    return T.token_entropy_by_lang(_docs(spark, sf_dir))
+
+
+# Per-language unigram token entropy; per-term ln rounded+integer-scaled
+# before the count-weighted sum (the unigram_logprob idiom).
+_TOKEN_ENTROPY_SQL = (
+    "WITH t AS (SELECT lang, unnest(list_filter(string_split_regex(trim("
+    "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), "
+    "x -> x <> '')) AS tok FROM documents), "
+    "cnt AS (SELECT lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2), "
+    "tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v "
+    "FROM cnt GROUP BY 1), "
+    "tm AS (SELECT cnt.lang, t.n, t.v, cnt.c * CAST(round("
+    "ln(CAST(cnt.c AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1000000000.0) "
+    "AS BIGINT) AS we9 FROM cnt JOIN tot t USING (lang)) "
+    "SELECT lang, MAX(n) AS n_tokens, CAST(MAX(v) AS BIGINT) AS vocab_size, "
+    "CAST(-SUM(we9) AS BIGINT) AS entropy_sum_e9, "
+    "round(CAST(-SUM(we9) AS BIGINT) / MAX(n) / 1000000000.0, 9) AS entropy "
+    "FROM tm GROUP BY lang"
+)
+
+QUERIES["text_token_entropy"] = QuerySpec(_token_entropy_fn, _TOKEN_ENTROPY_SQL)

@@ -926,3 +926,34 @@ _PSI_SQL = (
 )
 
 QUERIES["ts_psi_drift"] = QuerySpec(_psi_drift_fn, _PSI_SQL)
+
+
+def _value_entropy_fn(spark, sf_dir):
+    from ..operators.rate import value_entropy
+
+    return value_entropy(events_frame(spark, sf_dir), n_buckets=10)
+
+
+# Shannon entropy over the PSI binning; non-empty bins only (0 ln 0 = 0),
+# per-bin terms rounded+integer-scaled before the per-series sum.
+_VALUE_ENTROPY_SQL = (
+    f"WITH series AS ({EVENTS_SQL}), "
+    "st AS (SELECT series_key, MIN(value) AS mnv, MAX(value) AS mxv "
+    "FROM series GROUP BY 1), "
+    "pts AS (SELECT s.series_key, CASE WHEN st.mxv > st.mnv THEN "
+    "CAST(LEAST(floor(((s.value - st.mnv) * 10.0) / (st.mxv - st.mnv)), 9.0) "
+    "AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b "
+    "FROM series s JOIN st USING (series_key)), "
+    "c AS (SELECT series_key, b, COUNT(*) AS c FROM pts GROUP BY 1, 2), "
+    "tot AS (SELECT series_key, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1), "
+    "tm AS (SELECT c.series_key, t.n, CAST(round("
+    "(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) "
+    "* ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) "
+    "* 1000000000.0) AS BIGINT) AS e9 FROM c JOIN tot t USING (series_key)) "
+    "SELECT series_key, MAX(n) AS n_points, "
+    "CAST(-SUM(e9) AS BIGINT) AS entropy_e9, "
+    "CAST(CAST(-SUM(e9) AS BIGINT) AS DOUBLE) / 1000000000.0 AS entropy "
+    "FROM tm GROUP BY series_key"
+)
+
+QUERIES["ts_value_entropy"] = QuerySpec(_value_entropy_fn, _VALUE_ENTROPY_SQL)

@@ -531,3 +531,60 @@ def psi_drift(
             "psi", F.col("psi_e9").cast("double") / F.lit(10.0 ** round_digits)
         )
     )
+
+
+def value_entropy(
+    df: DataFrame, n_buckets: int = 10, round_digits: int = 9
+) -> DataFrame:
+    """Shannon entropy of each series' value distribution over
+    ``n_buckets`` equal-width bins (the ``psi_drift`` binning) — the
+    regime-complexity companion to PSI: a stuck sensor collapses to
+    ~0 nats, a healthy noisy metric sits near ln(B), and a sudden
+    entropy drop flags saturation/clipping before any threshold
+    detector fires. H = −Σ_b p_b ln p_b over NON-EMPTY bins
+    (0·ln 0 = 0 — no smoothing needed because empty bins contribute
+    exactly zero), p_b = c_b / n.
+
+    Same exactness discipline as ``psi_drift``: per-bin terms rounded
+    to ``round_digits`` and integer-scaled BEFORE the per-series sum.
+    Shape: stats-broadcast + in-row binning + two hash aggs,
+    windowless.
+
+    Output: (series_key, n_points, entropy_e9, entropy).
+    """
+    B = int(n_buckets)
+    stats = df.groupBy("series_key").agg(
+        F.min("value").alias("__mnv"), F.max("value").alias("__mxv")
+    )
+    bucket = F.when(
+        F.col("__mxv") > F.col("__mnv"),
+        F.least(
+            F.floor(
+                ((F.col("value") - F.col("__mnv")) * F.lit(float(B)))
+                / (F.col("__mxv") - F.col("__mnv"))
+            ),
+            F.lit(B - 1).cast("bigint"),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    c = (
+        df.join(F.broadcast(stats), "series_key")
+        .select("series_key", bucket.alias("__b"))
+        .groupBy("series_key", "__b")
+        .agg(F.count("*").alias("__c"))
+    )
+    tot = c.groupBy("series_key").agg(F.sum("__c").alias("__n"))
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    term_e9 = F.round(p * F.log(p) * F.lit(10.0 ** round_digits)).cast("bigint")
+    return (
+        c.join(F.broadcast(tot), "series_key")
+        .select("series_key", "__n", term_e9.alias("__e9"))
+        .groupBy("series_key")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_points"),
+            (-F.sum("__e9")).cast("bigint").alias("entropy_e9"),
+        )
+        .withColumn(
+            "entropy",
+            F.col("entropy_e9").cast("double") / F.lit(10.0 ** round_digits),
+        )
+    )

@@ -980,3 +980,58 @@ def fertility_by_lang(
             ).alias("fertility"),
         )
     )
+
+
+def token_entropy_by_lang(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Per-language unigram token entropy — the corpus-health companion
+    to ``zipf_slope``: H = −Σ_w p_w ln p_w over the language's token
+    distribution (p_w = count(w)/N). Low entropy flags a degenerate or
+    boilerplate-dominated slice before training wastes compute on it;
+    entropy in nats is also the tight lower bound on achievable
+    per-token NLL, so comparing a model's NLL to H says how much signal
+    is left.
+
+    Exactness: per-term ln rounded to ``round_digits`` and
+    integer-scaled before summation, weighted by exact integer counts
+    (the ``unigram_logprob`` idiom) — order-free bigint totals. Shape:
+    one explode → (lang, token) hash agg (vocabulary-grain — Heaps-law
+    bounded), one per-lang total broadcast-joined back, one final agg.
+
+    Output: (lang, n_tokens, vocab_size, entropy_e9, entropy).
+    """
+    t = df.select(F.col(lang_col).alias("lang"), F.explode(tokens(text_col)).alias("tok"))
+    cnt = t.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("lang").agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    le9 = F.round(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.lit(10.0 ** round_digits)
+    ).cast("bigint")
+    return (
+        cnt.join(F.broadcast(tot), "lang")
+        .select("lang", "n", "v", (F.col("c") * le9).alias("__we9"))
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.max("v").cast("bigint").alias("vocab_size"),
+            F.sum("__we9").alias("__s"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "vocab_size",
+            (-F.col("__s")).cast("bigint").alias("entropy_sum_e9"),
+            F.round(
+                (-F.col("__s")).cast("double")
+                / F.col("n_tokens")
+                / F.lit(10.0 ** round_digits),
+                round_digits,
+            ).alias("entropy"),
+        )
+    )

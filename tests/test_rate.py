@@ -171,3 +171,25 @@ def test_psi_drift_zero_for_identical_halves_and_flags_shift(spark):
     assert got["stable"]["n_a"] == got["stable"]["n_b"] == 100
     assert got["shifted"]["psi"] > 0.25
     assert got["flat"]["psi_e9"] == 0
+
+
+def test_value_entropy_uniform_vs_constant(spark):
+    """Uniform occupancy over the 10 bins gives H = ln(10) (to the
+    rounding grain); a constant series collapses to one bin, H = 0."""
+    import math
+
+    from potoos_spark.operators.rate import value_entropy
+
+    rows = [("u", i, float(i % 10), i) for i in range(1000)]  # hmm values 0..9
+    rows += [("const", i, 5.0, i) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts_ms long, value double, seq long"
+    )
+    got = {r["series_key"]: r for r in value_entropy(df).collect()}
+    # values 0..9 over range [0,9]: bins are equal-width; value v lands
+    # in bin min(floor(v*10/9), 9) -> bins {0,1,2,3,4,5,6,7,8,9} hit via
+    # v in 0..9? floor(v*10/9): 0,1,2,3,4,5,6,7,8,9(v=9 -> 10 capped 9)
+    # -> all 10 bins uniformly occupied (100 each)
+    assert got["u"]["n_points"] == 1000
+    assert abs(got["u"]["entropy"] - math.log(10)) < 1e-6
+    assert got["const"]["entropy_e9"] == 0 and got["const"]["entropy"] == 0.0

@@ -250,3 +250,24 @@ def test_fertility_by_lang_counts_and_ratio(spark):
     assert en["n_docs"] == 2 and en["n_words"] == 6
     assert en["n_bpe_tokens"] > en["n_words"]
     assert en["fertility"] == en["n_bpe_tokens"] / en["n_words"]
+
+
+def test_token_entropy_by_lang_orders_diversity(spark):
+    """A one-token language has entropy exactly 0; a uniform two-token
+    language has exactly ln 2 (to the rounding grain); the richer
+    distribution scores strictly higher."""
+    import math
+
+    from potoos_spark.operators.text import token_entropy_by_lang
+
+    rows = [
+        (1, "spam spam spam spam", "mono"),
+        (2, "ham eggs ham eggs", "duo"),
+        (3, "one two three four five six", "rich"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {r["lang"]: r for r in token_entropy_by_lang(df).collect()}
+    assert got["mono"]["entropy"] == 0.0 and got["mono"]["vocab_size"] == 1
+    assert abs(got["duo"]["entropy"] - math.log(2)) < 1e-8
+    assert got["rich"]["entropy"] > got["duo"]["entropy"] > got["mono"]["entropy"]
+    assert got["rich"]["n_tokens"] == 6 and got["rich"]["vocab_size"] == 6
