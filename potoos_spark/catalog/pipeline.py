@@ -609,6 +609,31 @@ _MM_DHASH_SQL = (
 )
 
 
+def _mm_pcm_energy_fn(spark, sf_dir):
+    return M.pcm_energy_windows(M.attach_binary(_docs(spark, sf_dir)))
+
+
+# PCM stand-in over ASCII payload bytes: sample i = ord(2i+1) +
+# 256*ord(2i+2) (1-based substr), signed-int16 correction a no-op for
+# ASCII but mirrored for fidelity; 32-sample windows, exact integer
+# energy, silence gate n*1000.
+_MM_PCM_SQL = (
+    "WITH s AS (SELECT doc_id, text, length(text) // 2 AS ns "
+    "FROM documents WHERE text IS NOT NULL AND length(text) >= 2), "
+    "sm AS (SELECT doc_id, CAST(i // 32 AS BIGINT) AS win, "
+    "ord(substr(text, CAST(2 * i + 1 AS INT), 1)) "
+    "+ 256 * ord(substr(text, CAST(2 * i + 2 AS INT), 1)) AS v "
+    "FROM s, LATERAL (SELECT unnest(range(0, ns)) AS i)), "
+    "sg AS (SELECT doc_id, win, "
+    "v - 65536 * (CASE WHEN v >= 32768 THEN 1 ELSE 0 END) AS sv FROM sm) "
+    "SELECT doc_id, win, COUNT(*) AS n_samples, "
+    "CAST(SUM(sv * sv) AS BIGINT) AS energy_sq, "
+    "CAST(CASE WHEN CAST(SUM(sv * sv) AS BIGINT) < COUNT(*) * 1000 "
+    "THEN 1 ELSE 0 END AS BIGINT) AS is_silence "
+    "FROM sg GROUP BY doc_id, win"
+)
+
+
 def _mm_byte_histogram_fn(spark, sf_dir):
     return M.byte_histogram(M.attach_binary(_docs(spark, sf_dir)))
 
@@ -2585,6 +2610,8 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_byte_histogram": QuerySpec(
         _mm_byte_histogram_fn, _MM_BYTE_HISTOGRAM_SQL
     ),
+    # r5: vectorized PCM energy windows (numpy-over-Arrow audio path)
+    "multimodal_pcm_energy": QuerySpec(_mm_pcm_energy_fn, _MM_PCM_SQL),
 }
 
 

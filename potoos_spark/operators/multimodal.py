@@ -256,3 +256,78 @@ def frame_sample(
             )
         ).alias("frame_sig"),
     )
+
+
+PCM_ENERGY_SCHEMA = (
+    "doc_id bigint, win bigint, n_samples bigint, energy_sq bigint, "
+    "is_silence bigint"
+)
+
+
+def pcm_energy_windows(
+    df: DataFrame,
+    window_samples: int = 32,
+    silence_sq_per_sample: int = 1000,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Windowed audio energy over a binary payload interpreted as
+    int16 little-endian PCM — the silence-detection / segmentation
+    primitive of an audio ingest pipeline (VAD front door: silent
+    windows are dropped or merged before the expensive ASR/embedding
+    stage). The kernel is fully VECTORIZED numpy-over-Arrow
+    (``np.frombuffer`` → reshape → square-sum; no per-sample Python),
+    the production shape for byte-level signal ops when no codec is
+    needed. In this codec-less environment the fixture payload is the
+    document's own bytes — a deterministic PCM stand-in, which keeps
+    the whole path (schema, batching, windowing, the int64 energy
+    math) real and SQL-oracle-checkable byte-for-byte.
+
+    Energy is the EXACT integer sum of squared samples per window
+    (int16² × window fits int64 with room), so the output is
+    engine-portable with no float anywhere; ``is_silence`` compares
+    against ``n_samples × silence_sq_per_sample`` in integers. A
+    trailing partial window is emitted with its true ``n_samples``.
+
+    Output: (id, win, n_samples, energy_sq, is_silence 0/1) — one row
+    per (payload, window).
+    """
+    import numpy as np
+
+    w = int(window_samples)
+    thr = int(silence_sq_per_sample)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, ns, es = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                b = b[: (len(b) // 2) * 2]
+                if not b:
+                    continue
+                a = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                sq = a * a
+                n = len(a)
+                n_win = (n + w - 1) // w
+                for k in range(n_win):
+                    seg = sq[k * w : (k + 1) * w]
+                    ids.append(doc_id)
+                    wins.append(k)
+                    ns.append(len(seg))
+                    es.append(int(seg.sum()))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "win": wins,
+                        "n_samples": ns,
+                        "energy_sq": es,
+                        "is_silence": [
+                            1 if e < n * thr else 0 for n, e in zip(ns, es)
+                        ],
+                    }
+                )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=PCM_ENERGY_SCHEMA
+    )

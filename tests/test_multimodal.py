@@ -89,3 +89,29 @@ def test_dhash_bit_packing_and_sign_convention(spark):
     assert got[1] == -(1 << 63)
     assert got[2] == 0
     assert 3 not in got
+
+
+def test_pcm_energy_windows_silence_partial_and_odd_byte(spark):
+    """Crafted payloads: an all-zero payload is silence in every
+    window; a loud square wave is not; a trailing partial window
+    reports its true sample count; a trailing odd byte is dropped
+    (not half a sample)."""
+    from potoos_spark.operators.multimodal import pcm_energy_windows
+
+    loud = (b"\x00\x40" * 40)  # 40 samples of +16384, 2 windows (32+8)
+    silent = b"\x00\x00" * 33  # 33 zero samples + ...
+    odd = b"\x01\x00" * 3 + b"\x7f"  # 3 samples of +1, trailing odd byte
+    df = spark.createDataFrame(
+        [(1, bytearray(loud)), (2, bytearray(silent)), (3, bytearray(odd))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {(r["doc_id"], r["win"]): r for r in pcm_energy_windows(df).collect()}
+    assert rows[(1, 0)]["n_samples"] == 32
+    assert rows[(1, 0)]["energy_sq"] == 32 * 16384 * 16384
+    assert rows[(1, 0)]["is_silence"] == 0
+    assert rows[(1, 1)]["n_samples"] == 8  # trailing partial window
+    assert rows[(2, 0)]["energy_sq"] == 0 and rows[(2, 0)]["is_silence"] == 1
+    assert rows[(2, 1)]["n_samples"] == 1 and rows[(2, 1)]["is_silence"] == 1
+    assert rows[(3, 0)]["n_samples"] == 3  # odd byte dropped
+    assert rows[(3, 0)]["energy_sq"] == 3
+    assert rows[(3, 0)]["is_silence"] == 1
