@@ -680,3 +680,53 @@ QUERIES: dict[str, QuerySpec] = {
     # single-task corpus sort)
     "q_global_percentiles": QuerySpec(_global_pctl_fn, _GLOBAL_PCTL_SQL),
 }
+
+
+def _zorder_fn(spark, sf_dir):
+    """Z-order clustering demo: interleave (l_partkey, l_orderkey) into
+    a Morton key, cut the keyspace into 64 top-bit buckets (the
+    'files' a ZORDER-optimized write would produce), and report each
+    bucket's min/max span in BOTH dimensions — narrow spans in both
+    are exactly the property that lets per-file stats prune scans
+    filtered on either column. A single-column sort gives one narrow
+    dimension and leaves the other at ~full range (asserted in
+    tests/test_storage.py)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..operators.storage import zorder_key
+
+    bits = 11  # fixture partkey range is 0..1999 ~ 2^11
+    li = table(spark, sf_dir, "lineitem").select(
+        F.pmod("l_partkey", F.lit(1 << bits)).cast("bigint").alias("pk"),
+        F.pmod("l_orderkey", F.lit(1 << bits)).cast("bigint").alias("sk"),
+    )
+    z = zorder_key("pk", "sk", bits=bits)
+    b = li.withColumn("bucket", F.shiftrightunsigned(z, 2 * bits - 6))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("pk").alias("pk_min"),
+        F.max("pk").alias("pk_max"),
+        F.min("sk").alias("sk_min"),
+        F.max("sk").alias("sk_max"),
+        (F.max("pk") - F.min("pk")).alias("pk_span"),
+        (F.max("sk") - F.min("sk")).alias("sk_span"),
+    )
+
+
+_Z_BITS = 11
+_Z_INTERLEAVE = " + ".join(
+    f"(((pk >> {i}) & 1) << {2 * i}) + (((sk >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+_ZORDER_SQL = (
+    "WITH c AS (SELECT CAST(l_partkey % 2048 AS BIGINT) AS pk, "
+    "CAST(l_orderkey % 2048 AS BIGINT) AS sk FROM lineitem), "
+    f"z AS (SELECT pk, sk, ({_Z_INTERLEAVE}) >> {2 * _Z_BITS - 6} AS bucket "
+    "FROM c) "
+    "SELECT bucket, COUNT(*) AS n, MIN(pk) AS pk_min, MAX(pk) AS pk_max, "
+    "MIN(sk) AS sk_min, MAX(sk) AS sk_max, "
+    "MAX(pk) - MIN(pk) AS pk_span, MAX(sk) - MIN(sk) AS sk_span "
+    "FROM z GROUP BY bucket"
+)
+
+QUERIES["q_zorder_clustering"] = QuerySpec(_zorder_fn, _ZORDER_SQL)

@@ -97,3 +97,30 @@ def compact_parquet(
         .parquet(dst)
     )
     return spark.read.parquet(dst).count()
+
+
+def zorder_key(col_a, col_b, bits: int = 14):
+    """Z-order (Morton) interleave of two bounded integer columns — the
+    multi-dimensional clustering key behind Delta/Iceberg OPTIMIZE
+    ZORDER: sorting or range-partitioning by the interleaved key gives
+    EVERY participating column locality, so per-file min/max stats
+    prune scans filtered on either column (a single-column sort only
+    prunes its own column). Inputs must already lie in [0, 2^bits);
+    callers clamp with pmod or rank-bucket first. Pure compile-time
+    unrolled bit arithmetic (shift/and/or) — whole-stage codegen, zero
+    shuffle, engine-portable bit-for-bit.
+
+    Returns a bigint column: bit i of ``col_a`` lands at position 2i,
+    bit i of ``col_b`` at 2i+1.
+    """
+    from pyspark.sql import functions as F
+
+    a = (F.col(col_a) if isinstance(col_a, str) else col_a).cast("bigint")
+    b = (F.col(col_b) if isinstance(col_b, str) else col_b).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(int(bits)):
+        z = z + F.shiftleft(F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(
+            F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z

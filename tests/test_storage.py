@@ -87,3 +87,43 @@ def test_compact_parquet_rewrites_row_exact_and_reduces_files(spark, tmp_path):
     part = spark.read.parquet(one).collect()
     keys = [(r.series_key, r.ts_ms) for r in part]
     assert keys == sorted(keys)
+
+
+def test_zorder_key_gives_both_dims_locality(spark):
+    """The z-order clustering property, measured: cutting the Morton
+    keyspace into 64 buckets must give BOTH dimensions narrow per-bucket
+    spans (each top bucket fixes 3 high bits of each dim → span ≤ 2^11
+    per dim at 14 bits), while bucketing by one raw column leaves the
+    OTHER dimension at ~full range. Also pins the interleave itself on
+    hand values."""
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.storage import zorder_key
+
+    # hand-pinned interleave: a=0b101 (bits 0,2), b=0b011 (bits 0,1)
+    # z bits: a0->0, b0->1, a1->2(0), b1->3, a2->4 ... = 1+2+8+16 = 27
+    df1 = spark.createDataFrame([(5, 3)], "a long, b long")
+    assert df1.select(zorder_key("a", "b", bits=3).alias("z")).collect()[0]["z"] == 27
+
+    bits = 11  # fixture partkey range is 0..1999 ~ 2^11
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.pmod("l_partkey", F.lit(1 << bits)).cast("bigint").alias("pk"),
+        F.pmod("l_orderkey", F.lit(1 << bits)).cast("bigint").alias("sk"),
+    )
+    z = li.withColumn(
+        "bucket", F.shiftrightunsigned(zorder_key("pk", "sk", bits=bits), 2 * bits - 6)
+    )
+    zstats = z.groupBy("bucket").agg(
+        (F.max("pk") - F.min("pk")).alias("pk_span"),
+        (F.max("sk") - F.min("sk")).alias("sk_span"),
+    ).collect()
+    # every z bucket fixes 3 top bits of EACH dim -> span <= 2^8 per dim
+    assert all(r["pk_span"] < (1 << 8) and r["sk_span"] < (1 << 8) for r in zstats)
+
+    # contrast: bucket by pk alone -> sk spans stay ~full range
+    lin = li.withColumn("bucket", F.shiftrightunsigned(F.col("pk"), bits - 6))
+    lstats = lin.groupBy("bucket").agg(
+        (F.max("sk") - F.min("sk")).alias("sk_span")
+    ).collect()
+    avg_sk = sum(r["sk_span"] for r in lstats) / len(lstats)
+    assert avg_sk > (1 << 10), avg_sk  # other dim keeps ~full range
