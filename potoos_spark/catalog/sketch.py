@@ -165,6 +165,23 @@ _THETA_SQL = (
 )
 
 
+def _kmv_salted_fn(spark, sf_dir):
+    """Skew-safe two-level salted bottom-k over the SAME input as
+    sketch_kmv_distinct — row-identical by the pigeonhole merge
+    argument, so it SHARES the direct form's oracle SQL (the shared
+    oracle is the equivalence proof, the corpus_source_cap_2phase
+    pattern)."""
+    from ..operators.sketch import kmv_distinct_salted
+    from ..operators.text import shingles, tokens
+
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    t = docs.repartition(n_part, "doc_id").select(
+        "source", F.explode(shingles(tokens("text"), 3)).alias("s")
+    )
+    return kmv_distinct_salted(t, ["source"], "s", k=_KMV_K)
+
+
 def _kmv_union_fn(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     return kmv_union(
@@ -342,4 +359,7 @@ QUERIES: dict[str, QuerySpec] = {
     # r5: mergeable KMV rollup — Spark merges fine sketches, the oracle
     # builds the coarse sketch directly; equality = mergeability proof
     "sketch_kmv_union": QuerySpec(_kmv_union_fn, _KMV_UNION_SQL),
+    # r5: skew-safe salted bottom-k, row-identical to the direct form —
+    # shares its oracle SQL (the equivalence proof)
+    "sketch_kmv_salted": QuerySpec(_kmv_salted_fn, _KMV_SQL),
 }

@@ -462,3 +462,24 @@ def test_hll_md5_is_two_hash_aggregates(spark):
     plan = _plan(df)
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final per level
+
+
+def test_psi_and_entropy_are_windowless_hash_aggs(spark):
+    """The drift/entropy monitors must stay window-free (stats
+    broadcast + hash aggs) — a per-series sort would make every
+    hot series a single-task bottleneck."""
+    for name in ("ts_psi_drift", "ts_value_entropy", "text_token_entropy"):
+        plan = _plan(CATALOG[name].fn(spark, SF_DIR))
+        assert "Window" not in plan, name
+        assert "HashAggregate" in plan, name
+
+
+def test_pcm_energy_projects_before_python_boundary(spark):
+    """Only (id, payload) may cross into the Arrow exchange — the
+    canonical Python-boundary projection rule."""
+    df = CATALOG["multimodal_pcm_energy"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    # the scan reads only the two source columns feeding the payload
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("lang" not in l and "source" not in l for l in read), read

@@ -324,3 +324,41 @@ def test_kmv_union_merge_equals_direct_and_exact_branch(spark):
         ).collect()
     }
     assert merged["big"]["est_distinct"] == direct["big"]["est_distinct"]
+
+
+def test_kmv_salted_row_identical_to_direct(spark):
+    """The two-level salted form must reproduce kmv_distinct
+    BIT-FOR-BIT (pigeonhole: every global bottom-k hash ranks <= k in
+    its own salt slice), across salt counts and on a skewed input
+    where one group holds most of the distinct values."""
+    from pyspark.sql import functions as F
+    from potoos_spark.operators.sketch import kmv_distinct, kmv_distinct_salted
+
+    rows = [("hot", i) for i in range(5000)] + [
+        (f"cold{i % 7}", i) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long").select(
+        "g", F.col("v").cast("string").alias("v")
+    )
+    direct = sorted(map(tuple, kmv_distinct(df, ["g"], "v", k=32).collect()))
+    for n_salts in (2, 8, 32):
+        salted = sorted(
+            map(tuple, kmv_distinct_salted(df, ["g"], "v", k=32, n_salts=n_salts).collect())
+        )
+        assert salted == direct, n_salts
+
+
+def test_kmv_salted_phase1_windows_are_salt_partitioned(spark):
+    """Every Window in the salted plan is partitioned (no global sort);
+    phase 1 partitions by (group, salt)."""
+    from pyspark.sql import functions as F
+    from potoos_spark.operators.sketch import kmv_distinct_salted
+
+    df = spark.createDataFrame([("g", str(i)) for i in range(100)], "g string, v string")
+    plan = (
+        kmv_distinct_salted(df, ["g"], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__salt" in plan  # the salt key reaches the physical window
