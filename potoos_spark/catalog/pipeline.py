@@ -2638,3 +2638,45 @@ _TOKEN_ENTROPY_SQL = (
 )
 
 QUERIES["text_token_entropy"] = QuerySpec(_token_entropy_fn, _TOKEN_ENTROPY_SQL)
+
+
+def _bpe_merges_fn(spark, sf_dir):
+    return T.bpe_learn_merges(_docs(spark, sf_dir), n_merges=3)
+
+
+def _bpe_step_sql(k: int) -> str:
+    """One unrolled BPE round: adjacent-pair counts over vocab v{k-1}
+    (position self-join keyed on the unique padded word string), the
+    deterministic argmax, and the two-pass replace rewrite into v{k}."""
+    prev, cur = f"v{k - 1}", f"v{k}"
+    pat = "' ' || t.l || ' ' || t.r || ' '"
+    rep = "' ' || t.l || t.r || ' '"
+    return (
+        f"s{k} AS (SELECT w, cnt, unnest(string_split(trim(w), ' ')) AS sym, "
+        f"generate_subscripts(string_split(trim(w), ' '), 1) AS pos FROM {prev}), "
+        f"p{k} AS (SELECT a.sym AS l, b.sym AS r, SUM(a.cnt) AS n_occ "
+        f"FROM s{k} a JOIN s{k} b ON a.w = b.w AND b.pos = a.pos + 1 "
+        "GROUP BY 1, 2), "
+        f"t{k} AS (SELECT l, r, n_occ FROM p{k} "
+        "ORDER BY n_occ DESC, l, r LIMIT 1), "
+        f"{cur} AS (SELECT replace(replace(v.w, {pat}, {rep}), {pat}, {rep}) "
+        f"AS w, v.cnt FROM {prev} v, t{k} t)"
+    )
+
+
+_BPE_MERGES_SQL = (
+    f"WITH {_TOK}, "
+    "wrd AS (SELECT unnest(toks) AS word FROM tok), "
+    "wc AS (SELECT word, COUNT(*) AS cnt FROM wrd GROUP BY 1), "
+    "v0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) "
+    "|| ' ' AS w, cnt FROM wc), "
+    + ", ".join(_bpe_step_sql(k) for k in (1, 2, 3))
+    + " "
+    + " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, n_occ FROM t{k}"
+        for k in (1, 2, 3)
+    )
+)
+
+QUERIES["text_bpe_merges"] = QuerySpec(_bpe_merges_fn, _BPE_MERGES_SQL)

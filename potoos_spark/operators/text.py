@@ -1035,3 +1035,79 @@ def token_entropy_by_lang(
             ).alias("entropy"),
         )
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules (Sennrich et al.
+    2016) over the corpus — as a PURE DataFrame plan with ZERO driver
+    collects: each round's argmax pair is a 1-row frame that rides as
+    a broadcast scalar into the next round's vocabulary rewrite, so
+    the whole n-step learning loop is one lazily-built plan the engine
+    executes end to end (the repo-wide no-``collect()`` invariant
+    holds even for this inherently iterative algorithm).
+
+    Vocabulary grain throughout (the ``bpe_pair_stats`` rationale): the
+    corpus collapses to distinct words × counts before any character
+    work, so per-round cost is Heaps-law bounded, never corpus-sized.
+    Words are held as space-joined symbol strings padded with sentinel
+    spaces; pair counts come from an in-row zip of adjacent symbols
+    weighted by word count (overlapping occurrences counted, the BPE
+    convention); the winning pair is ``orderBy(count desc, left,
+    right).limit(1)`` — a TakeOrderedAndProject with a deterministic
+    tie-break; the merge applies as TWO ``replace`` passes of
+    ``' l r ' → ' lr '`` (consecutive occurrences share a delimiter
+    space, so one scan-resume-after-match pass merges the odd
+    occurrences and a second pass the rest — two passes are always
+    sufficient because a merge never creates a new unmerged
+    occurrence; neither engine rescans replacement text, so the greedy
+    left-to-right result is engine-identical).
+
+    Output: (step, left, right, merged, n_occ) — one row per learned
+    rule, step 1-based; n_occ = the pair's corpus count when selected.
+    """
+    spark = df.sparkSession
+    words = df.select(F.explode(tokens(text_col)).alias("word"))
+    wc = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    spaced = F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 "))
+    vocab = wc.select(
+        F.concat(F.lit(" "), spaced, F.lit(" ")).alias("w"), "cnt"
+    )
+
+    outs = []
+    for step in range(1, int(n_merges) + 1):
+        syms = F.split(F.trim(F.col("w")), " ")
+        pairs = F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        pc = (
+            vocab.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("n_occ"))
+        )
+        top = pc.orderBy(F.col("n_occ").desc(), "l", "r").limit(1)
+        outs.append(
+            top.select(
+                F.lit(step).cast("bigint").alias("step"),
+                F.col("l").alias("left"),
+                F.col("r").alias("right"),
+                F.concat("l", "r").alias("merged"),
+                "n_occ",
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("l"), F.lit(" "), F.col("r"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
+        vocab = vocab.crossJoin(F.broadcast(top)).select(
+            F.replace(F.replace(F.col("w"), pat, rep), pat, rep).alias("w"),
+            "cnt",
+        )
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -271,3 +271,61 @@ def test_token_entropy_by_lang_orders_diversity(spark):
     assert abs(got["duo"]["entropy"] - math.log(2)) < 1e-8
     assert got["rich"]["entropy"] > got["duo"]["entropy"] > got["mono"]["entropy"]
     assert got["rich"]["n_tokens"] == 6 and got["rich"]["vocab_size"] == 6
+
+
+def test_bpe_learn_merges_matches_reference_implementation(spark):
+    """Six learned rules equal a from-scratch Python BPE (Sennrich
+    greedy left-to-right apply, overlap-counting pair statistics) on a
+    corpus with adjacent-overlap stress ('aaaa', 'ababab') and
+    multi-char merge chains (t+he -> the); and the plan is collect-free:
+    each round's argmax is a TakeOrderedAndProject broadcast back into
+    the rewrite (3 rounds -> >= 3 top-1 operators for the default)."""
+    import re
+    from collections import Counter
+
+    from potoos_spark.operators.text import bpe_learn_merges
+
+    def ref_bpe(texts, n):
+        words = []
+        for t in texts:
+            words += [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
+        vocab = {tuple(w): c for w, c in Counter(words).items()}
+        rules = []
+        for step in range(n):
+            pc = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            if not pc:
+                break
+            (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            rules.append((step + 1, l, r, l + r, cnt))
+            nv = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] = nv.get(tuple(out), 0) + c
+            vocab = nv
+        return rules
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the the the banana bandana banana",
+        "aaaa aaa aa a abab ababab",
+        "lower lowest newer newest wider widest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    out = bpe_learn_merges(df, n_merges=6)
+    got = sorted(map(tuple, out.collect()))
+    assert got == sorted(ref_bpe(texts, 6))
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 3
