@@ -2680,3 +2680,38 @@ _BPE_MERGES_SQL = (
 )
 
 QUERIES["text_bpe_merges"] = QuerySpec(_bpe_merges_fn, _BPE_MERGES_SQL)
+
+
+def _bpe_encode_fn(spark, sf_dir):
+    return T.bpe_encode_stats(_docs(spark, sf_dir), n_merges=3)
+
+
+# Encode half of the BPE loop: the 3 learned rules (t1..t3 from the
+# learning chain) applied per word in learning order, two replace
+# passes each; per-doc char/symbol totals.
+_BPE_ENC_WORD = "' ' || trim(regexp_replace(wd.word, '(.)', '\\1 ', 'g')) || ' '"
+_BPE_ENC_CHAIN = _BPE_ENC_WORD
+for _k in (1, 2, 3):
+    _pat = f"' ' || t{_k}.l || ' ' || t{_k}.r || ' '"
+    _rep = f"' ' || t{_k}.l || t{_k}.r || ' '"
+    _BPE_ENC_CHAIN = (
+        f"replace(replace({_BPE_ENC_CHAIN}, {_pat}, {_rep}), {_pat}, {_rep})"
+    )
+_BPE_ENCODE_SQL = (
+    f"WITH {_TOK}, "
+    "wrd AS (SELECT unnest(toks) AS word FROM tok), "
+    "wc AS (SELECT word, COUNT(*) AS cnt FROM wrd GROUP BY 1), "
+    "v0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) "
+    "|| ' ' AS w, cnt FROM wc), "
+    + ", ".join(_bpe_step_sql(k) for k in (1, 2, 3))
+    + ", wd AS (SELECT doc_id, unnest(toks) AS word FROM tok WHERE len(toks) > 0) "
+    "SELECT wd.doc_id, COUNT(*) AS n_words, "
+    "CAST(SUM(length(wd.word)) AS BIGINT) AS n_chars, "
+    f"CAST(SUM(len(string_split(trim({_BPE_ENC_CHAIN}), ' '))) AS BIGINT) AS n_syms, "
+    "CAST(SUM(length(wd.word)) AS BIGINT) "
+    f"/ CAST(CAST(SUM(len(string_split(trim({_BPE_ENC_CHAIN}), ' '))) AS BIGINT) AS DOUBLE) "
+    "AS compression "
+    "FROM wd, t1, t2, t3 GROUP BY wd.doc_id"
+)
+
+QUERIES["text_bpe_encode"] = QuerySpec(_bpe_encode_fn, _BPE_ENCODE_SQL)

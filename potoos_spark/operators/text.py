@@ -1111,3 +1111,72 @@ def bpe_learn_merges(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the ``bpe_learn_merges`` rules back to the corpus and
+    report per-document segmentation statistics — the encode half of
+    the tokenizer loop (chars → symbols under the learned merges; the
+    compression ratio is the signal tokenizer teams tune vocabulary
+    size by). Still zero driver collects: the n learned rules pivot
+    into ONE 1-row frame (conditional aggs over the rule steps) that
+    broadcasts into an in-row per-word replace chain — rules applied
+    in learning order, two passes each, inside a ``transform`` over
+    the document's token array, so encoding is a map-only pass over
+    the corpus.
+
+    Output: (id, n_words, n_chars, n_syms, compression) —
+    n_syms = symbol count after the merges, compression =
+    n_chars / n_syms (double).
+    """
+    rules = bpe_learn_merges(df, n_merges, text_col)
+    wide = rules.groupBy().agg(
+        *[
+            f
+            for k in range(1, int(n_merges) + 1)
+            for f in (
+                F.min(F.when(F.col("step") == k, F.col("left"))).alias(f"l{k}"),
+                F.min(F.when(F.col("step") == k, F.col("right"))).alias(f"r{k}"),
+            )
+        ]
+    )
+
+    def encode(word):
+        spaced = F.concat(
+            F.lit(" "), F.trim(F.regexp_replace(word, "(.)", "$1 ")), F.lit(" ")
+        )
+        w = spaced
+        for k in range(1, int(n_merges) + 1):
+            pat = F.concat(
+                F.lit(" "), F.col(f"l{k}"), F.lit(" "), F.col(f"r{k}"), F.lit(" ")
+            )
+            rep = F.concat(F.lit(" "), F.col(f"l{k}"), F.col(f"r{k}"), F.lit(" "))
+            w = F.replace(F.replace(w, pat, rep), pat, rep)
+        return F.size(F.split(F.trim(w), " "))
+
+    base = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    per_doc = base.crossJoin(F.broadcast(wide)).select(
+        id_col,
+        F.size("__toks").cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(F.col("__toks"), lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("n_chars"),
+        F.aggregate(
+            F.transform(F.col("__toks"), lambda w: encode(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("n_syms"),
+    )
+    return per_doc.withColumn(
+        "compression",
+        F.col("n_chars").cast("double") / F.col("n_syms").cast("double"),
+    )

@@ -329,3 +329,82 @@ def test_bpe_learn_merges_matches_reference_implementation(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("TakeOrderedAndProject") >= 3
+
+
+def test_bpe_encode_stats_matches_reference_apply(spark):
+    """Per-doc symbol counts after the 3 learned rules equal the
+    Python reference's greedy apply; compression == chars/symbols and
+    is >= 1; docs untouched by any rule keep n_syms == n_chars."""
+    import re
+    from collections import Counter
+
+    from potoos_spark.operators.text import bpe_encode_stats
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the the the banana bandana banana",
+        "aaaa aaa aa a abab ababab",
+        "xyz qpv",  # no learned rule touches these
+    ]
+
+    def ref_rules_and_apply(texts, n):
+        words_all = []
+        for t in texts:
+            words_all.append(
+                [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
+            )
+        flat = [w for ws in words_all for w in ws]
+        vocab = {tuple(w): c for w, c in Counter(flat).items()}
+        rules = []
+        for _ in range(n):
+            pc = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            (l, r), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            rules.append((l, r))
+
+            def apply(syms, l=l, r=r):
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                return tuple(out)
+
+            nv = {}
+            for syms, c in vocab.items():
+                k2 = apply(syms)
+                nv[k2] = nv.get(k2, 0) + c
+            vocab = nv
+
+        def encode_len(word):
+            syms = tuple(word)
+            for l, r in rules:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = tuple(out)
+            return len(syms)
+
+        return [sum(encode_len(w) for w in ws) for ws in words_all]
+
+    want_syms = ref_rules_and_apply(texts, 3)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in bpe_encode_stats(df, n_merges=3).collect()}
+    for i, t in enumerate(texts):
+        n_chars = sum(len(w) for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split())
+        assert got[i]["n_chars"] == n_chars
+        assert got[i]["n_syms"] == want_syms[i], (i, got[i]["n_syms"], want_syms[i])
+        assert got[i]["compression"] == n_chars / want_syms[i]
+    assert got[3]["n_syms"] == got[3]["n_chars"]  # untouched doc
