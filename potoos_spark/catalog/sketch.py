@@ -302,6 +302,40 @@ _KMV_SQL = (
 )
 
 
+def _cms_merge_fn(spark, sf_dir):
+    """Per-event-type CMS counter tables merged by cell-wise addition —
+    bit-identical to the direct whole-table counters (linearity), so
+    the oracle is simply the direct counter SQL."""
+    from ..operators.sketch import count_min_merge
+
+    ev = table(spark, sf_dir, "events")
+    return count_min_merge(ev, "user_id", "event_type", depth=4, width=64)
+
+
+# direct whole-table counters — the merged form must reproduce exactly
+_CMS_COUNTERS_SQL = (
+    "WITH cells AS ("
+    + " UNION ALL ".join(
+        f"SELECT {j} AS j, {_CMS_HASH.format(j=j, col='user_id')} AS bucket FROM events"
+        for j in range(4)
+    )
+    + ") SELECT j, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2"
+)
+
+
+def _bloom_union_fn(spark, sf_dir):
+    """Per-nation Bloom bit sets unioned, then probed — bit-identical
+    to bloom_probe on the whole build side (set union = filter of the
+    union), so it SHARES the direct form's oracle SQL."""
+    from ..operators.sketch import bloom_union
+
+    cust = table(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_acctbal") > 5000)
+    return bloom_union(
+        build, cust, "c_custkey", "c_custkey", "c_nationkey", k=3, m=_BLOOM_M
+    )
+
+
 def _bloom_fn(spark, sf_dir):
     cust = table(spark, sf_dir, "customer")
     build = cust.filter(F.col("c_acctbal") > 5000)
@@ -362,4 +396,9 @@ QUERIES: dict[str, QuerySpec] = {
     # r5: skew-safe salted bottom-k, row-identical to the direct form —
     # shares its oracle SQL (the equivalence proof)
     "sketch_kmv_salted": QuerySpec(_kmv_salted_fn, _KMV_SQL),
+    # r5: merge-equals-direct proofs completing the mergeability story
+    # across every sketch type (HLL max-merge, KMV union, CMS addition,
+    # Bloom bit union)
+    "sketch_cms_merge": QuerySpec(_cms_merge_fn, _CMS_COUNTERS_SQL),
+    "sketch_bloom_union": QuerySpec(_bloom_union_fn, _BLOOM_SQL),
 }

@@ -798,3 +798,103 @@ def bloom_probe(
             ((F.col("bloom_member") == 1) & (F.col("actual_member") == 0)).cast("bigint"),
         )
     )
+
+
+def count_min_merge(
+    df: DataFrame,
+    key_col: str,
+    split_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min mergeability, made a checkable equality: build one
+    counter table per ``split_col`` partition (per day/source/shard in
+    production), then MERGE by cell-wise addition — counters are
+    linear, so the merged table equals the direct whole-corpus table
+    bit-for-bit (the catalog entry shares the direct form's oracle as
+    the equivalence proof, like ``sketch_kmv_salted``). This is the
+    sketch-rollup pattern for frequency: per-partition CMS tables are
+    KB-scale artifacts that answer heavy-hitter queries over ANY union
+    of partitions without rescanning.
+
+    Output: (j, bucket, cnt) — identical to ``count_min_counters`` on
+    the whole frame.
+    """
+    # per-partition counters: the same cell explosion keyed by part,
+    # then the merge is one more hash agg summing cells across parts
+    k = F.col(key_col).cast("string")
+    cells = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            (F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}|"), k)), 1, 4), 16, 10)
+             .cast("bigint") % width).alias("bucket"),
+        )
+        for j in range(depth)
+    ])
+    fine = (
+        df.select(F.col(split_col).alias("__p"), F.explode(cells).alias("c"))
+        .groupBy("__p", F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return fine.groupBy("j", "bucket").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def bloom_union(
+    build_df: DataFrame,
+    probe_df: DataFrame,
+    build_key: str,
+    probe_key: str,
+    split_col: str,
+    k: int = 3,
+    m: int = 4096,
+) -> DataFrame:
+    """Bloom mergeability: build one bit set per ``split_col``
+    partition of the build side, union the BIT SETS (set union — the
+    Bloom merge), then probe. Union of per-partition filters equals the
+    filter of the union by construction, so the probe output is
+    bit-identical to ``bloom_probe`` on the whole build side (shared
+    oracle = the proof). The production shape: per-shard filters are
+    tiny reusable artifacts; any subset of shards probes without a
+    rebuild.
+
+    Output: identical schema to ``bloom_probe``.
+    """
+    key = F.col(build_key).cast("string")
+    bits = F.array(*[
+        (F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), key)), 1, 5), 16, 10)
+         .cast("bigint") % m)
+        for i in range(k)
+    ])
+    fine = (
+        build_df.select(F.col(split_col).alias("__p"), F.explode(bits).alias("bit"))
+        .distinct()
+    )
+    merged_bits = fine.select("bit").distinct()
+    probes = probe_df.select(F.col(probe_key).alias("key")).distinct().select(
+        "key",
+        F.explode(F.array(*[
+            (F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("key").cast("string"))), 1, 5), 16, 10)
+             .cast("bigint") % m)
+            for i in range(k)
+        ])).alias("bit"),
+    )
+    matched = (
+        probes.join(F.broadcast(merged_bits.withColumn("__set", F.lit(1))), "bit", "left")
+        .groupBy("key")
+        .agg((F.count("__set") == k).cast("bigint").alias("bloom_member"))
+    )
+    actual = build_df.select(
+        F.col(build_key).alias("key"), F.lit(1).alias("__in")
+    ).distinct()
+    return (
+        matched.join(actual, "key", "left")
+        .select(
+            "key",
+            "bloom_member",
+            F.when(F.col("__in").isNotNull(), 1).otherwise(0).cast("bigint").alias("actual_member"),
+        )
+        .withColumn(
+            "false_positive",
+            ((F.col("bloom_member") == 1) & (F.col("actual_member") == 0)).cast("bigint"),
+        )
+    )

@@ -362,3 +362,28 @@ def test_kmv_salted_phase1_windows_are_salt_partitioned(spark):
         .toString()
     )
     assert "__salt" in plan  # the salt key reaches the physical window
+
+
+def test_cms_merge_and_bloom_union_equal_direct(spark):
+    """Cell-wise CMS addition and Bloom bit-set union must reproduce
+    the direct whole-corpus sketches bit-for-bit (linearity / set
+    union) — asserted against the direct operators, not just the
+    shared oracle."""
+    from pyspark.sql import functions as F
+    from potoos_spark.operators.sketch import (
+        bloom_probe,
+        bloom_union,
+        count_min_counters,
+        count_min_merge,
+    )
+
+    ev = table(spark, SF_ORACLE_DIR, "events")
+    direct = sorted(map(tuple, count_min_counters(ev, "user_id").collect()))
+    merged = sorted(map(tuple, count_min_merge(ev, "user_id", "event_type").collect()))
+    assert merged == direct
+
+    cust = table(spark, SF_ORACLE_DIR, "customer")
+    build = cust.filter(F.col("c_acctbal") > 5000)
+    d = sorted(map(tuple, bloom_probe(build, cust, "c_custkey", "c_custkey", m=65536).collect()))
+    u = sorted(map(tuple, bloom_union(build, cust, "c_custkey", "c_custkey", "c_nationkey", m=65536).collect()))
+    assert u == d
