@@ -616,7 +616,10 @@ def _mm_pcm_energy_fn(spark, sf_dir):
 # PCM stand-in over ASCII payload bytes: sample i = ord(2i+1) +
 # 256*ord(2i+2) (1-based substr), signed-int16 correction a no-op for
 # ASCII but mirrored for fidelity; 32-sample windows, exact integer
-# energy, silence gate n*1000.
+# energy, silence gate n*1000. INVARIANT: this char-walk equals the
+# Spark side's byte-walk only for pure-ASCII documents — enforced by
+# tests/test_multimodal.py::test_documents_fixture_is_ascii (octet
+# length == codepoint length on every fixture row).
 _MM_PCM_SQL = (
     "WITH s AS (SELECT doc_id, text, length(text) // 2 AS ns "
     "FROM documents WHERE text IS NOT NULL AND length(text) >= 2), "
@@ -2674,7 +2677,9 @@ _BPE_MERGES_SQL = (
     + " "
     + " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS step, l AS \"left\", r AS \"right\", "
-        f"l || r AS merged, n_occ FROM t{k}"
+        # SUM yields HUGEINT -> pandas float64; BIGINT keeps the
+        # driver's dtype-kind compare integer like the Spark side
+        f"l || r AS merged, CAST(n_occ AS BIGINT) AS n_occ FROM t{k}"
         for k in (1, 2, 3)
     )
 )

@@ -26,9 +26,11 @@ from .dedup import cosine_expr, cosine_from_norms, scaled_vec, sqnorm_expr
 
 
 def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
+    # rank as bigint: matches the int64 the DuckDB oracles emit (and
+    # the PQ entries), so the driver compares equal widths everywhere
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine", "rank")
     )

@@ -94,7 +94,11 @@ def kmv_distinct(
     from pyspark.sql import Window as W
 
     gcols = list(group_cols)
-    d = df.select(*gcols, F.md5(F.col(value_col)).alias("__h")).distinct()
+    # cast('string') matches the salted/union twins (and the VARCHAR
+    # the oracle hashes), so all three forms accept the same inputs
+    d = df.select(
+        *gcols, F.md5(F.col(value_col).cast("string")).alias("__h")
+    ).distinct()
     w = W.partitionBy(*gcols).orderBy("__h")
     r = (
         d.withColumn("__rn", F.row_number().over(w))
@@ -281,6 +285,22 @@ _HLL_P = 8  # 2^8 = 256 registers
 _HLL_RHO_CAP = 30  # register cap keeps the scaled harmonic sum exact
 
 
+def _check_hll_params(p: int, rho_cap: int) -> None:
+    """Fail loudly on parameter shapes the md5-HLL math silently
+    corrupts: the bucket is carved as whole hex digits (p // 4), so a
+    p that is not a multiple of 4 would use fewer bucket bits than
+    m = 2^p assumes, counting phantom empty registers and collapsing
+    the estimate; the scaled harmonic sum needs 1 <= rho_cap and
+    p + rho_cap < 62 to stay an exact bigint (sum <= m * 2^cap)."""
+    if p % 4 != 0 or p <= 0:
+        raise ValueError(f"hll p must be a positive multiple of 4, got {p}")
+    if not (1 <= rho_cap and p + rho_cap < 62):
+        raise ValueError(
+            f"hll rho_cap out of range (need 1 <= rho_cap, p + rho_cap < 62):"
+            f" p={p}, rho_cap={rho_cap}"
+        )
+
+
 def _hll_alpha_m2_scaled(m: int, cap: int) -> float:
     """alpha_m * m^2 * 2^cap as ONE Python double, inlined as a literal
     on both engines so the only runtime float op is a single division.
@@ -320,6 +340,7 @@ def hll_distinct_md5(
 
     Output: (group_cols..., exact_distinct, est_distinct, rel_err).
     """
+    _check_hll_params(p, rho_cap)
     gcols = list(group_cols)
     m = 1 << p
     d = df.select(
@@ -375,6 +396,7 @@ def hll_union_md5(
 
     Output: (coarse_cols..., exact_distinct, est_distinct, rel_err).
     """
+    _check_hll_params(p, rho_cap)
     gfine = list(fine_cols)
     gcoarse = list(coarse_cols)
     m = 1 << p

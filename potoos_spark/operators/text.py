@@ -1002,7 +1002,9 @@ def token_entropy_by_lang(
     one explode → (lang, token) hash agg (vocabulary-grain — Heaps-law
     bounded), one per-lang total broadcast-joined back, one final agg.
 
-    Output: (lang, n_tokens, vocab_size, entropy_e9, entropy).
+    Output: (lang, n_tokens, vocab_size, entropy_sum_e9, entropy) —
+    ``entropy_sum_e9`` is the integer-scaled total (sum of c*ln p,
+    negated), ``entropy`` the per-token nats.
     """
     t = df.select(F.col(lang_col).alias("lang"), F.explode(tokens(text_col)).alias("tok"))
     cnt = t.groupBy("lang", "tok").agg(F.count("*").alias("c"))

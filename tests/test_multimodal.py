@@ -115,3 +115,23 @@ def test_pcm_energy_windows_silence_partial_and_odd_byte(spark):
     assert rows[(3, 0)]["n_samples"] == 3  # odd byte dropped
     assert rows[(3, 0)]["energy_sq"] == 3
     assert rows[(3, 0)]["is_silence"] == 1
+
+
+def test_documents_fixture_is_ascii(spark):
+    """ADVICE r5: the byte-level multimodal oracles (_MM_PCM_SQL,
+    _MM_DHASH_SQL, _MM_BYTE_HISTOGRAM_SQL in catalog/pipeline.py) walk
+    CHAR positions with ord()/length(), which equals the Spark side's
+    BYTE walk only when every document is pure ASCII. Turn that
+    invariant from a comment into a checked gate: octet length ==
+    codepoint length for every row at both the test and oracle SF."""
+    from tests.conftest import SF_ORACLE_DIR
+
+    for d in {SF_DIR, SF_ORACLE_DIR}:
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        non_ascii = docs.filter(
+            F.octet_length("text") != F.length("text")
+        ).count()
+        assert non_ascii == 0, (
+            f"{d}: {non_ascii} non-ASCII documents break the byte-level "
+            "multimodal oracle equivalence"
+        )
