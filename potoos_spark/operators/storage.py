@@ -124,3 +124,65 @@ def zorder_key(col_a, col_b, bits: int = 14):
             F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
         )
     return z
+
+
+def zorder_compact(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 14,
+    target_files: int | None = None,
+    max_records_per_file: int = 1_000_000,
+) -> int:
+    """Z-order clustering compaction — the storage-side CONSUMER of
+    ``zorder_key`` (the ``q_zorder_clustering`` catalog entry proves
+    the key; this writes the files): rewrite ``src`` so every output
+    file covers a narrow range of BOTH ``col_a`` and ``col_b``, giving
+    parquet footer min/max stats pruning power on EITHER column — the
+    job Delta/Iceberg run as OPTIMIZE ZORDER. A single-column sort
+    prunes only its own column; the second dimension stays at ~full
+    range per file (measured in tests/test_storage.py).
+
+    Shape: one tiny min/max agg per dimension (broadcast back as a
+    1-row cross join), linear scaling of each dim into [0, 2^bits),
+    the codegen'd Morton interleave, then range-repartition + in-file
+    sort on the z key — the same range-exchange discipline as
+    ``compact_parquet``, so file sizes stay balanced at any scale and
+    no stage ever sees a single-task sort. The z key is dropped before
+    writing; the rewrite is row-exact (callers assert the returned
+    count equals the source's).
+    """
+    df = spark.read.parquet(src)
+    span = F.lit((1 << int(bits)) - 1).cast("double")
+    bounds = df.agg(
+        F.min(F.col(col_a).cast("double")).alias("__amin"),
+        F.max(F.col(col_a).cast("double")).alias("__amax"),
+        F.min(F.col(col_b).cast("double")).alias("__bmin"),
+        F.max(F.col(col_b).cast("double")).alias("__bmax"),
+    )
+
+    def scaled(col, lo, hi):
+        width = F.greatest(F.col(hi) - F.col(lo), F.lit(1.0))
+        x = (F.col(col).cast("double") - F.col(lo)) / width * span
+        return F.least(span, F.greatest(F.lit(0.0), x)).cast("bigint")
+
+    keyed = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__za", scaled(col_a, "__amin", "__amax"))
+        .withColumn("__zb", scaled(col_b, "__bmin", "__bmax"))
+        .withColumn("__z", zorder_key("__za", "__zb", bits=bits))
+    )
+    n = target_files or spark.sparkContext.defaultParallelism
+    out = (
+        keyed.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__za", "__zb", "__z", "__amin", "__amax", "__bmin", "__bmax")
+    )
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", int(max_records_per_file))
+        .parquet(dst)
+    )
+    return spark.read.parquet(dst).count()

@@ -127,3 +127,72 @@ def test_zorder_key_gives_both_dims_locality(spark):
     ).collect()
     avg_sk = sum(r["sk_span"] for r in lstats) / len(lstats)
     assert avg_sk > (1 << 10), avg_sk  # other dim keeps ~full range
+
+
+def test_zorder_compact_prunes_second_dimension(spark, tmp_path):
+    """VERDICT r5 item 7: the storage-side z-order consumer. Rewrite
+    lineitem two ways — sorted by l_partkey alone vs z-order compacted
+    on (l_partkey, l_orderkey) — then check the parquet FOOTER stats a
+    min/max-pruning reader would use: under a narrow predicate on the
+    SECOND dimension (l_orderkey), the z layout must leave most row
+    groups skippable while the single-dim sort leaves (nearly) all of
+    them overlapping. Also asserts the rewrite is row-exact."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.storage import zorder_compact
+
+    src = f"{SF_DIR}/lineitem.parquet"
+    n_src = spark.read.parquet(src).count()
+    lo, hi = spark.read.parquet(src).agg(
+        F.min("l_orderkey"), F.max("l_orderkey")
+    ).collect()[0]
+    q_lo = lo + (hi - lo) * 40 // 100
+    q_hi = lo + (hi - lo) * 45 // 100  # a 5%-wide band on dim B
+
+    z_dst = str(tmp_path / "z")
+    a_dst = str(tmp_path / "a")
+    n_z = zorder_compact(
+        spark, src, z_dst, "l_partkey", "l_orderkey", bits=11, target_files=16
+    )
+    assert n_z == n_src  # row-exact rewrite
+    (
+        spark.read.parquet(src)
+        .repartitionByRange(16, F.col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(a_dst)
+    )
+
+    def overlapping_row_groups(path):
+        total, hit = 0, 0
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ci = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }["l_orderkey"]
+            for r in range(md.num_row_groups):
+                st = md.row_group(r).column(ci).statistics
+                total += 1
+                if st.min <= q_hi and st.max >= q_lo:
+                    hit += 1
+        return total, hit
+
+    tz, hz = overlapping_row_groups(z_dst)
+    ta, ha = overlapping_row_groups(a_dst)
+    assert tz >= 8 and ta >= 8  # both layouts actually split
+    # single-dim sort: dim B at ~full range per file -> ~no skipping
+    assert ha == ta, (ha, ta)
+    # z layout: most row groups' l_orderkey ranges exclude the band
+    assert hz <= tz // 2, (hz, tz)
+
+    # and the data survives: band row-count identical across layouts
+    band = lambda p: (
+        spark.read.parquet(p)
+        .filter((F.col("l_orderkey") >= q_lo) & (F.col("l_orderkey") <= q_hi))
+        .count()
+    )
+    assert band(z_dst) == band(a_dst) == band(src)
