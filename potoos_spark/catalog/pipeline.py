@@ -2439,9 +2439,71 @@ _BIGRAM_LM_SQL = (
 )
 
 
+# --- r6 additions ---------------------------------------------------------
+
+
+def _knn_range_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.range_search(e.filter(F.col("vec_id") < 5), e, threshold=0.25)
+
+
+# Radius search: same exact integer-scaled cosine as the brute oracle,
+# but a pure filter — no ranked window anywhere (the Spark plan is a
+# map-only broadcast join, the scalable "fixed similarity bar" mode).
+_KNN_RANGE_SQL = (
+    f"WITH {_SCALED_V}, "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id, "
+    + _COS.format(a="q", b="c")
+    + " AS cosine FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id "
+    "JOIN nrm na ON na.vec_id = q.vec_id JOIN nrm nb ON nb.vec_id = c.vec_id) "
+    "SELECT query_id, match_id, cosine FROM scored WHERE cosine >= 0.25"
+)
+
+
+def _emb_whiten_fn(spark, sf_dir):
+    return S.whiten_dims(_embs(spark, sf_dir)).filter(F.col("vec_id") < 50)
+
+
+# Diagonal whitening: z = (x*n - S1)/sqrt(n*S2 - S1^2) — exact bigint
+# moments over the integer-scaled corpus, one double division, so the
+# z-scores are bit-identical across engines. Output bounded to the
+# first 50 vectors (stats still computed over the full corpus).
+_EMB_WHITEN_SQL = (
+    f"WITH {_SCALED_V}, "
+    "ex AS (SELECT vec_id, CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS dim, "
+    "unnest(e) AS x FROM v), "
+    "st AS (SELECT dim, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1, "
+    "CAST(SUM(x * x) AS BIGINT) AS s2 FROM ex GROUP BY dim) "
+    "SELECT ex.vec_id, ex.dim, "
+    "CAST(CAST(ex.x * st.n - st.s1 AS BIGINT) AS DOUBLE) / "
+    "sqrt(CAST(CAST(st.n * st.s2 - st.s1 * st.s1 AS BIGINT) AS DOUBLE)) AS z "
+    "FROM ex JOIN st USING (dim) WHERE ex.vec_id < 50"
+)
+
+
+def _ngram_spans_fn(spark, sf_dir):
+    return D.duplicated_ngram_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
+# Rolling 8-gram duplicated-span detection (Lee et al. 2022 exact-
+# substring signal): DISTINCT per-doc windows (mirrors shingles()'s
+# array_distinct), vocabulary-grain doc-frequency agg, df >= 2.
+_NGRAM_SPANS_SQL = (
+    f"WITH {_TOK}, "
+    "w AS (SELECT DISTINCT doc_id, "
+    "md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], '_')) AS gram_hash "
+    "FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 8 + 2)) AS i)) "
+    "SELECT gram_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id "
+    "FROM w GROUP BY gram_hash HAVING COUNT(*) >= 2"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
+    # r6: rolling duplicated-span detection (exact-substring signal —
+    # catches copied spans at any offset, unlike fixed chunks)
+    "dedup_ngram_spans": QuerySpec(_ngram_spans_fn, _NGRAM_SPANS_SQL),
     # extension: keep-longest keeper policy (canonicalize on the most
     # complete raw form, not the arbitrary min id)
     "dedup_keep_longest": QuerySpec(_dedup_keep_longest_fn, _DEDUP_KEEP_LONGEST_SQL),
@@ -2496,6 +2558,10 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_matryoshka": QuerySpec(_knn_matryoshka_fn, _KNN_MATRYOSHKA_SQL),
     "knn_lsh_bucket": QuerySpec(_knn_lsh_fn, _KNN_LSH_SQL),
     "knn_ivf": QuerySpec(_knn_ivf_fn, _KNN_IVF_SQL),
+    # r6: radius search (fixed similarity bar; no window — map-only)
+    "knn_range_search": QuerySpec(_knn_range_fn, _KNN_RANGE_SQL),
+    # r6: per-dimension diagonal whitening (exact-integer z-scores)
+    "emb_whiten": QuerySpec(_emb_whiten_fn, _EMB_WHITEN_SQL),
     # r5: product quantization — codes (long form), ADC search, the
     # ADC->exact funnel, and code-tuple blocked near-dup pairs
     "emb_pq_codes": QuerySpec(_pq_codes_fn, _PQ_CODES_SQL),

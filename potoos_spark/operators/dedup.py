@@ -1269,3 +1269,41 @@ def simhash_keep_best(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated n-gram span detection — the signal
+    behind exact-substring training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": long
+    verbatim spans repeated across documents drive memorization even
+    when whole-document similarity is low). Every ROLLING length-``n``
+    word window is hashed, so a copied span is caught at ANY offset —
+    unlike ``chunk_dedup``'s fixed non-overlapping passages, which
+    miss a span that straddles a chunk boundary (contrast pinned in
+    tests). Windows present in at least ``min_docs`` distinct
+    documents are reported with their document frequency and keeper.
+
+    Shape: pre-explosion repartition spreads the window explosion; the
+    per-doc window list is already distinct (``shingles``), so one
+    vocabulary-grain hash agg (map-side combined) finishes the job —
+    output is duplicated-vocabulary-grain (Heaps-bounded), never pair
+    count, and there is no join anywhere.
+
+    Output: (gram_hash, n_docs, keep_id), n_docs >= min_docs.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    d = df.repartition(n_part, id_col).select(
+        F.col(id_col), F.explode(shingles(tokens(text_col), int(n))).alias("s")
+    )
+    return (
+        d.select(id_col, F.md5("s").alias("gram_hash"))
+        .groupBy("gram_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") >= int(min_docs))
+    )

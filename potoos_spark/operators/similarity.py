@@ -1050,3 +1050,85 @@ def rerank_topk(
         ).alias("cosine"),
     )
     return _ranked_topk(scored, k)
+
+
+def range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Radius (range) search: every corpus vector whose exact cosine
+    with a query reaches ``threshold`` — the fixed-similarity-bar
+    retrieval mode (mine ALL near matches, e.g. harvesting paraphrase
+    pairs or near-dup audit at a known bar), complementing top-k's
+    fixed-count mode.
+
+    The scale shape is strictly better than top-k's: after the query
+    broadcast there is NO shuffle and NO ranked window anywhere — a
+    pure map-side filtered join over the corpus, so the plan is
+    embarrassingly parallel at any corpus size and emits matches as it
+    scans. (Top-k must gather per-query candidates through a window;
+    this never does.) Same exact integer-scaled cosine as
+    ``cosine_topk`` — bit-identical scores, engine-portable.
+
+    Output: (query_id, match_id, cosine) with cosine >= threshold.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), scaled_vec(vec_col).alias("qe")
+    ).withColumn("qn", sqnorm_expr(F.col("qe")))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), scaled_vec(vec_col).alias("ce")
+    ).withColumn("cn", sqnorm_expr(F.col("ce")))
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("match_id"))
+    scored = pairs.select(
+        "query_id",
+        "match_id",
+        cosine_from_norms(
+            F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= float(threshold))
+
+
+def whiten_dims(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Diagonal whitening (per-dimension z-score) of an embedding
+    corpus — the standard preprocessing before cosine/PQ indexing when
+    dimensions have heterogeneous scales (whitening-then-dot is the
+    first stage of ZCA/PCA pipelines; the diagonal form needs no
+    eigendecomposition and distributes trivially).
+
+    Exactness: embeddings are integer-scaled first (the ``scaled_vec``
+    idiom), per-dim moments are EXACT bigint sums, and the z-score is
+    algebraically rearranged to one double division of exact integers:
+    z = (x*n - S1) / sqrt(n*S2 - S1^2) == (x - mean)/sd_pop, so the
+    result is bit-identical across engines (no float accumulation
+    order anywhere).
+
+    Shape: one posexplode → per-dim hash agg (map-side combined to d
+    rows per partition — d rows total cross the wire), broadcast of
+    the d-row stats relation back onto the exploded corpus. At 100 TB
+    the stats pass and the apply pass are both single-scan map jobs.
+
+    Output: (vec_id, dim, z) — dim 0-based, one row per component.
+    """
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(scaled_vec(vec_col)).alias("dim", "x"),
+    ).withColumn("dim", F.col("dim").cast("bigint"))
+    st = e.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    z = (F.col("x") * F.col("n") - F.col("s1")).cast("double") / F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    )
+    return e.join(F.broadcast(st), "dim").select(
+        "vec_id", "dim", z.alias("z")
+    )

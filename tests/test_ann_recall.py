@@ -219,3 +219,51 @@ def test_rerank_recall_at_least_quantized(spark):
         key = (r["query_id"], r["match_id"])
         if key in exact_cos:
             assert r["cosine"] == exact_cos[key], key
+
+
+def test_range_search_matches_bruteforce_filter_and_plan(spark):
+    """r6: radius search must equal the unranked brute-force score set
+    filtered at the bar, and its plan must contain NO window and NO
+    shuffle exchange — the map-only shape is the operator's point."""
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.similarity import cosine_topk, range_search
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    n_corpus = e.count()
+    rs = range_search(q, e, threshold=0.25)
+    got = {(r["query_id"], r["match_id"]): r["cosine"] for r in rs.collect()}
+    assert got and all(v >= 0.25 for v in got.values())
+    # brute top-k with k = corpus size is the full scored relation
+    full = cosine_topk(q, e, k=n_corpus).filter(F.col("cosine") >= 0.25)
+    want = {(r["query_id"], r["match_id"]): r["cosine"] for r in full.collect()}
+    assert got == want
+    plan = rs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "ShuffleExchange" not in plan.replace("Exchange hashpartitioning", "ShuffleExchange"), plan
+
+
+def test_whiten_dims_standardizes_each_dimension(spark):
+    """r6: per-dim z-scores must have (population) mean 0 and sd 1 up
+    to float tolerance, and be invariant to input partitioning."""
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.similarity import whiten_dims
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    z = whiten_dims(e)
+    stats = (
+        z.groupBy("dim")
+        .agg(F.avg("z").alias("m"), F.avg(F.col("z") * F.col("z")).alias("ms"))
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        assert abs(r["m"]) < 1e-9, r
+        assert abs(r["ms"] - 1.0) < 1e-9, r
+    a = sorted(map(tuple, z.collect()))
+    b = sorted(map(tuple, whiten_dims(e.repartition(7)).collect()))
+    assert a == b  # exact-integer moments -> partitioning-invariant

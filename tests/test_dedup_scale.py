@@ -385,3 +385,33 @@ def test_simhash_keep_best_on_boilerplate_dominated_corpus(spark):
     hot = max(groups, key=lambda r: r["n_docs"])
     assert hot["n_docs"] == 10_000
     assert hot["keep_id"] == 7 and hot["keep_score"] == 0.0
+
+
+def test_duplicated_ngram_spans_catches_offset_straddling_copy(spark):
+    """r6: a span copied at a DIFFERENT word offset must be caught by
+    the rolling 8-gram detector even when fixed non-overlapping
+    chunking assigns it to different chunk boundaries."""
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.dedup import chunk_dedup, duplicated_ngram_spans
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {span} end of first document here"),
+            (2, f"{span} completely different tail for the second one"),
+            (3, "unrelated text with no shared span at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_ngram_spans(docs, n=8, min_docs=2).collect()
+    assert any(r["n_docs"] == 2 and r["keep_id"] == 1 for r in spans), spans
+    # fixed 8-word chunks: doc 1 has the span split across chunks
+    # (offset 3), so no chunk hash is shared -> chunk dedup keeps all
+    # passages and cannot see the copy
+    kept = chunk_dedup(docs, chunk_words=8)
+    rows = {r["doc_id"]: r for r in kept.collect()}
+    assert len(rows) == 3
+    # every chunk survives (n_kept == n_chunks): the straddling copy is
+    # invisible at fixed-chunk grain
+    assert all(r["n_kept"] == r["n_chunks"] for r in rows.values()), rows
