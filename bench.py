@@ -89,6 +89,13 @@ HEADLINE = [
     "knn_ivf",
     "knn_pq_adc",
     "det_kmeans_distance",
+    # round-6 additions: map-only radius search, exact-integer diagonal
+    # whitening, rolling exact-substring span detection (linear-floor
+    # by contract), SemDeDup cell-blocked semantic near-dup pairs
+    "knn_range_search",
+    "emb_whiten",
+    "dedup_ngram_spans",
+    "dedup_semantic_cells",
 ]
 
 

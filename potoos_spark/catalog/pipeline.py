@@ -2481,6 +2481,34 @@ _EMB_WHITEN_SQL = (
 )
 
 
+def _semantic_cells_fn(spark, sf_dir):
+    return S.semantic_dedup_cells(_embs(spark, sf_dir), threshold=0.4)
+
+
+# SemDeDup cell-blocked semantic near-dup pairs: md5-medoid cells (the
+# _KNN_IVF_SQL asg CTE), md5-ranked cell_cap guardrail, exact integer
+# cosine verify within cells only.
+_SEMANTIC_CELLS_SQL = (
+    f"WITH {_SCALED_V}, "
+    "cent AS (SELECT vec_id AS cell, e AS ce, "
+    "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2 FROM "
+    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)), "
+    "asg AS (SELECT vec_id, e, nn, cell FROM ("
+    "SELECT v.vec_id, v.e, n.nn, c.cell, "
+    f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_IVF_SQDIST}, c.cell) AS rn "
+    "FROM v JOIN nrm n ON n.vec_id = v.vec_id CROSS JOIN cent c) WHERE rn = 1), "
+    "cap AS (SELECT vec_id, e, nn, cell FROM ("
+    "SELECT asg.*, ROW_NUMBER() OVER (PARTITION BY cell "
+    "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crn FROM asg) "
+    "WHERE crn <= 512), "
+    "scored AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b, "
+    "CAST(CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) "
+    "AS BIGINT) AS DOUBLE) / sqrt(CAST(a.nn * b.nn AS DOUBLE)) AS cosine "
+    "FROM cap a JOIN cap b ON a.cell = b.cell AND a.vec_id < b.vec_id) "
+    "SELECT cell, id_a, id_b, cosine FROM scored WHERE cosine >= 0.4"
+)
+
+
 def _ngram_spans_fn(spark, sf_dir):
     return D.duplicated_ngram_spans(_docs(spark, sf_dir), n=8, min_docs=2)
 
@@ -2560,6 +2588,8 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_ivf": QuerySpec(_knn_ivf_fn, _KNN_IVF_SQL),
     # r6: radius search (fixed similarity bar; no window — map-only)
     "knn_range_search": QuerySpec(_knn_range_fn, _KNN_RANGE_SQL),
+    # r6: SemDeDup cell-blocked semantic near-dup pairs
+    "dedup_semantic_cells": QuerySpec(_semantic_cells_fn, _SEMANTIC_CELLS_SQL),
     # r6: per-dimension diagonal whitening (exact-integer z-scores)
     "emb_whiten": QuerySpec(_emb_whiten_fn, _EMB_WHITEN_SQL),
     # r5: product quantization — codes (long form), ADC search, the

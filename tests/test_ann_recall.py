@@ -245,6 +245,72 @@ def test_range_search_matches_bruteforce_filter_and_plan(spark):
     assert "ShuffleExchange" not in plan.replace("Exchange hashpartitioning", "ShuffleExchange"), plan
 
 
+def test_semantic_dedup_cells_planted_duplicates_and_precision(spark):
+    """r6: SemDeDup cell blocking. (1) PRECISION: every emitted pair is
+    a true pair with the exact integer-scaled cosine — the blocked
+    output must be a subset of the brute-force scored relation with
+    equal scores. (2) RECALL on TRUE near-duplicates: plant a lightly
+    perturbed copy of each of 50 corpus vectors (cosine ≈ 1); a
+    duplicate shares its source's nearest cell by construction, so the
+    planted pairs must be recovered at a high-threshold bar."""
+    from potoos_spark.operators.similarity import (
+        cosine_topk,
+        semantic_dedup_cells,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+
+    # (1) precision / exactness on the raw corpus at the loose bar
+    got = semantic_dedup_cells(e, threshold=0.4)
+    n_corpus = e.count()
+    full = cosine_topk(
+        e.limit(0).unionByName(e), e, k=n_corpus
+    )  # full scored relation (query side = whole corpus)
+    exact = {
+        (min(r["query_id"], r["match_id"]), max(r["query_id"], r["match_id"])): r[
+            "cosine"
+        ]
+        for r in full.filter(F.col("cosine") >= 0.4).collect()
+    }
+    for r in got.collect():
+        key = (r["id_a"], r["id_b"])
+        assert key in exact, key
+        assert r["cosine"] == exact[key], key
+
+    # (2) planted-duplicate recall: copy of vec v with one element
+    # nudged -> cosine just under 1, same nearest cell as v
+    src = e.filter(F.col("vec_id") < 50)
+    planted = src.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(planted)
+    pairs = semantic_dedup_cells(corpus, threshold=0.9)
+    found = {
+        (r["id_a"], r["id_b"]) for r in pairs.collect()
+    }
+    want = {(i, i + 100000) for i in range(50)}
+    recall = len(want & found) / len(want)
+    assert recall >= 0.9, f"planted-duplicate recall collapsed to {recall:.2f}"
+
+
+def test_semantic_dedup_cells_plan_is_blocked(spark):
+    """The centroid relation must reach the assignment pass as a
+    broadcast; the pair join must be keyed on the cell id (a hash or
+    broadcast join), never a cartesian product over the corpus."""
+    from potoos_spark.operators.similarity import semantic_dedup_cells
+
+    e = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    plan = (
+        semantic_dedup_cells(e)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_whiten_dims_standardizes_each_dimension(spark):
     """r6: per-dim z-scores must have (population) mean 0 and sd 1 up
     to float tolerance, and be invariant to input partitioning."""
