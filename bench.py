@@ -96,6 +96,8 @@ HEADLINE = [
     "emb_whiten",
     "dedup_ngram_spans",
     "dedup_semantic_cells",
+    # round-6 additions: DSIR hashed-ngram importance resampling
+    "corpus_dsir_select",
 ]
 
 

@@ -2526,6 +2526,82 @@ _NGRAM_SPANS_SQL = (
 )
 
 
+def _dsir_raw(spark, sf_dir):
+    return _docs(spark, sf_dir).filter(F.col("source") != "src0")
+
+
+def _dsir_target(spark, sf_dir):
+    return _docs(spark, sf_dir).filter(F.col("source") == "src0")
+
+
+def _dsir_weights_fn(spark, sf_dir):
+    from ..operators.curate import dsir_weights
+
+    return dsir_weights(_dsir_raw(spark, sf_dir), _dsir_target(spark, sf_dir))
+
+
+def _dsir_select_fn(spark, sf_dir):
+    from ..operators.curate import dsir_select
+
+    return dsir_select(
+        _dsir_raw(spark, sf_dir), _dsir_target(spark, sf_dir), k=100
+    )
+
+
+# DSIR (Xie et al. 2023) hashed-ngram importance weights: target =
+# the src0 slice, raw = everything else; 256 md5 buckets over
+# unigrams+bigrams, add-1 smoothing; each bucket's two ln terms
+# rounded+e9-scaled SEPARATELY so doc totals are order-free bigint
+# sums. The bigram CTE uses the positional self-join (engine idiom);
+# Spark builds bigrams in-row — same multiset.
+_DSIR_COMMON = (
+    "rtok AS (SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace("
+    "lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS toks "
+    "FROM documents WHERE source <> 'src0'), "
+    "ttok AS (SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace("
+    "lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS toks "
+    "FROM documents WHERE source = 'src0'), "
+    "rt AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM rtok), "
+    "tt AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM ttok), "
+    "rfeat AS (SELECT doc_id, tok AS f FROM rt UNION ALL "
+    "SELECT a.doc_id, a.tok || '_' || b.tok FROM rt a "
+    "JOIN rt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+    "tfeat AS (SELECT doc_id, tok AS f FROM tt UNION ALL "
+    "SELECT a.doc_id, a.tok || '_' || b.tok FROM tt a "
+    "JOIN tt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+    "rb AS (SELECT doc_id, CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 256 AS bucket, "
+    "COUNT(*) AS c FROM rfeat GROUP BY 1, 2), "
+    "rcb AS (SELECT bucket, SUM(c) AS rc FROM rb GROUP BY 1), "
+    "tcb AS (SELECT CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 256 AS bucket, "
+    "COUNT(*) AS tc FROM tfeat GROUP BY 1), "
+    "rtot AS (SELECT SUM(rc) AS R FROM rcb), "
+    "ttot AS (SELECT SUM(tc) AS T FROM tcb), "
+    "lr AS (SELECT rcb.bucket, "
+    "CAST(round(ln((COALESCE(tcb.tc, 0) + 1.0) / (ttot.T + 256.0)) * 1e9) AS BIGINT) "
+    "- CAST(round(ln((rcb.rc + 1.0) / (rtot.R + 256.0)) * 1e9) AS BIGINT) AS lr_e9 "
+    "FROM rcb LEFT JOIN tcb USING (bucket), rtot, ttot), "
+    "wts AS (SELECT rb.doc_id, CAST(SUM(rb.c) AS BIGINT) AS n_feats, "
+    "CAST(SUM(rb.c * lr.lr_e9) AS BIGINT) AS logw_e9, "
+    "round(CAST(SUM(rb.c * lr.lr_e9) AS DOUBLE) / SUM(rb.c) / 1e9, 9) AS avg_logw "
+    "FROM rb JOIN lr USING (bucket) GROUP BY 1)"
+)
+
+_DSIR_WEIGHTS_SQL = (
+    f"WITH {_DSIR_COMMON} SELECT doc_id, n_feats, logw_e9, avg_logw FROM wts"
+)
+
+# Gumbel-top-k resampling over the weights: key = logw_e9 +
+# round(-ln(-ln(u))*1e9) with u from md5(doc_id) — the deterministic
+# Gumbel-max draw proportional to w, without replacement.
+_DSIR_SELECT_SQL = (
+    f"WITH {_DSIR_COMMON}, "
+    "keyed AS (SELECT doc_id, logw_e9, logw_e9 + CAST(round(-ln(-ln("
+    "(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) "
+    "/ 4294967296.0)) * 1e9) AS BIGINT) AS key_e9 FROM wts) "
+    "SELECT doc_id, logw_e9, key_e9 FROM keyed ORDER BY key_e9 DESC, doc_id LIMIT 100"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     # dedup family
     "dedup_exact": QuerySpec(_dedup_exact_fn, _DEDUP_EXACT_SQL),
@@ -2653,6 +2729,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # extension: marginal n-gram novelty (coverage-driven data selection)
     "corpus_ngram_novelty": QuerySpec(_ngram_novelty_fn, _NGRAM_NOVELTY_SQL),
+    # r6: DSIR hashed-ngram importance weights + Gumbel-top-k resampling
+    "corpus_dsir_weights": QuerySpec(_dsir_weights_fn, _DSIR_WEIGHTS_SQL),
+    "corpus_dsir_select": QuerySpec(_dsir_select_fn, _DSIR_SELECT_SQL),
     # extension: cumulative distinct-shingle coverage curve
     "corpus_coverage_curve": QuerySpec(_coverage_curve_fn, _COVERAGE_CURVE_SQL),
     # extension: cross-source duplication matrix (mirror detection)

@@ -632,3 +632,169 @@ def chunk_overlap(
         F.col("__s.start_word").alias("start_word"),
         F.col("__s.chunk").alias("chunk"),
     )
+
+
+def _hashed_feature_counts(
+    df: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, bucket, c): occurrence counts of hashed unigram+bigram
+    features per document — the DSIR feature extractor. Bigrams are
+    built IN-ROW (zip_with the token array against its own 1-shifted
+    slice), so feature construction is a pure map; the only shuffle is
+    the (doc, bucket) hash agg, which map-side combines to ≤ n_buckets
+    rows per doc. Bucket = first 8 md5 hex digits mod n_buckets —
+    seedless, engine-portable (the ``hashing_trick_embed`` family)."""
+    tok = tokens(text_col)
+    bg = F.filter(
+        F.zip_with(
+            tok,
+            F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0))),
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws("_", a, b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    feats = F.explode(F.concat(tok, bg)).alias("f")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("bigint")
+        % int(n_buckets)
+    )
+    return (
+        df.select(F.col(id_col), feats)
+        .select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by how target-like its hashed n-gram profile is,
+    log w(x) = Σ_b c_b(x) · [ln p_target(b) − ln p_raw(b)], where b
+    ranges over ``n_buckets`` hashed unigram+bigram buckets and both
+    bucket distributions are add-``alpha`` smoothed. High-weight raw
+    documents look like the target domain; resampling by these weights
+    (``dsir_select``) tilts a web-scale corpus toward the domain
+    without training a classifier.
+
+    Exactness discipline: each bucket's two ln terms are rounded to
+    ``round_digits`` and integer-scaled SEPARATELY, so the per-bucket
+    log-ratio is an exact bigint and document totals are order-free
+    bigint sums (the ``unigram_logprob`` idiom).
+
+    100 TB shape: the target corpus is the small side by construction
+    (a domain sample) — its bucket table is ≤ n_buckets rows,
+    broadcast; the raw corpus is scanned ONCE into (doc, bucket, c)
+    (map-side-combinable hash agg), the raw bucket marginal derives
+    from that same relation co-keyed on bucket (exchange reuse, no
+    second scan), and the scoring join broadcasts the ≤ n_buckets-row
+    log-ratio table. No shuffle wider than the (doc, bucket) agg.
+
+    Documents with zero features (empty token list) never score —
+    documented exclusion, same rule as ``hashing_trick_embed``.
+
+    Output: (id_col, n_feats, logw_e9, avg_logw) — logw_e9 the exact
+    integer-scaled total, avg_logw the per-feature rounded mean.
+    """
+    B = int(n_buckets)
+    a = float(alpha)
+    scale = 10.0 ** round_digits
+    rb = _hashed_feature_counts(raw, B, text_col, id_col)
+    tb = (
+        _hashed_feature_counts(target, B, text_col, id_col)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("tc"))
+    )
+    rcb = rb.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    ttot = tb.agg(F.sum("tc").alias("T"))
+    rtot = rcb.agg(F.sum("rc").alias("R"))
+    lt_e9 = F.round(
+        F.log(
+            (F.coalesce(F.col("tc"), F.lit(0)).cast("double") + F.lit(a))
+            / (F.col("T").cast("double") + F.lit(a * B))
+        )
+        * F.lit(scale)
+    ).cast("bigint")
+    lr_e9 = F.round(
+        F.log(
+            (F.col("rc").cast("double") + F.lit(a))
+            / (F.col("R").cast("double") + F.lit(a * B))
+        )
+        * F.lit(scale)
+    ).cast("bigint")
+    ratio = (
+        rcb.join(F.broadcast(tb), "bucket", "left")
+        .join(F.broadcast(ttot))
+        .join(F.broadcast(rtot))
+        .select("bucket", (lt_e9 - lr_e9).alias("lr_e9"))
+    )
+    return rb.join(F.broadcast(ratio), "bucket").groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_feats"),
+        F.sum(F.col("c") * F.col("lr_e9")).cast("bigint").alias("logw_e9"),
+        F.round(
+            F.sum(F.col("c") * F.col("lr_e9")).cast("double")
+            / F.sum("c")
+            / F.lit(scale),
+            round_digits,
+        ).alias("avg_logw"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR selection step: Gumbel-top-k resampling over the importance
+    weights — draw ``k`` documents WITHOUT replacement with probability
+    ∝ w(x) (the paper's resampling, not a hard top-k: sampling keeps
+    diversity that deterministic truncation destroys). The Gumbel-max
+    identity: argmax_i (ln w_i + G_i) with G_i ~ Gumbel(0,1) iid is a
+    draw ∝ w_i, and the top-k of the perturbed keys is a without-
+    replacement sample.
+
+    Determinism discipline: the Gumbel draw derives from md5(id) — u =
+    (first 8 hex digits + 0.5)/2^32, g = −ln(−ln u) — seedless,
+    partitioning-independent, engine-portable; the perturbation is
+    integer-scaled (e9) before adding to the exact ``logw_e9``, so ties
+    are impossible to flip across engines and break on id.
+
+    Physical shape: ``dsir_weights`` (one raw scan + broadcast joins)
+    then TakeOrderedAndProject — per-partition k-row heaps, one k-row
+    driver merge, no global sort.
+
+    Output: (id_col, logw_e9, key_e9), the k winners.
+    """
+    w = dsir_weights(
+        raw, target, n_buckets=n_buckets, alpha=alpha,
+        text_col=text_col, id_col=id_col,
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    g_e9 = F.round(-F.log(-F.log(u)) * F.lit(1e9)).cast("bigint")
+    return (
+        w.select(
+            F.col(id_col),
+            "logw_e9",
+            (F.col("logw_e9") + g_e9).alias("key_e9"),
+        )
+        .orderBy(F.col("key_e9").desc(), F.col(id_col))
+        .limit(int(k))
+    )

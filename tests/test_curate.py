@@ -453,3 +453,79 @@ class TestChunkOverlap:
             chunk_overlap(docs, chunk_words=4, stride_words=5)
         with _pytest.raises(ValueError):
             chunk_overlap(docs, chunk_words=4, stride_words=0)
+
+
+class TestDSIR:
+    """DSIR importance resampling (Xie et al. 2023): weights must tilt
+    toward target-like documents, the selection must be a weight-
+    proportional without-replacement draw, and the plan must broadcast
+    the bucket-ratio table and take the top-k without a global sort."""
+
+    def _corpus(self, spark):
+        # target domain: "spark sql query" style; off-domain: "zebra
+        # yak quokka" style. Raw mixes both plus one empty doc.
+        target = spark.createDataFrame(
+            [(1000 + i, "spark sql query plan optimizer join") for i in range(5)],
+            "doc_id bigint, text string",
+        )
+        raw_rows = [
+            (i, "spark sql query plan join shuffle") for i in range(10)
+        ] + [
+            (100 + i, "zebra yak quokka wombat lemur gnu") for i in range(10)
+        ] + [(999, "")]
+        raw = spark.createDataFrame(raw_rows, "doc_id bigint, text string")
+        return raw, target
+
+    def test_weights_tilt_toward_target_domain(self, spark):
+        from potoos_spark.operators.curate import dsir_weights
+
+        raw, target = self._corpus(spark)
+        got = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
+        assert 999 not in got  # zero-feature doc never scores
+        on = [got[i]["logw_e9"] for i in range(10)]
+        off = [got[100 + i]["logw_e9"] for i in range(10)]
+        assert min(on) > max(off), (min(on), max(off))
+        # identical texts -> identical weights (content-determined)
+        assert len(set(on)) == 1 and len(set(off)) == 1
+
+    def test_select_is_without_replacement_and_favors_target(self, spark):
+        from potoos_spark.operators.curate import dsir_select
+
+        raw, target = self._corpus(spark)
+        rows = dsir_select(raw, target, k=10).collect()
+        ids = [r["doc_id"] for r in rows]
+        assert len(ids) == len(set(ids)) == 10
+        n_on = sum(1 for i in ids if i < 100)
+        # 10-of-20 drawn proportional to strongly separated weights:
+        # the on-domain half must dominate the draw
+        assert n_on >= 8, ids
+        # keys sorted desc, ties impossible by construction
+        keys = [r["key_e9"] for r in rows]
+        assert keys == sorted(keys, reverse=True)
+
+    def test_weights_partitioning_invariant(self, spark):
+        from potoos_spark.operators.curate import dsir_weights
+
+        raw, target = self._corpus(spark)
+        a = sorted(map(tuple, dsir_weights(raw, target).collect()))
+        b = sorted(
+            map(tuple, dsir_weights(raw.repartition(7), target).collect())
+        )
+        assert a == b
+
+    def test_plan_broadcasts_ratio_and_takes_ordered(self, spark):
+        from pyspark.sql import functions as F
+
+        from potoos_spark.operators.curate import dsir_select
+        from tests.conftest import SF_DIR
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        raw = docs.filter(F.col("source") != "src0")
+        target = docs.filter(F.col("source") == "src0")
+        plan = (
+            dsir_select(raw, target, k=50)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastExchange" in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "CartesianProduct" not in plan, plan
