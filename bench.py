@@ -96,8 +96,13 @@ HEADLINE = [
     "emb_whiten",
     "dedup_ngram_spans",
     "dedup_semantic_cells",
-    # round-6 additions: DSIR hashed-ngram importance resampling
+    # round-6 additions: DSIR hashed-ngram importance resampling,
+    # exact-substring span removal, Gopher rules, distinct-n diversity
     "corpus_dsir_select",
+    "dedup_span_removal",
+    "text_gopher_rules",
+    "corpus_distinct_ngrams",
+    "knn_binary_rerank",
 ]
 
 

@@ -2526,6 +2526,157 @@ _NGRAM_SPANS_SQL = (
 )
 
 
+def _span_removal_fn(spark, sf_dir):
+    return D.remove_duplicated_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
+# Lee et al. 2022 exact-substring REMOVAL: every rolling 8-gram
+# occurrence (all positions, not distinct) in a non-keeper doc covers
+# its 8 token positions; surviving tokens re-join in position order.
+# Doc grain preserved: short docs pass through, empty docs emit ''.
+_SPAN_REMOVAL_SQL = (
+    f"WITH {_TOK}, "
+    "t AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM tok), "
+    "w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+    "md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], '_')) AS gh "
+    "FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 8 + 2)) AS i) "
+    "WHERE len(toks) >= 8), "
+    "dup AS (SELECT gh, MIN(doc_id) AS keep_id FROM "
+    "(SELECT DISTINCT doc_id, gh FROM w) GROUP BY gh HAVING COUNT(*) >= 2), "
+    "cov AS (SELECT DISTINCT w.doc_id, w.pos + j AS pos "
+    "FROM w JOIN dup USING (gh), LATERAL (SELECT unnest(range(8)) AS j) "
+    "WHERE w.doc_id <> dup.keep_id), "
+    "kept AS (SELECT t.doc_id, t.pos, t.tok FROM t "
+    "LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos "
+    "WHERE cov.doc_id IS NULL) "
+    "SELECT tok.doc_id, CAST(len(tok.toks) AS BIGINT) AS n_tokens, "
+    "CAST(len(tok.toks) - COUNT(kept.tok) AS BIGINT) AS n_removed, "
+    "COALESCE(string_agg(kept.tok, ' ' ORDER BY kept.pos), '') AS text_dedup "
+    "FROM tok LEFT JOIN kept USING (doc_id) GROUP BY tok.doc_id, len(tok.toks)"
+)
+
+
+def _knn_binary_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.binary_hamming_topk(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+def _knn_binary_rerank_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.binary_rerank_topk(e.filter(F.col("vec_id") < 5), e, k=10, expand=4)
+
+
+# 1-bit sign quantization: dim 32w+j packs bit j of word w (32 bits
+# per bigint word — every term ≤ 2^31, exact in bigint and float64).
+_BINARY_WORDS = (
+    "bw AS (SELECT vec_id, list_transform(range(CAST(ceil(len(embedding) / 32.0) AS INT)), "
+    "w -> CAST(COALESCE(list_sum(list_transform(range(32), "
+    "j -> CASE WHEN COALESCE(embedding[w * 32 + j + 1] > 0.0, FALSE) "
+    "THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)), 0) AS BIGINT)) AS wds FROM embeddings)"
+)
+
+_HAMMING_PAIRS = (
+    "h AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id, "
+    "CAST(list_sum(list_transform(list_zip(q.wds, c.wds), "
+    "p -> bit_count(xor(p[1], p[2])))) AS BIGINT) AS hamming "
+    "FROM bw q JOIN bw c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)"
+)
+
+_KNN_BINARY_SQL = (
+    f"WITH {_BINARY_WORDS}, {_HAMMING_PAIRS}, "
+    "r AS (SELECT query_id, match_id, hamming, CAST(ROW_NUMBER() OVER ("
+    "PARTITION BY query_id ORDER BY hamming, match_id) AS BIGINT) AS rank FROM h) "
+    "SELECT query_id, match_id, hamming, rank FROM r WHERE rank <= 10"
+)
+
+# Binary-then-exact funnel: 40 Hamming nominees per query, exact
+# integer-scaled cosine re-rank to the final 10.
+_KNN_BINARY_RERANK_SQL = (
+    f"WITH {_BINARY_WORDS}, {_HAMMING_PAIRS}, "
+    "cand AS (SELECT query_id, match_id FROM ("
+    "SELECT query_id, match_id, ROW_NUMBER() OVER ("
+    "PARTITION BY query_id ORDER BY hamming, match_id) AS hrn FROM h) WHERE hrn <= 40), "
+    f"{_SCALED_V}, "
+    "scored AS (SELECT cand.query_id, cand.match_id, "
+    + _COS.format(a="q", b="c")
+    + " AS cosine FROM cand JOIN v q ON q.vec_id = cand.query_id "
+    "JOIN v c ON c.vec_id = cand.match_id "
+    "JOIN nrm na ON na.vec_id = cand.query_id "
+    "JOIN nrm nb ON nb.vec_id = cand.match_id), "
+    "r AS (SELECT query_id, match_id, cosine, CAST(ROW_NUMBER() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, match_id) AS BIGINT) AS rank FROM scored) "
+    "SELECT query_id, match_id, cosine, rank FROM r WHERE rank <= 10"
+)
+
+
+def _gopher_fn(spark, sf_dir):
+    return T.gopher_quality(_docs(spark, sf_dir))
+
+
+# Gopher Table-A1 rules: every metric is a ratio of exact integers
+# (one division each — bit-identical across engines). The fixture has
+# no '#'/bullets/ellipses, so those ratios are exact zeros — the rules
+# still compute and gate (word count / word length / stopwords do the
+# discriminating on this corpus).
+_GOPHER_SQL = (
+    f"WITH {_TOK}, "
+    "base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_words, "
+    "GREATEST(len(toks), 1) AS d_words, "
+    "COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len, "
+    "len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha "
+    "FROM tok), "
+    "raw AS (SELECT doc_id, "
+    "length(text) - length(replace(text, '#', '')) AS n_hash, "
+    "(length(text) - length(replace(text, '...', ''))) / 3 AS n_ell, "
+    "string_split(text, chr(10)) AS lines FROM documents), "
+    "lin AS (SELECT doc_id, GREATEST(len(lines), 1) AS n_lines, "
+    "len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS n_bullet, "
+    "len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS n_ell_line, "
+    "n_hash, n_ell FROM raw), "
+    "m AS (SELECT base.doc_id, n_words, "
+    "CAST(sum_len AS DOUBLE) / d_words AS mean_word_len, "
+    "CAST(n_hash + n_ell AS DOUBLE) / d_words AS symbol_ratio, "
+    "CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac, "
+    "CAST(n_ell_line AS DOUBLE) / n_lines AS ellipsis_frac, "
+    "CAST(n_alpha AS DOUBLE) / d_words AS alpha_frac, "
+    "CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END) + "
+    "(CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END) + "
+    "(CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END) + "
+    "(CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END) + "
+    "(CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END) + "
+    "(CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END) + "
+    "(CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END) + "
+    "(CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits "
+    "FROM base JOIN lin USING (doc_id)) "
+    "SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, "
+    "ellipsis_frac, alpha_frac, stop_hits, "
+    "(n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 "
+    "AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 "
+    "AND alpha_frac >= 0.8 AND stop_hits >= 2) AS gopher_pass FROM m"
+)
+
+
+def _distinct_ngrams_fn(spark, sf_dir):
+    return T.distinct_ngram_stats(_docs(spark, sf_dir))
+
+
+# Distinct-1/distinct-2 diversity per source slice.
+_DISTINCT_NGRAMS_SQL = (
+    f"WITH {_TOK}, {_T}, "
+    "src AS (SELECT doc_id, source FROM documents), "
+    "uni AS (SELECT source, 1 AS n, tok AS g FROM t JOIN src USING (doc_id)), "
+    "big AS (SELECT source, 2 AS n, a.tok || '_' || b.tok AS g "
+    "FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    "JOIN src ON src.doc_id = a.doc_id), "
+    "allng AS (SELECT * FROM uni UNION ALL SELECT * FROM big), "
+    "counts AS (SELECT source, n, g, COUNT(*) AS c FROM allng GROUP BY 1, 2, 3) "
+    "SELECT source, CAST(n AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS total_ngrams, "
+    "CAST(COUNT(*) AS BIGINT) AS distinct_ngrams, "
+    "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_frac "
+    "FROM counts GROUP BY source, n"
+)
+
+
 def _dsir_raw(spark, sf_dir):
     return _docs(spark, sf_dir).filter(F.col("source") != "src0")
 
@@ -2608,6 +2759,8 @@ QUERIES: dict[str, QuerySpec] = {
     # r6: rolling duplicated-span detection (exact-substring signal —
     # catches copied spans at any offset, unlike fixed chunks)
     "dedup_ngram_spans": QuerySpec(_ngram_spans_fn, _NGRAM_SPANS_SQL),
+    # r6: the removal step — rewrite docs with duplicated spans cut
+    "dedup_span_removal": QuerySpec(_span_removal_fn, _SPAN_REMOVAL_SQL),
     # extension: keep-longest keeper policy (canonicalize on the most
     # complete raw form, not the arbitrary min id)
     "dedup_keep_longest": QuerySpec(_dedup_keep_longest_fn, _DEDUP_KEEP_LONGEST_SQL),
@@ -2664,6 +2817,10 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_ivf": QuerySpec(_knn_ivf_fn, _KNN_IVF_SQL),
     # r6: radius search (fixed similarity bar; no window — map-only)
     "knn_range_search": QuerySpec(_knn_range_fn, _KNN_RANGE_SQL),
+    # r6: 1-bit sign quantization — Hamming top-k and the
+    # binary-then-exact funnel
+    "knn_binary_hamming": QuerySpec(_knn_binary_fn, _KNN_BINARY_SQL),
+    "knn_binary_rerank": QuerySpec(_knn_binary_rerank_fn, _KNN_BINARY_RERANK_SQL),
     # r6: SemDeDup cell-blocked semantic near-dup pairs
     "dedup_semantic_cells": QuerySpec(_semantic_cells_fn, _SEMANTIC_CELLS_SQL),
     # r6: per-dimension diagonal whitening (exact-integer z-scores)
@@ -2703,6 +2860,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_langid": QuerySpec(_text_langid_fn, _TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(_text_fp_fn, _TEXT_FP_SQL),
     "text_repetition": QuerySpec(_text_rep_fn, _TEXT_REP_SQL),
+    # r6: the full Gopher Table-A1 rule set + distinct-n diversity
+    "text_gopher_rules": QuerySpec(_gopher_fn, _GOPHER_SQL),
+    "corpus_distinct_ngrams": QuerySpec(_distinct_ngrams_fn, _DISTINCT_NGRAMS_SQL),
     # extension: C4-style markup cleaning (per-row regex chain)
     "text_clean_html": QuerySpec(_text_clean_fn, _TEXT_CLEAN_SQL),
     # extension: PII masking + masked-entity counts (engine-portable regex subset)

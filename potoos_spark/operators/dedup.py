@@ -1307,3 +1307,116 @@ def duplicated_ngram_spans(
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") >= int(min_docs))
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REMOVAL step of exact-substring dedup (Lee et al. 2022):
+    rewrite every document with cross-document duplicated length-``n``
+    word spans cut out, keeping each duplicated span only in its keeper
+    document (min id per gram — the same keeper rule
+    ``duplicated_ngram_spans`` reports). A copied paragraph is excised
+    from every re-poster at ANY offset while the original keeps it —
+    the memorization-driving verbatim repetition is gone, the unique
+    prose around it survives (whole-doc dedup would throw both away).
+
+    Semantics: positions are over the NORMALIZED token stream (the
+    repo-wide ``tokens()`` normalization), and the rewritten text is
+    the space-join of surviving tokens — the token-level counterpart
+    of the paper's byte-level suffix-array cut (document-level
+    formatting is not reconstructed). A document may be keeper for one
+    gram and loser for another; every occurrence of a duplicated gram
+    in a non-keeper doc is covered, overlapping covered windows union.
+    Docs shorter than ``n`` tokens (no windows) pass through verbatim;
+    token-less docs emit with empty text (doc grain is preserved —
+    this is a rewriter, not a filter).
+
+    100 TB shape: one tokenization feeds everything; the rolling
+    window explosion is spread by a pre-explode repartition on id;
+    duplicate detection is the vocabulary-grain map-side-combinable
+    agg (no join); coverage joins windows to the duplicated-gram
+    relation on the gram key (duplicated-vocabulary-grain — small,
+    AQE broadcasts it); the rebuild is one (doc, pos) anti join plus a
+    per-doc in-row sort. Everything is linear in corpus size — the
+    same Ω(corpus) floor as detection, with no pair join anywhere.
+
+    Output: (id_col, n_tokens, n_removed, text_dedup).
+    """
+    nn = int(n)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    staged = df.repartition(n_part, id_col).select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    )
+    win_arr = F.when(
+        F.size("_t") >= nn,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - nn + 1),
+            lambda i: F.struct(
+                i.cast("bigint").alias("pos"),
+                F.md5(F.concat_ws("_", F.slice("_t", i, nn))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,gh:string>>"))
+    w = staged.select(F.col(id_col), F.explode(win_arr).alias("__w")).select(
+        id_col, F.col("__w.pos").alias("pos"), F.col("__w.gh").alias("gh")
+    )
+    dup = (
+        w.select(id_col, "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") >= int(min_docs))
+        .select("gh", "keep_id")
+    )
+    cov = (
+        w.join(dup, "gh")
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(nn - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tokpos = staged.select(
+        F.col(id_col),
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.posexplode_outer("_t").alias("__p0", "tok"),
+    ).select(
+        id_col, "n_tokens", (F.col("__p0") + 1).cast("bigint").alias("pos"), "tok"
+    )
+    # LEFT join + flag (not an anti join): a fully-covered document
+    # must still emit a row (empty rewrite) — doc grain is preserved.
+    joined = tokpos.join(
+        cov.withColumn("__cov", F.lit(1)), [id_col, "pos"], "left"
+    )
+    keep_row = F.col("__cov").isNull() & F.col("tok").isNotNull()
+    rebuilt = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(keep_row, F.struct("pos", "tok")))
+            ),
+            lambda s: s["tok"],
+        ),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.when(keep_row, F.lit(1))).alias("__n_kept"),
+            rebuilt.alias("text_dedup"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.col("__n_kept")).cast("bigint").alias("n_removed"),
+            "text_dedup",
+        )
+    )

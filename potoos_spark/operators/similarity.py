@@ -1228,3 +1228,126 @@ def semantic_dedup_cells(
         ),
     )
     return scored.filter(F.col("cosine") >= float(threshold))
+
+
+def binary_sign_words(vec: Column, bits_per_word: int = 32) -> Column:
+    """Pack the sign bits of a float vector into an array of bigint
+    words, ``bits_per_word`` dims per word (32 keeps every term ≤ 2³¹ —
+    exact in both bigint and float64, engine-portable; 64 would need
+    the sign bit of a signed bigint). Bit j of word w is dim
+    32w+j > 0.0 — the 1-bit "binary quantization" every
+    billion-scale vector store ships as its cheapest tier (32×
+    compression vs float32, Hamming distance ≈ angular distance)."""
+    bpw = int(bits_per_word)
+    n_words = F.ceil(F.size(vec) / F.lit(float(bpw))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(0), F.lit(bpw - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: acc
+            + F.when(
+                # F.get: 0-based, NULL (not ANSI error) past the end —
+                # the tail word of a non-multiple-of-32 vector reads 0s
+                F.get(vec, (w * bpw + j).cast("int")) > 0.0,
+                F.pow(F.lit(2.0), j).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+    )
+
+
+def hamming_words(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed sign-bit arrays: Σ popcount
+    (a_w XOR b_w) — pure integer ops, whole-stage codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by Hamming distance over 1-bit sign quantization — the
+    cheapest retrieval tier (the faiss `IndexBinaryFlat` shape): the
+    scan reads 1/32 of the float payload and the distance is XOR +
+    popcount, both codegen'd integer ops. For sign-quantized vectors
+    the expected Hamming distance is monotone in the angle, so the
+    ranking approximates cosine ranking; use ``binary_rerank_topk``
+    for the production funnel that repairs the quantization error.
+
+    Plan shape: queries' packed words broadcast against the corpus's
+    packed words (map-only scoring), then the bounded per-query ranked
+    window. At a billion vectors the packed-words relation is the
+    32×-smaller index you'd pin in memory.
+
+    Output: (query_id, match_id, hamming, rank) — rank ascending by
+    (hamming, match_id), self-match excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        binary_sign_words(F.col(vec_col)).alias("qw"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        binary_sign_words(F.col(vec_col)).alias("cw"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            hamming_words(F.col("qw"), F.col("cw")).alias("hamming"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("hamming").asc(), F.col("match_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "match_id", "hamming", "rank")
+    )
+
+
+def binary_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    expand: int = 4,
+) -> DataFrame:
+    """Binary-then-exact funnel: ``binary_hamming_topk`` nominates
+    ``expand × k`` candidates per query from the 1-bit tier, then the
+    exact integer-scaled cosine re-ranks the nominees — final scores
+    are full precision, stage-1 cost is 1/32 of the float scan. The
+    binary sibling of ``rerank_topk`` (int8 stage 1): one tier cheaper,
+    wider ``expand`` for the same recall.
+
+    Output: (query_id, match_id, cosine, rank).
+    """
+    cand = binary_hamming_topk(
+        queries, corpus, vec_col=vec_col, id_col=id_col, k=int(k) * int(expand)
+    ).select("query_id", "match_id")
+    qe = queries.select(
+        F.col(id_col).alias("query_id"), scaled_vec(vec_col).alias("qe")
+    ).withColumn("qn", sqnorm_expr(F.col("qe")))
+    ce = corpus.select(
+        F.col(id_col).alias("match_id"), scaled_vec(vec_col).alias("ce")
+    ).withColumn("cn", sqnorm_expr(F.col("ce")))
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "match_id")
+        .select(
+            "query_id",
+            "match_id",
+            cosine_from_norms(
+                F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, int(k))

@@ -1182,3 +1182,156 @@ def bpe_encode_stats(
         "compression",
         F.col("n_chars").cast("double") / F.col("n_syms").cast("double"),
     )
+
+
+# The Gopher/MassiveText quality-rule stopword probe (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Table A1 rules): a document
+# must contain at least 2 of these 8 function words.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The full Gopher quality-rule set (Rae et al. 2021, MassiveText
+    filtering, Table A1) as one scan-local projection — completing the
+    partial coverage of ``quality_features``/``repetition_stats``:
+
+    * word count in [``min_words``, ``max_words``];
+    * mean word length in [3, 10] characters;
+    * symbol-to-word ratio ('#' and '...' occurrences) ≤ 0.1;
+    * ≤ 90% of lines starting with a bullet, ≤ 30% ending in an
+      ellipsis (line rules — computed on the RAW text's newlines);
+    * ≥ 80% of words containing at least one alphabetic character;
+    * ≥ 2 of the 8 Gopher stopwords present.
+
+    Exactness: every metric is a ratio of two exact integers (counts
+    from the token array / raw text), so the single division per
+    metric is bit-identical across engines. All pure column
+    expressions — whole-stage codegen, zero shuffle, the 100 TB cost
+    is the corpus scan itself.
+
+    Output: (id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, stop_hits, gopher_pass).
+    """
+    toks = tokens(text_col)
+    raw = F.col(text_col)
+    n_words = F.size(toks).cast("bigint")
+    d_words = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    mean_wl = sum_len.cast("double") / d_words
+    n_hash = F.length(raw) - F.length(F.regexp_replace(raw, "#", ""))
+    n_ell = (
+        F.length(raw) - F.length(F.regexp_replace(raw, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell).cast("double") / d_words
+    lines = F.split(raw, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+        )
+    )
+    n_ell_line = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    bullet_frac = n_bullet.cast("double") / n_lines
+    ellipsis_frac = n_ell_line.cast("double") / n_lines
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    alpha_frac = n_alpha.cast("double") / d_words
+    stop_hits = sum(
+        F.array_contains(toks, F.lit(w)).cast("int") for w in GOPHER_STOPWORDS
+    ).cast("bigint")
+    gopher_pass = (
+        n_words.between(int(min_words), int(max_words))
+        & mean_wl.between(float(min_mean_word_len), float(max_mean_word_len))
+        & (symbol_ratio <= float(max_symbol_ratio))
+        & (bullet_frac <= float(max_bullet_frac))
+        & (ellipsis_frac <= float(max_ellipsis_frac))
+        & (alpha_frac >= float(min_alpha_frac))
+        & (stop_hits >= int(min_stop_hits))
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+def distinct_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Distinct-n diversity per corpus slice (the distinct-1/distinct-2
+    metric of Li et al. 2016, standard for detecting boilerplate-
+    collapsed or over-deduplicated slices): for n ∈ {1, 2}, the number
+    of distinct word n-grams over total n-gram occurrences. A slice
+    whose distinct_frac craters is template spam; one near 1.0 at
+    scale is suspiciously synthetic.
+
+    Shape: unigrams and bigrams are built in-row, exploded once, and
+    counted by ONE map-side-combinable (slice, n, gram) hash agg whose
+    vocabulary-grain output feeds the (slice, n) rollup — no joins, no
+    second scan.
+
+    Output: (group_col, n, total_ngrams, distinct_ngrams,
+    distinct_frac).
+    """
+    toks = tokens(text_col)
+    bg = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws("_", a, b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    uni = df.select(
+        F.col(group_col), F.lit(1).alias("n"), F.explode(toks).alias("g")
+    )
+    big = df.select(
+        F.col(group_col), F.lit(2).alias("n"), F.explode(bg).alias("g")
+    )
+    counts = (
+        uni.unionByName(big)
+        .groupBy(group_col, "n", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy(group_col, "n")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_ngrams"),
+            F.count("*").cast("bigint").alias("distinct_ngrams"),
+        )
+        .select(
+            group_col,
+            F.col("n").cast("bigint").alias("n"),
+            "total_ngrams",
+            "distinct_ngrams",
+            (
+                F.col("distinct_ngrams").cast("double")
+                / F.col("total_ngrams").cast("double")
+            ).alias("distinct_frac"),
+        )
+    )

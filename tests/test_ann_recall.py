@@ -333,3 +333,65 @@ def test_whiten_dims_standardizes_each_dimension(spark):
     a = sorted(map(tuple, z.collect()))
     b = sorted(map(tuple, whiten_dims(e.repartition(7)).collect()))
     assert a == b  # exact-integer moments -> partitioning-invariant
+
+
+def test_binary_hamming_packing_and_exactness(spark):
+    """r6: sign-bit packing must be exact and deterministic — a known
+    4-dim vector packs to the expected single word, and the Hamming
+    distance of complementary vectors equals the dimension."""
+    from potoos_spark.operators.similarity import (
+        binary_hamming_topk,
+        binary_sign_words,
+    )
+
+    rows = [
+        (1, [1.0, -1.0, 2.0, -0.5]),   # bits 0,2 -> word 0b0101 = 5
+        (2, [-1.0, 1.0, -2.0, 0.5]),   # complement -> 0b1010 = 10
+        (3, [1.0, -1.0, 2.0, -0.5]),   # identical to 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    words = {
+        r["vec_id"]: r["w"]
+        for r in df.select(
+            "vec_id", binary_sign_words(F.col("embedding")).alias("w")
+        ).collect()
+    }
+    assert words[1] == [5] and words[2] == [10] and words[3] == [5]
+    got = {
+        (r["query_id"], r["match_id"]): r["hamming"]
+        for r in binary_hamming_topk(df.filter(F.col("vec_id") == 1), df, k=2).collect()
+    }
+    assert got[(1, 3)] == 0 and got[(1, 2)] == 4
+
+
+def test_binary_rerank_recall_monotone_in_expand(spark, embeddings, exact):
+    """The Hamming-rank candidate set at expand e1 is a PREFIX of the
+    set at e2 > e1, so funnel recall vs exact is deterministically
+    non-decreasing in expand — and must be high once the pool is wide
+    (64-dim fixture = only a 64-bit signature; real 768-dim embeddings
+    reach the same recall at far smaller expand)."""
+    from potoos_spark.operators.similarity import binary_rerank_topk
+
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    recalls = [
+        _recall(
+            binary_rerank_topk(q, embeddings, k=K, expand=ex).collect(), exact
+        )
+        for ex in (4, 8, 16)
+    ]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] >= 0.85, recalls
+
+
+def test_binary_rerank_cosines_are_exact(spark, embeddings, exact):
+    """Funnel output scores must EQUAL the brute-force cosines for
+    every returned pair (stage 2 is full precision)."""
+    from potoos_spark.operators.similarity import binary_rerank_topk, cosine_topk
+
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    exact_cos = {
+        (r["query_id"], r["match_id"]): r["cosine"]
+        for r in cosine_topk(q, embeddings, k=embeddings.count()).collect()
+    }
+    for r in binary_rerank_topk(q, embeddings, k=K, expand=8).collect():
+        assert r["cosine"] == exact_cos[(r["query_id"], r["match_id"])]

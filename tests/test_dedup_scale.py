@@ -415,3 +415,48 @@ def test_duplicated_ngram_spans_catches_offset_straddling_copy(spark):
     # every chunk survives (n_kept == n_chunks): the straddling copy is
     # invisible at fixed-chunk grain
     assert all(r["n_kept"] == r["n_chunks"] for r in rows.values()), rows
+
+
+def test_remove_duplicated_spans_keeper_and_grain(spark):
+    """r6 removal step (Lee et al. '22): the keeper document keeps the
+    duplicated span, every non-keeper loses exactly the covered tokens
+    (at any offset), unique prose around the cut survives, short docs
+    pass through verbatim, and doc grain is preserved — a fully-covered
+    document emits an empty rewrite rather than vanishing."""
+    from potoos_spark.operators.dedup import remove_duplicated_spans
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (1, f"{span} keeper unique tail"),
+        (2, f"alpha beta {span} gamma delta"),  # loser, mid-offset
+        (3, span),                              # loser, fully covered
+        (4, "short doc"),                       # < n tokens
+        (5, ""),                                # token-less
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in remove_duplicated_spans(docs).collect()}
+    assert len(got) == 5  # doc grain preserved
+    assert got[1]["n_removed"] == 0
+    assert got[1]["text_dedup"] == f"{span} keeper unique tail"
+    assert got[2]["n_removed"] == 8
+    assert got[2]["text_dedup"] == "alpha beta gamma delta"
+    assert got[3]["n_removed"] == 8 and got[3]["text_dedup"] == ""
+    assert got[4]["n_removed"] == 0 and got[4]["text_dedup"] == "short doc"
+    assert got[5]["n_tokens"] == 0 and got[5]["text_dedup"] == ""
+
+
+def test_remove_duplicated_spans_overlapping_windows_union(spark):
+    """Two overlapping duplicated 8-grams in a loser doc cover the
+    UNION of their positions (9 tokens for a 9-token shared run), not
+    double-count; removal count reflects distinct covered positions."""
+    from potoos_spark.operators.dedup import remove_duplicated_spans
+
+    run9 = "a b c d e f g h i"  # 9 tokens -> two rolling 8-grams
+    rows = [
+        (1, f"{run9} keeper"),
+        (2, f"pre {run9} post"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in remove_duplicated_spans(docs).collect()}
+    assert got[2]["n_removed"] == 9
+    assert got[2]["text_dedup"] == "pre post"

@@ -408,3 +408,75 @@ def test_bpe_encode_stats_matches_reference_apply(spark):
         assert got[i]["n_syms"] == want_syms[i], (i, got[i]["n_syms"], want_syms[i])
         assert got[i]["compression"] == n_chars / want_syms[i]
     assert got[3]["n_syms"] == got[3]["n_chars"]  # untouched doc
+
+
+class TestGopherRules:
+    """r6: the full Gopher Table-A1 rule set — each rule must actually
+    trip on text engineered to violate it (the fixture can't: it has no
+    symbols/bullets/ellipses), and the passing document must pass."""
+
+    def _run(self, spark, text, **kw):
+        from potoos_spark.operators.text import gopher_quality
+
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        return gopher_quality(df, **kw).collect()[0]
+
+    def test_good_document_passes(self, spark):
+        good = "the quick brown fox jumps over that lazy dog and " * 10
+        r = self._run(spark, good.strip(), min_words=50)
+        assert r["gopher_pass"] is True
+        assert r["stop_hits"] >= 2 and r["alpha_frac"] == 1.0
+
+    def test_word_count_and_stopword_rules(self, spark):
+        r = self._run(spark, "too short")
+        assert r["gopher_pass"] is False  # < min_words, < 2 stopwords
+        # 'too' != 'to': neither token is a gopher stopword
+        assert r["stop_hits"] == 0
+
+    def test_symbol_ratio_rule_trips(self, spark):
+        spam = ("the of and word " * 20) + "#" * 40
+        r = self._run(spark, spam, min_words=10)
+        assert r["symbol_ratio"] > 0.1
+        assert r["gopher_pass"] is False
+
+    def test_bullet_and_ellipsis_line_rules(self, spark):
+        bullets = "\n".join(f"- the item of {i} and that" for i in range(20))
+        r = self._run(spark, bullets, min_words=10)
+        assert r["bullet_frac"] == 1.0 and r["gopher_pass"] is False
+        ell = "\n".join(
+            ["the first of lines and that have with be to of..."] * 5
+            + ["a plain line"] * 5
+        )
+        r2 = self._run(spark, ell, min_words=10)
+        assert r2["ellipsis_frac"] == 0.5 and r2["gopher_pass"] is False
+
+    def test_alpha_frac_rule_trips_on_numeric_spam(self, spark):
+        nums = "the of " + " ".join(str(i) for i in range(100))
+        r = self._run(spark, nums, min_words=10)
+        assert r["alpha_frac"] < 0.8 and r["gopher_pass"] is False
+
+    def test_mean_word_length_rule(self, spark):
+        longw = "the of " + ("pneumonoultramicroscopic " * 60)
+        r = self._run(spark, longw, min_words=10)
+        assert r["mean_word_len"] > 10.0 and r["gopher_pass"] is False
+
+    def test_empty_doc_emits_row(self, spark):
+        r = self._run(spark, "")
+        assert r["n_words"] == 0 and r["gopher_pass"] is False
+
+
+def test_distinct_ngram_stats_detects_template_collapse(spark):
+    """A slice of identical documents must show a far lower
+    distinct-frac than a diverse slice, and bigram diversity must not
+    exceed what its occurrence count allows."""
+    from potoos_spark.operators.text import distinct_ngram_stats
+
+    rows = [(i, "the same boilerplate line again", "spam") for i in range(20)]
+    rows += [(100 + i, f"unique words alpha{i} beta{i} gamma{i}", "fresh") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {(r["source"], r["n"]): r for r in distinct_ngram_stats(df).collect()}
+    assert got[("spam", 1)]["distinct_ngrams"] == 5
+    assert got[("spam", 1)]["total_ngrams"] == 100
+    assert got[("spam", 2)]["distinct_ngrams"] == 4
+    assert got[("fresh", 1)]["distinct_frac"] > 0.6
+    assert got[("spam", 1)]["distinct_frac"] == 0.05
