@@ -483,3 +483,46 @@ def test_pcm_energy_projects_before_python_boundary(spark):
     # the scan reads only the two source columns feeding the payload
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read and all("lang" not in l and "source" not in l for l in read), read
+
+
+def test_gopher_rules_is_scan_local(spark):
+    """The full Gopher rule set is a pure projection: NO exchange of
+    any kind in the plan — at 100 TB its cost is the corpus scan."""
+    plan = _plan(CATALOG["text_gopher_rules"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_distinct_ngrams_no_joins(spark):
+    """Distinct-n is two stacked hash aggregations over the exploded
+    in-row n-grams — no join may appear (a positional self-join here
+    would shuffle the corpus twice)."""
+    plan = _plan(CATALOG["corpus_distinct_ngrams"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_span_removal_no_cartesian_no_global_window(spark):
+    """The removal rewrite joins windows to the duplicated-gram
+    relation on the gram key and rebuilds per doc — never a cartesian
+    product, never a partition-less window."""
+    plan = _plan(CATALOG["dedup_span_removal"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan  # rebuild is an agg, not a window
+
+
+def test_binary_hamming_broadcasts_queries(spark):
+    """The packed query words must broadcast against the corpus scan;
+    the only join is that broadcast (no shuffle join of the corpus)."""
+    plan = _plan(CATALOG["knn_binary_hamming"].fn(spark, SF_DIR))
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_weights_single_wide_shuffle(spark):
+    """DSIR's only corpus-wide exchange is the (doc, bucket) hash agg:
+    the bucket-ratio relation and both totals ride broadcasts, so no
+    sort-merge join may appear anywhere."""
+    plan = _plan(CATALOG["corpus_dsir_weights"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
