@@ -103,6 +103,7 @@ HEADLINE = [
     "text_gopher_rules",
     "corpus_distinct_ngrams",
     "knn_binary_rerank",
+    "q_constraint_audit",
 ]
 
 

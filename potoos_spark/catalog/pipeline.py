@@ -1415,7 +1415,10 @@ def _centroid_fn(spark, sf_dir):
             )
         ).alias("dim", "milli"),
     )
-    return e.groupBy(F.col("label").cast("bigint").alias("label"), "dim").agg(
+    return e.groupBy(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("dim").cast("bigint").alias("dim"),
+    ).agg(
         F.sum("milli").alias("sum_milli"),
         F.count("*").alias("n"),
         (F.sum("milli").cast("double") / F.count("*") / F.lit(1000.0)).alias(

@@ -201,7 +201,7 @@ def _window_rank_fn(spark, sf_dir):
     orders = table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        orders.withColumn("rnk", F.row_number().over(w))
+        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     )

@@ -380,7 +380,7 @@ def _pct_total_fn(spark, sf_dir):
             F.col("rev").cast("double")
             / F.sum("rev").over(total).cast("double")
         ).alias("pct_of_total"),
-        F.row_number().over(w).alias("rank"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
     )
 
 
@@ -458,7 +458,7 @@ def _ltv_deciles_fn(spark, sf_dir):
     total = rev.agg(F.sum("rev").alias("total"))
     d = global_ntile(
         rev, [F.col("rev").desc(), "o_custkey"], 10, tile_col="decile"
-    ).withColumn("decile", F.col("decile").cast("int")).crossJoin(
+    ).withColumn("decile", F.col("decile").cast("bigint")).crossJoin(
         F.broadcast(total)
     )
     return d.groupBy("decile").agg(
@@ -730,3 +730,61 @@ _ZORDER_SQL = (
 )
 
 QUERIES["q_zorder_clustering"] = QuerySpec(_zorder_fn, _ZORDER_SQL)
+
+
+# --- data-quality constraint audit (r6) ------------------------------------
+
+def _constraint_audit_fn(spark, sf_dir):
+    from ..operators.audit import (
+        audit,
+        fk_violations,
+        pk_duplicates,
+        predicate_violations_multi,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    customer = table(spark, sf_dir, "customer")
+    return audit([
+        fk_violations(orders, customer, "o_custkey", "c_custkey", "fk_orders_customer"),
+        fk_violations(lineitem, orders, "l_orderkey", "o_orderkey", "fk_lineitem_orders"),
+        pk_duplicates(customer, "c_custkey", "pk_customer_unique"),
+        # all CHECK rules per fact table fused into ONE scan each
+        predicate_violations_multi(lineitem, {
+            "chk_lineitem_quantity": F.col("l_quantity").between(1.0, 50.0),
+            "chk_lineitem_discount": F.col("l_discount").between(0.0, 1.0),
+        }),
+        predicate_violations_multi(orders, {
+            "chk_orders_totalprice_positive": F.col("o_totalprice") > 0.0,
+            "chk_orders_orderdate_notnull": F.col("o_orderdate").isNotNull(),
+        }),
+    ])
+
+
+# dbt-test-style gate: each named check one scalar count; NULLs violate
+# (three-valued-logic strict: NOT (pred IS TRUE), same on both engines).
+_CONSTRAINT_AUDIT_SQL = (
+    "SELECT * FROM ("
+    'SELECT \'fk_orders_customer\' AS "constraint", CAST(COUNT(*) AS BIGINT) AS n_violations '
+    "FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) "
+    "UNION ALL "
+    "SELECT 'fk_lineitem_orders', CAST(COUNT(*) AS BIGINT) "
+    "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) "
+    "UNION ALL "
+    "SELECT 'pk_customer_unique', CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer "
+    "UNION ALL "
+    "SELECT 'chk_lineitem_quantity', CAST(COUNT(*) AS BIGINT) FROM lineitem "
+    "WHERE (l_quantity BETWEEN 1.0 AND 50.0) IS NOT TRUE "
+    "UNION ALL "
+    "SELECT 'chk_lineitem_discount', CAST(COUNT(*) AS BIGINT) FROM lineitem "
+    "WHERE (l_discount BETWEEN 0.0 AND 1.0) IS NOT TRUE "
+    "UNION ALL "
+    "SELECT 'chk_orders_totalprice_positive', CAST(COUNT(*) AS BIGINT) FROM orders "
+    "WHERE (o_totalprice > 0.0) IS NOT TRUE "
+    "UNION ALL "
+    "SELECT 'chk_orders_orderdate_notnull', CAST(COUNT(*) AS BIGINT) FROM orders "
+    "WHERE o_orderdate IS NULL"
+    ") ORDER BY \"constraint\""
+)
+
+QUERIES["q_constraint_audit"] = QuerySpec(_constraint_audit_fn, _CONSTRAINT_AUDIT_SQL)

@@ -319,7 +319,8 @@ _CMS_COUNTERS_SQL = (
         f"SELECT {j} AS j, {_CMS_HASH.format(j=j, col='user_id')} AS bucket FROM events"
         for j in range(4)
     )
-    + ") SELECT j, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2"
+    + ") SELECT j, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS cnt "
+    "FROM cells GROUP BY 1, 2"
 )
 
 

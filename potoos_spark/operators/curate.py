@@ -628,8 +628,8 @@ def chunk_overlap(
         ).alias("ci", "__s"),
     ).select(
         id_col,
-        "ci",
-        F.col("__s.start_word").alias("start_word"),
+        F.col("ci").cast("bigint").alias("ci"),
+        F.col("__s.start_word").cast("bigint").alias("start_word"),
         F.col("__s.chunk").alias("chunk"),
     )
 

@@ -989,7 +989,7 @@ def random_projection(
 
     proj = F.array(*[
         F.struct(
-            F.lit(j).alias("j"),
+            F.lit(j).cast("bigint").alias("j"),
             F.aggregate(
                 F.array(*[
                     F.element_at(F.col("__sv"), i + 1) * F.lit(sign(i, j))

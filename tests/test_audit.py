@@ -1,0 +1,77 @@
+"""Data-quality constraint audit: planted violations must be counted
+exactly, clean data must gate 0 everywhere, and the plan must stay
+windowless scalar aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from potoos_spark.operators.audit import (
+    audit,
+    fk_violations,
+    pk_duplicates,
+    predicate_violations,
+)
+
+
+def _dirty(spark):
+    parent = spark.createDataFrame([(1,), (2,)], "k bigint")
+    child = spark.createDataFrame(
+        [(1, 10.0), (1, -5.0), (3, 20.0), (None, 30.0)],
+        "k bigint, v double",
+    )
+    dup = spark.createDataFrame([(7,), (7,), (8,)], "k bigint")
+    return parent, child, dup
+
+
+def test_planted_violations_counted_exactly(spark):
+    parent, child, dup = _dirty(spark)
+    got = {
+        r["constraint"]: r["n_violations"]
+        for r in audit([
+            # k=3 unmatched + NULL k -> 2
+            fk_violations(child, parent, "k", "k", "fk"),
+            # two 7s -> 1 excess row
+            pk_duplicates(dup, "k", "pk"),
+            # v=-5 fails, NULL-free -> 1
+            predicate_violations(child, F.col("v") > 0.0, "chk_pos"),
+        ]).collect()
+    }
+    assert got == {"fk": 2, "pk": 1, "chk_pos": 1}
+
+
+def test_null_predicate_is_a_violation(spark):
+    df = spark.createDataFrame([(1.0,), (None,)], "v double")
+    got = predicate_violations(df, F.col("v") > 0.0, "c").collect()[0]
+    assert got["n_violations"] == 1  # the NULL row: NOT (NULL IS TRUE)
+
+
+def test_clean_fixture_gates_zero_and_plan_windowless(spark):
+    from potoos_spark.catalog import CATALOG
+    from tests.conftest import SF_DIR
+
+    df = CATALOG["q_constraint_audit"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 7
+    assert all(r["n_violations"] == 0 for r in rows), rows
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_multi_predicate_single_scan_matches_singles(spark):
+    """The fused per-table CHECK pass must count identically to the
+    one-pass-per-rule form, including NULL-violates semantics."""
+    from potoos_spark.operators.audit import predicate_violations_multi
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (-1.0, None), (None, 60.0)], "a double, b double"
+    )
+    got = {
+        r["constraint"]: r["n_violations"]
+        for r in predicate_violations_multi(df, {
+            "a_pos": F.col("a") > 0.0,          # -1 and NULL -> 2
+            "b_range": F.col("b").between(0.0, 50.0),  # NULL and 60 -> 2
+        }).collect()
+    }
+    assert got == {"a_pos": 2, "b_range": 2}
