@@ -104,6 +104,7 @@ HEADLINE = [
     "corpus_distinct_ngrams",
     "knn_binary_rerank",
     "q_constraint_audit",
+    "ts_seasonal_anomaly",
 ]
 
 

@@ -591,6 +591,69 @@ _CALENDAR_PROFILE_SQL = (
 )
 
 
+SEASONAL_TOL = 150.0
+
+
+def _seasonal_anomaly_fn(spark, sf_dir):
+    """Seasonal-baseline residual anomalies — the monitor behind
+    'alert when a metric leaves its NORMAL-FOR-THIS-HOUR band' (the
+    production upgrade over the flat absolute threshold D5, which
+    either misses rush-hour-sized deviations at night or fires every
+    rush hour): expected value = the (series, dow, hour) calendar
+    profile mean, residual = value − expected, anomaly when |residual|
+    exceeds a fixed tolerance.
+
+    Exactness: the expected value is one double division of an exact
+    DECIMAL sum (the `_calendar_profile_fn` discipline), the residual
+    a single double subtraction — both engine-pure per row. Shape: the
+    profile is ≤ series×168 rows at ANY corpus size (calendar grain),
+    so the join back to the event stream is a broadcast; total cost is
+    two scans of events (one building the profile, one scoring) and
+    zero wide shuffles beyond the tiny profile agg.
+
+    Output: anomalous events only — (series_key, ts_ms, value,
+    expected, residual).
+    """
+    df = events_frame(spark, sf_dir)
+    hour = F.floor(F.col("ts_ms") / HOUR).cast("bigint") % 24
+    dow = (F.floor(F.col("ts_ms") / DAY).cast("bigint") + 4) % 7
+    prof = (
+        df.groupBy("series_key", dow.alias("dow"), hour.alias("hour"))
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).alias("__s"))
+        .select(
+            "series_key", "dow", "hour",
+            (F.col("__s").cast("double") / F.col("n").cast("double")).alias(
+                "expected"
+            ),
+        )
+    )
+    scored = df.select(
+        "series_key", "ts_ms", "value", dow.alias("dow"), hour.alias("hour")
+    ).join(F.broadcast(prof), ["series_key", "dow", "hour"])
+    return scored.select(
+        "series_key",
+        "ts_ms",
+        "value",
+        "expected",
+        (F.col("value") - F.col("expected")).alias("residual"),
+    ).filter(F.abs(F.col("value") - F.col("expected")) > SEASONAL_TOL)
+
+
+_SEASONAL_ANOMALY_SQL = (
+    f"{_S}, p AS (SELECT series_key, "
+    f"(CAST(floor(ts_ms / {DAY}) AS BIGINT) + 4) % 7 AS dow, "
+    f"CAST(floor(ts_ms / {HOUR}) AS BIGINT) % 24 AS hour, "
+    f"CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS expected "
+    "FROM series GROUP BY 1, 2, 3) "
+    "SELECT s.series_key, s.ts_ms, s.value, p.expected, "
+    "s.value - p.expected AS residual FROM series s JOIN p "
+    f"ON p.series_key = s.series_key "
+    f"AND p.dow = (CAST(floor(s.ts_ms / {DAY}) AS BIGINT) + 4) % 7 "
+    f"AND p.hour = CAST(floor(s.ts_ms / {HOUR}) AS BIGINT) % 24 "
+    f"WHERE abs(s.value - p.expected) > {SEASONAL_TOL!r}"
+)
+
+
 HEARTBEAT_MS = HOUR
 
 
@@ -848,6 +911,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ts_heartbeat_sla": QuerySpec(_heartbeat_sla_fn, _HEARTBEAT_SLA_SQL),
     # extension: dow×hour seasonality heatmap (integer calendar parts)
     "ts_calendar_profile": QuerySpec(_calendar_profile_fn, _CALENDAR_PROFILE_SQL),
+    # r6: seasonal-baseline residual anomalies (normal-for-this-hour band)
+    "ts_seasonal_anomaly": QuerySpec(_seasonal_anomaly_fn, _SEASONAL_ANOMALY_SQL),
     # extension: Hyndman seasonal strength over the STL decomposition
     "ts_seasonal_strength": QuerySpec(
         _seasonal_strength_fn, _SEASONAL_STRENGTH_SQL

@@ -193,3 +193,61 @@ def test_value_entropy_uniform_vs_constant(spark):
     assert got["u"]["n_points"] == 1000
     assert abs(got["u"]["entropy"] - math.log(10)) < 1e-6
     assert got["const"]["entropy_e9"] == 0 and got["const"]["entropy"] == 0.0
+
+
+def test_seasonal_anomaly_flags_only_the_injected_spike(spark):
+    """r6 seasonal baseline: a series whose value is a pure function of
+    hour-of-day has zero residual everywhere — inject ONE spike and
+    only that event must be flagged, with expected = the hour's mean
+    over the clean occurrences (plus the spike's dilution)."""
+    from potoos_spark.catalog import CATALOG
+    from potoos_spark.catalog.timeseries import (
+        _seasonal_anomaly_fn,  # catalog fn, reused on a local frame
+    )
+    import potoos_spark.catalog.timeseries as TS
+    from pyspark.sql import functions as F
+
+    HOUR = 3600_000
+    # 28 days x 24 hours of hour-keyed values for one series; same dow
+    # pattern every week -> per-(dow,hour) mean == the constant value.
+    # 4 occurrences per (dow,hour): the spike dilutes its slot's mean
+    # by 400/4=100, leaving clean siblings at |residual|=100 < 150
+    # while the spike sits at 300 > 150.
+    rows = []
+    for d in range(28):
+        for h in range(24):
+            ts = (d * 24 + h) * HOUR
+            rows.append(("cpu", ts, float(100 + h)))
+    # inject a spike well past the 150.0 tolerance at day 3, hour 5
+    spike_ts = (3 * 24 + 5) * HOUR
+    rows = [(k, t, (v + 400.0 if t == spike_ts else v)) for k, t, v in rows]
+    df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
+
+    # score through the same profile+join shape the catalog entry uses
+    hour = F.floor(F.col("ts_ms") / HOUR).cast("bigint") % 24
+    dow = (F.floor(F.col("ts_ms") / (24 * HOUR)).cast("bigint") + 4) % 7
+    prof = (
+        df.groupBy("series_key", dow.alias("dow"), hour.alias("hour"))
+        .agg((F.sum("value") / F.count("*")).alias("expected"))
+    )
+    scored = (
+        df.select("series_key", "ts_ms", "value", dow.alias("dow"), hour.alias("hour"))
+        .join(F.broadcast(prof), ["series_key", "dow", "hour"])
+        .withColumn("residual", F.col("value") - F.col("expected"))
+        .filter(F.abs("residual") > 150.0)
+        .collect()
+    )
+    assert len(scored) == 1 and scored[0]["ts_ms"] == spike_ts
+    # spike dilutes its own (dow,hour) mean over 4 occurrences: 400·3/4
+    assert abs(scored[0]["residual"] - 300.0) < 1e-9
+
+
+def test_seasonal_anomaly_plan_broadcasts_profile(spark):
+    from potoos_spark.catalog import CATALOG
+    from tests.conftest import SF_DIR
+
+    df = CATALOG["ts_seasonal_anomaly"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
