@@ -1134,6 +1134,50 @@ def whiten_dims(
     )
 
 
+def md5_medoid_centroids(c: DataFrame, n_cells: int) -> DataFrame:
+    """(cell, cent_e, cent_n) from a standardized (__id, e, n) frame:
+    the ``n_cells`` actual corpus vectors whose md5(id) is smallest —
+    the engine-portable medoid quantizer shared by ``ivf_topk_md5``,
+    ``semantic_dedup_cells``, and ``storage.write_ivf_index``. A
+    TakeOrderedAndProject, never a global sort."""
+    return (
+        c.withColumn("__hm", F.md5(F.col("__id").cast("string")))
+        .orderBy("__hm")
+        .limit(int(n_cells))
+        .select(
+            F.col("__id").alias("cell"),
+            F.col("e").alias("cent_e"),
+            F.col("n").alias("cent_n"),
+        )
+    )
+
+
+def assign_to_cells(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of a standardized (__id, e, n)
+    frame: exact-integer squared L2 (||a−c||² = n + cent_n − 2·a·c),
+    ties on cell id; one broadcast-centroids map pass + a map-side-
+    combinable min_by agg. Output: (__id, e, n, cell)."""
+    dot_c = F.aggregate(
+        F.zip_with("e", "cent_e", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "__id", "e", "n", "cell",
+            (F.col("n") + F.col("cent_n") - 2 * dot_c).alias("__sq"),
+        )
+        .groupBy("__id")
+        .agg(
+            F.min_by(F.struct("e", "n", "cell"), F.struct("__sq", "cell")).alias(
+                "__a"
+            )
+        )
+        .select("__id", "__a.e", "__a.n", "__a.cell")
+    )
+
+
 def semantic_dedup_cells(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1179,33 +1223,8 @@ def semantic_dedup_cells(
     c = df.select(
         F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
     ).withColumn("n", sqnorm_expr(F.col("e")))
-    cent = (
-        c.withColumn("__hm", F.md5(F.col("__id").cast("string")))
-        .orderBy("__hm")
-        .limit(int(n_cells))
-        .select(
-            F.col("__id").alias("cell"),
-            F.col("e").alias("cent_e"),
-            F.col("n").alias("cent_n"),
-        )
-    )
-    dot_c = F.aggregate(
-        F.zip_with("e", "cent_e", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + x,
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .select(
-            "__id", "e", "n", "cell",
-            (F.col("n") + F.col("cent_n") - 2 * dot_c).alias("__sq"),
-        )
-        .groupBy("__id")
-        .agg(
-            F.min_by(F.struct("e", "n", "cell"), F.struct("__sq", "cell")).alias("__a")
-        )
-        .select("__id", "__a.e", "__a.n", "__a.cell")
-    )
+    cent = md5_medoid_centroids(c, n_cells)
+    assigned = assign_to_cells(c, cent)
     wc = W.partitionBy("cell").orderBy(F.md5(F.col("__id").cast("string")), "__id")
     capped = (
         assigned.withColumn("__rn", F.row_number().over(wc))

@@ -186,3 +186,102 @@ def zorder_compact(
         .parquet(dst)
     )
     return spark.read.parquet(dst).count()
+
+
+def write_ivf_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    dst: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+) -> int:
+    """Materialize an IVF index as a CELL-PARTITIONED parquet layout —
+    the serving-side consumer of the md5-medoid quantizer
+    (``ivf_topk_md5`` proves the search; this writes the files a
+    long-lived index would pin): every corpus vector is stored under
+    its cell's partition directory together with its integer-scaled
+    form and squared norm, and the KB-scale centroid table is written
+    beside it. A probe then touches ONLY the probed cells' files —
+    partition pruning does at the storage layer what the cell
+    semi-join does in memory.
+
+    Returns the indexed vector count (callers assert row-exactness).
+    """
+    from .dedup import scaled_vec, sqnorm_expr
+    from .similarity import assign_to_cells, md5_medoid_centroids
+
+    c = corpus.select(
+        F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
+    ).withColumn("n", sqnorm_expr(F.col("e")))
+    cent = md5_medoid_centroids(c, n_cells)
+    assigned = assign_to_cells(c, cent).select(
+        F.col("__id").alias(id_col), "e", "n", "cell"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{dst}/index")
+    cent.write.mode("overwrite").parquet(f"{dst}/centroids")
+    return spark.read.parquet(f"{dst}/index").count()
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    src: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Search a ``write_ivf_index`` layout: assign each query to its
+    ``n_probe`` nearest stored centroids, then join the index ON THE
+    PARTITION COLUMN — Spark's dynamic partition pruning turns the
+    probed-cells relation into a runtime filter on the parquet scan,
+    so only n_probe/n_cells of the index files are read (asserted in
+    tests/test_storage.py via the dynamicpruning subquery in the
+    plan). Scoring is the same exact integer cosine as the in-memory
+    IVF; given the same corpus, the result is bit-identical to
+    ``ivf_topk_md5`` (equivalence pinned in tests).
+
+    Output: (query_id, match_id, cosine, rank).
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import cosine_from_norms, scaled_vec, sqnorm_expr
+
+    cent = spark.read.parquet(f"{src}/centroids")
+    index = spark.read.parquet(f"{src}/index")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), scaled_vec(vec_col).alias("qe")
+    ).withColumn("qn", sqnorm_expr(F.col("qe")))
+    dot_c = F.aggregate(
+        F.zip_with("qe", "cent_e", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    wq = W.partitionBy("query_id").orderBy("__sq", "cell")
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qe", "qn", "cell",
+            (F.col("qn") + F.col("cent_n") - 2 * dot_c).alias("__sq"),
+        )
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= int(n_probe))
+        .select("query_id", "qe", "qn", "cell")
+    )
+    cand = F.broadcast(probed).join(index, "cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("match_id"),
+        cosine_from_norms(F.col("qe"), F.col("e"), F.col("qn"), F.col("n")).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "match_id", "cosine", "rank")
+    )
