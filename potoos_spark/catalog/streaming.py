@@ -32,6 +32,7 @@ from ..streaming import (
 )
 from .common import EVENTS_SQL, QuerySpec
 from .timeseries import _OHLC_SQL as _OHLC_REPLAY_SQL
+from .timeseries import _SEASONAL_ANOMALY_SQL as _SEASONAL_ANOMALY_REPLAY_SQL
 
 HOUR = 3_600_000
 GAP_MS = 1_800_000  # 30 min session gap
@@ -85,6 +86,46 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"),
         F.col("event_id").alias("seq"),
     )
+
+
+def _stream_seasonal_fn(spark, sf_dir):
+    """Streaming seasonal monitor — how ``ts_seasonal_anomaly`` deploys
+    in production: the calendar profile is computed BATCH (a nightly
+    job over history; ≤ series×168 rows), broadcast into the live
+    stream, and every arriving event is scored stateless against its
+    normal-for-this-hour band. Append mode, zero streaming state, no
+    watermark needed — the monitor's latency is one map + one
+    broadcast join per micro-batch. The availableNow replay over the
+    same events produces the batch entry's exact row set (same oracle).
+    """
+    from .common import dec, events_frame
+    from .timeseries import DAY, HOUR, SEASONAL_TOL
+
+    hour = F.floor(F.col("ts_ms") / HOUR).cast("bigint") % 24
+    dow = (F.floor(F.col("ts_ms") / DAY).cast("bigint") + 4) % 7
+    prof = (
+        events_frame(spark, sf_dir)
+        .groupBy("series_key", dow.alias("dow"), hour.alias("hour"))
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).alias("__s"))
+        .select(
+            "series_key", "dow", "hour",
+            (F.col("__s").cast("double") / F.col("n").cast("double")).alias(
+                "expected"
+            ),
+        )
+    )
+    ev = _events_stream(spark, sf_dir)
+    scored = ev.select(
+        "series_key", "ts_ms", "value", dow.alias("dow"), hour.alias("hour")
+    ).join(F.broadcast(prof), ["series_key", "dow", "hour"])
+    out = scored.select(
+        "series_key",
+        "ts_ms",
+        "value",
+        "expected",
+        (F.col("value") - F.col("expected")).alias("residual"),
+    ).filter(F.abs(F.col("value") - F.col("expected")) > SEASONAL_TOL)
+    return _replay(out, "append")
 
 
 def _replay(sdf: DataFrame, mode: str) -> DataFrame:
@@ -572,6 +613,11 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_session_agg_replay": QuerySpec(_stream_session_fn, _STREAM_SESSION_SQL),
     "stream_bucket_scores_replay": QuerySpec(_stream_scores_fn, _STREAM_SCORES_SQL),
     "stream_static_join_replay": QuerySpec(_stream_enrich_fn, _STREAM_ENRICH_SQL),
+    # r6: streaming seasonal monitor (static profile x live stream);
+    # same oracle as the batch ts_seasonal_anomaly — replay-identical
+    "stream_seasonal_anomaly_replay": QuerySpec(
+        _stream_seasonal_fn, _SEASONAL_ANOMALY_REPLAY_SQL
+    ),
     "stream_stream_join_replay": QuerySpec(
         _stream_stream_join_fn, _STREAM_SS_JOIN_SQL
     ),
