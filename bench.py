@@ -105,6 +105,7 @@ HEADLINE = [
     "knn_binary_rerank",
     "q_constraint_audit",
     "ts_seasonal_anomaly",
+    "ts_pattern_match",
 ]
 
 

@@ -182,3 +182,84 @@ _GOERTZEL_SQL = (
 )
 
 QUERIES["ts_goertzel_power"] = QuerySpec(_goertzel_fn, _GOERTZEL_SQL)
+
+
+# UCR-style subsequence pattern search (the "find windows shaped like
+# THIS" query behind motif/shape retrieval — Rakthanmanon et al., KDD
+# 2012 popularized the z-normalized form): score every trailing
+# m-point window of every series against a fixed spike template by
+# Pearson r, report the top-5 windows per series. Pearson IS the
+# z-normalized match score, and its co-moments here are exact bigints:
+# the only float math is one sqrt + one division per window.
+_PM_M = 12
+_PM_Q = [0, 1, 3, 6, 10, 8, 6, 4, 3, 2, 1, 0]  # asymmetric spike template
+_PM_SQ = sum(_PM_Q)
+_PM_SQQ = sum(q * q for q in _PM_Q)
+_PM_K = 5
+
+
+def _pattern_match_fn(spark, sf_dir):
+    """Shape: one per-series window sort (the hourly relation is
+    series×hours — already reduced), m−1 lags + two frame sums over
+    the SAME window spec (one physical Window exec), a bounded ranked
+    window for the per-series top-k. At 100 TB the hourly rollup is
+    the only wide shuffle; the pattern never leaves codegen (its
+    terms are literal coefficients)."""
+    from pyspark.sql import Window as W
+
+    m, Q = _PM_M, _PM_Q
+    h = _hourly_int_sums(spark, sf_dir)
+    wo = W.partitionBy("series_key").orderBy("ts_ms")
+    wf = wo.rowsBetween(-(m - 1), 0)
+    n = F.count("*").over(wf)
+    sx = F.sum("value").over(wf)
+    sxx = F.sum(F.col("value") * F.col("value")).over(wf)
+    dot = None
+    for j in range(m):
+        term = F.lit(Q[j]) * F.lag("value", m - 1 - j).over(wo)
+        dot = term if dot is None else dot + term
+    num = (F.lit(m) * dot - sx * F.lit(_PM_SQ)).cast("double")
+    var_x = (F.lit(m) * sxx - sx * sx).cast("double")
+    den = F.sqrt(var_x * F.lit(float(m * _PM_SQQ - _PM_SQ * _PM_SQ)))
+    scored = (
+        h.select(
+            "series_key",
+            "ts_ms",
+            n.alias("__n"),
+            num.alias("__num"),
+            den.alias("__den"),
+        )
+        .filter((F.col("__n") == m) & (F.col("__den") > 0))
+        .select(
+            "series_key", "ts_ms", (F.col("__num") / F.col("__den")).alias("r")
+        )
+    )
+    wr = W.partitionBy("series_key").orderBy(F.col("r").desc(), F.col("ts_ms"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= _PM_K)
+        .select("series_key", "ts_ms", "r", "rank")
+    )
+
+
+_PM_DOT = " + ".join(
+    f"{_PM_Q[j]} * lag(v, {_PM_M - 1 - j}) OVER wo" for j in range(_PM_M)
+)
+_PATTERN_MATCH_SQL = (
+    f"{_S}, {_HOURLY}, "
+    "g AS (SELECT series_key, ts AS ts_ms, "
+    "COUNT(*) OVER wf AS n, SUM(v) OVER wf AS sx, SUM(v*v) OVER wf AS sxx, "
+    f"({_PM_DOT}) AS dot FROM h "
+    "WINDOW wo AS (PARTITION BY series_key ORDER BY ts), "
+    f"wf AS (PARTITION BY series_key ORDER BY ts ROWS BETWEEN {_PM_M - 1} PRECEDING AND CURRENT ROW)), "
+    "scored AS (SELECT series_key, ts_ms, "
+    f"CAST({_PM_M}*dot - sx*{_PM_SQ} AS DOUBLE) / "
+    f"sqrt(CAST({_PM_M}*sxx - sx*sx AS DOUBLE) * {float(_PM_M * _PM_SQQ - _PM_SQ * _PM_SQ)!r}) AS r "
+    f"FROM g WHERE n = {_PM_M} AND "
+    f"sqrt(CAST({_PM_M}*sxx - sx*sx AS DOUBLE) * {float(_PM_M * _PM_SQQ - _PM_SQ * _PM_SQ)!r}) > 0), "
+    "ranked AS (SELECT series_key, ts_ms, r, CAST(ROW_NUMBER() OVER ("
+    "PARTITION BY series_key ORDER BY r DESC, ts_ms) AS BIGINT) AS rank FROM scored) "
+    f"SELECT series_key, ts_ms, r, rank FROM ranked WHERE rank <= {_PM_K}"
+)
+
+QUERIES["ts_pattern_match"] = QuerySpec(_pattern_match_fn, _PATTERN_MATCH_SQL)
