@@ -58,5 +58,9 @@ GLOBAL_AGG = {
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
 def test_runs_on_empty_tables(spark, empty_dir, name):
     n = QUERIES[name](spark, empty_dir).count()
-    expected = {"q_profile_stats": 6}.get(name, 1 if name in GLOBAL_AGG else 0)
+    # the constraint audit is a union of 7 named scalar counts: on
+    # empty tables it correctly reports every gate at 0 violations
+    expected = {"q_profile_stats": 6, "q_constraint_audit": 7}.get(
+        name, 1 if name in GLOBAL_AGG else 0
+    )
     assert n == expected
