@@ -106,6 +106,7 @@ HEADLINE = [
     "q_constraint_audit",
     "ts_seasonal_anomaly",
     "ts_pattern_match",
+    "dedup_centrality",
 ]
 
 

@@ -909,6 +909,60 @@ _SIMHASH_HAMMING_SQL = (
 def _simhash_hamming_fn(spark, sf_dir):
     return D.simhash_hamming_pairs(_docs(spark, sf_dir), max_hamming=_HAM_K)
 
+
+def _dedup_centrality_fn(spark, sf_dir):
+    return D.near_dup_centrality(_docs(spark, sf_dir), n_iters=3, max_hamming=_HAM_K)
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One integer-exact PR iteration: inflow agg + rank update.
+    Bigint floor division (//) mirrors Spark's DIV exactly for the
+    all-positive operands here."""
+    return (
+        f"inf{cur} AS (SELECT e.dst, SUM({prev}.r // d.deg) AS inflow "
+        f"FROM edges e JOIN {prev} ON {prev}.node = e.src "
+        "JOIN degs d ON d.src = e.src GROUP BY e.dst), "
+        f"r{cur} AS (SELECT n.node, "
+        "(CAST(15000000000 AS BIGINT) // (100 * t.N)) + "
+        f"(CAST(85 AS BIGINT) * COALESCE(i.inflow, 0) // 100) AS r "
+        f"FROM nodes n CROSS JOIN tot t LEFT JOIN inf{cur} i ON i.dst = n.node)"
+    )
+
+
+# Integer-exact 3-iteration PageRank over the banded simhash near-dup
+# graph (dangling mass dropped — ranking-only simplification, see
+# operators/dedup.near_dup_centrality).
+_DEDUP_CENTRALITY_SQL = (
+    f"WITH {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes), "
+    f"rawband AS ({_HAM_BANDS}), "
+    "band AS (SELECT doc_id, simhash, band_id, band_val FROM ("
+    "SELECT rawband.*, ROW_NUMBER() OVER (PARTITION BY band_id, band_val "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS bc FROM rawband) "
+    "WHERE bc <= 64), "
+    "prs AS (SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming "
+    "FROM (SELECT DISTINCT a.doc_id AS id_a, "
+    "b.doc_id AS id_b, a.simhash AS fa, b.simhash AS fb FROM band a JOIN band b "
+    "ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id) "
+    f"WHERE bit_count(xor(fa, fb)) <= {_HAM_K}), "
+    "alledges AS (SELECT id_a AS src, id_b AS dst, hamming FROM prs "
+    "UNION ALL SELECT id_b, id_a, hamming FROM prs), "
+    "edges AS (SELECT src, dst FROM (SELECT src, dst, ROW_NUMBER() OVER ("
+    "PARTITION BY src ORDER BY hamming, dst) AS rn FROM alledges) WHERE rn <= 16), "
+    "degs AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1), "
+    "nodes AS (SELECT doc_id AS node FROM documents), "
+    "tot AS (SELECT COUNT(*) AS N FROM nodes), "
+    "r0 AS (SELECT node, CAST(1000000000 AS BIGINT) // t.N AS r "
+    "FROM nodes CROSS JOIN tot t), "
+    + _pr_iter_sql("r0", "1") + ", "
+    + _pr_iter_sql("r1", "2") + ", "
+    + _pr_iter_sql("r2", "3") + " "
+    "SELECT n.node AS doc_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg, "
+    "CAST(r3.r AS BIGINT) AS rank_e9 FROM nodes n "
+    "LEFT JOIN degs d ON d.src = n.node JOIN r3 ON r3.node = n.node"
+)
+
 _EMB_DUP_SQL = (
     f"WITH {_SCALED_V} "
     "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
@@ -2783,6 +2837,8 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: banded Hamming<=k near-dup pairs (pigeonhole bands,
     # exact recall; Manku et al. WWW'07)
     "dedup_simhash_hamming": QuerySpec(_simhash_hamming_fn, _SIMHASH_HAMMING_SQL),
+    # r6: integer-exact PageRank centrality over the near-dup graph
+    "dedup_centrality": QuerySpec(_dedup_centrality_fn, _DEDUP_CENTRALITY_SQL),
     "dedup_ngram_jaccard": QuerySpec(_ngram_fn, _NGRAM_SQL),
     # extension: df-capped production form of the Jaccard baseline
     "dedup_ngram_jaccard_capped": QuerySpec(_ngram_capped_fn, _NGRAM_CAPPED_SQL),

@@ -838,6 +838,7 @@ def simhash_hamming_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bits: int = 32,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``max_hamming`` on the
     n_bits-bit SimHash — the banded generalization of
@@ -880,6 +881,22 @@ def simhash_hamming_pairs(
         F.col("simhash"),
         F.posexplode(band_vals).alias("band_id", "band_val"),
     )
+    if band_cap is not None:
+        # md5-ranked bucket cap (the pq_blocked_dup_pairs / semantic
+        # cells guardrail): a boilerplate mega-bucket contributes at
+        # most band_cap² /2 pairs instead of going quadratic in its
+        # membership; total candidate volume is then bounded by
+        # n_bands · 2^band_width · C(band_cap, 2) at ANY corpus size.
+        from pyspark.sql import Window as W
+
+        wb = W.partitionBy("band_id", "band_val").orderBy(
+            F.md5(F.col(id_col).cast("string")), id_col
+        )
+        banded = (
+            banded.withColumn("__bc", F.row_number().over(wb))
+            .filter(F.col("__bc") <= int(band_cap))
+            .drop("__bc")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -1418,5 +1435,98 @@ def remove_duplicated_spans(
             "n_tokens",
             (F.col("n_tokens") - F.col("__n_kept")).cast("bigint").alias("n_removed"),
             "text_dedup",
+        )
+    )
+
+
+def near_dup_centrality(
+    df: DataFrame,
+    n_iters: int = 3,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10**9,
+    damping_pct: int = 85,
+    max_degree: int = 16,
+) -> DataFrame:
+    """PageRank-style centrality over the near-dup graph — an
+    alternative KEEPER rule for dedup canonicalization: instead of
+    min-id or best-quality, keep the document most CENTRAL in its
+    near-duplicate neighborhood (the version other copies derive from
+    tends to sit at the hub; leaf copies are truncations/mutations).
+
+    Integer-exact power iteration: ranks are e9-scaled bigints, every
+    division is explicit bigint floor division (Spark ``DIV`` ==
+    DuckDB ``//`` for positive operands), so ``n_iters`` rounds are
+    bit-deterministic across engines and partitionings — no float
+    accumulates anywhere. The simplification vs textbook PageRank:
+    dangling mass is dropped, not redistributed (ranks are used for
+    ORDERING within a neighborhood, where the constant base term
+    cancels) — documented, standard for ranking-only use.
+
+    Shape: edges come from ``simhash_hamming_pairs`` (banded — never
+    all-pairs), DEGREE-CAPPED to each node's ``max_degree`` nearest
+    neighbors (by hamming then id — the kNN-graph truncation every
+    production similarity graph applies: an uncapped near-dup clique
+    of size c contributes c² edges, and boilerplate-heavy corpora have
+    huge cliques), and persisted so the fingerprint pipeline runs
+    once, not once per iteration; each iteration is one edge⋈rank
+    shuffle join + one map-side-combinable inflow agg — the canonical
+    distributed-PR shape, ``n_iters`` rounds of it. Edge volume is
+    ≤ N·max_degree by construction at ANY corpus size.
+
+    Output: (id_col, deg, rank_e9) for EVERY document (isolated docs
+    keep the base rank with deg 0). ``deg`` is the capped out-degree.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
+
+    pairs = simhash_hamming_pairs(
+        df, max_hamming, text_col, id_col, band_cap=64
+    )
+    we = W.partitionBy("src").orderBy("hamming", "dst")
+    e = (
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "hamming"
+        )
+        .unionAll(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "hamming"
+            )
+        )
+        .withColumn("__rn", F.row_number().over(we))
+        .filter(F.col("__rn") <= int(max_degree))
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = df.select(F.col(id_col).alias("node"))
+    tot = nodes.agg(F.count("*").alias("N"))
+    s, d = int(scale), int(damping_pct)
+    r = nodes.crossJoin(F.broadcast(tot)).select(
+        "node", "N", F.expr(f"CAST({s} AS BIGINT) DIV N").alias("r")
+    )
+    base = F.expr(f"CAST({(100 - d) * s} AS BIGINT) DIV (100 * N)")
+    step = F.expr(
+        f"CAST({d} AS BIGINT) * COALESCE(inflow, CAST(0 AS BIGINT)) DIV 100"
+    )
+    for _ in range(int(n_iters)):
+        contrib = (
+            r.join(e, F.col("node") == F.col("src"))
+            .join(deg, "src")
+            .select("dst", F.expr("r DIV deg").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        r = (
+            nodes.crossJoin(F.broadcast(tot))
+            .join(inflow, F.col("node") == F.col("dst"), "left")
+            .select("node", "N", (base + step).alias("r"))
+        )
+    return (
+        r.join(deg, F.col("node") == F.col("src"), "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("deg"),
+            F.col("r").cast("bigint").alias("rank_e9"),
         )
     )

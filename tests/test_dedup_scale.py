@@ -460,3 +460,32 @@ def test_remove_duplicated_spans_overlapping_windows_union(spark):
     got = {r["doc_id"]: r for r in remove_duplicated_spans(docs).collect()}
     assert got[2]["n_removed"] == 9
     assert got[2]["text_dedup"] == "pre post"
+
+
+def test_near_dup_centrality_exact_ranks_on_clique_plus_isolate(spark):
+    """r6 integer-exact PageRank keeper rule: three identical docs form
+    a hamming-0 clique (deg 2 each, regular graph -> rank is stationary
+    at the uniform 1e9//4), the unrelated doc is isolated and keeps
+    only the base term 15e9//400 after every iteration. Values are
+    EXACT bigints — no tolerance — and partitioning-invariant."""
+    from potoos_spark.operators.dedup import near_dup_centrality
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, text), (2, text), (3, text),
+        (4, "completely different words nothing shared here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in near_dup_centrality(docs, n_iters=3).collect()}
+    assert len(got) == 4
+    for i in (1, 2, 3):
+        assert got[i]["deg"] == 2
+        assert got[i]["rank_e9"] == 250_000_000  # stationary uniform rank
+    assert got[4]["deg"] == 0
+    assert got[4]["rank_e9"] == 37_500_000  # base term only: 15e9 // 400
+    # partitioning invariance (exact integer math end to end)
+    b = {
+        r["doc_id"]: r["rank_e9"]
+        for r in near_dup_centrality(docs.repartition(7), n_iters=3).collect()
+    }
+    assert b == {k: v["rank_e9"] for k, v in got.items()}
