@@ -285,3 +285,52 @@ def probe_ivf_index(
         .filter(F.col("rank") <= int(k))
         .select("query_id", "match_id", "cosine", "rank")
     )
+
+
+def delete_rows(
+    df_path: str,
+    spark: SparkSession,
+    tombstones: DataFrame,
+    key_cols: list[str],
+    partition_col: str = "date",
+) -> None:
+    """Targeted delete propagation (the GDPR / right-to-be-forgotten
+    rewrite): remove every row matching a tombstone key from a
+    ``partition_col``-partitioned parquet store while rewriting ONLY
+    the partitions that contain matches — at 100 TB a delete of one
+    user's rows must not touch the other 36,499 day-partitions.
+
+    Mechanism: the keep-set is (affected partitions, semi-join) minus
+    (tombstoned rows, anti-join), written with Spark's DYNAMIC
+    partition-overwrite mode — only partitions present in the written
+    data are replaced; untouched partitions' files are not rewritten
+    (byte-identical, pinned by mtime in tests). No row ever reaches
+    the driver: affected partitions are discovered by a semi-join, not
+    a collect.
+
+    Documented limitation (plain-parquet semantics): a partition whose
+    rows are ALL deleted produces no output rows, so dynamic overwrite
+    leaves its old files in place — run ``compact_parquet`` (or any
+    full rewrite) afterwards when full-partition deletes are possible;
+    table formats with delete metadata (Delta/Iceberg) solve this with
+    tombstone files instead.
+    """
+    df = spark.read.parquet(df_path)
+    t = F.broadcast(tombstones.select(*key_cols).distinct())
+    affected = (
+        df.join(t, key_cols, "semi").select(partition_col).distinct()
+    )
+    keep = (
+        df.join(affected, partition_col, "semi")
+        .join(t, key_cols, "left_anti")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            keep.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(df_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -235,3 +235,68 @@ def test_ivf_index_roundtrip_equals_in_memory_and_prunes(spark, tmp_path):
         and "cell" in l.split("PartitionFilters: [")[1]
     ]
     assert pruned, plan
+
+
+def test_delete_rows_rewrites_only_affected_partitions(spark, tmp_path):
+    """r6 targeted delete: tombstoned rows disappear, surviving rows in
+    affected partitions are preserved exactly, and UNTOUCHED
+    partitions' files are byte-identical (not rewritten — pinned by
+    file path + mtime)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.storage import delete_rows
+
+    rows = [
+        # (id, v, date) — two partitions, deletes hit only 2024-01-01
+        (1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-01"), (3, 30.0, "2024-01-01"),
+        (4, 40.0, "2024-01-02"), (5, 50.0, "2024-01-02"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v double, date string")
+    path = str(tmp_path / "store")
+    df.write.partitionBy("date").parquet(path)
+
+    def files(day):
+        d = f"{path}/date={day}"
+        return {
+            f: os.path.getmtime(f"{d}/{f}")
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_untouched = files("2024-01-02")
+    time.sleep(1.1)  # mtime resolution guard
+
+    ts = spark.createDataFrame([(1,), (3,)], "id bigint")
+    delete_rows(path, spark, ts, key_cols=["id"])
+
+    got = sorted(
+        (r["id"], r["v"], str(r["date"]))  # partition col reads back as DATE
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [
+        (2, 20.0, "2024-01-01"),
+        (4, 40.0, "2024-01-02"),
+        (5, 50.0, "2024-01-02"),
+    ]
+    assert files("2024-01-02") == before_untouched  # not rewritten
+
+
+def test_delete_rows_emptied_partition_caveat_is_real(spark, tmp_path):
+    """The documented plain-parquet limitation: deleting ALL rows of a
+    partition leaves its old files (dynamic overwrite has nothing to
+    write there) — the docstring's compaction advice exists because
+    this test would otherwise fail silently in production."""
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.storage import delete_rows
+
+    rows = [(1, "2024-01-01"), (2, "2024-01-02")]
+    df = spark.createDataFrame(rows, "id bigint, date string")
+    path = str(tmp_path / "store2")
+    df.write.partitionBy("date").parquet(path)
+    delete_rows(path, spark, spark.createDataFrame([(1,)], "id bigint"), ["id"])
+    left = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert left == {1, 2}  # 2024-01-01 fully deleted -> files stay (caveat)
