@@ -107,6 +107,7 @@ HEADLINE = [
     "ts_seasonal_anomaly",
     "ts_pattern_match",
     "dedup_centrality",
+    "q_scd2_history",
 ]
 
 

@@ -788,3 +788,68 @@ _CONSTRAINT_AUDIT_SQL = (
 )
 
 QUERIES["q_constraint_audit"] = QuerySpec(_constraint_audit_fn, _CONSTRAINT_AUDIT_SQL)
+
+
+# --- SCD Type-2 dimension history (r6) --------------------------------------
+
+def _scd2_fn(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) history built from the event
+    stream: per user, consecutive runs of the same state (event_type)
+    collapse to one versioned row with [valid_from, valid_to) bounds
+    and an is_current flag — the warehouse pattern behind every
+    'what was this entity's state AT time t' query (the as-of join's
+    storage-side counterpart).
+
+    Shape: two windows over the SAME (user, ts, event_id) sort — the
+    change detector (lag) and the interval closer (lead) — so one
+    per-user window exchange serves both; bounded by per-user event
+    counts, never a global window. Determinism: ties break on
+    event_id, so simultaneous events produce a stable history.
+
+    Output: (user_id, state, version, valid_from_ms, valid_to_ms,
+    is_current) — valid_to_ms is NULL on the open (current) version.
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators.retrieval import events_ts_ms
+
+    ev = table(spark, sf_dir, "events")
+    ms = events_ts_ms(ev)
+    e = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_type").alias("state"),
+        ms.alias("ts_ms"),
+        F.col("event_id").cast("bigint").alias("seq"),
+    )
+    wo = W.partitionBy("user_id").orderBy("ts_ms", "seq")
+    prev = F.lag("state").over(wo)
+    changes = e.withColumn(
+        "__chg", prev.isNull() | (F.col("state") != prev)
+    ).filter(F.col("__chg"))
+    wc = W.partitionBy("user_id").orderBy("ts_ms", "seq")
+    return changes.select(
+        "user_id",
+        "state",
+        F.row_number().over(wc).cast("bigint").alias("version"),
+        F.col("ts_ms").alias("valid_from_ms"),
+        (F.lead("ts_ms").over(wc) - 1).alias("valid_to_ms"),
+        F.lead("ts_ms").over(wc).isNull().alias("is_current"),
+    )
+
+
+_SCD2_SQL = (
+    "WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, "
+    "event_type AS state, epoch_ms(ts) AS ts_ms, "
+    "CAST(event_id AS BIGINT) AS seq FROM events), "
+    "d AS (SELECT *, lag(state) OVER w AS prev FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, seq)), "
+    "chg AS (SELECT user_id, state, ts_ms, seq FROM d "
+    "WHERE prev IS NULL OR state <> prev) "
+    "SELECT user_id, state, "
+    "CAST(ROW_NUMBER() OVER w AS BIGINT) AS version, "
+    "ts_ms AS valid_from_ms, lead(ts_ms) OVER w - 1 AS valid_to_ms, "
+    "lead(ts_ms) OVER w IS NULL AS is_current FROM chg "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, seq)"
+)
+
+QUERIES["q_scd2_history"] = QuerySpec(_scd2_fn, _SCD2_SQL)

@@ -402,3 +402,42 @@ def test_global_cummax_matches_single_window(spark):
             ]
             assert got == want, (inclusive, n_parts)
     spark.catalog.clearCache()
+
+
+def test_scd2_history_collapses_runs_and_closes_intervals(spark, tmp_path):
+    """r6 SCD type-2: consecutive runs of the same state collapse to
+    one versioned row; intervals are half-open ([from, next_from-1]),
+    only the last version per user is current, and simultaneous events
+    order deterministically by event_id."""
+    import datetime
+
+    from potoos_spark.catalog import CATALOG
+
+    rows = [
+        # user 1: A A B A  -> 3 versions (run of A collapses)
+        (101, datetime.datetime(2024, 1, 1, 0, 0, 1), 1, "A", 1.0, "{}"),
+        (102, datetime.datetime(2024, 1, 1, 0, 0, 2), 1, "A", 1.0, "{}"),
+        (103, datetime.datetime(2024, 1, 1, 0, 0, 3), 1, "B", 1.0, "{}"),
+        (104, datetime.datetime(2024, 1, 1, 0, 0, 4), 1, "A", 1.0, "{}"),
+        # user 2: two events at the SAME ts -> event_id breaks the tie
+        (202, datetime.datetime(2024, 1, 1, 0, 0, 5), 2, "Y", 1.0, "{}"),
+        (201, datetime.datetime(2024, 1, 1, 0, 0, 5), 2, "X", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sfdir")
+    df.write.parquet(f"{d}/events.parquet")
+    got = sorted(
+        map(tuple, CATALOG["q_scd2_history"].fn(spark, d).collect())
+    )
+    ms = lambda s: int(datetime.datetime(2024, 1, 1, 0, 0, s, tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    assert got == sorted([
+        (1, "A", 1, ms(1), ms(3) - 1, False),
+        (1, "B", 2, ms(3), ms(4) - 1, False),
+        (1, "A", 3, ms(4), None, True),
+        (2, "X", 1, ms(5), ms(5) - 1, False),  # tie: event_id 201 first
+        (2, "Y", 2, ms(5), None, True),
+    ])
