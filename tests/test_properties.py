@@ -662,3 +662,49 @@ def test_weighted_sample_matches_python_race(spark, rows, k):
     ]
     got.sort(key=lambda t: (-t[2], t[0]))
     assert got == expect
+
+
+WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj"])
+DOC = st.lists(WORD, min_size=0, max_size=20).map(" ".join)
+
+
+def _span_removal_reference(docs: dict[int, list[str]], n: int):
+    """Pure-python replica of the documented algorithm: dup grams
+    (>= 2 docs) keep min-id; every occurrence in a non-keeper doc
+    covers its n positions (union); survivors rejoin in order."""
+    gram_docs: dict[tuple, set] = {}
+    for i, t in docs.items():
+        for p in range(len(t) - n + 1):
+            gram_docs.setdefault(tuple(t[p : p + n]), set()).add(i)
+    keeper = {g: min(s) for g, s in gram_docs.items() if len(s) >= 2}
+    out = {}
+    for i, t in docs.items():
+        covered = set()
+        for p in range(len(t) - n + 1):
+            g = tuple(t[p : p + n])
+            if g in keeper and keeper[g] != i:
+                covered.update(range(p, p + n))
+        kept = [w for j, w in enumerate(t) if j not in covered]
+        out[i] = (len(t), len(t) - len(kept), " ".join(kept))
+    return out
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=8))
+@SETTINGS
+def test_span_removal_matches_python_reference(spark, docs):
+    """r6: the Spark rewrite must EQUAL a pure-python replica of the
+    documented algorithm on random small-vocabulary corpora (n=4 so
+    rolling windows actually collide) — covering keeper rules,
+    overlapping-window unions, cross-doc gram ownership, fully-covered
+    docs, and short/empty docs in one property."""
+    from potoos_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_dedup"])
+        for r in remove_duplicated_spans(df, n=4).collect()
+    }
+    toks = {i: (d.split() if d else []) for i, d in enumerate(docs)}
+    assert got == _span_removal_reference(toks, 4)
