@@ -33,6 +33,13 @@ from ..streaming import (
 from .common import EVENTS_SQL, QuerySpec
 from .timeseries import _OHLC_SQL as _OHLC_REPLAY_SQL
 from .timeseries import _SEASONAL_ANOMALY_SQL as _SEASONAL_ANOMALY_REPLAY_SQL
+from .relational_ext import _SCD2_SQL
+
+# closed versions only: the streaming twin's open version lives in state
+_SCD2_CLOSED_SQL = (
+    f"SELECT user_id, state, version, valid_from_ms, valid_to_ms "
+    f"FROM ({_SCD2_SQL}) WHERE NOT is_current"
+)
 
 HOUR = 3_600_000
 GAP_MS = 1_800_000  # 30 min session gap
@@ -126,6 +133,24 @@ def _stream_seasonal_fn(spark, sf_dir):
         (F.col("value") - F.col("expected")).alias("residual"),
     ).filter(F.abs(F.col("value") - F.col("expected")) > SEASONAL_TOL)
     return _replay(out, "append")
+
+
+def _stream_scd2_fn(spark, sf_dir):
+    """CDC → live SCD2 replay: closed version rows only (the open
+    version lives in state), so the oracle is the batch history minus
+    its is_current rows — see ``streaming/stateful.streaming_scd2``."""
+    from ..operators.retrieval import events_ts_ms
+    from ..streaming.stateful import streaming_scd2
+
+    batch, ev = _events_raw_stream(spark, sf_dir)
+    ms = events_ts_ms(batch)
+    s = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_type").alias("state"),
+        ms.alias("ts_ms"),
+        F.col("event_id").cast("bigint").alias("seq"),
+    )
+    return _replay(streaming_scd2(s), "append")
 
 
 def _replay(sdf: DataFrame, mode: str) -> DataFrame:
@@ -618,6 +643,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_seasonal_anomaly_replay": QuerySpec(
         _stream_seasonal_fn, _SEASONAL_ANOMALY_REPLAY_SQL
     ),
+    # r6: CDC -> live SCD2 (closed versions; oracle = batch history
+    # minus is_current — the open version lives only in state)
+    "stream_scd2_replay": QuerySpec(_stream_scd2_fn, _SCD2_CLOSED_SQL),
     "stream_stream_join_replay": QuerySpec(
         _stream_stream_join_fn, _STREAM_SS_JOIN_SQL
     ),

@@ -784,3 +784,76 @@ def streaming_page_hinkley(sdf: DataFrame, delta_frac: float = 0.02) -> DataFram
             fn, OUT_SCHEMA, PH_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+SCD2_STATE_SCHEMA = "cur string, vfrom bigint, ver bigint, has bigint"
+
+
+def streaming_scd2(sdf: DataFrame) -> DataFrame:
+    """CDC → live SCD Type-2 history: per entity, a CLOSED version row
+    emits the moment a state change arrives — the streaming deployment
+    of the batch ``q_scd2_history`` warehouse rewrite (which recomputes
+    the whole history; this maintains it incrementally with O(1) state
+    per entity: current state, its valid_from, and the version
+    counter). The OPEN version lives only in state — it has no
+    valid_to yet — so the replay equals the batch history MINUS its
+    is_current rows, which is exactly the shared oracle's filter.
+
+    Same determinism discipline as the other stateful kernels: rows
+    sort by (ts_ms, seq) inside each micro-batch and state carries the
+    recurrence across batch boundaries, so any micro-batch split
+    yields the identical closed-version set.
+
+    Output: (user_id, state, version, valid_from_ms, valid_to_ms).
+    """
+    out_schema = (
+        "user_id bigint, state string, version bigint, "
+        "valid_from_ms bigint, valid_to_ms bigint"
+    )
+
+    def fn(
+        key: Tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur, vfrom, ver, has = state.get
+        else:
+            cur, vfrom, ver, has = "", 0, 0, 0
+
+        pdf = _gather_sorted(batches, sort_cols=("ts_ms", "seq"))
+        if pdf is not None:
+            o_state, o_ver, o_from, o_to = [], [], [], []
+            for t, s in zip(pdf["ts_ms"], pdf["state"]):
+                t, s = int(t), str(s)
+                if not has:
+                    cur, vfrom, ver, has = s, t, 1, 1
+                elif s != cur:
+                    o_state.append(cur)
+                    o_ver.append(ver)
+                    o_from.append(vfrom)
+                    o_to.append(t - 1)
+                    cur, vfrom, ver = s, t, ver + 1
+            if o_state:
+                yield pd.DataFrame(
+                    {
+                        "user_id": pd.Series(
+                            [key[0]] * len(o_state), dtype="int64"
+                        ),
+                        "state": o_state,
+                        "version": pd.Series(o_ver, dtype="int64"),
+                        "valid_from_ms": pd.Series(o_from, dtype="int64"),
+                        "valid_to_ms": pd.Series(o_to, dtype="int64"),
+                    }
+                )
+        state.update((cur, vfrom, ver, has))
+
+    return (
+        sdf.select("user_id", "state", "ts_ms", "seq")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            SCD2_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
