@@ -2734,6 +2734,78 @@ _DISTINCT_NGRAMS_SQL = (
 )
 
 
+def _keep_central_fn(spark, sf_dir):
+    return D.keep_central(_docs(spark, sf_dir), n_iters=3, max_hamming=_HAM_K)
+
+
+def _pr_iter_g_sql(prev: str, cur: str) -> str:
+    """The centrality iteration over the RENAMED graph CTEs (gedges /
+    gdegs) so the composed keeper oracle can also hold the components
+    closure's differently-defined `edges` relation."""
+    return (
+        f"ginf{cur} AS (SELECT e.dst, SUM({prev}.r // d.deg) AS inflow "
+        f"FROM gedges e JOIN {prev} ON {prev}.node = e.src "
+        "JOIN gdegs d ON d.src = e.src GROUP BY e.dst), "
+        f"gr{cur} AS (SELECT n.node, "
+        "(CAST(15000000000 AS BIGINT) // (100 * t.N)) + "
+        f"(CAST(85 AS BIGINT) * COALESCE(i.inflow, 0) // 100) AS r "
+        f"FROM nodes n CROSS JOIN tot t LEFT JOIN ginf{cur} i ON i.dst = n.node)"
+    )
+
+
+# Composition oracle: the dup_components recursive closure + the
+# band-capped centrality power iteration share the fingerprint prefix
+# (tok/t/dt/votes/fp); the graph CTEs are renamed (gedges/gdegs) to
+# coexist with the closure's `edges`; the keeper is the per-component
+# (rank_e9 DESC, doc_id) argmax.
+_KEEP_CENTRAL_SQL = (
+    f"WITH RECURSIVE {_TOK}, {_T}, dt AS (SELECT DISTINCT doc_id, tok FROM t), "
+    f"votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM dt GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM votes), "
+    # --- components closure (dup_components oracle) ---
+    "attrs AS (SELECT doc_id, 'h:' || "
+    "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS attr "
+    "FROM documents "
+    "UNION ALL SELECT doc_id, 's:' || CAST(simhash AS VARCHAR) FROM fp), "
+    "cedges AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+    "FROM attrs a JOIN attrs b ON a.attr = b.attr AND a.doc_id <> b.doc_id), "
+    "reach AS (SELECT doc_id AS u, doc_id AS v FROM documents "
+    "UNION SELECT r.u, e.v FROM reach r JOIN cedges e ON r.v = e.u), "
+    "comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u), "
+    # --- band-capped centrality (dedup_centrality oracle, renamed) ---
+    f"rawband AS ({_HAM_BANDS}), "
+    "band AS (SELECT doc_id, simhash, band_id, band_val FROM ("
+    "SELECT rawband.*, ROW_NUMBER() OVER (PARTITION BY band_id, band_val "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS bc FROM rawband) "
+    "WHERE bc <= 64), "
+    "prs AS (SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming "
+    "FROM (SELECT DISTINCT a.doc_id AS id_a, "
+    "b.doc_id AS id_b, a.simhash AS fa, b.simhash AS fb FROM band a JOIN band b "
+    "ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id) "
+    f"WHERE bit_count(xor(fa, fb)) <= {_HAM_K}), "
+    "alledges AS (SELECT id_a AS src, id_b AS dst, hamming FROM prs "
+    "UNION ALL SELECT id_b, id_a, hamming FROM prs), "
+    "gedges AS (SELECT src, dst FROM (SELECT src, dst, ROW_NUMBER() OVER ("
+    "PARTITION BY src ORDER BY hamming, dst) AS rn FROM alledges) WHERE rn <= 16), "
+    "gdegs AS (SELECT src, COUNT(*) AS deg FROM gedges GROUP BY 1), "
+    "nodes AS (SELECT doc_id AS node FROM documents), "
+    "tot AS (SELECT COUNT(*) AS N FROM nodes), "
+    "gr0 AS (SELECT node, CAST(1000000000 AS BIGINT) // t.N AS r "
+    "FROM nodes CROSS JOIN tot t), "
+    + _pr_iter_g_sql("gr0", "1") + ", "
+    + _pr_iter_g_sql("gr1", "2") + ", "
+    + _pr_iter_g_sql("gr2", "3") + ", "
+    # --- per-component argmax keeper ---
+    "joined AS (SELECT comp.component, comp.doc_id, gr3.r AS rank_e9 "
+    "FROM comp JOIN gr3 ON gr3.node = comp.doc_id), "
+    "ranked AS (SELECT component, doc_id, rank_e9, "
+    "ROW_NUMBER() OVER (PARTITION BY component ORDER BY rank_e9 DESC, doc_id) AS rn, "
+    "CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members FROM joined) "
+    "SELECT component, doc_id AS keep_id, CAST(rank_e9 AS BIGINT) AS keep_rank_e9, "
+    "n_members FROM ranked WHERE rn = 1"
+)
+
+
 def _dsir_raw(spark, sf_dir):
     return _docs(spark, sf_dir).filter(F.col("source") != "src0")
 
@@ -2839,6 +2911,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash_hamming": QuerySpec(_simhash_hamming_fn, _SIMHASH_HAMMING_SQL),
     # r6: integer-exact PageRank centrality over the near-dup graph
     "dedup_centrality": QuerySpec(_dedup_centrality_fn, _DEDUP_CENTRALITY_SQL),
+    # r6: the keeper-rule family's fourth member — per-component
+    # canonicalization by centrality (components ∘ centrality argmax)
+    "dedup_keep_central": QuerySpec(_keep_central_fn, _KEEP_CENTRAL_SQL),
     "dedup_ngram_jaccard": QuerySpec(_ngram_fn, _NGRAM_SQL),
     # extension: df-capped production form of the Jaccard baseline
     "dedup_ngram_jaccard_capped": QuerySpec(_ngram_capped_fn, _NGRAM_CAPPED_SQL),

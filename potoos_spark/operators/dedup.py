@@ -1530,3 +1530,51 @@ def near_dup_centrality(
             F.col("r").cast("bigint").alias("rank_e9"),
         )
     )
+
+
+def keep_central(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_iters: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Centrality-based canonicalization — the keeper-rule family's
+    fourth member (min-id / keep-longest / keep-best-quality /
+    KEEP-CENTRAL): within each transitive near-dup component
+    (``dup_components``), keep the document with the highest PageRank
+    centrality in the near-dup graph (``near_dup_centrality``) — the
+    hub a cluster's copies derive from, rather than an arbitrary id or
+    a length heuristic. Ties break on id, so the choice is
+    deterministic.
+
+    Shape: the two inputs are themselves bounded (label propagation +
+    capped-graph power iteration); the composition adds one join on
+    the doc id and one per-component ranked window (bounded by
+    component size). Singletons are their own keepers.
+
+    Output: (component, keep_id, keep_rank_e9, n_members).
+    """
+    from pyspark.sql import Window as W
+
+    comp = dup_components(df, text_col, id_col)
+    cent = near_dup_centrality(
+        df, n_iters=n_iters, max_hamming=max_hamming,
+        text_col=text_col, id_col=id_col,
+    )
+    j = comp.join(cent, id_col)
+    w = W.partitionBy("component").orderBy(
+        F.col("rank_e9").desc(), F.col(id_col)
+    )
+    n = W.partitionBy("component")
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(n).cast("bigint"))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col(id_col).alias("keep_id"),
+            F.col("rank_e9").alias("keep_rank_e9"),
+            "n_members",
+        )
+    )

@@ -489,3 +489,24 @@ def test_near_dup_centrality_exact_ranks_on_clique_plus_isolate(spark):
         for r in near_dup_centrality(docs.repartition(7), n_iters=3).collect()
     }
     assert b == {k: v["rank_e9"] for k, v in got.items()}
+
+
+def test_keep_central_picks_hub_and_preserves_singletons(spark):
+    """r6 keeper-rule #4: within each transitive component, the
+    max-centrality doc wins (ties on rank -> min id); singletons keep
+    themselves with the base rank; n_members counts the component."""
+    from potoos_spark.operators.dedup import keep_central
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, text), (2, text), (3, text),          # one 3-clique component
+        (4, "totally different words here again"),  # singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["component"]: r for r in keep_central(docs).collect()}
+    assert set(got) == {1, 4}
+    # regular clique -> equal ranks -> tie broken to min id
+    assert got[1]["keep_id"] == 1 and got[1]["n_members"] == 3
+    assert got[1]["keep_rank_e9"] == 250_000_000
+    assert got[4]["keep_id"] == 4 and got[4]["n_members"] == 1
+    assert got[4]["keep_rank_e9"] == 37_500_000
