@@ -60,9 +60,18 @@ _BANDS = "band AS (" + " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_id, md5(mh{2 * b} || mh{2 * b + 1}) AS key FROM sig"
     for b in range(N_BANDS)
 ) + ")"
+# bandc mirrors lsh_candidate_pairs' bucket_cap=256: md5-ranked
+# row_number <= cap on the banded relation BEFORE pairing, so a
+# boilerplate mega-bucket can't go quadratic (generator-side cap, same
+# family as simhash band_cap / semantic cell_cap).
+LSH_BUCKET_CAP = 256
 _CAND = (
-    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a "
-    "JOIN band b ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id)"
+    "bandc AS (SELECT band_id, key, doc_id FROM ("
+    "SELECT band_id, key, doc_id, ROW_NUMBER() OVER ("
+    "PARTITION BY band_id, key ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id"
+    f") AS rn FROM band) WHERE rn <= {LSH_BUCKET_CAP}), "
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandc a "
+    "JOIN bandc b ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id)"
 )
 
 # NB: cast each float32 component to DOUBLE before scaling — DuckDB

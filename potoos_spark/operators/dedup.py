@@ -159,7 +159,11 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", k: int = 12) -> Da
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", k: int = 12, rows_per_band: int = 2
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 12,
+    rows_per_band: int = 2,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """LSH banding: docs sharing any band key become a candidate pair.
 
@@ -168,11 +172,26 @@ def lsh_candidate_pairs(
     i<j combinations with a codegen'd ``transform``/``slice`` lambda —
     one shuffle of (id, band) rows instead of a join's exchange + sort
     on both sides (measured ~2× faster cold; candidate set identical,
-    asserted when the rewrite landed). Pair volume per bucket is
-    inherently |bucket|² either way — LSH banding keeps buckets small
-    by construction, and a pathological hot bucket hurts the join form
-    identically; at 100 TB the agg form additionally combines
-    map-side, so the shuffle carries each (bucket, id) once."""
+    asserted when the rewrite landed).
+
+    ``bucket_cap`` bounds bucket MEMBERSHIP before pairing: a
+    deterministic md5-ranked ``row_number() <= cap`` on the banded
+    relation, the same generator-side guardrail as
+    ``simhash_hamming_pairs``'s band_cap and ``semantic_dedup_cells``'s
+    cell_cap. Without it, a boilerplate mega-bucket (identical
+    signatures) would make ``collect_set`` + the in-row pair array
+    O(|bucket|²) inside ONE row — unlike the old self-join, whose
+    quadratic pairs at least spilled as rows, the agg form would hit
+    executor memory or the 2^31 array-element limit. With the cap, the
+    in-row pair array is ≤ C(cap, 2) structs (~32 K at 256) and the
+    collected id array ≤ cap. The cap is the safety net; the production
+    recall lever is band/row count (more, narrower bands → smaller
+    buckets). Within-bucket ranking is md5(id) — unbiased w.r.t. id
+    assignment order. The window rides the same (band_id, band_key)
+    hash partitioning the groupBy needs, so it adds a sort but no
+    second exchange."""
+    from pyspark.sql import Window
+
     n_bands = k // rows_per_band
     bands = F.array(
         *[
@@ -187,8 +206,16 @@ def lsh_candidate_pairs(
     banded = sig.select(
         F.col(id_col), F.posexplode(bands).alias("band_id", "band_key")
     )
+    w = Window.partitionBy("band_id", "band_key").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    capped = (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(bucket_cap))
+        .drop("__rn")
+    )
     buckets = (
-        banded.groupBy("band_id", "band_key")
+        capped.groupBy("band_id", "band_key")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )

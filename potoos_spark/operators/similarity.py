@@ -1259,7 +1259,10 @@ def binary_sign_words(vec: Column, bits_per_word: int = 32) -> Column:
     compression vs float32, Hamming distance ≈ angular distance)."""
     bpw = int(bits_per_word)
     n_words = F.ceil(F.size(vec) / F.lit(float(bpw))).cast("int")
-    return F.transform(
+    # Empty-vector guard: sequence(0, -1) would default to step -1 and
+    # yield [0, -1] — two phantom zero words — where the oracle's
+    # range(0) is []. Same idiom as the shingles() short-doc guard.
+    packed = F.transform(
         F.sequence(F.lit(0), n_words - 1),
         lambda w: F.aggregate(
             F.sequence(F.lit(0), F.lit(bpw - 1)),
@@ -1272,6 +1275,9 @@ def binary_sign_words(vec: Column, bits_per_word: int = 32) -> Column:
                 F.pow(F.lit(2.0), j).cast("bigint"),
             ).otherwise(F.lit(0).cast("bigint")),
         ),
+    )
+    return F.when(F.size(vec) > 0, packed).otherwise(
+        F.array().cast("array<bigint>")
     )
 
 

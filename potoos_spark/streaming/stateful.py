@@ -786,7 +786,9 @@ def streaming_page_hinkley(sdf: DataFrame, delta_frac: float = 0.02) -> DataFram
     )
 
 
-SCD2_STATE_SCHEMA = "cur string, vfrom bigint, ver bigint, has bigint"
+SCD2_STATE_SCHEMA = (
+    "cur string, vfrom bigint, ver bigint, has bigint, last string, seen bigint"
+)
 
 
 def streaming_scd2(sdf: DataFrame) -> DataFrame:
@@ -804,6 +806,16 @@ def streaming_scd2(sdf: DataFrame) -> DataFrame:
     recurrence across batch boundaries, so any micro-batch split
     yields the identical closed-version set.
 
+    NULL states follow the batch twin's three-valued lag semantics
+    (``prev IS NULL OR state <> prev``): a null-state row after a
+    non-null row is ABSORBED into the open version (NULL comparison →
+    no change), but because the NEXT row's lag is then NULL, it always
+    opens a new version — so the kernel tracks the previous ROW's
+    state (``last``/``seen``) separately from the open VERSION's state
+    (``cur``/``has``); collapsing the two (the old ``str(s)`` coercion,
+    which turned NULL into the literal string 'None') diverges from
+    the batch history on null input.
+
     Output: (user_id, state, version, valid_from_ms, valid_to_ms).
     """
     out_schema = (
@@ -815,23 +827,34 @@ def streaming_scd2(sdf: DataFrame) -> DataFrame:
         key: Tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            cur, vfrom, ver, has = state.get
+            cur, vfrom, ver, has, last, seen = state.get
         else:
-            cur, vfrom, ver, has = "", 0, 0, 0
+            cur, vfrom, ver, has, last, seen = None, 0, 0, 0, None, 0
 
         pdf = _gather_sorted(batches, sort_cols=("ts_ms", "seq"))
         if pdf is not None:
             o_state, o_ver, o_from, o_to = [], [], [], []
             for t, s in zip(pdf["ts_ms"], pdf["state"]):
-                t, s = int(t), str(s)
-                if not has:
-                    cur, vfrom, ver, has = s, t, 1, 1
-                elif s != cur:
-                    o_state.append(cur)
-                    o_ver.append(ver)
-                    o_from.append(vfrom)
-                    o_to.append(t - 1)
-                    cur, vfrom, ver = s, t, ver + 1
+                t = int(t)
+                # Arrow nulls arrive as None or NaN in an object column
+                if s is None or (isinstance(s, float) and s != s):
+                    s = None
+                else:
+                    s = str(s)
+                # batch lag rule: chg ⟺ prev IS NULL OR state <> prev
+                chg = (
+                    not seen
+                    or last is None
+                    or (s is not None and s != last)
+                )
+                if chg:
+                    if has:
+                        o_state.append(cur)
+                        o_ver.append(ver)
+                        o_from.append(vfrom)
+                        o_to.append(t - 1)
+                    cur, vfrom, ver, has = s, t, ver + 1, 1
+                last, seen = s, 1
             if o_state:
                 yield pd.DataFrame(
                     {
@@ -844,7 +867,7 @@ def streaming_scd2(sdf: DataFrame) -> DataFrame:
                         "valid_to_ms": pd.Series(o_to, dtype="int64"),
                     }
                 )
-        state.update((cur, vfrom, ver, has))
+        state.update((cur, vfrom, ver, has, last, seen))
 
     return (
         sdf.select("user_id", "state", "ts_ms", "seq")

@@ -364,6 +364,24 @@ def test_binary_hamming_packing_and_exactness(spark):
     assert got[(1, 3)] == 0 and got[(1, 2)] == 4
 
 
+def test_binary_sign_words_empty_vector_packs_to_empty(spark):
+    """ADVICE r6: an empty embedding must pack to [] (matching DuckDB's
+    range(0)), not the [0, -1]-driven phantom zero words Spark's
+    step-defaulting sequence(0, -1) would produce — otherwise empty
+    vectors silently sit at Hamming 0 from each other."""
+    from potoos_spark.operators.similarity import binary_sign_words
+
+    rows = [(1, []), (2, [1.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    words = {
+        r["vec_id"]: r["w"]
+        for r in df.select(
+            "vec_id", binary_sign_words(F.col("embedding")).alias("w")
+        ).collect()
+    }
+    assert words[1] == [] and words[2] == [1]
+
+
 def test_binary_rerank_recall_monotone_in_expand(spark, embeddings, exact):
     """The Hamming-rank candidate set at expand e1 is a PREFIX of the
     set at e2 > e1, so funnel recall vs exact is deterministically

@@ -80,3 +80,56 @@ def test_streaming_scd2_resumes_from_checkpoint(spark, tmp_path):
         rows.sort()
         assert [v for v, _, _ in rows] == list(range(1, len(rows) + 1))
         assert all(a[2] < b[1] for a, b in zip(rows, rows[1:]))
+
+
+def test_streaming_scd2_null_states_match_batch_lag_semantics(spark, tmp_path):
+    """NULL event states must follow the batch twin's three-valued lag
+    rule (``prev IS NULL OR state <> prev``): a null row after A is
+    absorbed into A's version, but the row AFTER the null always opens
+    a new version (its lag is NULL) — A, NULL, A yields versions
+    (A, 1), (A, 2), not an intermediate 'None' version."""
+    rows = [
+        # user 1: A, NULL(absorbed), A(new version), B
+        (1, "A", 1_000, 0),
+        (1, None, 2_000, 1),
+        (1, "A", 3_000, 2),
+        (1, "B", 4_000, 3),
+        # user 2: NULL first row opens a NULL version; B closes it
+        (2, None, 1_000, 0),
+        (2, "B", 2_000, 1),
+        (2, "B", 3_000, 2),
+    ]
+    src = tmp_path / "null_src"
+    spark.createDataFrame(rows, SCHEMA).repartition(1).write.parquet(str(src))
+    q = (
+        streaming_scd2(spark.readStream.schema(SCHEMA).parquet(str(src)))
+        .writeStream.format("memory")
+        .queryName("scd2_nulls")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    got = sorted(
+        tuple(r) for r in spark.table("scd2_nulls").collect()
+    )
+    # batch twin (lag rule), closed versions only
+    spark.createDataFrame(rows, SCHEMA).createOrReplaceTempView("scd2_null_ev")
+    want = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "WITH d AS (SELECT *, lag(state) OVER w AS prev FROM scd2_null_ev "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, seq)), "
+            "chg AS (SELECT user_id, state, ts_ms, seq FROM d "
+            "WHERE prev IS NULL OR state <> prev) "
+            "SELECT * FROM (SELECT user_id, state, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS version, "
+            "ts_ms AS valid_from_ms, lead(ts_ms) OVER w - 1 AS valid_to_ms "
+            "FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, seq)) "
+            "WHERE valid_to_ms IS NOT NULL"
+        ).collect()
+    )
+    assert got == want and got
+    # the absorbed-null shape explicitly: user 1 has versions A, A, B
+    u1 = [(s, v) for (u, s, v, _, _) in got if u == 1]
+    assert u1 == [("A", 1), ("A", 2)]  # B is the open version, not emitted
