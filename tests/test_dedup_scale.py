@@ -510,3 +510,33 @@ def test_keep_central_picks_hub_and_preserves_singletons(spark):
     assert got[1]["keep_rank_e9"] == 250_000_000
     assert got[4]["keep_id"] == 4 and got[4]["n_members"] == 1
     assert got[4]["keep_rank_e9"] == 37_500_000
+
+
+def test_keep_central_fingerprints_corpus_exactly_once(spark, monkeypatch):
+    """r7 (VERDICT r6 item 2): keep_central must tokenize + fingerprint
+    the corpus ONCE and thread the persisted frame into both halves —
+    the old composition ran the simhash pipeline independently inside
+    dup_components AND near_dup_centrality, doubling the cold constant."""
+    from potoos_spark.operators import dedup as D
+
+    calls = {"n": 0}
+    real = D.simhash
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(D, "simhash", counting)
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz yy xx")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = sorted(tuple(r) for r in D.keep_central(docs).collect())
+    assert calls["n"] == 1
+    # and the shared-fingerprint path is bit-identical to the
+    # per-half internal computation
+    monkeypatch.setattr(D, "simhash", real)
+    comp = D.dup_components(docs)
+    cent = D.near_dup_centrality(docs)
+    comp_fp = D.dup_components(docs, fingerprints=real(docs))
+    cent_fp = D.near_dup_centrality(docs, fingerprints=real(docs))
+    assert sorted(map(tuple, comp.collect())) == sorted(map(tuple, comp_fp.collect()))
+    assert sorted(map(tuple, cent.collect())) == sorted(map(tuple, cent_fp.collect()))
