@@ -308,12 +308,19 @@ def delete_rows(
     the driver: affected partitions are discovered by a semi-join, not
     a collect.
 
-    Documented limitation (plain-parquet semantics): a partition whose
-    rows are ALL deleted produces no output rows, so dynamic overwrite
-    leaves its old files in place — run ``compact_parquet`` (or any
-    full rewrite) afterwards when full-partition deletes are possible;
-    table formats with delete metadata (Delta/Iceberg) solve this with
-    tombstone files instead.
+    Fully-deleted partitions (r7, closing the r6 caveat): a partition
+    whose rows are ALL tombstoned produces no output rows, so dynamic
+    overwrite has nothing to replace there and its stale files would
+    keep the "deleted" rows alive — a silent correctness hole, not
+    just a space leak. Those partitions are discovered BEFORE the
+    overwrite (one left-anti join; the collect is METADATA-scale — one
+    value per fully-deleted partition, never row data) and their
+    directories are dropped through the Hadoop FileSystem API after
+    the overwrite commits. Partition values are formatted with
+    ``str()`` — matches Spark's directory naming for the date/int/
+    plain-string partition columns this store uses (table formats with
+    delete metadata — Delta/Iceberg — replace this dance with
+    tombstone files).
     """
     df = spark.read.parquet(df_path)
     t = F.broadcast(tombstones.select(*key_cols).distinct())
@@ -324,6 +331,12 @@ def delete_rows(
         df.join(affected, partition_col, "semi")
         .join(t, key_cols, "left_anti")
     )
+    emptied = [
+        r[0]
+        for r in affected.join(
+            keep.select(partition_col).distinct(), partition_col, "left_anti"
+        ).collect()
+    ]
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -334,3 +347,89 @@ def delete_rows(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if emptied:
+        jconf = spark._jsc.hadoopConfiguration()
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        for v in emptied:
+            p = jpath(f"{df_path}/{partition_col}={v}")
+            fs = p.getFileSystem(jconf)
+            if fs.exists(p):
+                fs.delete(p, True)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "date",
+    max_records_per_file: int = 1_000_000,
+    max_files_per_partition: int = 1,
+) -> dict:
+    """Partition-grain maintenance pass for a ``partition_col``-
+    partitioned parquet store (VERDICT r6 item 6) — the job a table
+    format's OPTIMIZE runs nightly:
+
+    1. **Merge fragmented partitions**: every partition holding more
+       than ``max_files_per_partition`` data files is rewritten (one
+       dynamic partition overwrite covering ONLY those partitions —
+       healthy partitions' files are untouched, byte-identical). The
+       rewrite hash-clusters on the partition value so each rewritten
+       partition lands in ~1 file, bounded above by
+       ``maxRecordsPerFile``.
+    2. **Drop dead partition directories**: a directory whose files
+       hold ZERO live rows (debris from an aborted writer, an
+       empty-output micro-batch, or a pre-r7 full-partition delete) is
+       removed through the Hadoop FileSystem API.
+
+    Driver traffic is metadata-scale only: one row per partition
+    (file count), never row data — at 100 TB that is one value per
+    day-partition, ~36 K rows for a century.
+
+    Returns ``{"rewritten": [...], "dropped": [...]}`` (partition
+    values as strings, sorted).
+    """
+    df = spark.read.parquet(path)
+    stats = (
+        df.select(F.col(partition_col), F.col("_metadata.file_path").alias("__f"))
+        .groupBy(partition_col)
+        .agg(F.count_distinct("__f").alias("n_files"))
+        .collect()
+    )
+    frag = [r[0] for r in stats if r["n_files"] > int(max_files_per_partition)]
+    live = {str(r[0]) for r in stats}
+
+    if frag:
+        sel = df.filter(F.col(partition_col).isin(frag))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                sel.repartition(max(len(frag), 1), F.col(partition_col))
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", int(max_records_per_file))
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    dropped = []
+    jconf = spark._jsc.hadoopConfiguration()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    root = jpath(path)
+    fs = root.getFileSystem(jconf)
+    prefix = f"{partition_col}="
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if (
+            status.isDirectory()
+            and name.startswith(prefix)
+            and name[len(prefix):] not in live
+        ):
+            fs.delete(status.getPath(), True)
+            dropped.append(name[len(prefix):])
+    return {
+        "rewritten": sorted(str(v) for v in frag),
+        "dropped": sorted(dropped),
+    }
