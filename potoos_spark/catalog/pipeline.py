@@ -618,6 +618,47 @@ _MM_DHASH_SQL = (
 )
 
 
+def _mm_dhash_pairs_fn(spark, sf_dir):
+    """Visual near-dup pairs within Hamming 7 of the 64-bit dHash.
+    Fixture note: sf0.01 has no near-identical payloads (min pairwise
+    dHash distance 12), so the oracle-checked result there is the
+    empty set — correct, not vacuous by accident; sf0.1's duplicate
+    clusters yield 8 hamming-0 pairs (bench-exercised), and the
+    planted-payload recall test in tests/test_multimodal.py pins the
+    banding's exact-recall property."""
+    return M.dhash_hamming_pairs(M.attach_binary(_docs(spark, sf_dir)))
+
+
+# r7: the visual near-dup completion of the dHash entry — pigeonhole
+# banding (8 bands x 8 bits at k=7) over the unsigned hash value `u`,
+# md5-ranked band_cap=64 mirrored from the Spark side, xor/popcount
+# verify on the signed bigint twin (identical bit pattern).
+_MM_DHASH_PAIRS_K = 7
+_MM_DHASH_BAND_CAP = 64
+_MM_DHASH_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, dh, {i} AS band_id, "
+    f"CAST((u >> {8 * i}) & 255 AS BIGINT) AS band_val FROM fp"
+    for i in range(_MM_DHASH_PAIRS_K + 1)
+)
+_MM_DHASH_PAIRS_SQL = (
+    f"WITH h AS (SELECT doc_id, {_DHASH_BITS} AS u FROM documents "
+    "WHERE length(text) > 0), "
+    "fp AS (SELECT doc_id, u, CAST(CASE WHEN u >= 9223372036854775808 "
+    "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS dh FROM h), "
+    f"band AS ({_MM_DHASH_BANDS}), "
+    "bandc AS (SELECT doc_id, dh, band_id, band_val FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY band_id, band_val "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM band) "
+    f"WHERE rn <= {_MM_DHASH_BAND_CAP}), "
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "a.dh AS fa, b.dh AS fb FROM bandc a JOIN bandc b "
+    "ON a.band_id = b.band_id AND a.band_val = b.band_val "
+    "AND a.doc_id < b.doc_id) "
+    "SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming "
+    f"FROM cand WHERE bit_count(xor(fa, fb)) <= {_MM_DHASH_PAIRS_K}"
+)
+
+
 def _mm_pcm_energy_fn(spark, sf_dir):
     return M.pcm_energy_windows(M.attach_binary(_docs(spark, sf_dir)))
 
@@ -992,6 +1033,32 @@ _KNN_BRUTE_SQL = (
     "WHERE rank <= 10"
 )
 
+def _knn_classify_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.knn_classify(e.filter(F.col("vec_id") < 20), e, k=10)
+
+
+_KNN_CLASSIFY_SQL = (
+    f"WITH {_SCALED_V}, "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id, "
+    + _COS.format(a="q", b="c")
+    + " AS cosine FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id "
+    "JOIN nrm na ON na.vec_id = q.vec_id JOIN nrm nb ON nb.vec_id = c.vec_id), "
+    "tk AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank FROM scored) "
+    "WHERE rank <= 10), "
+    "lab AS (SELECT vec_id, CAST(label AS BIGINT) AS l FROM embeddings), "
+    "votes AS (SELECT tk.query_id, lab.l, COUNT(*) AS votes FROM tk "
+    "JOIN lab ON lab.vec_id = tk.match_id GROUP BY 1, 2), "
+    "pred AS (SELECT query_id, l AS pred_label, CAST(votes AS BIGINT) AS votes "
+    "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY votes DESC, l) AS rn FROM votes) WHERE rn = 1) "
+    "SELECT p.query_id, lq.l AS true_label, p.pred_label, p.votes, "
+    "p.pred_label = lq.l AS correct "
+    "FROM pred p JOIN lab lq ON lq.vec_id = p.query_id"
+)
+
+
 # Matryoshka-truncated search: cosine over the first 16 components
 # only — same scored/ranked shape as the brute oracle, over a
 # list-sliced prefix.
@@ -1045,6 +1112,45 @@ _KNN_IVF_SQL = (
     "(PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank FROM scored) "
     "WHERE rank <= 5"
 )
+
+def _knn_mutual_fn(spark, sf_dir):
+    # stage 1 is the cell-blocked bounded kNN (cap-the-generator: the
+    # exact all-pairs cosine_topk(e, e) stage-1 probed 24s / exp 1.18;
+    # this one is bounded by n_cells · cell_cap² at any corpus size);
+    # mutual_neighbors itself is one self-join on the N·k edge list
+    e = _embs(spark, sf_dir)
+    return S.mutual_neighbors(S.cell_knn_edges(e, k=10))
+
+
+# within-cell kNN stage-1 (the _SEMANTIC_CELLS_SQL cent/asg/cap CTEs)
+# + per-node ranked cut + mutual reciprocity join.
+_KNN_MUTUAL_SQL = (
+    f"WITH {_SCALED_V}, "
+    "cent AS (SELECT vec_id AS cell, e AS ce, "
+    "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2 FROM "
+    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)), "
+    "asg AS (SELECT vec_id, e, nn, cell FROM ("
+    "SELECT v.vec_id, v.e, n.nn, c.cell, "
+    f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_IVF_SQDIST}, c.cell) AS rn "
+    "FROM v JOIN nrm n ON n.vec_id = v.vec_id CROSS JOIN cent c) WHERE rn = 1), "
+    "cap AS (SELECT vec_id, e, nn, cell FROM ("
+    "SELECT asg.*, ROW_NUMBER() OVER (PARTITION BY cell "
+    "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crn FROM asg) "
+    "WHERE crn <= 512), "
+    "scored AS (SELECT a.vec_id AS query_id, b.vec_id AS match_id, "
+    "CAST(CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])) "
+    "AS BIGINT) AS DOUBLE) / sqrt(CAST(a.nn * b.nn AS DOUBLE)) AS cosine "
+    "FROM cap a JOIN cap b ON a.cell = b.cell AND a.vec_id <> b.vec_id), "
+    "tk AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank FROM scored) "
+    "WHERE rank <= 10) "
+    "SELECT a.query_id AS id_a, a.match_id AS id_b, a.cosine, "
+    "CAST(a.rank AS BIGINT) AS rank_ab, CAST(b.rank AS BIGINT) AS rank_ba "
+    "FROM tk a JOIN tk b ON a.query_id = b.match_id AND a.match_id = b.query_id "
+    "WHERE a.query_id < a.match_id"
+)
+
+
 
 # Product quantization (deterministic md5-medoid codebooks, shared by
 # emb_pq_codes and knn_pq_adc): 8 subspaces x 8 dims, 16 centroids per
@@ -1612,6 +1718,62 @@ _TEXT_PII_SQL = (
     f"CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails, "
     f"CAST(len(regexp_extract_all(text, '{_PII_NUM}')) AS BIGINT) AS n_longnums "
     "FROM documents"
+)
+
+
+def _text_collocations_fn(spark, sf_dir):
+    # threshold 1.3 fits the fixture's near-random word soup (scores
+    # cluster at ~1.0 = independence, max ~1.45); real corpora put
+    # true phrases 10-100x above independence
+    return T.collocations(_docs(spark, sf_dir), threshold=1.3)
+
+
+# word2vec phrase score (Mikolov '13 eq. 6): all counts exact; the
+# score is HUGEINT products (Spark: decimal(38)) with ONE final double
+# division, so both engines round the same exact integers once.
+_TEXT_COLLO_SQL = (
+    f"WITH {_TOK}, {_T}, "
+    "uni AS (SELECT tok AS term, COUNT(*) AS n FROM t GROUP BY tok), "
+    "tot AS (SELECT COUNT(*) AS n_total FROM t), "
+    "bi AS (SELECT a.tok AS term_a, b.tok AS term_b, COUNT(*) AS n_ab "
+    "FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    "GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+    "s AS (SELECT bi.term_a, bi.term_b, bi.n_ab, ua.n AS n_a, ub.n AS n_b, "
+    "CAST(CAST(bi.n_ab - 3 AS HUGEINT) * t2.n_total AS DOUBLE) / "
+    "CAST(CAST(ua.n AS HUGEINT) * ub.n AS DOUBLE) AS score "
+    "FROM bi JOIN uni ua ON ua.term = bi.term_a "
+    "JOIN uni ub ON ub.term = bi.term_b, tot t2) "
+    "SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab, "
+    "CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, score "
+    "FROM s WHERE score >= 1.3"
+)
+
+
+def _text_script_mix_fn(spark, sf_dir):
+    return T.script_mix(_docs(spark, sf_dir))
+
+
+def _scr(pat: str) -> str:
+    return f"length(text) - length(regexp_replace(text, '{pat}', '', 'g'))"
+
+
+# explicit ASCII ranges (no unicode property classes) so RE2 and Java
+# regex agree byte-for-byte; each ratio is one double division of
+# exact integer counts.
+_SCR_ALPHA = _scr("[A-Za-z]")
+_SCR_DIGIT = _scr("[0-9]")
+_SCR_SPACE = _scr("[ \\t\\n\\r]")
+_SCR_PUNCT = _scr("[!-/:-@\\[-`{-~]")
+_TEXT_SCRIPT_MIX_SQL = (
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+    f"CAST({_SCR_ALPHA} AS DOUBLE) / length(text) AS alpha_ratio, "
+    f"CAST({_SCR_DIGIT} AS DOUBLE) / length(text) AS digit_ratio, "
+    f"CAST({_SCR_SPACE} AS DOUBLE) / length(text) AS space_ratio, "
+    f"CAST({_SCR_PUNCT} AS DOUBLE) / length(text) AS punct_ratio, "
+    f"CAST(length(text) - ({_SCR_ALPHA}) - ({_SCR_DIGIT}) "
+    f"- ({_SCR_SPACE}) - ({_SCR_PUNCT}) AS DOUBLE) "
+    "/ length(text) AS other_ratio "
+    "FROM documents WHERE length(text) > 0"
 )
 
 
@@ -2948,6 +3110,10 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding": QuerySpec(_emb_dup_fn, _EMB_DUP_SQL),
     # similarity search
     "knn_bruteforce": QuerySpec(_knn_brute_fn, _KNN_BRUTE_SQL),
+    # r7: mutual-kNN graph (hubness-robust clustering substrate)
+    "knn_mutual_neighbors": QuerySpec(_knn_mutual_fn, _KNN_MUTUAL_SQL),
+    # r7: kNN majority-vote label probe (embedding-quality eval)
+    "emb_knn_classify": QuerySpec(_knn_classify_fn, _KNN_CLASSIFY_SQL),
     # extension: brute-force search over the int8-quantized lattice
     "knn_quantized": QuerySpec(_knn_quantized_fn, _KNN_QUANT_SQL),
     # extension: two-stage retrieval (quantized candidates -> exact
@@ -3012,6 +3178,10 @@ QUERIES: dict[str, QuerySpec] = {
     "text_pii_mask": QuerySpec(_text_pii_fn, _TEXT_PII_SQL),
     # extension: per-doc top-k salient terms by rel-freq tf/df
     "text_top_terms": QuerySpec(_text_top_terms_fn, _TEXT_TOP_TERMS_SQL),
+    # r7: word2vec phrase-detection score over adjacent bigrams
+    "text_collocations": QuerySpec(_text_collocations_fn, _TEXT_COLLO_SQL),
+    # r7: per-doc ASCII character-class composition (multilingual QC)
+    "text_script_mix": QuerySpec(_text_script_mix_fn, _TEXT_SCRIPT_MIX_SQL),
     "q_array_hof": QuerySpec(_array_hof_fn, _ARRAY_HOF_SQL),
     # extension: symmetric int8 embedding quantization (in-row HOFs)
     "emb_quantize": QuerySpec(_emb_quantize_fn, _EMB_QUANTIZE_SQL),
@@ -3088,6 +3258,8 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: perceptual dHash fingerprints through the pluggable
     # binary kernel (group via banded Hamming downstream)
     "multimodal_dhash": QuerySpec(_mm_dhash_fn, _MM_DHASH_SQL),
+    # r7: banded-Hamming perceptual near-dup pairs over dHash
+    "multimodal_dhash_pairs": QuerySpec(_mm_dhash_pairs_fn, _MM_DHASH_PAIRS_SQL),
     "multimodal_byte_histogram": QuerySpec(
         _mm_byte_histogram_fn, _MM_BYTE_HISTOGRAM_SQL
     ),

@@ -888,6 +888,80 @@ WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms
 """
 
 
+def _bollinger_fn(spark, sf_dir):
+    """Bollinger bands + breakout flag — the rolling mean ± 2σ
+    volatility envelope (Bollinger 1992; the breakout flag is the
+    classic mean-reversion / regime-change trigger): per series, over
+    the trailing 1-hour range window, population variance from EXACT
+    integer window sums (values carry 2 fractional digits → v100 =
+    100·value is an exact bigint; var·10⁴ = (n·Σv² − (Σv)²)/n², all
+    bigint), so the only floats are one division + one sqrt + two
+    IEEE additions — bit-stable across engines and partitionings.
+    ONE window exchange serves all five aggregates.
+
+    Output: (series_key, ts_ms, seq, value, n_in_hour, mean, std,
+    upper, lower, breakout ∈ {-1, 0, 1})."""
+    from .common import events_frame
+
+    ev = events_frame(spark, sf_dir)
+    w = (
+        W.partitionBy("series_key")
+        .orderBy("ts_ms")
+        .rangeBetween(-_HOUR_MS, 0)
+    )
+    v100 = (dec("value") * 100).cast("bigint")
+    n = F.count("*").over(w)
+    a = F.sum(v100).over(w)
+    b = F.sum(v100 * v100).over(w)
+    mean = a.cast("double") / (n * 100).cast("double")
+    var4 = (n * b - a * a).cast("double") / (n * n * 10_000).cast("double")
+    std = F.sqrt(var4)
+    out = ev.select(
+        "series_key",
+        "ts_ms",
+        "seq",
+        "value",
+        n.alias("n_in_hour"),
+        mean.alias("mean"),
+        std.alias("std"),
+        (mean + F.lit(2.0) * std).alias("upper"),
+        (mean - F.lit(2.0) * std).alias("lower"),
+    )
+    breakout = (
+        F.when(F.col("value") > F.col("upper"), F.lit(1))
+        .when(F.col("value") < F.col("lower"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    return out.withColumn("breakout", breakout)
+
+
+_BOLLINGER_SQL = f"""
+WITH series AS ({EVENTS_SQL}),
+s AS (SELECT series_key, ts_ms, seq, value,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+      FROM series),
+agg AS (SELECT series_key, ts_ms, seq, value,
+        COUNT(*) OVER w AS n_in_hour,
+        SUM(v100) OVER w AS a,
+        SUM(v100 * v100) OVER w AS b
+        FROM s
+        WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms
+                     RANGE BETWEEN {_HOUR_MS} PRECEDING AND CURRENT ROW)),
+bands AS (SELECT series_key, ts_ms, seq, value, n_in_hour,
+        CAST(a AS DOUBLE) / CAST(n_in_hour * 100 AS DOUBLE) AS mean,
+        sqrt(CAST(n_in_hour * b - a * a AS DOUBLE)
+             / CAST(n_in_hour * n_in_hour * 10000 AS DOUBLE)) AS std
+        FROM agg)
+SELECT series_key, ts_ms, seq, value, n_in_hour, mean, std,
+       mean + 2.0 * std AS upper, mean - 2.0 * std AS lower,
+       CAST(CASE WHEN value > mean + 2.0 * std THEN 1
+                 WHEN value < mean - 2.0 * std THEN -1
+                 ELSE 0 END AS BIGINT) AS breakout
+FROM bands
+"""
+
+
 # --- fixed-width histogram ------------------------------------------------
 
 _BIN = 25_000  # o_totalprice ∈ [1013, 499979] → 20 bins
@@ -1378,6 +1452,68 @@ def _funnel_fn(spark, sf_dir):
     )
 
 
+def _attribution_fn(spark, sf_dir):
+    """First-touch channel attribution — the marketing-analytics
+    rollup: each user's FIRST event (ts, then event_id tiebreak)
+    defines their acquisition channel; every purchase the user ever
+    makes attributes its value to that channel. Shape: the first-touch
+    table is ONE map-side-combinable min_by struct agg (no window
+    sort), purchases reduce per user in the same pass style, then one
+    small channel-grain agg — two scans of events, one shuffle each,
+    no fact-table join (both sides are already user-grain, ≤ |users|
+    rows). Money sums accumulate as exact DECIMAL with one final
+    double cast; users with zero purchases still count in n_users.
+
+    Output: (first_touch, n_users, n_purchases, attributed_value).
+    """
+    from ..operators.retrieval import events_ts_ms
+
+    raw = table(spark, sf_dir, "events")
+    e = raw.select(
+        F.col("user_id"),
+        F.col("event_type").alias("k"),
+        events_ts_ms(raw).alias("ts_ms"),
+        F.col("event_id").cast("bigint").alias("seq"),
+        F.col("value"),
+    )
+    key = F.struct(F.col("ts_ms"), F.col("seq"))
+    ft = e.groupBy("user_id").agg(F.min_by("k", key).alias("first_touch"))
+    purch = (
+        e.filter(F.col("k") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("np"),
+            F.sum(dec("value")).alias("pv"),
+        )
+    )
+    j = ft.join(purch, "user_id", "left")
+    return j.groupBy("first_touch").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.coalesce(F.col("np"), F.lit(0))).alias("n_purchases"),
+        F.sum(F.coalesce(F.col("pv"), F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+# DuckDB's arg_min can't order by a composite; the oracle spells the
+# first-touch pick with a ranked window (same as _ARGMAX_SQL).
+_ATTRIBUTION_SQL = """
+WITH e AS (SELECT user_id, event_type AS k, epoch_ms(ts) AS ts_ms,
+                  CAST(event_id AS BIGINT) AS seq, value FROM events),
+ft AS (SELECT user_id, k AS first_touch FROM (
+         SELECT user_id, k, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts_ms, seq) AS rn FROM e) WHERE rn = 1),
+p AS (SELECT user_id, COUNT(*) AS np,
+             SUM(CAST(value AS DECIMAL(18,2))) AS pv
+      FROM e WHERE k = 'purchase' GROUP BY user_id)
+SELECT ft.first_touch, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(COALESCE(p.np, 0)) AS BIGINT) AS n_purchases,
+       CAST(SUM(COALESCE(p.pv, 0)) AS DOUBLE) AS attributed_value
+FROM ft LEFT JOIN p USING (user_id) GROUP BY ft.first_touch
+"""
+
+
 _SESSION_GAP_MS = 30 * 60 * 1000
 
 
@@ -1599,6 +1735,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q16_supplier_relation": QuerySpec(_q16_fn, _Q16_SQL),
     "q2_min_cost_supplier": QuerySpec(_q2_fn, _Q2_SQL),
     "q_funnel": QuerySpec(_funnel_fn, _FUNNEL_SQL),
+    # r7: first-touch channel attribution (min_by first event + purchase rollup)
+    "q_attribution": QuerySpec(_attribution_fn, _ATTRIBUTION_SQL),
     # extension: top behavioral session paths (30-min sessionization)
     "q_session_paths": QuerySpec(_session_paths_fn, _SESSION_PATHS_SQL),
     # extension: session-scoped event transition matrix (Markov chain)
@@ -1611,6 +1749,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_null_handling": QuerySpec(_null_handling_fn, _NULL_HANDLING_SQL),
     "q_corr_exact": QuerySpec(_corr_fn, _CORR_SQL),
     "ts_moving_avg_range": QuerySpec(_moving_avg_fn, _MOVING_AVG_SQL),
+    # r7: rolling mean +/- 2 sigma envelope with breakout flag
+    "ts_bollinger_bands": QuerySpec(_bollinger_fn, _BOLLINGER_SQL),
     "q_histogram": QuerySpec(_histogram_fn, _HISTOGRAM_SQL),
     "q_scalar_regex": QuerySpec(_scalar_regex_fn, _SCALAR_REGEX_SQL),
     "q_union_distinct": QuerySpec(_union_distinct_fn, _UNION_DISTINCT_SQL),

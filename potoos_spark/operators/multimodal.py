@@ -331,3 +331,84 @@ def pcm_energy_windows(
     return df.select(id_col, payload_col).mapInPandas(
         kernel, schema=PCM_ENERGY_SCHEMA
     )
+
+
+def dhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 7,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    band_cap: int = 64,
+) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs: banded Hamming join over
+    the 64-bit dHash fingerprints from ``dhash_features`` — the same
+    pigeonhole banding as ``dedup.simhash_hamming_pairs`` (Manku et
+    al., WWW'07), applied to the visual fingerprint instead of the
+    text one. Two hashes within Hamming distance k agree exactly on at
+    least one of k+1 bit bands, so candidates come from equality
+    self-joins per (band_id, band_val) — never all-pairs — and the
+    xor/popcount verify is exact (recall 1.0 within the radius).
+    At the default k=7 the 64-bit hash splits into 8 bands of 8 bits.
+
+    ``band_cap`` is the generator-side guardrail (md5-ranked
+    ``row_number ≤ cap`` on the banded relation BEFORE the self-join):
+    a solid-color/boilerplate image cluster shares whole fingerprints,
+    and without the cap one hot band bucket goes quadratic in its
+    membership. Candidate volume is bounded by
+    n_bands · 2^band_width · C(cap, 2) at ANY corpus size.
+
+    Output: (id_a, id_b, hamming) with hamming ≤ max_hamming.
+    """
+    from pyspark.sql import Window as W
+
+    k = int(max_hamming)
+    n_bands = k + 1
+    base = 64 // n_bands
+    extra = 64 % n_bands
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    h = dhash_features(df, id_col, payload_col)
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("dhash"), offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = h.select(
+        F.col(id_col),
+        F.col("dhash"),
+        F.posexplode(band_vals).alias("band_id", "band_val"),
+    )
+    wb = W.partitionBy("band_id", "band_val").orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    capped = (
+        banded.withColumn("__bc", F.row_number().over(wb))
+        .filter(F.col("__bc") <= int(band_cap))
+        .drop("__bc")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.dhash").alias("__fa"),
+            F.col("b.dhash").alias("__fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).cast("bigint")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= k)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1376,3 +1376,151 @@ def binary_rerank_topk(
         )
     )
     return _ranked_topk(scored, int(k))
+
+
+def mutual_neighbors(edges: DataFrame) -> DataFrame:
+    """Mutual-kNN graph symmetrization — the edge filter behind
+    density-based clustering and kNN-graph dedup (HDBSCAN, SNN
+    clustering, deduplication by connected mutual components): keep
+    (a, b) only when b is in a's top-k AND a is in b's top-k. Mutual
+    edges are robust to hubness (a hub appears in everyone's top-k,
+    but reciprocates only its true neighbors), which is why the mutual
+    graph is the standard clustering substrate.
+
+    Takes the EDGE LIST (query_id, match_id, cosine, rank) from ANY
+    stage-1 kNN tier — exact, IVF, quantized, banded — so the operator
+    itself is one self-join on the (N·k)-row edge frame, LINEAR in
+    corpus size; the all-pairs cost (if any) lives in the pluggable
+    stage 1, where the ANN tiers bound it.
+
+    Output: (id_a, id_b, cosine, rank_ab, rank_ba) with id_a < id_b;
+    cosine is stage-1's a→b score (symmetric for exact cosine).
+    """
+    a = edges.select(
+        F.col("query_id").alias("id_a"),
+        F.col("match_id").alias("id_b"),
+        "cosine",
+        F.col("rank").alias("rank_ab"),
+    )
+    b = edges.select(
+        F.col("match_id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        a.join(b, ["id_a", "id_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cosine", "rank_ab", "rank_ba")
+    )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """kNN majority-vote classification — the standard embedding-
+    quality evaluation (a kNN probe): each query's label is predicted
+    by the majority label among its k nearest corpus neighbors
+    (self excluded), tie → smallest label; ``correct`` compares
+    against the query's own label. Aggregate accuracy is the
+    embedding-probe metric every similarity pipeline reports before
+    trusting an index tier.
+
+    Shape: stage-1 is the exact scan here (pluggable like the other
+    funnels); the vote is one (query, label) hash agg over the N·k
+    edge list + a ranked window bounded by the per-query label count.
+
+    Output: (query_id, true_label, pred_label, votes, correct).
+    """
+    edges = cosine_topk(queries, corpus, vec_col, id_col, k).select(
+        "query_id", "match_id"
+    )
+    lab = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(label_col).cast("bigint").alias("__nl"),
+    )
+    votes = (
+        edges.join(lab, "match_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__nl").asc()
+    )
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("__nl").alias("pred_label"), "votes")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("bigint").alias("true_label"),
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+def cell_knn_edges(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_cells: int = 16,
+    cell_cap: int = 512,
+) -> DataFrame:
+    """Bounded kNN edge list for graph construction: candidates come
+    from the md5-medoid CELL blocking (the SemDeDup/IVF quantizer —
+    cell_cap guardrail, n_cells ∝ corpus size as the production
+    lever), exact integer-scaled cosine scores within cells, and a
+    per-node ranked window cut to k. This is the candidate-GENERATING-
+    relation-capped stage-1 for ``mutual_neighbors`` — pair volume is
+    bounded by n_cells · cell_cap² at ANY corpus size, where the exact
+    all-pairs ``cosine_topk(corpus, corpus)`` stage-1 is quadratic
+    (probe-measured exp 1.18 before this landed). Within-cell kNN is
+    the standard approximation for graph clustering: true neighbors
+    co-locate by assignment, cross-cell edges are the recall the
+    probe/expand levers of the retrieval tiers buy back.
+
+    Output: (query_id, match_id, cosine, rank) — both directions, so
+    the frame feeds ``mutual_neighbors`` directly.
+    """
+    c = df.select(
+        F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
+    ).withColumn("n", sqnorm_expr(F.col("e")))
+    cent = md5_medoid_centroids(c, n_cells)
+    assigned = assign_to_cells(c, cent)
+    wc = W.partitionBy("cell").orderBy(F.md5(F.col("__id").cast("string")), "__id")
+    capped = (
+        assigned.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") <= int(cell_cap))
+        .drop("__rn")
+    )
+    a = capped.select(
+        "cell", F.col("__id").alias("query_id"),
+        F.col("e").alias("ea"), F.col("n").alias("na"),
+    )
+    b = capped.select(
+        "cell", F.col("__id").alias("match_id"),
+        F.col("e").alias("eb"), F.col("n").alias("nb"),
+    )
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine_from_norms(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, k)

@@ -1335,3 +1335,108 @@ def distinct_ngram_stats(
             ).alias("distinct_frac"),
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delta: int = 3,
+    min_count: int = 3,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Collocation / phrase detection — the word2vec phrase score
+    (Mikolov et al., NeurIPS'13 "Distributed Representations of Words
+    and Phrases", eq. 6): for each adjacent token bigram,
+    ``score = (c_ab − δ) · N / (c_a · c_b)`` where N is the total
+    token count; pairs scoring above ``threshold`` are the
+    collocations a tokenization pipeline merges into single units
+    ("new_york"). δ discounts rare accidents; ``min_count`` floors
+    the bigram count.
+
+    Scale shape: bigrams come from an IN-ROW zip of the token array
+    with its own tail (no positional self-join — the corpus is
+    scanned once); unigram and bigram counts are two map-side-
+    combinable hash aggs; N rides along as a broadcast 1-row join.
+    All counts exact bigint; the score is decimal(38) products with
+    ONE final double division (the ``q_basket_pairs`` lift idiom), so
+    engines agree bit-for-bit.
+
+    Output: (term_a, term_b, n_ab, n_a, n_b, score), score ≥ threshold
+    and n_ab ≥ min_count.
+    """
+    toks = df.select(tokens(text_col).alias("__t"))
+    uni = toks.select(F.explode("__t").alias("term")).groupBy("term").agg(
+        F.count("*").alias("n")
+    )
+    bi_arr = F.zip_with(
+        F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+        F.expr("slice(__t, 2, greatest(size(__t) - 1, 0))"),
+        lambda a, b: F.struct(a.alias("term_a"), b.alias("term_b")),
+    )
+    bi = (
+        toks.select(F.explode(bi_arr).alias("p"))
+        .select("p.term_a", "p.term_b")
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_count))
+    )
+    n_tok = uni.agg(F.sum("n").alias("n_total"))
+    d38 = "decimal(38,0)"
+    scored = (
+        bi.join(uni.withColumnsRenamed({"term": "term_a", "n": "n_a"}), "term_a")
+        .join(uni.withColumnsRenamed({"term": "term_b", "n": "n_b"}), "term_b")
+        .crossJoin(F.broadcast(n_tok))
+        .withColumn(
+            "score",
+            (
+                (F.col("n_ab") - F.lit(int(delta))).cast(d38)
+                * F.col("n_total").cast(d38)
+            ).cast("double")
+            / (F.col("n_a").cast(d38) * F.col("n_b").cast(d38)).cast("double"),
+        )
+    )
+    return scored.filter(F.col("score") >= float(threshold)).select(
+        "term_a", "term_b", "n_ab", "n_a", "n_b", "score"
+    )
+
+
+def script_mix(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-class composition — the multilingual-
+    pipeline QC signal (a 'en'-labeled doc that is 40% non-ASCII is
+    mislabeled or mojibake; a doc that is 60% digits is a table dump):
+    counts of ASCII letters, digits, whitespace, ASCII punctuation,
+    and everything else (non-ASCII), each as
+    ``length(text) − length(regexp_replace(text, class, ''))`` — five
+    pure column expressions over ONE scan, zero shuffle, whole-stage
+    codegen. Explicit ASCII ranges (not unicode property classes) so
+    both regex engines agree byte-for-byte. Ratios are single double
+    divisions of exact integer counts.
+
+    Output: (doc_id, n_chars, alpha_ratio, digit_ratio, space_ratio,
+    punct_ratio, other_ratio) for docs with n_chars > 0.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def cnt(pattern: str) -> Column:
+        return (n - F.length(F.regexp_replace(t, pattern, ""))).cast("bigint")
+
+    alpha = cnt("[A-Za-z]")
+    digit = cnt("[0-9]")
+    space = cnt("[ \\t\\n\\r]")
+    # printable ASCII punctuation = ASCII 0x21-0x7E minus alnum
+    punct = cnt("[!-/:-@\\[-`{-~]")
+    other = n.cast("bigint") - alpha - digit - space - punct
+    ratio = lambda c: c.cast("double") / n.cast("double")
+    return df.filter(n > 0).select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars"),
+        ratio(alpha).alias("alpha_ratio"),
+        ratio(digit).alias("digit_ratio"),
+        ratio(space).alias("space_ratio"),
+        ratio(punct).alias("punct_ratio"),
+        ratio(other).alias("other_ratio"),
+    )

@@ -461,3 +461,44 @@ def test_pq_recall_gate_on_clustered_fixture(spark, clustered, clustered_exact):
     q = clustered.filter(F.col("vec_id") < N_QUERIES)
     got = pq_rerank_topk(q, clustered, k=K, expand=8, n_sub=16).collect()
     assert _recall(got, clustered_exact) >= 0.8
+
+
+def test_mutual_neighbors_keeps_only_reciprocal_edges(spark):
+    """r7 mutual-kNN: an edge survives iff BOTH directions are in the
+    top-k edge list — hand-built edges where (1,2) is mutual and the
+    hub 3 appears in 1's list without reciprocating."""
+    from potoos_spark.operators.similarity import mutual_neighbors
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 0.9, 1), (2, 1, 0.9, 1),   # mutual
+            (1, 3, 0.8, 2),                    # 3 never lists 1
+            (3, 2, 0.7, 1), (2, 3, 0.7, 2),   # mutual
+        ],
+        "query_id bigint, match_id bigint, cosine double, rank bigint",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["rank_ab"], r["rank_ba"])
+        for r in mutual_neighbors(edges).collect()
+    }
+    assert got == {(1, 2): (1, 1), (2, 3): (2, 1)}
+
+
+def test_knn_classify_majority_vote_and_tiebreak(spark):
+    """r7 kNN label probe: 3-vs-2 majority wins; an exact vote tie
+    breaks to the smaller label; correct compares to the query's own
+    label."""
+    from potoos_spark.operators.similarity import knn_classify
+
+    # query 0; neighbors interleave by distance: labels 1,2,1,2,1 so
+    # k=5 gives a 3-2 majority and k=4 an exact 2-2 tie
+    rows = [(0, [1.0, 0.0], 1)]
+    rows += [(i, [1.0, 0.01 * i], 1) for i in (1, 3, 5)]
+    rows += [(i, [1.0, 0.01 * i], 2) for i in (2, 4)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    got = {r["query_id"]: r for r in knn_classify(df.filter("vec_id = 0"), df, k=5).collect()}
+    r = got[0]
+    assert r["pred_label"] == 1 and r["votes"] == 3 and bool(r["correct"])
+    # tie: 2 votes each -> smaller label wins
+    got4 = knn_classify(df.filter("vec_id = 0"), df, k=4).collect()[0]
+    assert got4["votes"] == 2 and got4["pred_label"] == 1

@@ -135,3 +135,36 @@ def test_documents_fixture_is_ascii(spark):
             f"{d}: {non_ascii} non-ASCII documents break the byte-level "
             "multimodal oracle equivalence"
         )
+
+
+def test_dhash_hamming_pairs_planted_recall_and_radius(spark):
+    """r7 banded-Hamming pairs over dHash: byte-identical payloads pair
+    at hamming 0, a payload differing in exactly the bytes behind a few
+    anchor comparisons pairs within the radius, and an unrelated
+    payload is excluded — the pigeonhole guarantee (recall 1.0 within
+    max_hamming) on planted data."""
+    from potoos_spark.operators.multimodal import (
+        attach_binary,
+        dhash_features,
+        dhash_hamming_pairs,
+    )
+
+    base = "".join(chr(65 + (i * 7) % 26) for i in range(200))
+    # flip a contiguous run of bytes -> a handful of anchor comparisons
+    near = base[:50] + "zzzz" + base[54:]
+    far = "".join(chr(90 - (i * 11) % 26) for i in range(200))
+    rows = [(1, base), (2, base), (3, near), (4, far)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    b = attach_binary(docs)
+    ham = {
+        r["doc_id"]: r["dhash"] for r in dhash_features(b).collect()
+    }
+    true_13 = bin((ham[1] ^ ham[3]) & ((1 << 64) - 1)).count("1")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_hamming_pairs(b, max_hamming=7).collect()
+    }
+    assert got[(1, 2)] == 0  # identical payloads
+    if true_13 <= 7:
+        assert got[(1, 3)] == true_13  # within radius -> found exactly
+    assert not any(4 in p for p in got)  # far payload excluded

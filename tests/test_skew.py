@@ -441,3 +441,35 @@ def test_scd2_history_collapses_runs_and_closes_intervals(spark, tmp_path):
         (2, "X", 1, ms(5), ms(5) - 1, False),  # tie: event_id 201 first
         (2, "Y", 2, ms(5), None, True),
     ])
+
+
+def test_attribution_first_touch_and_purchase_rollup(spark, monkeypatch):
+    """r7 first-touch attribution: the earliest event (ts, then seq)
+    defines the channel; all the user's purchase value lands there;
+    users without purchases still count in n_users."""
+    import potoos_spark.catalog.relational_tpch as R
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: ts tie at 1000 -> seq 1 (click) is the first touch
+        (1, 1, "click", 1000, 2.0),
+        (2, 1, "view", 1000, 0.0),
+        (3, 1, "purchase", 2000, 10.0),
+        (4, 1, "purchase", 3000, 5.5),
+        # user 2: first touch 'view', never buys
+        (5, 2, "view", 500, 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, "
+        "ts_ms bigint, value double",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"), "value",
+    )
+    monkeypatch.setattr(R, "table", lambda spark, sf_dir, name: ev)
+    got = {r["first_touch"]: r for r in R._attribution_fn(spark, "x").collect()}
+    assert set(got) == {"click", "view"}
+    c, v = got["click"], got["view"]
+    assert (c["n_users"], c["n_purchases"], c["attributed_value"]) == (1, 2, 15.5)
+    assert (v["n_users"], v["n_purchases"], v["attributed_value"]) == (1, 0, 0.0)

@@ -480,3 +480,52 @@ def test_distinct_ngram_stats_detects_template_collapse(spark):
     assert got[("spam", 2)]["distinct_ngrams"] == 4
     assert got[("fresh", 1)]["distinct_frac"] > 0.6
     assert got[("spam", 1)]["distinct_frac"] == 0.05
+
+
+def test_collocations_planted_phrase_scores_highest(spark):
+    """r7 word2vec phrase score: a planted always-adjacent pair must
+    outscore an independent pair, with exact counts; pairs under
+    min_count are dropped."""
+    from potoos_spark.operators.text import collocations
+
+    rows = [(i, "new york is big and new york is old") for i in range(4)]
+    rows += [(10 + i, "old big is and the") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["term_a"], r["term_b"]): r
+        for r in collocations(df, delta=3, min_count=3, threshold=0.0).collect()
+    }
+    ny = got[("new", "york")]
+    assert ny["n_ab"] == 8 and ny["n_a"] == 8 and ny["n_b"] == 8
+    # always-adjacent pair beats every co-incidental one
+    assert all(
+        ny["score"] >= v["score"] for v in got.values()
+    ), sorted(((k, v["score"]) for k, v in got.items()), key=lambda x: -x[1])[:3]
+
+
+def test_script_mix_known_composition(spark):
+    """r7 character-class composition: crafted strings with hand-counted
+    class totals; ratios sum to 1 and non-ASCII lands in other_ratio."""
+    from potoos_spark.operators.text import script_mix
+
+    rows = [
+        (1, "Ab1 !"),          # 2 alpha, 1 digit, 1 space, 1 punct
+        (2, "héllo"),          # 4 ascii alpha + 1 non-ascii
+        (3, ""),               # dropped (n_chars = 0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in script_mix(df).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert r1["n_chars"] == 5
+    assert r1["alpha_ratio"] == 2 / 5 and r1["digit_ratio"] == 1 / 5
+    assert r1["space_ratio"] == 1 / 5 and r1["punct_ratio"] == 1 / 5
+    assert r1["other_ratio"] == 0.0
+    r2 = got[2]
+    assert r2["alpha_ratio"] == 4 / 5 and r2["other_ratio"] == 1 / 5
+    for r in got.values():
+        s = (
+            r["alpha_ratio"] + r["digit_ratio"] + r["space_ratio"]
+            + r["punct_ratio"] + r["other_ratio"]
+        )
+        assert abs(s - 1.0) < 1e-12
