@@ -108,6 +108,16 @@ HEADLINE = [
     "ts_pattern_match",
     "dedup_centrality",
     "q_scd2_history",
+    # round-7 additions: phrase detection, script composition,
+    # cell-blocked mutual-kNN graph, kNN label probe, dHash banded
+    # near-dup pairs, Bollinger envelope, first-touch attribution
+    "text_collocations",
+    "text_script_mix",
+    "knn_mutual_neighbors",
+    "emb_knn_classify",
+    "multimodal_dhash_pairs",
+    "ts_bollinger_bands",
+    "q_attribution",
 ]
 
 
