@@ -118,6 +118,7 @@ HEADLINE = [
     "multimodal_dhash_pairs",
     "ts_bollinger_bands",
     "q_attribution",
+    "emb_kmeans_lloyd",
 ]
 
 

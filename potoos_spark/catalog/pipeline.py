@@ -1152,6 +1152,55 @@ _KNN_MUTUAL_SQL = (
 
 
 
+def _kmeans_lloyd_fn(spark, sf_dir):
+    return S.kmeans_lloyd(_embs(spark, sf_dir), k=8, n_iters=2)
+
+
+def _km_assign_cte(cent: str, out: str) -> str:
+    """One Lloyd assignment pass against centroid CTE ``cent`` (cols
+    cell, ce, cn2): ROW_NUMBER over exact integer sq-L2 with cell-id
+    ties — identical to the Spark min_by(struct(sq, cell))."""
+    return (
+        f"{out} AS (SELECT vec_id, e, nn, cell, sq FROM ("
+        "SELECT v.vec_id, v.e, n.nn, c.cell, "
+        "n.nn + c.cn2 - 2 * CAST(list_sum(list_transform(list_zip(v.e, c.ce), "
+        "p -> p[1] * p[2])) AS BIGINT) AS sq, "
+        "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY "
+        "n.nn + c.cn2 - 2 * CAST(list_sum(list_transform(list_zip(v.e, c.ce), "
+        "p -> p[1] * p[2])) AS BIGINT), c.cell) AS rn "
+        f"FROM v JOIN nrm n ON n.vec_id = v.vec_id CROSS JOIN {cent} c) "
+        "WHERE rn = 1)"
+    )
+
+
+# Lloyd k-means, 2 unrolled iterations: md5-medoid seeds -> assign ->
+# integer floor-mean recenter -> assign -> recenter -> final assign;
+# summary is (cell, n_members, inertia) with exact bigint inertia.
+_KMEANS_LLOYD_SQL = (
+    f"WITH {_SCALED_V}, "
+    "cent0 AS (SELECT vec_id AS cell, e AS ce, "
+    "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2 FROM "
+    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8)), "
+    + _km_assign_cte("cent0", "a1") + ", "
+    "s1 AS (SELECT cell, generate_subscripts(e, 1) AS dim, unnest(e) AS vv FROM a1), "
+    "g1 AS (SELECT cell, dim, SUM(vv) AS s, COUNT(*) AS nm FROM s1 GROUP BY cell, dim), "
+    "cent1 AS (SELECT cell, list(CAST((s + 10000 * nm) // nm - 10000 AS BIGINT) "
+    "ORDER BY dim) AS ce FROM g1 GROUP BY cell), "
+    "cent1n AS (SELECT cell, ce, CAST(list_sum([x * x for x in ce]) AS BIGINT) AS cn2 "
+    "FROM cent1), "
+    + _km_assign_cte("cent1n", "a2") + ", "
+    "s2 AS (SELECT cell, generate_subscripts(e, 1) AS dim, unnest(e) AS vv FROM a2), "
+    "g2 AS (SELECT cell, dim, SUM(vv) AS s, COUNT(*) AS nm FROM s2 GROUP BY cell, dim), "
+    "cent2 AS (SELECT cell, list(CAST((s + 10000 * nm) // nm - 10000 AS BIGINT) "
+    "ORDER BY dim) AS ce FROM g2 GROUP BY cell), "
+    "cent2n AS (SELECT cell, ce, CAST(list_sum([x * x for x in ce]) AS BIGINT) AS cn2 "
+    "FROM cent2), "
+    + _km_assign_cte("cent2n", "af") + " "
+    "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members, "
+    "CAST(SUM(sq) AS BIGINT) AS inertia FROM af GROUP BY cell"
+)
+
+
 # Product quantization (deterministic md5-medoid codebooks, shared by
 # emb_pq_codes and knn_pq_adc): 8 subspaces x 8 dims, 16 centroids per
 # subspace = the subvectors of the 16 smallest-md5(id) corpus vectors;
@@ -3110,6 +3159,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding": QuerySpec(_emb_dup_fn, _EMB_DUP_SQL),
     # similarity search
     "knn_bruteforce": QuerySpec(_knn_brute_fn, _KNN_BRUTE_SQL),
+    # r7: bit-deterministic fixed-iteration Lloyd k-means
+    "emb_kmeans_lloyd": QuerySpec(_kmeans_lloyd_fn, _KMEANS_LLOYD_SQL),
     # r7: mutual-kNN graph (hubness-robust clustering substrate)
     "knn_mutual_neighbors": QuerySpec(_knn_mutual_fn, _KNN_MUTUAL_SQL),
     # r7: kNN majority-vote label probe (embedding-quality eval)

@@ -1524,3 +1524,87 @@ def cell_knn_edges(
         )
     )
     return _ranked_topk(scored, k)
+
+
+_KM_OFFSET = 10_000  # > any |scaled component|: makes the mean's
+# dividend non-negative so Spark DIV (truncate) == DuckDB // (floor)
+
+
+def _assign_with_dist(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment KEEPING the squared distance:
+    (__id, cell, sq). Same exact-integer L2 + (sq, cell) tie rule as
+    ``assign_to_cells``."""
+    dot_c = F.aggregate(
+        F.zip_with("e", "cent_e", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "__id",
+            "cell",
+            (F.col("n") + F.col("cent_n") - 2 * dot_c).alias("__sq"),
+        )
+        .groupBy("__id")
+        .agg(F.min_by(F.struct("__sq", "cell"), F.struct("__sq", "cell")).alias("__a"))
+        .select("__id", F.col("__a.cell").alias("cell"), F.col("__a.__sq").alias("sq"))
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means, BIT-DETERMINISTIC across engines
+    and partitionings — the iterative-ML showcase: seeds are the
+    md5-medoid draw (actual corpus vectors, engine-portable), each
+    iteration assigns by exact integer squared L2 (ties → cell id) and
+    recomputes centroids as per-dim INTEGER floor means. The floor-div
+    trick: Spark ``DIV`` truncates toward zero while DuckDB ``//``
+    floors, so the mean is computed as
+    ``(Σe_d + OFFSET·n) DIV n − OFFSET`` with OFFSET > any |component|
+    — the dividend is then non-negative, where truncation ≡ floor.
+    No float appears anywhere, so the trajectory (not just the final
+    answer) is identical on both engines at ANY partitioning.
+
+    Shape per iteration: one broadcast-centroids assignment pass
+    (map-side-combinable min_by), one posexplode → (cell, dim) hash
+    agg for the sums (shuffle carries k·d rows after partial agg), one
+    k-row centroid rebuild. Cells that lose all members drop out
+    (standard Lloyd degeneracy; deterministic on both engines).
+
+    Output: (cell, n_members, inertia) — inertia is the exact bigint
+    Σ min squared distance in scaled² units.
+    """
+    c = df.select(
+        F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
+    ).withColumn("n", sqnorm_expr(F.col("e")))
+    cent = md5_medoid_centroids(c, k)
+    for _ in range(int(n_iters)):
+        assigned = assign_to_cells(c, cent)
+        sums = (
+            assigned.select("cell", F.posexplode("e").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("nm"))
+        )
+        cd = F.expr(f"(s + {_KM_OFFSET} * nm) DIV nm - {_KM_OFFSET}")
+        cent = (
+            sums.select("cell", "dim", cd.cast("bigint").alias("cd"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cd"))),
+                    lambda x: x["cd"],
+                ).alias("cent_e")
+            )
+            .withColumn("cent_n", sqnorm_expr(F.col("cent_e")))
+        )
+    final = _assign_with_dist(c, cent)
+    return final.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.sum("sq").alias("inertia"),
+    )

@@ -502,3 +502,21 @@ def test_knn_classify_majority_vote_and_tiebreak(spark):
     # tie: 2 votes each -> smaller label wins
     got4 = knn_classify(df.filter("vec_id = 0"), df, k=4).collect()[0]
     assert got4["votes"] == 2 and got4["pred_label"] == 1
+
+
+def test_kmeans_lloyd_separated_clusters_and_partitioning_invariance(spark):
+    """r7 Lloyd k-means: on two well-separated blobs with k=2 the final
+    cells hold exactly the blobs and inertia is the exact integer
+    within-cluster spread; the whole trajectory is integer arithmetic,
+    so repartitioning cannot change ANY output bit."""
+    from potoos_spark.operators.similarity import kmeans_lloyd
+
+    rows = [(i, [10.0 + 0.001 * i, 0.0]) for i in range(6)]
+    rows += [(10 + i, [-10.0 - 0.001 * i, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = sorted(tuple(r) for r in kmeans_lloyd(df, k=2, n_iters=2).collect())
+    assert [r[1] for r in got] == [6, 6]  # each blob intact
+    again = sorted(
+        tuple(r) for r in kmeans_lloyd(df.repartition(7), k=2, n_iters=2).collect()
+    )
+    assert got == again
