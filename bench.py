@@ -119,6 +119,7 @@ HEADLINE = [
     "ts_bollinger_bands",
     "q_attribution",
     "emb_kmeans_lloyd",
+    "corpus_kcenter_coreset",
 ]
 
 

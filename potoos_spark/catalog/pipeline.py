@@ -1173,6 +1173,53 @@ def _km_assign_cte(cent: str, out: str) -> str:
     )
 
 
+def _kcenter_fn(spark, sf_dir):
+    return S.kcenter_coreset(_embs(spark, sf_dir), k=8)
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled greedy k-center replay: c0 = md5-medoid seed, c_i = the
+    point maximizing the exact-integer min sq-distance to c0..c_{i-1}
+    (ties -> min id) — each round one LIMIT 1 against the prior CTEs."""
+
+    def dist(c: str) -> str:
+        return (
+            "CAST(list_sum(list_transform(list_zip(v.e, "
+            f"{c}.e), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+        )
+
+    parts = [
+        "c0 AS (SELECT vec_id, e FROM v "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)"
+    ]
+    for i in range(1, k):
+        prev = [f"c{j}" for j in range(i)]
+        least = (
+            dist(prev[0])
+            if i == 1
+            else "LEAST(" + ", ".join(dist(p) for p in prev) + ")"
+        )
+        notin = ", ".join(f"{p}.vec_id" for p in prev)
+        parts.append(
+            f"c{i} AS (SELECT v.vec_id, v.e, {least} AS md "
+            f"FROM v, {', '.join(prev)} WHERE v.vec_id NOT IN ({notin}) "
+            "ORDER BY md DESC, v.vec_id LIMIT 1)"
+        )
+    sel = [
+        "SELECT CAST(0 AS BIGINT) AS round, c0.vec_id AS center_id, "
+        "CAST(NULL AS BIGINT) AS radius_sq FROM c0"
+    ]
+    for i in range(1, k):
+        sel.append(
+            f"SELECT CAST({i} AS BIGINT), c{i}.vec_id, "
+            f"CAST(c{i}.md AS BIGINT) FROM c{i}"
+        )
+    return f"WITH {_SCALED_V}, " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
+
+
+_KCENTER_SQL = _kcenter_sql(8)
+
+
 # Lloyd k-means, 2 unrolled iterations: md5-medoid seeds -> assign ->
 # integer floor-mean recenter -> assign -> recenter -> final assign;
 # summary is (cell, n_members, inertia) with exact bigint inertia.
@@ -3161,6 +3208,8 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_bruteforce": QuerySpec(_knn_brute_fn, _KNN_BRUTE_SQL),
     # r7: bit-deterministic fixed-iteration Lloyd k-means
     "emb_kmeans_lloyd": QuerySpec(_kmeans_lloyd_fn, _KMEANS_LLOYD_SQL),
+    # r7: greedy k-center coreset (diversity-maximizing selection)
+    "corpus_kcenter_coreset": QuerySpec(_kcenter_fn, _KCENTER_SQL),
     # r7: mutual-kNN graph (hubness-robust clustering substrate)
     "knn_mutual_neighbors": QuerySpec(_knn_mutual_fn, _KNN_MUTUAL_SQL),
     # r7: kNN majority-vote label probe (embedding-quality eval)

@@ -1608,3 +1608,80 @@ def kmeans_lloyd(
         F.count("*").alias("n_members"),
         F.sum("sq").alias("inertia"),
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-Center coreset selection (Sener & Savarese, ICLR'18
+    "Active Learning for CNNs: A Core-Set Approach") — the diversity-
+    maximizing data-selection primitive: repeatedly pick the point
+    FARTHEST from the already-chosen set (2-approximation of the
+    optimal k-center cover). The selected rows are the "spanning"
+    examples a curation pipeline keeps when it wants coverage rather
+    than density (the complement of dedup).
+
+    Determinism: seed = smallest md5(id) (the medoid-draw rule);
+    distances are exact integer squared L2 on scaled vectors; argmax
+    ties break to the smaller id — the full selection SEQUENCE is
+    bit-identical across engines and partitionings, which is what lets
+    one unrolled SQL statement replay it.
+
+    Shape: k − 1 corpus scans, each a TakeOrderedAndProject against at
+    most k broadcast-literal centers (no joins, no windows). The
+    driver holds exactly the k chosen vectors between iterations —
+    metadata-scale, like ``storage.delete_rows``'s partition values,
+    never row data.
+
+    Output: (round, center_id, radius_sq) — radius_sq is the chosen
+    point's exact min squared distance to the prior centers (the
+    covering radius achieved when it was picked; NULL for the seed).
+    """
+    from pyspark import StorageLevel
+
+    # persisted: every one of the k rounds re-reads the SAME scaled
+    # frame, so the parquet scan + scaling runs once, not k times
+    # (caller-owned cache, same contract as minhash_estimate_pairs)
+    c = df.select(
+        F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    seed = (
+        c.withColumn("__hm", F.md5(F.col("__id").cast("string")))
+        .orderBy("__hm", "__id")
+        .limit(1)
+        .collect()[0]
+    )
+    chosen = [(int(seed["__id"]), [int(x) for x in seed["e"]], None)]
+
+    def sqdist_to(vec: list) -> "F.Column":
+        lit = F.array(*[F.lit(int(x)).cast("bigint") for x in vec])
+        return F.aggregate(
+            F.zip_with("e", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(int(k) - 1):
+        mind = F.least(*[sqdist_to(v) for _, v, _ in chosen]) if len(chosen) > 1 \
+            else sqdist_to(chosen[0][1])
+        nxt = (
+            c.filter(~F.col("__id").isin([i for i, _, _ in chosen]))
+            .select("__id", "e", mind.alias("__md"))
+            .orderBy(F.col("__md").desc(), F.col("__id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(
+            (int(nxt["__id"]), [int(x) for x in nxt["e"]], int(nxt["__md"]))
+        )
+
+    spark = df.sparkSession
+    rows = [
+        (i, cid, rad) for i, (cid, _, rad) in enumerate(chosen)
+    ]
+    return spark.createDataFrame(
+        rows, "round bigint, center_id bigint, radius_sq bigint"
+    )

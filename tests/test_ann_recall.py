@@ -520,3 +520,30 @@ def test_kmeans_lloyd_separated_clusters_and_partitioning_invariance(spark):
         tuple(r) for r in kmeans_lloyd(df.repartition(7), k=2, n_iters=2).collect()
     )
     assert got == again
+
+
+def test_kcenter_coreset_greedy_properties(spark):
+    """r7 greedy k-center: covering radius is non-increasing over
+    rounds (the chosen max-min distance can only shrink as the set
+    grows), centers are distinct, k = N selects everything, and the
+    selection SEQUENCE is repartition-invariant (exact integer
+    arithmetic end to end)."""
+    from potoos_spark.operators.similarity import kcenter_coreset
+
+    rows = [(i, [float(i % 7) * 3.0, float(i // 7)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = sorted(
+        (r["round"], r["center_id"], r["radius_sq"])
+        for r in kcenter_coreset(df, k=5).collect()
+    )
+    assert [r[0] for r in got] == list(range(5))
+    assert len({r[1] for r in got}) == 5
+    radii = [r[2] for r in got[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    again = sorted(
+        (r["round"], r["center_id"], r["radius_sq"])
+        for r in kcenter_coreset(df.repartition(5), k=5).collect()
+    )
+    assert got == again
+    full = kcenter_coreset(df, k=12).collect()
+    assert {r["center_id"] for r in full} == set(range(12))
