@@ -120,6 +120,7 @@ HEADLINE = [
     "q_attribution",
     "emb_kmeans_lloyd",
     "corpus_kcenter_coreset",
+    "stream_bollinger_replay",
 ]
 
 

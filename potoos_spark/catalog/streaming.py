@@ -622,8 +622,44 @@ _STREAM_SLA_SQL = (
 )
 
 
+def _stream_bollinger_fn(spark, sf_dir):
+    from ..streaming.stateful import streaming_bollinger
+
+    return _replay(streaming_bollinger(_events_stream(spark, sf_dir)), "append")
+
+
+# Seen-so-far trailing-hour bands: the streaming kernel can only see
+# points that ARRIVED before the current one, so the oracle bounds the
+# window by (ts, seq) lexicographically — identical to the batch
+# ts_bollinger_bands RANGE window whenever (series, ts) is unique
+# (true of the fixtures); deliberately divergent under same-ts peers.
+_STREAM_BOLL_SQL = (
+    f"{_S}, "
+    "s2 AS (SELECT series_key, ts_ms, seq, value, "
+    "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100 FROM series), "
+    "w AS (SELECT p.series_key, p.ts_ms, p.seq, p.value, "
+    "COUNT(*) AS n, SUM(q.v100) AS a, SUM(q.v100 * q.v100) AS b "
+    "FROM s2 p JOIN s2 q ON q.series_key = p.series_key "
+    "AND q.ts_ms >= p.ts_ms - 3600000 "
+    "AND (q.ts_ms < p.ts_ms OR (q.ts_ms = p.ts_ms AND q.seq <= p.seq)) "
+    "GROUP BY 1, 2, 3, 4), "
+    "bands AS (SELECT series_key, ts_ms, seq, value, "
+    "CAST(n AS BIGINT) AS n_in_hour, "
+    "CAST(a AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mean, "
+    "sqrt(CAST(n * b - a * a AS DOUBLE) / CAST(n * n * 10000 AS DOUBLE)) AS std "
+    "FROM w) "
+    "SELECT series_key, ts_ms, seq, value, n_in_hour, mean, std, "
+    "mean + 2.0 * std AS upper, mean - 2.0 * std AS lower, "
+    "CAST(CASE WHEN value > mean + 2.0 * std THEN 1 "
+    "WHEN value < mean - 2.0 * std THEN -1 ELSE 0 END AS BIGINT) AS breakout "
+    "FROM bands"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_ohlc_replay": QuerySpec(_stream_ohlc_fn, _OHLC_REPLAY_SQL),
+    # r7: live Bollinger bands (trailing-hour state, seen-so-far window)
+    "stream_bollinger_replay": QuerySpec(_stream_bollinger_fn, _STREAM_BOLL_SQL),
     "stream_bucket_agg_replay": QuerySpec(_stream_agg_fn, _STREAM_AGG_SQL),
     "stream_sliding_agg_replay": QuerySpec(_stream_sliding_fn, _STREAM_SLIDING_SQL),
     "stream_anomaly_windows_replay": QuerySpec(

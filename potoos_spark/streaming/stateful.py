@@ -880,3 +880,135 @@ def streaming_scd2(sdf: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+BOLL_STATE_SCHEMA = "ts array<bigint>, v array<bigint>"
+
+
+def streaming_bollinger(sdf: DataFrame, window_ms: int = 3_600_000) -> DataFrame:
+    """Live Bollinger bands — the streaming twin of the batch
+    ``ts_bollinger_bands``: per series, the trailing ``window_ms``
+    points live in state as parallel (ts, v100) arrays; each arriving
+    point evicts expired entries, appends itself, and emits the band
+    row from EXACT integer sums (the same
+    var·10⁴ = (n·Σv² − (Σv)²)/n² identity, Python ints are unbounded
+    so the arithmetic is identical to the batch bigint path; the only
+    floats are the same one division, one sqrt, two IEEE adds).
+
+    Streaming semantics are SEEN-SO-FAR: a point's window contains
+    exactly the points that arrived before it in (ts, seq) order
+    within the trailing hour — a live monitor cannot read same-
+    timestamp peers that haven't arrived. The replay oracle mirrors
+    this precisely with a (ts, seq)-bounded self-join rather than the
+    batch entry's RANGE window (identical whenever (series, ts) is
+    unique, which the fixtures are; the semantic difference under
+    peers is deliberate and documented).
+
+    State is O(points per trailing window) per series — bounded by
+    the series' arrival rate × window, watermark-free because
+    eviction is driven by the monotone per-series event time
+    (arrival contract: per-series (ts, seq) order, like the other
+    stateful kernels).
+
+    Output (append): (series_key, ts_ms, seq, value, n_in_hour, mean,
+    std, upper, lower, breakout ∈ {-1, 0, 1}).
+    """
+    import math
+
+    w_ms = int(window_ms)
+    out_schema = (
+        "series_key string, ts_ms bigint, seq bigint, value double, "
+        "n_in_hour bigint, mean double, std double, upper double, "
+        "lower double, breakout bigint"
+    )
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_l, v_l = state.get
+            ts_l, v_l = list(ts_l), list(v_l)
+        else:
+            ts_l, v_l = [], []
+
+        pdf = _gather_sorted(batches, sort_cols=("ts_ms", "seq"))
+        if pdf is not None:
+            # Vectorized window sums (the r6 heartbeat-SLA precedent):
+            # prefix sums over state+batch, per-point window start via
+            # searchsorted — identical exact integers to the per-point
+            # loop, O(batch log window) instead of O(batch · window).
+            # v100 stays a scalar pass: decimal(18,2) HALF_UP on the
+            # SHORTEST double repr, exactly Spark's double→decimal cast
+            # (java BigDecimal.valueOf + setScale(2, HALF_UP)).
+            from decimal import ROUND_HALF_UP, Decimal
+
+            import numpy as np
+
+            vals = pdf["value"].to_numpy(dtype="float64")
+            v100_new = np.fromiter(
+                (
+                    int(
+                        Decimal(repr(float(v))).quantize(
+                            Decimal("0.01"), rounding=ROUND_HALF_UP
+                        )
+                        * 100
+                    )
+                    for v in vals
+                ),
+                dtype=np.int64,
+                count=len(vals),
+            )
+            prev_n = len(ts_l)
+            all_ts = np.concatenate(
+                [np.asarray(ts_l, dtype=np.int64),
+                 pdf["ts_ms"].to_numpy(dtype="int64")]
+            )
+            all_v = np.concatenate(
+                [np.asarray(v_l, dtype=np.int64), v100_new]
+            )
+            c1 = np.cumsum(all_v)
+            c2 = np.cumsum(all_v * all_v)
+            idx = np.arange(prev_n, len(all_ts))
+            j = np.searchsorted(all_ts, all_ts[idx] - w_ms, side="left")
+            n = (idx - j + 1).astype(np.int64)
+            a = c1[idx] - np.where(j > 0, c1[np.maximum(j - 1, 0)], 0)
+            b = c2[idx] - np.where(j > 0, c2[np.maximum(j - 1, 0)], 0)
+            mean = a.astype(np.float64) / (100.0 * n)
+            var4 = (n * b - a * a).astype(np.float64) / (
+                (n * n * 10_000).astype(np.float64)
+            )
+            std = np.sqrt(var4)
+            up, low = mean + 2.0 * std, mean - 2.0 * std
+            bk = np.where(vals > up, 1, np.where(vals < low, -1, 0)).astype(
+                np.int64
+            )
+            out = pd.DataFrame(
+                {
+                    "ts_ms": pd.Series(all_ts[idx], dtype="int64"),
+                    "seq": pdf["seq"].astype("int64").values,
+                    "value": pd.Series(vals, dtype="float64"),
+                    "n_in_hour": pd.Series(n, dtype="int64"),
+                    "mean": pd.Series(mean, dtype="float64"),
+                    "std": pd.Series(std, dtype="float64"),
+                    "upper": pd.Series(up, dtype="float64"),
+                    "lower": pd.Series(low, dtype="float64"),
+                    "breakout": pd.Series(bk, dtype="int64"),
+                }
+            )
+            out.insert(0, "series_key", key[0])
+            yield out
+            # state = the last point's trailing window only
+            keep = int(
+                np.searchsorted(all_ts, all_ts[-1] - w_ms, side="left")
+            )
+            ts_l = [int(x) for x in all_ts[keep:]]
+            v_l = [int(x) for x in all_v[keep:]]
+        state.update((ts_l, v_l))
+
+    return (
+        sdf.select("series_key", "ts_ms", "value", "seq")
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            fn, out_schema, BOLL_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )
