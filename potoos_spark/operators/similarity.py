@@ -1648,12 +1648,16 @@ def kcenter_coreset(
     c = df.select(
         F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    seed = (
+    out_schema = "round bigint, center_id bigint, radius_sq bigint"
+    seed_rows = (
         c.withColumn("__hm", F.md5(F.col("__id").cast("string")))
         .orderBy("__hm", "__id")
         .limit(1)
-        .collect()[0]
+        .collect()
     )
+    if not seed_rows:  # pruned-everything input: empty selection
+        return df.sparkSession.createDataFrame([], out_schema)
+    seed = seed_rows[0]
     chosen = [(int(seed["__id"]), [int(x) for x in seed["e"]], None)]
 
     def sqdist_to(vec: list) -> "F.Column":
@@ -1667,13 +1671,16 @@ def kcenter_coreset(
     for _ in range(int(k) - 1):
         mind = F.least(*[sqdist_to(v) for _, v, _ in chosen]) if len(chosen) > 1 \
             else sqdist_to(chosen[0][1])
-        nxt = (
+        nxt_rows = (
             c.filter(~F.col("__id").isin([i for i, _, _ in chosen]))
             .select("__id", "e", mind.alias("__md"))
             .orderBy(F.col("__md").desc(), F.col("__id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not nxt_rows:  # k >= N: every point already chosen
+            break
+        nxt = nxt_rows[0]
         chosen.append(
             (int(nxt["__id"]), [int(x) for x in nxt["e"]], int(nxt["__md"]))
         )
@@ -1682,6 +1689,4 @@ def kcenter_coreset(
     rows = [
         (i, cid, rad) for i, (cid, _, rad) in enumerate(chosen)
     ]
-    return spark.createDataFrame(
-        rows, "round bigint, center_id bigint, radius_sq bigint"
-    )
+    return spark.createDataFrame(rows, out_schema)
