@@ -8,6 +8,7 @@ from . import (
     correlate,
     detectors,
     gapfill,
+    graph,
     mllib,
     mrange,
     pipeline,
@@ -32,3 +33,4 @@ CATALOG.update(mllib.QUERIES)
 CATALOG.update(mrange.QUERIES)
 CATALOG.update(correlate.QUERIES)
 CATALOG.update(gapfill.QUERIES)
+CATALOG.update(graph.QUERIES)

@@ -1,0 +1,192 @@
+"""Distributed graph analytics over co-occurrence graphs (extension
+tier — no reference file:line; the reference engine has no graph ops,
+but a training-data pipeline needs them for dup-graph diagnostics and
+basket/link analysis).
+
+Design notes (100 TB shape):
+
+* Edges come from *basket-bounded* co-occurrence (items sharing an
+  order / a document): per-basket fan-out is C(basket, 2), bounded by
+  the small basket size, so the edge list grows linearly with baskets
+  — never an unbounded document-pair join.
+* Triangle counting uses the canonical degree-ordered orientation
+  (Cohen 2009 / Suri & Vassilvitskii 2011 "Counting triangles and the
+  curse of the last reducer"): each undirected edge is directed from
+  its lower-(degree, id) endpoint to the higher, every triangle is
+  counted exactly once, and a node's oriented out-degree k implies m
+  ≥ k²/2 (its k out-neighbors each have degree ≥ k), so out-degree is
+  HARD-bounded by sqrt(2m) — the wedge self-join's per-key fan-out
+  cannot blow up on a hub node, which is exactly the "last reducer"
+  pathology the orientation exists to kill.
+* Frequent-itemset mining is A-priori (Agrawal & Srikant 1994): prune
+  items below min-support FIRST (downward closure makes this lossless
+  for itemsets at the same support), then explode per-basket
+  combinations in-row — bounded by C(basket_cap, 3) — and hash-count.
+  One shuffle, no self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "basket_edges",
+    "orient_by_degree",
+    "triangle_stats",
+    "frequent_triples",
+]
+
+
+def basket_edges(baskets: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Distinct undirected co-occurrence edges (u < v) from a
+    (basket, item) relation. Per-basket pair fan-out is C(items, 2) —
+    bounded by basket size, linear in baskets overall."""
+    b = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    a = b.withColumnRenamed("__i", "u")
+    c = b.withColumnRenamed("__i", "v")
+    return (
+        a.join(c, "__b")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def orient_by_degree(edges: DataFrame) -> DataFrame:
+    """Direct each undirected edge (u < v) from the endpoint with the
+    smaller (degree, id) to the larger. Degree is computed from the
+    edge list itself (one union + hash agg). The join back is keyed on
+    the node — a plain shuffle join, no broadcast assumption, because
+    the node set is NOT dim-sized in general."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.withColumnsRenamed({"node": "u", "deg": "du"})
+    dv = deg.withColumnsRenamed({"node": "v", "deg": "dv"})
+    e = edges.join(du, "u").join(dv, "v")
+    lower_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One-row graph summary: nodes, edges, wedges, triangles, global
+    clustering coefficient (3·triangles / wedges).
+
+    Triangles: orient edges by degree, self-join oriented edges on the
+    shared source (fan-out hard-bounded by sqrt(2m) per the orientation
+    argument in the module docstring), and close each wedge against the
+    undirected edge set. Every triangle has exactly one vertex with two
+    out-edges inside it, so the count is exact with no /3 correction.
+    Wedges are counted on the UNDIRECTED degree sequence: Σ C(deg, 2).
+    All counts are exact integers; the only double is the final ratio,
+    computed from identical operands on both engines."""
+    edges = edges.persist()
+    oriented = orient_by_degree(edges)
+    a = oriented.withColumnsRenamed({"dst": "x"})
+    b = oriented.withColumnsRenamed({"dst": "y"})
+    wedges_rel = a.join(b, "src").filter(F.col("x") < F.col("y"))
+    closed = wedges_rel.join(
+        edges.withColumnsRenamed({"u": "x", "v": "y"}), ["x", "y"]
+    )
+    tri = closed.agg(F.count("*").alias("n_triangles"))
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # C(deg, 2) per node as exact INTEGER division (even numerator),
+    # summed in decimal — no float path anywhere in the counts
+    summary = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.coalesce(
+            F.sum(
+                F.expr("(deg * (deg - 1)) div 2").cast("decimal(38,0)")
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        summary.join(F.broadcast(n_edges))
+        .join(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("gcc"),
+        )
+    )
+
+
+def frequent_triples(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    basket_cap: int = 32,
+) -> DataFrame:
+    """Frequent 3-itemsets by A-priori: drop items below
+    ``min_support`` (lossless for triples at the same support, by
+    downward closure), cap surviving baskets at ``basket_cap`` items
+    (over-cap baskets deterministically keep their lowest item ids — a
+    guardrail against degenerate mega-baskets; C(32,3) = 4960 structs
+    max per row), then explode each basket's sorted-item C(k,3)
+    combinations IN-ROW and hash-count. One item-support agg + one
+    triple agg — no self-joins; cost is linear in baskets.
+
+    Output: (part_a < part_b < part_c, support ≥ min_support)."""
+    b = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    freq_items = (
+        b.groupBy("__i")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= int(min_support))
+        .select("__i")
+    )
+    # plain equi-join: the frequent-item relation is vocabulary-sized
+    # (≪ corpus, Heaps' law) and derives from an agg whose runtime size
+    # AQE sees — it picks the broadcast itself when the side fits
+    pruned = b.join(freq_items, "__i")
+    arrs = (
+        pruned.groupBy("__b")
+        .agg(F.slice(F.array_sort(F.collect_set("__i")), 1, int(basket_cap)).alias("ids"))
+        .filter(F.size("ids") >= 3)
+    )
+    triples = arrs.select(
+        F.explode(
+            F.flatten(
+                F.flatten(
+                    F.expr(
+                        "transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids)), (y, j) -> "
+                        "transform(slice(ids, i + j + 3, size(ids)), "
+                        "z -> struct(x AS part_a, y AS part_b, z AS part_c))))"
+                    )
+                )
+            )
+        ).alias("t")
+    ).select("t.part_a", "t.part_b", "t.part_c")
+    return (
+        triples.groupBy("part_a", "part_b", "part_c")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= int(min_support))
+    )
