@@ -853,3 +853,132 @@ _SCD2_SQL = (
 )
 
 QUERIES["q_scd2_history"] = QuerySpec(_scd2_fn, _SCD2_SQL)
+
+
+def _gini_fn(spark, sf_dir):
+    """Per-nation Gini coefficient of customer order spend — the
+    concentration/inequality audit a curation pipeline runs on source
+    contributions (a Gini near 1 means a handful of customers — or
+    documents, or domains — dominate the mass). Exact rank formula on
+    the sorted spend vector x (ties broken by custkey):
+
+        G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
+
+    Every sum accumulates in DECIMAL (order-free, exact); the single
+    double division happens on identical operands in both engines.
+    The rank window partitions by nation — a BOUNDED group count, so
+    the per-group sort is the standard grouped-rank shape (for an
+    unbounded-group variant, `skew.global_rank` is the scale path).
+    Population = customers with ≥1 order (inner join semantics)."""
+    from pyspark.sql import Window as W
+
+    D = "decimal(18,2)"
+    rev = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(D)).alias("rev"))
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = rev.join(cust, rev.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    w = W.partitionBy("n_name").orderBy("rev", "o_custkey")
+    r = j.select(
+        "n_name", "rev", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    D38 = "decimal(38,2)"
+    a = r.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("rev").cast(D38)).alias("s0"),
+        F.sum((F.col("i") * F.col("rev")).cast(D38)).alias("s1"),
+    )
+    num = (F.lit(2) * F.col("s1") - (F.col("n_customers") + 1) * F.col("s0")).cast(
+        "double"
+    )
+    den = (F.col("n_customers") * F.col("s0")).cast("double")
+    return a.select("n_name", "n_customers", (num / den).alias("gini"))
+
+
+_GINI_SQL = (
+    "WITH rev AS (SELECT o_custkey, "
+    "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1), "
+    "j AS (SELECT n.n_name, r.rev, r.o_custkey FROM rev r "
+    "JOIN customer c ON r.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey), "
+    "rk AS (SELECT n_name, rev, CAST(ROW_NUMBER() OVER "
+    "(PARTITION BY n_name ORDER BY rev, o_custkey) AS BIGINT) AS i FROM j), "
+    "a AS (SELECT n_name, COUNT(*) AS n_customers, "
+    "SUM(CAST(rev AS DECIMAL(38,2))) AS s0, "
+    "SUM(CAST(i * rev AS DECIMAL(38,2))) AS s1 FROM rk GROUP BY 1) "
+    "SELECT n_name, n_customers, "
+    "CAST(2 * s1 - (n_customers + 1) * s0 AS DOUBLE) / "
+    "CAST(n_customers * s0 AS DOUBLE) AS gini FROM a"
+)
+
+QUERIES["q_gini"] = QuerySpec(_gini_fn, _GINI_SQL)
+
+
+# Benford expected first-digit frequencies log10(1 + 1/d), computed
+# ONCE in Python and embedded as identical double literals in both
+# engines — never recomputed via each engine's libm log10 (a 1-ulp
+# divergence there would break the bit-exact hash).
+import math as _math  # noqa: E402
+
+_BENFORD = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def _benford_fn(spark, sf_dir):
+    """First-significant-digit census of o_totalprice vs Benford's law
+    — the classic fabricated-data / corrupted-extract audit. The digit
+    comes from EXACT integer arithmetic: price → cents (decimal·100 →
+    bigint, no float), then the first character of the integer's
+    decimal string (integer-to-string is locale-free and identical in
+    both engines; scaling by 100 never changes the leading significant
+    digit). One hash agg over the fact table; the 9-row expected-freq
+    relation is a broadcast literal."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    d = F.substring(cents.cast("string"), 1, 1).cast("bigint")
+    counts = (
+        table(spark, sf_dir, "orders")
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    exp = spark.createDataFrame(
+        [(di, f) for di, f in _BENFORD.items()], "digit bigint, benford_freq double"
+    )
+    obs = F.col("n").cast("double") / F.col("total").cast("double")
+    return (
+        counts.join(F.broadcast(total))
+        .join(F.broadcast(exp), "digit")
+        .select(
+            "digit",
+            "n",
+            obs.alias("obs_freq"),
+            "benford_freq",
+            F.abs(obs - F.col("benford_freq")).alias("abs_dev"),
+        )
+    )
+
+
+_BENFORD_SQL = (
+    "WITH c AS (SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) "
+    "* 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders), "
+    "cnt AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY 1), "
+    "t AS (SELECT SUM(n) AS total FROM cnt), "
+    "exp AS ("
+    + " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS digit, CAST({f!r} AS DOUBLE) AS benford_freq"
+        for d, f in _BENFORD.items()
+    )
+    + ") "
+    "SELECT cnt.digit, cnt.n, "
+    "CAST(cnt.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS obs_freq, "
+    "exp.benford_freq, "
+    "ABS(CAST(cnt.n AS DOUBLE) / CAST(t.total AS DOUBLE) - exp.benford_freq) "
+    "AS abs_dev FROM cnt JOIN exp USING (digit) CROSS JOIN t"
+)
+
+QUERIES["q_benford"] = QuerySpec(_benford_fn, _BENFORD_SQL)

@@ -75,3 +75,52 @@ def test_multi_predicate_single_scan_matches_singles(spark):
         }).collect()
     }
     assert got == {"a_pos": 2, "b_range": 2}
+
+
+def test_gini_known_values(spark, tmp_path):
+    """Gini on hand-checked vectors: all-equal spend -> (n-1)/(2n)·0?
+    No — exact rank formula: equal x gives G = 0; one-holder-takes-all
+    gives G = (n-1)/n."""
+    from potoos_spark.catalog.relational_ext import QUERIES
+
+    # synthesize a tiny sf_dir: 4 customers in one nation, one with all
+    # the spend; 4 in another nation with equal spend
+    import pyspark.sql.functions as F  # noqa: F811
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "CONCENTRATED", 0, ""), (1, "UNIFORM", 0, "")],
+        "n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string",
+    ).write.parquet(f"{sf}/nation.parquet")
+    cust = [(i, 0) for i in range(4)] + [(i, 1) for i in range(4, 8)]
+    spark.createDataFrame(
+        cust, "c_custkey bigint, c_nationkey bigint"
+    ).write.parquet(f"{sf}/customer.parquet")
+    orders = [(100 + i, i, 0.0) for i in range(3)] + [(103, 3, 1000.0)]
+    orders += [(200 + i, i, 250.0) for i in range(4, 8)]
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    ).write.parquet(f"{sf}/orders.parquet")
+
+    got = {
+        r.n_name: (r.n_customers, r.gini)
+        for r in QUERIES["q_gini"].fn(spark, sf).collect()
+    }
+    # concentrated: x=[0,0,0,1000] -> G = (2*4*1000 - 5*1000)/(4*1000) = 0.75
+    assert got["CONCENTRATED"] == (4, 0.75)
+    # uniform: G = (2*(1+2+3+4)*250 - 5*1000)/(4*1000) = 0
+    assert got["UNIFORM"] == (4, 0.0)
+
+
+def test_benford_digit_extraction_exact(spark, tmp_path):
+    """First-digit extraction is integer-exact: 0.01 -> cents 1 ->
+    digit 1; 9999.99 -> 999999 -> digit 9; 105.00 -> 10500 -> 1."""
+    from potoos_spark.catalog.relational_ext import QUERIES
+
+    sf = str(tmp_path)
+    rows = [(1, 1, 0.01), (2, 1, 9999.99), (3, 1, 105.00), (4, 1, 105.00)]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    ).write.parquet(f"{sf}/orders.parquet")
+    got = {r.digit: (r.n, r.obs_freq) for r in QUERIES["q_benford"].fn(spark, sf).collect()}
+    assert got[1] == (3, 0.75) and got[9] == (1, 0.25)
