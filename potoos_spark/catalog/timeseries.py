@@ -1022,3 +1022,87 @@ _VALUE_ENTROPY_SQL = (
 )
 
 QUERIES["ts_value_entropy"] = QuerySpec(_value_entropy_fn, _VALUE_ENTROPY_SQL)
+
+
+def _theil_sen_fn(spark, sf_dir):
+    """Theil–Sen robust trend slope per series, made scale-safe by a
+    FIXED-WIDTH profile: each series is reduced to ≤64 equal-width time
+    buckets (exact integer bucketing over its [min, max] span, decimal
+    bucket means), and the estimator is the LOW median of the C(k,2) ≤
+    2016 pairwise bucket slopes — so the quadratic lives on a bounded
+    profile, never on raw points (raw pairwise slopes are Ω(n²/series),
+    hopeless at 100 TB; the bucketed profile keeps the estimator's
+    outlier-resistance while the cost stays linear scan + two hash
+    aggs). Pair generation and median selection happen IN-ROW on the
+    ≤64-element profile array (struct array_sort, rank (n+1)//2 with
+    (slope, ia, ib) tiebreak), so there is no self-join and no window.
+    Emits series with ≥2 non-empty buckets."""
+    series = events_frame(spark, sf_dir)
+    bounds = series.groupBy("series_key").agg(
+        F.min("ts_ms").alias("mn"), F.max("ts_ms").alias("mx")
+    )
+    span = F.col("mx") - F.col("mn") + 1
+    b = series.join(bounds, "series_key").select(
+        "series_key",
+        F.expr("((ts_ms - mn) * 64) div (mx - mn + 1)").alias("idx"),
+        "value",
+        span.alias("span"),
+    )
+    ba = b.groupBy("series_key", "idx").agg(
+        F.first("span").alias("span"),
+        (
+            F.sum(dec("value")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg"),
+    )
+    arr = ba.groupBy("series_key").agg(
+        F.first("span").alias("span"),
+        F.array_sort(F.collect_list(F.struct("idx", "avg"))).alias("p"),
+    ).filter(F.size("p") >= 2)
+    slopes = F.expr(
+        "array_sort(flatten(transform(p, (a, i) -> "
+        "transform(slice(p, i + 2, size(p)), b -> struct("
+        "(b.avg - a.avg) / CAST(b.idx - a.idx AS DOUBLE) AS slope, "
+        "a.idx AS ia, b.idx AS ib)))))"
+    )
+    med = F.element_at(F.col("s"), ((F.size("s") + 1) / 2).cast("int"))
+    return (
+        arr.select("series_key", F.size("p").cast("bigint").alias("n_buckets"),
+                   "span", slopes.alias("s"))
+        .select(
+            "series_key",
+            "n_buckets",
+            med.getField("slope").alias("slope_per_bucket"),
+            (
+                med.getField("slope")
+                / (F.col("span").cast("double") / F.lit(64.0))
+            ).alias("slope_per_ms"),
+        )
+    )
+
+
+_THEIL_SEN_SQL = (
+    f"WITH series AS ({EVENTS_SQL}), "
+    "bd AS (SELECT series_key, MIN(ts_ms) AS mn, MAX(ts_ms) AS mx "
+    "FROM series GROUP BY 1), "
+    "bk AS (SELECT s.series_key, ((s.ts_ms - bd.mn) * 64) // (bd.mx - bd.mn + 1) "
+    "AS idx, s.value, bd.mx - bd.mn + 1 AS span "
+    "FROM series s JOIN bd USING (series_key)), "
+    "ba AS (SELECT series_key, idx, ANY_VALUE(span) AS span, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / "
+    "CAST(COUNT(*) AS DOUBLE) AS avg FROM bk GROUP BY 1, 2), "
+    "nb AS (SELECT series_key, CAST(COUNT(*) AS BIGINT) AS n_buckets "
+    "FROM ba GROUP BY 1 HAVING COUNT(*) >= 2), "
+    "sl AS (SELECT a.series_key, "
+    "(b.avg - a.avg) / CAST(b.idx - a.idx AS DOUBLE) AS slope, "
+    "a.idx AS ia, b.idx AS ib, a.span AS span FROM ba a "
+    "JOIN ba b ON a.series_key = b.series_key AND a.idx < b.idx), "
+    "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY series_key "
+    "ORDER BY slope, ia, ib) AS rn, "
+    "COUNT(*) OVER (PARTITION BY series_key) AS np FROM sl) "
+    "SELECT r.series_key, nb.n_buckets, r.slope AS slope_per_bucket, "
+    "r.slope / (CAST(r.span AS DOUBLE) / 64.0) AS slope_per_ms "
+    "FROM rk r JOIN nb USING (series_key) WHERE r.rn = (r.np + 1) // 2"
+)
+
+QUERIES["ts_theil_sen"] = QuerySpec(_theil_sen_fn, _THEIL_SEN_SQL)
