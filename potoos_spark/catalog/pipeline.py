@@ -3470,3 +3470,26 @@ _BPE_ENCODE_SQL = (
 )
 
 QUERIES["text_bpe_encode"] = QuerySpec(_bpe_encode_fn, _BPE_ENCODE_SQL)
+
+
+def _mm_vad_fn(spark, sf_dir):
+    return M.vad_segments(
+        M.pcm_energy_windows(M.attach_binary(_docs(spark, sf_dir)))
+    )
+
+
+# VAD segments over the PCM energy windows: islands of consecutive
+# non-silent windows (win - ROW_NUMBER() island key), exact integers
+# end to end. Rides the _MM_PCM_SQL char-walk core (ASCII invariant
+# enforced by tests/test_multimodal.py).
+_MM_VAD_SQL = (
+    f"WITH pcm AS ({_MM_PCM_SQL}), "
+    "v AS (SELECT doc_id, win, energy_sq, "
+    "win - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win) AS g "
+    "FROM pcm WHERE is_silence = 0) "
+    "SELECT doc_id, MIN(win) AS start_win, MAX(win) AS end_win, "
+    "COUNT(*) AS n_windows, CAST(SUM(energy_sq) AS BIGINT) "
+    "AS total_energy_sq FROM v GROUP BY doc_id, g"
+)
+
+QUERIES["multimodal_vad_segments"] = QuerySpec(_mm_vad_fn, _MM_VAD_SQL)

@@ -412,3 +412,41 @@ def dhash_hamming_pairs(
         .filter(F.col("hamming") <= k)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def vad_segments(
+    energy: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Energy-threshold voice-activity segments: maximal runs of
+    consecutive NON-silent windows from ``pcm_energy_windows`` output,
+    via integer gaps-and-islands (island key = win − row_number within
+    the payload, the same shape as detectors/windows.py's
+    threshold→anomaly-window pass). This is the segmentation step an
+    audio pipeline runs between energy scoring and the expensive
+    ASR/embedding stage — only the voiced spans go downstream.
+
+    Everything is exact integers (window indices, counts, int64 energy
+    sums), so the output is engine-portable with no float anywhere.
+    The per-payload window count is payload_bytes/2/window_samples —
+    the gaps-and-islands window partitions by payload id, bounded by
+    payload size, never by corpus size.
+
+    Output: (id, start_win, end_win, n_windows, total_energy_sq).
+    """
+    from pyspark.sql import Window as W
+
+    voiced = energy.filter(F.col("is_silence") == 0)
+    w = W.partitionBy(id_col).orderBy("win")
+    grp = (F.col("win") - F.row_number().over(w)).alias("__g")
+    return (
+        voiced.select(id_col, "win", "energy_sq", grp)
+        .groupBy(id_col, "__g")
+        .agg(
+            F.min("win").alias("start_win"),
+            F.max("win").alias("end_win"),
+            F.count("*").alias("n_windows"),
+            F.sum("energy_sq").cast("bigint").alias("total_energy_sq"),
+        )
+        .drop("__g")
+    )

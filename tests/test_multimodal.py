@@ -168,3 +168,24 @@ def test_dhash_hamming_pairs_planted_recall_and_radius(spark):
     if true_13 <= 7:
         assert got[(1, 3)] == true_13  # within radius -> found exactly
     assert not any(4 in p for p in got)  # far payload excluded
+
+
+def test_vad_segments_islands(spark):
+    """Hand-built energy frame: voiced wins {0,1,2, 5, 7,8} form
+    segments [0-2], [5-5], [7-8] with exact integer energy sums."""
+    from potoos_spark.operators.multimodal import vad_segments
+
+    rows = [
+        (1, 0, 32, 5000, 0), (1, 1, 32, 6000, 0), (1, 2, 32, 7000, 0),
+        (1, 3, 32, 10, 1), (1, 4, 32, 10, 1),
+        (1, 5, 32, 9000, 0), (1, 6, 32, 10, 1),
+        (1, 7, 32, 4000, 0), (1, 8, 16, 3000, 0),
+    ]
+    e = spark.createDataFrame(
+        rows, "doc_id bigint, win bigint, n_samples bigint, energy_sq bigint, is_silence bigint"
+    )
+    got = sorted(
+        (r.start_win, r.end_win, r.n_windows, r.total_energy_sq)
+        for r in vad_segments(e).collect()
+    )
+    assert got == [(0, 2, 3, 18000), (5, 5, 1, 9000), (7, 8, 2, 7000)]
