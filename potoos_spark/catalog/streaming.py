@@ -702,3 +702,57 @@ QUERIES: dict[str, QuerySpec] = {
     # emission — replay equals the batch cumulative-window form)
     "stream_heartbeat_sla_replay": QuerySpec(_stream_sla_fn, _STREAM_SLA_SQL),
 }
+
+
+def _stream_cusum_fn(spark, sf_dir):
+    """Deployed CUSUM: calibrate (median, range, allowance) in batch
+    over history, broadcast the ≤1-row-per-series profile into the
+    stream, run the O(1)-state (s+, s−) recurrence live. Replaying the
+    same events the profile was calibrated on reproduces the batch
+    detector bit-for-bit, so this entry shares det_cusum's
+    recursive-CTE oracle."""
+    from ..streaming import streaming_cusum
+    from ..streaming.stateful import cusum_profile
+    from .common import events_frame
+
+    profile = cusum_profile(events_frame(spark, sf_dir))
+    return _replay(
+        streaming_cusum(_events_stream(spark, sf_dir), profile), "append"
+    )
+
+
+# Oracle for the deployed CUSUM: profile (LOW median by (value, ts_ms),
+# global range, k = 0.05·range) computed over the SAME raw series the
+# stream replays, then the (s+, s−) recurrence as a recursive CTE in
+# (ts_ms, seq) order — every float op in the kernel's order, so the
+# replay is bit-exact. (det_cusum's oracle is NOT reusable here: that
+# entry scores the hourly-avg frame; the stream scores raw points.)
+_STREAM_CUSUM_SQL = (
+    f"WITH RECURSIVE series AS ({EVENTS_SQL}), "
+    "m AS (SELECT series_key, value, "
+    "ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY value, ts_ms) AS vr, "
+    "COUNT(*) OVER (PARTITION BY series_key) AS n, "
+    "MAX(value) OVER (PARTITION BY series_key) - "
+    "MIN(value) OVER (PARTITION BY series_key) AS rng FROM series), "
+    "pr AS (SELECT series_key, MIN(value) AS mu, ANY_VALUE(rng) AS rng "
+    "FROM m WHERE vr = (n + 1) // 2 GROUP BY series_key), "
+    "st AS (SELECT series_key, ts_ms, value, "
+    "ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY ts_ms, seq) AS rn "
+    "FROM series), "
+    "d AS (SELECT st.series_key, st.ts_ms, st.value, st.rn, pr.rng, "
+    "(st.value - pr.mu) - 0.05 * pr.rng AS dp, "
+    "(pr.mu - st.value) - 0.05 * pr.rng AS dn "
+    "FROM st JOIN pr USING (series_key)), "
+    "r AS (SELECT series_key, ts_ms, value, rn, rng, "
+    "GREATEST(0.0 + dp, 0.0) AS sp, GREATEST(0.0 + dn, 0.0) AS sn "
+    "FROM d WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT o.series_key, o.ts_ms, o.value, o.rn, o.rng, "
+    "GREATEST(r.sp + o.dp, 0.0), GREATEST(r.sn + o.dn, 0.0) "
+    "FROM d o JOIN r ON o.series_key = r.series_key AND o.rn = r.rn + 1) "
+    "SELECT series_key, ts_ms, value, "
+    "CASE WHEN rng > 0 THEN GREATEST(sp, sn) / rng ELSE 0.0 END AS score "
+    "FROM r"
+)
+
+QUERIES["stream_cusum_replay"] = QuerySpec(_stream_cusum_fn, _STREAM_CUSUM_SQL)

@@ -21,6 +21,7 @@ from .rollup_sink import compact_rollup_log, read_rollup_log, rollup_log_sink
 from .stateful import (
     streaming_bucket_scores,
     streaming_counter_rate,
+    streaming_cusum,
     streaming_debounce,
     streaming_page_hinkley,
     streaming_scores,
@@ -41,6 +42,7 @@ __all__ = [
     "compact_rollup_log",
     "streaming_bucket_scores",
     "streaming_counter_rate",
+    "streaming_cusum",
     "streaming_debounce",
     "streaming_page_hinkley",
     "streaming_scores",

@@ -1012,3 +1012,99 @@ def streaming_bollinger(sdf: DataFrame, window_ms: int = 3_600_000) -> DataFrame
             fn, out_schema, BOLL_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+CUSUM_STATE_SCHEMA = "sp double, sn double"
+
+
+def cusum_profile(df: DataFrame, allowance_frac: float = 0.05) -> DataFrame:
+    """Per-series CUSUM calibration from batch history: LOW median mu
+    (exact rank selection, ordered by (value, ts_ms) — the same rule as
+    the det_cusum oracle), range, and allowance k = frac·range. This is
+    the nightly-calibration half of a deployed CUSUM monitor: the
+    center/allowance come from history, the live stream only carries
+    the O(1) (s+, s−) recurrence. ≤ one row per series — a broadcast-
+    scale relation."""
+    from pyspark.sql import Window as W, functions as F
+
+    wv = W.partitionBy("series_key").orderBy("value", "ts_ms")
+    wp = W.partitionBy("series_key")
+    r = df.select(
+        "series_key",
+        "value",
+        "ts_ms",
+        F.row_number().over(wv).alias("__vr"),
+        F.count("*").over(wp).alias("__n"),
+        (F.max("value").over(wp) - F.min("value").over(wp)).alias("rng"),
+    )
+    return r.filter(F.col("__vr") == F.expr("(__n + 1) div 2")).select(
+        "series_key",
+        F.col("value").alias("mu"),
+        "rng",
+        (F.lit(float(allowance_frac)) * F.col("rng")).alias("k"),
+    )
+
+
+def streaming_cusum(sdf: DataFrame, profile: DataFrame) -> DataFrame:
+    """Stateful streaming CUSUM — the deployed twin of
+    ``detectors.sequential.cusum_detector``: the batch op's center
+    (median) and allowance (frac·range) are GLOBAL statistics, acausal
+    on a live stream, so the production shape calibrates them offline
+    (``cusum_profile`` over history) and broadcast-joins the ≤1-row-
+    per-series profile into the stream BEFORE the stateful apply — a
+    stateless stream-static join. The live state is exactly the CUSUM
+    pair (s+, s−): O(1) per series, batch-split-invariant.
+
+        s+ = max(s+ + ((v − mu) − k), 0);  s− = max(s− + ((mu − v) − k), 0)
+        score = max(s+, s−) / rng
+
+    With the profile computed over the same data the replay scores are
+    bit-identical to the batch detector's (same float64 op order), so
+    the entry shares det_cusum's recursive-CTE oracle. Series absent
+    from the profile are dropped by the inner join — an un-calibrated
+    series needs a profile row first (deployment contract).
+
+    Output (append): (series_key, ts_ms, value, score) per point.
+    """
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sp, sn = state.get
+        else:
+            sp, sn = 0.0, 0.0
+
+        pdf = _gather_sorted(batches, ("ts_ms", "seq"))
+        if pdf is not None:
+            mu = float(pdf["mu"].iloc[0])
+            k = float(pdf["k"].iloc[0])
+            rng = float(pdf["rng"].iloc[0])
+            out_ts, out_v, out_sc = [], [], []
+            for t, v in zip(pdf["ts_ms"], pdf["value"]):
+                t, v = int(t), float(v)
+                sp = max(sp + ((v - mu) - k), 0.0)
+                sn = max(sn + ((mu - v) - k), 0.0)
+                out_ts.append(t)
+                out_v.append(v)
+                out_sc.append(max(sp, sn) / rng if rng > 0 else 0.0)
+            if out_ts:
+                yield pd.DataFrame(
+                    {
+                        "series_key": key[0],
+                        "ts_ms": pd.Series(out_ts, dtype="int64"),
+                        "value": out_v,
+                        "score": out_sc,
+                    }
+                )
+        state.update((sp, sn))
+
+    from pyspark.sql import functions as F
+
+    cols = ["series_key", "ts_ms", "value"] + (
+        ["seq"] if "seq" in sdf.columns else []
+    )
+    joined = sdf.select(*cols).join(F.broadcast(profile), "series_key")
+    return joined.groupBy("series_key").applyInPandasWithState(
+        fn, OUT_SCHEMA, CUSUM_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
