@@ -3493,3 +3493,55 @@ _MM_VAD_SQL = (
 )
 
 QUERIES["multimodal_vad_segments"] = QuerySpec(_mm_vad_fn, _MM_VAD_SQL)
+
+
+def _backoff_lm_fn(spark, sf_dir):
+    return T.backoff_trigram_logprob(_docs(spark, sf_dir))
+
+
+from ..operators.text import BACKOFF_ALPHA as _BA, BACKOFF_ALPHA2 as _BA2  # noqa: E402
+
+# Held-out stupid-backoff trigram scoring: counts from EVEN doc_ids,
+# ODD doc_ids scored, so all three backoff tiers fire. The 0.4 and
+# 0.4*0.4 constants are the SAME Python floats embedded in both
+# engines; per-trigram ln rounded+integer-scaled pre-sum (the LM-scorer
+# idiom). Positional self-joins rebuild the in-row n-gram explode.
+_BACKOFF_LM_SQL = (
+    f"WITH {_TOK}, {_T}, "
+    "tr AS (SELECT * FROM t WHERE doc_id % 2 = 0), "
+    "sc AS (SELECT * FROM t WHERE doc_id % 2 = 1), "
+    "tf3 AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2, c.tok AS w3, "
+    "COUNT(*) AS tf FROM sc a "
+    "JOIN sc b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    "JOIN sc c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 "
+    "GROUP BY 1, 2, 3, 4), "
+    "c3 AS (SELECT a.tok AS w1, b.tok AS w2, c.tok AS w3, COUNT(*) AS c3 "
+    "FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    "JOIN tr c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 "
+    "GROUP BY 1, 2, 3), "
+    "cb AS (SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS cb FROM tr a "
+    "JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 GROUP BY 1, 2), "
+    "cu AS (SELECT tok, COUNT(*) AS cu FROM tr GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS T, "
+    "CAST(COUNT(*) AS BIGINT) AS V FROM cu), "
+    "term AS (SELECT tf3.doc_id, tf3.tf, CAST(round(ln("
+    "CASE WHEN c3.c3 IS NOT NULL "
+    "THEN CAST(c3.c3 AS DOUBLE) / CAST(pre.cb AS DOUBLE) "
+    "WHEN suf.cb IS NOT NULL "
+    f"THEN {_BA!r} * (CAST(suf.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE)) "
+    f"ELSE {_BA2!r} * (CAST(COALESCE(u3.cu, 0) + 1 AS DOUBLE) / "
+    "CAST(tot.T + tot.V AS DOUBLE)) END) * 1e9) AS BIGINT) AS le9 "
+    "FROM tf3 "
+    "LEFT JOIN c3 ON tf3.w1 = c3.w1 AND tf3.w2 = c3.w2 AND tf3.w3 = c3.w3 "
+    "LEFT JOIN cb pre ON tf3.w1 = pre.w1 AND tf3.w2 = pre.w2 "
+    "LEFT JOIN cb suf ON tf3.w2 = suf.w1 AND tf3.w3 = suf.w2 "
+    "LEFT JOIN cu u2 ON tf3.w2 = u2.tok "
+    "LEFT JOIN cu u3 ON tf3.w3 = u3.tok "
+    "CROSS JOIN tot) "
+    "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams, "
+    "CAST(-SUM(le9 * tf) AS BIGINT) AS nll_e9, "
+    "round(CAST(-SUM(le9 * tf) AS DOUBLE) / SUM(tf) / 1e9, 9) AS avg_nll "
+    "FROM term GROUP BY doc_id"
+)
+
+QUERIES["text_backoff_lm"] = QuerySpec(_backoff_lm_fn, _BACKOFF_LM_SQL)

@@ -1440,3 +1440,131 @@ def script_mix(
         ratio(punct).alias("punct_ratio"),
         ratio(other).alias("other_ratio"),
     )
+
+
+def _gram_structs(tok: Column, n: int) -> Column:
+    """Ordered word n-grams as structs of separate token fields (w1..wn)
+    with multiplicity — the join-friendly twin of ``_gram_list`` (no
+    string concat; backoff scoring needs each position separately)."""
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.struct(
+            *[F.element_at(tok, i + j + 1).alias(f"w{j + 1}") for j in range(n)]
+        ),
+    )
+    return F.when(F.size(tok) >= n, make).otherwise(F.array())
+
+
+# Backoff constants computed ONCE in Python and shared verbatim with
+# the SQL oracle — 0.4*0.4 is NOT the double literal 0.16, so both
+# engines must multiply by the identical float64.
+BACKOFF_ALPHA = 0.4
+BACKOFF_ALPHA2 = BACKOFF_ALPHA * BACKOFF_ALPHA
+
+
+def backoff_trigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Held-out trigram LM scoring with STUPID BACKOFF (Brants et al.
+    2007 — the web-scale LM smoothing that needs only counts, no
+    discount fitting, which is exactly why it's the one used at 100 TB):
+
+        S(w3|w1w2) = c(w1w2w3)/c(w1w2)            if the trigram is in train
+                   = 0.4 · c(w2w3)/c(w2)          elif the bigram is
+                   = 0.16 · (c(w3)+1)/(T+V)       else (add-one floor,
+                                                   so unseen words never -inf)
+
+    Counts come from the EVEN doc_ids (train); the ODD doc_ids are
+    scored (held-out — scoring the training corpus on itself never
+    exercises backoff, every observed trigram has c3 ≥ 1). This is the
+    quality/fluency signal the CCNet pipeline computes with KenLM; the
+    per-trigram ln(S) is rounded and integer-scaled before summation
+    (order-free bigint doc totals, the unigram/bigram scorer
+    discipline).
+
+    100 TB shape: n-grams are built IN-ROW from each doc's token array
+    (no positional self-join); count relations are one hash agg each
+    (map-side combined); the probability joins shuffle on the n-gram
+    key with one-row-per-key count sides (skewed stopword n-grams are
+    AQE-split); (T, V) is a 1-row broadcast.
+
+    Output: (id, n_trigrams, nll_e9, avg_nll) for scored docs with ≥3
+    tokens."""
+    train = df.filter(F.col(id_col) % 2 == 0)
+    score = df.filter(F.col(id_col) % 2 == 1)
+
+    tf3 = (
+        score.select(
+            F.col(id_col), F.explode(_gram_structs(tokens(text_col), 3)).alias("g")
+        )
+        .select(id_col, "g.w1", "g.w2", "g.w3")
+        .groupBy(id_col, "w1", "w2", "w3")
+        .agg(F.count("*").alias("tf"))
+    )
+    c3 = (
+        train.select(F.explode(_gram_structs(tokens(text_col), 3)).alias("g"))
+        .select("g.w1", "g.w2", "g.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+    )
+    cb = (
+        train.select(F.explode(_gram_structs(tokens(text_col), 2)).alias("g"))
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    cu = train.select(F.explode(tokens(text_col)).alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("cu")
+    ).persist()
+    tot = cu.agg(
+        F.sum("cu").cast("bigint").alias("T"),
+        F.count("*").cast("bigint").alias("V"),
+    )
+
+    pre = cb.withColumnsRenamed({"cb": "cpre"})
+    suf = cb.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("cb").alias("csuf")
+    )
+    u2 = cu.withColumnsRenamed({"tok": "w2", "cu": "cw2"})
+    u3 = cu.withColumnsRenamed({"tok": "w3", "cu": "cw3"})
+    j = (
+        tf3.join(c3, ["w1", "w2", "w3"], "left")
+        .join(pre, ["w1", "w2"], "left")
+        .join(suf, ["w2", "w3"], "left")
+        .join(u2, "w2", "left")
+        .join(u3, "w3", "left")
+        .join(F.broadcast(tot))
+    )
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("cpre").cast("double"),
+        )
+        .when(
+            F.col("csuf").isNotNull(),
+            F.lit(BACKOFF_ALPHA)
+            * (F.col("csuf").cast("double") / F.col("cw2").cast("double")),
+        )
+        .otherwise(
+            F.lit(BACKOFF_ALPHA2)
+            * (
+                (F.coalesce(F.col("cw3"), F.lit(0)) + 1).cast("double")
+                / (F.col("T") + F.col("V")).cast("double")
+            )
+        )
+    )
+    le9 = F.round(F.log(s) * F.lit(10.0 ** round_digits)).cast("bigint")
+    term = j.select(F.col(id_col), "tf", le9.alias("le9"))
+    return term.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_trigrams"),
+        (-F.sum(F.col("le9") * F.col("tf"))).cast("bigint").alias("nll_e9"),
+        F.round(
+            (-F.sum(F.col("le9") * F.col("tf"))).cast("double")
+            / F.sum("tf")
+            / F.lit(10.0 ** round_digits),
+            round_digits,
+        ).alias("avg_nll"),
+    )

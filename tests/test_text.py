@@ -529,3 +529,46 @@ def test_script_mix_known_composition(spark):
             + r["punct_ratio"] + r["other_ratio"]
         )
         assert abs(s - 1.0) < 1e-12
+
+
+def test_backoff_trigram_tiers(spark):
+    """All three stupid-backoff tiers on a crafted corpus: doc 0 (train)
+    = 'a b c a b d'; doc 1 (scored) = 'a b c x b d y z w'. Trigram
+    'a b c' hits tier 1; others back off to bigram or smoothed unigram
+    floor, and no score is ever -inf."""
+    import math
+
+    from potoos_spark.operators.text import (
+        BACKOFF_ALPHA, BACKOFF_ALPHA2, backoff_trigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b d"), (1, "a b c x b d y z w")],
+        "doc_id bigint, text string",
+    )
+    out = backoff_trigram_logprob(df).collect()
+    assert len(out) == 1 and out[0].doc_id == 1
+    r = out[0]
+    assert r.n_trigrams == 7  # 9 tokens -> 7 trigrams
+    # pure-python reference of the same recurrence
+    train = "a b c a b d".split()
+    tg = {}; bg = {}; un = {}
+    for i in range(len(train) - 2):
+        tg[tuple(train[i:i+3])] = tg.get(tuple(train[i:i+3]), 0) + 1
+    for i in range(len(train) - 1):
+        bg[tuple(train[i:i+2])] = bg.get(tuple(train[i:i+2]), 0) + 1
+    for w in train:
+        un[w] = un.get(w, 0) + 1
+    T, V = len(train), len(un)
+    sc = "a b c x b d y z w".split()
+    nll = 0
+    for i in range(len(sc) - 2):
+        w1, w2, w3 = sc[i:i+3]
+        if (w1, w2, w3) in tg:
+            s = tg[(w1, w2, w3)] / bg[(w1, w2)]
+        elif (w2, w3) in bg:
+            s = BACKOFF_ALPHA * (bg[(w2, w3)] / un[w2])
+        else:
+            s = BACKOFF_ALPHA2 * ((un.get(w3, 0) + 1) / (T + V))
+        nll -= round(math.log(s) * 1e9)
+    assert r.nll_e9 == nll
