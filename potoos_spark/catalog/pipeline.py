@@ -1220,10 +1220,10 @@ def _kcenter_sql(k: int = 8) -> str:
 _KCENTER_SQL = _kcenter_sql(8)
 
 
-# Lloyd k-means, 2 unrolled iterations: md5-medoid seeds -> assign ->
-# integer floor-mean recenter -> assign -> recenter -> final assign;
-# summary is (cell, n_members, inertia) with exact bigint inertia.
-_KMEANS_LLOYD_SQL = (
+# Shared Lloyd pipeline prefix: 2 unrolled iterations ending in the
+# final per-point assignment CTE ``af`` (vec_id, cell, sq) — consumed
+# by both the summary entry and the cluster-balanced sampler.
+_KM_AF_PREFIX = (
     f"WITH {_SCALED_V}, "
     "cent0 AS (SELECT vec_id AS cell, e AS ce, "
     "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2 FROM "
@@ -1242,9 +1242,31 @@ _KMEANS_LLOYD_SQL = (
     "ORDER BY dim) AS ce FROM g2 GROUP BY cell), "
     "cent2n AS (SELECT cell, ce, CAST(list_sum([x * x for x in ce]) AS BIGINT) AS cn2 "
     "FROM cent2), "
-    + _km_assign_cte("cent2n", "af") + " "
-    "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members, "
+    + _km_assign_cte("cent2n", "af")
+)
+
+
+# Lloyd k-means, 2 unrolled iterations: md5-medoid seeds -> assign ->
+# integer floor-mean recenter -> assign -> recenter -> final assign;
+# summary is (cell, n_members, inertia) with exact bigint inertia.
+_KMEANS_LLOYD_SQL = (
+    _KM_AF_PREFIX
+    + " SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members, "
     "CAST(SUM(sq) AS BIGINT) AS inertia FROM af GROUP BY cell"
+)
+
+
+def _cluster_sample_fn(spark, sf_dir):
+    return S.cluster_balanced_sample(_embs(spark, sf_dir), per_cell=16, k=8)
+
+
+# Cluster-balanced selection: md5-ranked top-16 per Lloyd cell.
+_CLUSTER_SAMPLE_SQL = (
+    _KM_AF_PREFIX
+    + ", rk AS (SELECT cell, vec_id, CAST(ROW_NUMBER() OVER "
+    "(PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) "
+    "AS BIGINT) AS rank FROM af) "
+    "SELECT cell, vec_id, rank FROM rk WHERE rank <= 16"
 )
 
 
@@ -3208,6 +3230,8 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_bruteforce": QuerySpec(_knn_brute_fn, _KNN_BRUTE_SQL),
     # r7: bit-deterministic fixed-iteration Lloyd k-means
     "emb_kmeans_lloyd": QuerySpec(_kmeans_lloyd_fn, _KMEANS_LLOYD_SQL),
+    # r7: cluster-balanced selection over the Lloyd labels
+    "emb_cluster_sample": QuerySpec(_cluster_sample_fn, _CLUSTER_SAMPLE_SQL),
     # r7: greedy k-center coreset (diversity-maximizing selection)
     "corpus_kcenter_coreset": QuerySpec(_kcenter_fn, _KCENTER_SQL),
     # r7: mutual-kNN graph (hubness-robust clustering substrate)

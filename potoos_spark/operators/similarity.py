@@ -1580,6 +1580,26 @@ def kmeans_lloyd(
     Output: (cell, n_members, inertia) — inertia is the exact bigint
     Σ min squared distance in scaled² units.
     """
+    final = kmeans_assignments(df, vec_col, id_col, k, n_iters)
+    return final.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.sum("sq").alias("inertia"),
+    )
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Per-point final Lloyd assignment — the labels frame
+    ``kmeans_lloyd``'s summary and downstream cluster-aware samplers
+    share. Same bit-deterministic trajectory as ``kmeans_lloyd`` (see
+    its docstring for the integer floor-mean + tie rules).
+
+    Output: (id, cell, sq) — one row per input vector."""
     c = df.select(
         F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
     ).withColumn("n", sqnorm_expr(F.col("e")))
@@ -1603,10 +1623,41 @@ def kmeans_lloyd(
             )
             .withColumn("cent_n", sqnorm_expr(F.col("cent_e")))
         )
-    final = _assign_with_dist(c, cent)
-    return final.groupBy("cell").agg(
-        F.count("*").alias("n_members"),
-        F.sum("sq").alias("inertia"),
+    return _assign_with_dist(c, cent).select(
+        F.col("__id").alias(id_col), "cell", "sq"
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    per_cell: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Cluster-balanced data selection: Lloyd-assign every vector to a
+    cell, keep a deterministic md5-ranked sample of ``per_cell`` per
+    cell. This is the diversity-preserving counterweight to
+    density-proportional sampling — rare modes keep representation
+    even when one cluster holds 90% of the corpus (the motivation
+    behind cluster-balanced mixes in web-corpus curation; cf. the
+    temperature_mix entry for the source-level analogue).
+
+    The rank window partitions by CELL (k groups, each capped at
+    per_cell output rows) ordered by (md5(id), id) — unbiased w.r.t.
+    id assignment order, reproducible across engines. Output:
+    (cell, id, rank ≤ per_cell)."""
+    from pyspark.sql import Window as W
+
+    labels = kmeans_assignments(df, vec_col, id_col, k, n_iters)
+    w = W.partitionBy("cell").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        labels.select("cell", id_col, F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= int(per_cell))
+        .select("cell", id_col, F.col("rank").cast("bigint").alias("rank"))
     )
 
 

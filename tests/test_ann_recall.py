@@ -547,3 +547,26 @@ def test_kcenter_coreset_greedy_properties(spark):
     assert got == again
     full = kcenter_coreset(df, k=12).collect()
     assert {r["center_id"] for r in full} == set(range(12))
+
+
+def test_cluster_balanced_sample_caps_and_balance(spark):
+    """Two blobs, one 5x the other: per_cell=4 keeps exactly 4 from the
+    big blob and all 3 of the small one — rare modes keep representation
+    — and the md5 ranking is partitioning-invariant."""
+    from potoos_spark.operators.similarity import cluster_balanced_sample
+
+    rows = [(i, [10.0 + 0.001 * i, 0.0]) for i in range(15)]
+    rows += [(100 + i, [-10.0 - 0.001 * i, 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = cluster_balanced_sample(df, per_cell=4, k=2, n_iters=2).collect()
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r.cell, set()).add(r.vec_id)
+    sizes = sorted(len(v) for v in by_cell.values())
+    assert sizes == [3, 4]
+    small = [v for v in by_cell.values() if len(v) == 3][0]
+    assert small == {100, 101, 102}
+    again = cluster_balanced_sample(
+        df.repartition(5), per_cell=4, k=2, n_iters=2
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
