@@ -121,6 +121,18 @@ HEADLINE = [
     "emb_kmeans_lloyd",
     "corpus_kcenter_coreset",
     "stream_bollinger_replay",
+    # round-7-late additions: graph census + frequent itemsets, audit
+    # family, robust trend, VAD segmentation, held-out backoff LM,
+    # cluster-balanced selection, deployed streaming CUSUM
+    "q_triangle_count",
+    "q_apriori_triples",
+    "q_gini",
+    "q_benford",
+    "ts_theil_sen",
+    "multimodal_vad_segments",
+    "text_backoff_lm",
+    "emb_cluster_sample",
+    "stream_cusum_replay",
 ]
 
 

@@ -70,7 +70,36 @@ def _heartbeat_stream(spark, rate):
     return streaming_heartbeat_sla(src, heartbeat_ms=5 * N_KEYS)
 
 
-OPS = {"streaming_scd2": _scd2_stream, "streaming_heartbeat_sla": _heartbeat_stream}
+def _cusum_stream(spark, rate):
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .load()
+        .select(
+            F.concat(F.lit("s"), (F.col("value") % N_KEYS)).alias("series_key"),
+            F.col("value").cast("bigint").alias("ts_ms"),
+            (F.col("value") % 17).cast("double").alias("value"),
+            F.col("value").cast("bigint").alias("seq"),
+        )
+    )
+    from potoos_spark.streaming.stateful import streaming_cusum
+
+    # static calibration profile for the N_KEYS series (the deployment
+    # shape: broadcast-joined, O(1) (s+, s-) state per series)
+    profile = spark.range(N_KEYS).select(
+        F.concat(F.lit("s"), F.col("id")).alias("series_key"),
+        F.lit(8.0).alias("mu"),
+        F.lit(16.0).alias("rng"),
+        F.lit(0.8).alias("k"),
+    )
+    return streaming_cusum(src, profile)
+
+
+OPS = {
+    "streaming_scd2": _scd2_stream,
+    "streaming_heartbeat_sla": _heartbeat_stream,
+    "streaming_cusum": _cusum_stream,
+}
 
 
 def measure(spark, name, mk, rate):
