@@ -113,3 +113,14 @@ G_SQL = (
     f"CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / COUNT(value) AS value "
     f"FROM series GROUP BY series_key, ts_ms - ts_ms % {HOUR_MS}"
 )
+
+
+def flit(x: float) -> str:
+    """A float64 constant as DuckDB SQL that parses to EXACTLY the same
+    bits as the Python double: ``CAST('<repr>' AS DOUBLE)``. A bare
+    numeric literal is NOT safe — DuckDB parses it through DECIMAL and
+    converts decimal→double with two roundings, which lands one ulp off
+    for some values (measured: repr(2/13) and repr(1 − 2/27) diverge;
+    the string→double cast is correctly rounded). Use this for every
+    engine-shared float constant embedded in an oracle."""
+    return f"CAST('{x!r}' AS DOUBLE)"

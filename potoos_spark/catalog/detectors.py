@@ -687,3 +687,44 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: Holt level+trend one-step-ahead forecast scorer
     "det_holt_winters": QuerySpec(_scored("holt_winters", {}), _HOLT_SQL),
 }
+
+
+def _macd_fn(spark, sf_dir):
+    from ..detectors.sequential import macd_frame
+    from .common import hourly_avg_frame
+
+    return macd_frame(hourly_avg_frame(spark, sf_dir))
+
+
+from ..detectors.sequential import (  # noqa: E402
+    MACD_A_FAST as _MAF, MACD_B_FAST as _MBF,
+    MACD_A_SLOW as _MAS, MACD_B_SLOW as _MBS,
+    MACD_A_SIG as _MAG, MACD_B_SIG as _MBG,
+)
+
+from .common import flit as _fl  # noqa: E402
+
+# MACD(12,26,9) as ONE recursive CTE carrying (ef, es, sig); the signal
+# update inlines macd = ef' − es' with the new-state expressions (same
+# float value — identical expressions), initial state ef=es=v0, sig=0.
+# Constants go through flit(): DuckDB's bare numeric literal path lands
+# one ulp off for repr(2/13) and repr(1 − 2/27) (decimal→double double
+# rounding); the string cast is correctly rounded.
+_MACD_SQL = (
+    f"{_BASE}, "
+    "o AS (SELECT series_key, ts_ms, value AS v, ROW_NUMBER() OVER "
+    "(PARTITION BY series_key ORDER BY ts_ms) AS rn FROM g), "
+    "r AS (SELECT series_key, ts_ms, v, rn, v AS ef, v AS es, "
+    "CAST(0.0 AS DOUBLE) AS sig FROM o WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT o.series_key, o.ts_ms, o.v, o.rn, "
+    f"{_fl(_MAF)} * o.v + {_fl(_MBF)} * r.ef, "
+    f"{_fl(_MAS)} * o.v + {_fl(_MBS)} * r.es, "
+    f"{_fl(_MAG)} * (({_fl(_MAF)} * o.v + {_fl(_MBF)} * r.ef) - "
+    f"({_fl(_MAS)} * o.v + {_fl(_MBS)} * r.es)) + {_fl(_MBG)} * r.sig "
+    "FROM o JOIN r ON o.series_key = r.series_key AND o.rn = r.rn + 1) "
+    "SELECT series_key, ts_ms, v AS value, ef - es AS macd, sig AS signal, "
+    "(ef - es) - sig AS histogram FROM r"
+)
+
+QUERIES["ts_macd"] = QuerySpec(_macd_fn, _MACD_SQL)

@@ -3552,8 +3552,8 @@ _BACKOFF_LM_SQL = (
     "CASE WHEN c3.c3 IS NOT NULL "
     "THEN CAST(c3.c3 AS DOUBLE) / CAST(pre.cb AS DOUBLE) "
     "WHEN suf.cb IS NOT NULL "
-    f"THEN {_BA!r} * (CAST(suf.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE)) "
-    f"ELSE {_BA2!r} * (CAST(COALESCE(u3.cu, 0) + 1 AS DOUBLE) / "
+    f"THEN CAST('{_BA!r}' AS DOUBLE) * (CAST(suf.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE)) "
+    f"ELSE CAST('{_BA2!r}' AS DOUBLE) * (CAST(COALESCE(u3.cu, 0) + 1 AS DOUBLE) / "
     "CAST(tot.T + tot.V AS DOUBLE)) END) * 1e9) AS BIGINT) AS le9 "
     "FROM tf3 "
     "LEFT JOIN c3 ON tf3.w1 = c3.w1 AND tf3.w2 = c3.w2 AND tf3.w3 = c3.w3 "

@@ -970,7 +970,7 @@ _BENFORD_SQL = (
     "t AS (SELECT SUM(n) AS total FROM cnt), "
     "exp AS ("
     + " UNION ALL ".join(
-        f"SELECT CAST({d} AS BIGINT) AS digit, CAST({f!r} AS DOUBLE) AS benford_freq"
+        f"SELECT CAST({d} AS BIGINT) AS digit, CAST('{f!r}' AS DOUBLE) AS benford_freq"
         for d, f in _BENFORD.items()
     )
     + ") "

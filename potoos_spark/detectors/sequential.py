@@ -374,3 +374,69 @@ def page_hinkley_detector(df: DataFrame, delta_frac: float = 0.02) -> DataFrame:
     vs sudden change. The only sequential float path is the (s, up,
     dn) recurrence, reproduced bit-for-bit by a recursive-CTE oracle."""
     return _per_series(df, _page_hinkley_kernel(float(delta_frac)))
+
+
+# MACD constants: alpha = 2/(n+1) for the standard (12, 26, 9) periods,
+# computed ONCE here and embedded verbatim in the SQL oracle — both
+# engines multiply by the identical float64s.
+MACD_A_FAST = 2.0 / (12 + 1)
+MACD_B_FAST = 1.0 - MACD_A_FAST
+MACD_A_SLOW = 2.0 / (26 + 1)
+MACD_B_SLOW = 1.0 - MACD_A_SLOW
+MACD_A_SIG = 2.0 / (9 + 1)
+MACD_B_SIG = 1.0 - MACD_A_SIG
+
+
+def macd_frame(df: DataFrame) -> DataFrame:
+    """MACD(12, 26, 9) — the classic EMA-crossover trend indicator
+    (extension tier; Appel's moving-average convergence/divergence),
+    over the canonical (series_key, ts_ms, value) frame:
+
+        ef_i = a_f·v_i + (1−a_f)·ef_{i−1}     (ef_0 = v_0)
+        es_i = a_s·v_i + (1−a_s)·es_{i−1}     (es_0 = v_0)
+        macd_i = ef_i − es_i
+        sig_i  = a_g·macd_i + (1−a_g)·sig_{i−1}   (sig_0 = macd_0 = 0)
+        hist_i = macd_i − sig_i
+
+    Same float64 discipline as the EMA detectors: the explicit loop's
+    op order IS the documented recurrence, so a recursive-CTE oracle
+    carrying (ef, es, sig) replays it bit-for-bit. One applyInPandas
+    per series — three O(1)-state recurrences in a single pass.
+
+    Output: (series_key, ts_ms, value, macd, signal, histogram)."""
+    out_schema = (
+        "series_key string, ts_ms bigint, value double, "
+        "macd double, signal double, histogram double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["ts_ms", "seq"] if "seq" in pdf.columns else ["ts_ms"],
+            kind="mergesort",
+        ).reset_index(drop=True)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(v)
+        macd = np.zeros(n)
+        sig = np.zeros(n)
+        if n:
+            ef = es = v[0]
+            s = 0.0
+            for i in range(1, n):
+                ef = MACD_A_FAST * v[i] + MACD_B_FAST * ef
+                es = MACD_A_SLOW * v[i] + MACD_B_SLOW * es
+                m = ef - es
+                s = MACD_A_SIG * m + MACD_B_SIG * s
+                macd[i] = m
+                sig[i] = s
+        out = pdf[["series_key", "ts_ms", "value"]].copy()
+        out["macd"] = macd
+        out["signal"] = sig
+        out["histogram"] = macd - sig
+        return out
+
+    cols = ["series_key", "ts_ms", "value"] + (
+        ["seq"] if "seq" in df.columns else []
+    )
+    return df.select(*cols).groupBy("series_key").applyInPandas(
+        kernel, schema=out_schema
+    )

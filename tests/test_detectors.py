@@ -404,3 +404,27 @@ def test_merge_incidents_overlap_bridge_and_separation(spark):
     assert set(bridged) == {0, 400}
     assert bridged[400]["incident_end_ms"] == 600
     assert bridged[400]["n_series"] == 2
+
+
+def test_macd_recurrence_matches_pure_python(spark):
+    """MACD(12,26,9) equals the pure-python recurrence bit-for-bit and
+    a sustained ramp drives macd (fast EMA over slow) positive."""
+    from potoos_spark.detectors.sequential import (
+        MACD_A_FAST, MACD_B_FAST, MACD_A_SLOW, MACD_B_SLOW,
+        MACD_A_SIG, MACD_B_SIG, macd_frame,
+    )
+
+    vals = [10.0 + (i % 5) + (i * 0.5 if i > 20 else 0.0) for i in range(40)]
+    rows = [("k", 1000 * i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series_key string, ts_ms bigint, value double")
+    got = {r.ts_ms: (r.macd, r.signal, r.histogram) for r in macd_frame(df).collect()}
+
+    ef = es = vals[0]; s = 0.0
+    assert got[0] == (0.0, 0.0, 0.0)
+    for i in range(1, len(vals)):
+        ef = MACD_A_FAST * vals[i] + MACD_B_FAST * ef
+        es = MACD_A_SLOW * vals[i] + MACD_B_SLOW * es
+        m = ef - es
+        s = MACD_A_SIG * m + MACD_B_SIG * s
+        assert got[1000 * i] == (m, s, m - s)
+    assert got[39_000][0] > 0  # ramp: fast EMA above slow
