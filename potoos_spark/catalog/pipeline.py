@@ -3569,3 +3569,54 @@ _BACKOFF_LM_SQL = (
 )
 
 QUERIES["text_backoff_lm"] = QuerySpec(_backoff_lm_fn, _BACKOFF_LM_SQL)
+
+
+def _mm_phash_fn(spark, sf_dir):
+    return M.phash64(M.attach_binary(_docs(spark, sf_dir)))
+
+
+from ..operators.multimodal import PHASH_K as _PHK  # noqa: E402
+
+# pHash oracle: the ASCII char-walk rebuilds the integer downsample
+# (byte x -> cell (x*64) div n, floor-mean pixel), the 2-D DCT-II is
+# the same integer sum over the shared quantized basis (embedded below
+# as a 64-row VALUES relation -> pure integer arithmetic, no float
+# anywhere), median/bits/packing mirror the kernel exactly.
+_PHASH_K_VALUES = ", ".join(
+    f"({x}, {u}, {_PHK[x][u]})" for x in range(8) for u in range(8)
+)
+
+_MM_PHASH_SQL = (
+    "WITH k(x, u, kv) AS (VALUES " + _PHASH_K_VALUES + "), "
+    "d AS (SELECT doc_id, text, length(text) AS n FROM documents "
+    "WHERE text IS NOT NULL AND length(text) > 0), "
+    "bytes AS (SELECT doc_id, ((j - 1) * 64) // n AS cell, "
+    "ord(substr(text, CAST(j AS INT), 1)) AS bv "
+    "FROM d, LATERAL (SELECT unnest(range(1, CAST(n + 1 AS INT))) AS j)), "
+    "cellsum AS (SELECT doc_id, cell, CAST(SUM(bv) AS BIGINT) // COUNT(*) AS pv "
+    "FROM bytes GROUP BY 1, 2), "
+    "grid AS (SELECT d.doc_id, g.p FROM d, "
+    "LATERAL (SELECT unnest(range(0, 64)) AS p) g), "
+    "pix AS (SELECT g.doc_id, g.p // 8 AS px, g.p % 8 AS py, "
+    "COALESCE(c.pv, 0) AS pv FROM grid g "
+    "LEFT JOIN cellsum c ON c.doc_id = g.doc_id AND c.cell = g.p), "
+    "coeff AS (SELECT pix.doc_id, 8 * kx.u + ky.u AS i, "
+    "CAST(SUM(pix.pv * kx.kv * ky.kv) AS BIGINT) AS cv "
+    "FROM pix JOIN k kx ON kx.x = pix.px JOIN k ky ON ky.x = pix.py "
+    "GROUP BY 1, 2), "
+    "med AS (SELECT doc_id, cv AS med FROM (SELECT doc_id, cv, "
+    "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cv) AS rn "
+    "FROM coeff WHERE i > 0) WHERE rn = 32), "
+    "bits AS (SELECT c.doc_id, c.i, "
+    "CASE WHEN c.i = 0 THEN 0 WHEN c.cv > m.med THEN 1 ELSE 0 END AS bit "
+    "FROM coeff c JOIN med m USING (doc_id)) "
+    "SELECT doc_id, "
+    "CAST(SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (i - 32)) "
+    "ELSE 0 END) AS BIGINT) AS w_hi, "
+    "CAST(SUM(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << i) "
+    "ELSE 0 END) AS BIGINT) AS w_lo, "
+    "CAST(SUM(bit) AS BIGINT) AS n_ac_above "
+    "FROM bits GROUP BY doc_id"
+)
+
+QUERIES["multimodal_phash"] = QuerySpec(_mm_phash_fn, _MM_PHASH_SQL)

@@ -450,3 +450,81 @@ def vad_segments(
         )
         .drop("__g")
     )
+
+
+# pHash DCT basis, quantized ONCE to integers and shared verbatim with
+# the SQL oracle: K[x][u] = round(cos((2x+1)·u·π/16) · 2^14). With
+# 8-bit pixels the 64-term double matmul Σ pix·K·K stays ≤ 2^53-ish
+# (255·2^28·64 ≈ 2^42), exact in int64 — NO float crosses engines.
+import math as _math  # noqa: E402
+
+PHASH_SCALE = 1 << 14
+PHASH_K = [
+    [int(round(_math.cos((2 * x + 1) * u * _math.pi / 16) * PHASH_SCALE)) for u in range(8)]
+    for x in range(8)
+]
+
+PHASH_SCHEMA = "doc_id bigint, w_hi bigint, w_lo bigint, n_ac_above bigint"
+
+
+def phash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """64-bit DCT perceptual hash (pHash) over a binary payload — the
+    frequency-domain cousin of ``dhash_features``: robust to uniform
+    brightness/contrast shifts because bits compare each DCT
+    coefficient to the hash's own AC median rather than to neighbors.
+
+    The codec-less stand-in for decode+resize is a deterministic
+    integer downsample: byte x (0-based, payload length n) belongs to
+    cell (x·64) div n; pixel = floor-mean of its cell's bytes (64
+    cells ≈ an 8×8 grayscale thumbnail). The 2-D DCT-II is the exact
+    integer matmul Kᵀ·P·K with the quantized basis above; bit_i = 1
+    iff coeff_i > LOW-median of the 63 AC coefficients (DC bit 0 by
+    convention — it only encodes overall brightness). Bits pack into
+    two 32-bit words (the ``binary_sign_words`` layout, Hamming via
+    bit_count on both engines downstream).
+
+    Everything is integer arithmetic, so the hash is bit-identical on
+    any engine/partitioning; the kernel is vectorized numpy-over-Arrow
+    (bincount downsample + one 8×8 integer matmul per payload).
+
+    Output: (id, w_hi, w_lo, n_ac_above)."""
+    import numpy as np
+
+    K = np.array(PHASH_K, dtype=np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los, nas = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    continue
+                cell = (np.arange(n, dtype=np.int64) * 64) // n
+                sums = np.bincount(cell, weights=b, minlength=64).astype(np.int64)
+                cnts = np.bincount(cell, minlength=64).astype(np.int64)
+                pix = np.zeros(64, dtype=np.int64)
+                nz = cnts > 0
+                pix[nz] = sums[nz] // cnts[nz]
+                P = pix.reshape(8, 8)
+                C = (K.T @ P @ K).reshape(-1)  # index i = 8*u + v
+                ac = np.sort(C[1:])
+                med = int(ac[(63 + 1) // 2 - 1])  # LOW median
+                bits = (C > med).astype(np.int64)
+                bits[0] = 0
+                lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                ids.append(doc_id)
+                his.append(hi)
+                los.append(lo)
+                nas.append(int(bits.sum()))
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, "w_hi": his, "w_lo": los, "n_ac_above": nas}
+                )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=PHASH_SCHEMA)

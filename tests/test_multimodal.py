@@ -189,3 +189,26 @@ def test_vad_segments_islands(spark):
         for r in vad_segments(e).collect()
     )
     assert got == [(0, 2, 3, 18000), (5, 5, 1, 9000), (7, 8, 2, 7000)]
+
+
+def test_phash_brightness_invariance_and_determinism(spark):
+    """A uniform +c on every byte moves ONLY the DC coefficient (DCT
+    linearity), so the pHash — AC bits vs AC median — is identical;
+    and the integer pipeline is partitioning-invariant."""
+    from potoos_spark.operators.multimodal import phash64
+
+    base = bytes([(i * 7) % 100 + 30 for i in range(256)])
+    brighter = bytes(b + 50 for b in base)
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(brighter))],
+        "doc_id bigint, payload binary",
+    )
+    got = {r.doc_id: (r.w_hi, r.w_lo, r.n_ac_above) for r in phash64(df).collect()}
+    assert got[1] == got[2]
+    again = {
+        r.doc_id: (r.w_hi, r.w_lo, r.n_ac_above)
+        for r in phash64(df.repartition(5)).collect()
+    }
+    assert got == again
+    # DC bit is always 0: bit 0 of w_lo clear
+    assert got[1][1] % 2 == 0
