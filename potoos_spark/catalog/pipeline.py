@@ -3620,3 +3620,54 @@ _MM_PHASH_SQL = (
 )
 
 QUERIES["multimodal_phash"] = QuerySpec(_mm_phash_fn, _MM_PHASH_SQL)
+
+
+def _pca_power_fn(spark, sf_dir):
+    return S.pca_top_direction(_embs(spark, sf_dir), n_iters=3)
+
+
+def _pca_iter_ctes(n: int) -> str:
+    """Unrolled integer power-iteration rounds v0 → v{n}: matvec
+    (join + HUGEINT sum) then the positive-dividend rescale — HUGEINT
+    ``//`` truncates exactly like Spark's decimal ``div``."""
+    parts = []
+    for t in range(1, n + 1):
+        parts.append(
+            f"w{t} AS (SELECT gn.i, SUM(gn.g * v{t-1}.x) AS w "
+            f"FROM gn JOIN v{t-1} ON gn.j = v{t-1}.j GROUP BY 1), "
+            f"mx{t} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM w{t}), "
+            f"v{t} AS (SELECT i AS j, CAST((w * 1000 + 20000 * mx) // mx "
+            f"- 20000 AS BIGINT) AS x FROM w{t}, mx{t})"
+        )
+    return ", ".join(parts)
+
+
+# Integer power iteration replayed exactly: floor-mean centering,
+# HUGEINT scatter sums (exact at any corpus size), ONE G normalization
+# to max|cell|=1000, then 3 unrolled bigint matvec+rescale rounds.
+_PCA_POWER_SQL = (
+    f"WITH {_SCALED_V}, "
+    "dims AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS i, "
+    "unnest(e) AS val FROM v), "
+    "mean AS (SELECT i, (SUM(val) + 10000 * COUNT(*)) // COUNT(*) - 10000 AS m "
+    "FROM dims GROUP BY 1), "
+    "cent AS (SELECT d.vec_id, d.i, d.val - m.m AS c "
+    "FROM dims d JOIN mean m USING (i)), "
+    "g0 AS (SELECT a.i AS i, b.i AS j, "
+    "SUM(CAST(a.c AS HUGEINT) * b.c) AS g "
+    "FROM cent a JOIN cent b ON a.vec_id = b.vec_id GROUP BY 1, 2), "
+    "mxg AS (SELECT GREATEST(MAX(ABS(g)), 1) AS mxg FROM g0), "
+    "gn AS (SELECT i, j, CAST((g * 1000 + 20000 * mxg) // mxg - 20000 AS BIGINT) "
+    "AS g FROM g0, mxg), "
+    "v0 AS (SELECT CAST(i AS BIGINT) AS j, CAST(1000 AS BIGINT) AS x FROM mean), "
+    + _pca_iter_ctes(3) + ", "
+    "num AS (SELECT SUM(gn.g * b.x * a.xi) AS num FROM gn "
+    "JOIN v3 b ON gn.j = b.j "
+    "JOIN (SELECT j AS i, x AS xi FROM v3) a ON gn.i = a.i), "
+    "den AS (SELECT SUM(x * x) AS den FROM v3) "
+    "SELECT v3.j AS dim, v3.x AS component, "
+    "CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE) AS rayleigh "
+    "FROM v3, num, den"
+)
+
+QUERIES["emb_pca_power"] = QuerySpec(_pca_power_fn, _PCA_POWER_SQL)

@@ -1741,3 +1741,121 @@ def kcenter_coreset(
         (i, cid, rad) for i, (cid, _, rad) in enumerate(chosen)
     ]
     return spark.createDataFrame(rows, out_schema)
+
+
+def pca_top_direction(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iters: int = 3,
+) -> DataFrame:
+    """Top principal direction by BIT-DETERMINISTIC integer power
+    iteration — the second iterative-linear-algebra showcase next to
+    ``kmeans_lloyd``, and the PCA seed a whitening/Matryoshka pipeline
+    wants (which embedding dims carry the variance).
+
+    1. scale vectors to integers (``scaled_vec``), center by the
+       per-dim integer floor-mean (the kmeans OFFSET idiom, so Spark
+       DIV ≡ DuckDB floor on the positive dividend);
+    2. scatter matrix G = Σ c·cᵀ via a same-vector dim×dim explode
+       into ONE hash agg — 64×64 = 4096 output cells, map-side
+       combined, so the shuffle carries ~4096 rows per partition
+       regardless of corpus size; sums accumulate in decimal(38,0)
+       (exact at ANY corpus size — int64 would overflow past ~3e7
+       vectors);
+    3. ONE normalization maps G to an integer matrix with max |cell|
+       = 1000 (a scalar multiple — eigenvectors unchanged): quotient
+       ≤ a few thousand, computed with Spark decimal ``div`` ↔ DuckDB
+       HUGEINT ``//`` (both truncate; the offset keeps dividends
+       positive, where truncation ≡ floor). From here EVERYTHING is
+       small-int64: each of the ``n_iters`` rounds is a join of the
+       4096-cell Gn with the 64-row iterate, one hash agg, and an
+       integer rescale back to max |x| = 1000. Every relation after
+       step 2 is metadata-scale (≤ 4096 rows); the corpus is touched
+       EXACTLY ONCE and nothing is collected to the driver;
+    4. output the direction with its Rayleigh quotient λn = vᵀGn·v /
+       vᵀv (in normalized-G units; double division of exact integers,
+       identical operands on both engines).
+
+    Power iteration converges linearly in |λ1/λ2|; fixed integer-
+    rescaled rounds from the all-ones start make the TRAJECTORY (not
+    just the answer) engine-portable, like the fixed-iteration Lloyd.
+
+    Output: (dim, component ∈ [−1000, 1000], rayleigh)."""
+    from ..operators.dedup import scaled_vec
+
+    OFF = 10_000  # > any |scaled component|
+    D38 = "decimal(38,0)"
+    cw = df.select(F.col(id_col).alias("__r"), scaled_vec(vec_col).alias("e"))
+    dims = cw.select("__r", F.posexplode("e").alias("i", "v"))
+    mean = dims.groupBy("i").agg(
+        F.expr(f"(sum(v) + {OFF} * count(*)) div count(*) - {OFF}").alias("m")
+    )
+    ci = dims.join(mean, "i").select(
+        "__r", "i", (F.col("v") - F.col("m")).alias("ci")
+    )
+    cj = ci.select("__r", F.col("i").alias("j"), F.col("ci").alias("cj"))
+    G = (
+        ci.join(cj, "__r")
+        .groupBy("i", "j")
+        .agg(F.sum((F.col("ci") * F.col("cj")).cast(D38)).alias("g"))
+    )
+    mxg = G.agg(
+        F.greatest(F.max(F.abs(F.col("g"))), F.lit(1).cast(D38)).alias("mxg")
+    )
+    # normalized integer matrix, max |cell| = 1000 (quotient ≤ 3000:
+    # Spark decimal div truncates correctly for small quotients; the
+    # earlier-measured overflow only bites when the QUOTIENT exceeds
+    # int64, which the rescale construction rules out)
+    Gn = (
+        G.crossJoin(F.broadcast(mxg))
+        .select(
+            "i",
+            "j",
+            (
+                F.expr(f"cast(g * 1000 + {2 * OFF} * mxg as {D38}) div mxg")
+                - F.lit(2 * OFF)
+            )
+            .cast("bigint")
+            .alias("g"),
+        )
+        .persist()
+    )
+
+    # all-ones start over the data's own dim set (not a hardcoded width)
+    v = mean.select(
+        F.col("i").cast("bigint").alias("j"), F.lit(1000).cast("bigint").alias("x")
+    )
+    for _ in range(int(n_iters)):
+        w = (
+            Gn.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("x")).alias("w"))
+        )
+        mx = w.agg(
+            F.greatest(F.max(F.abs(F.col("w"))), F.lit(1).cast("bigint")).alias("mx")
+        )
+        v = w.crossJoin(F.broadcast(mx)).select(
+            F.col("i").alias("j"),
+            F.expr(f"(w * 1000 + {2 * OFF} * mx) div mx - {2 * OFF}")
+            .cast("bigint")
+            .alias("x"),
+        )
+    vi = v.withColumnsRenamed({"j": "i", "x": "xi"})
+    vgv = (
+        Gn.join(v, "j")
+        .join(vi, "i")
+        .agg(F.sum(F.col("g") * F.col("x") * F.col("xi")).alias("num"))
+    )
+    vv = v.agg(F.sum(F.col("x") * F.col("x")).alias("den"))
+    return (
+        v.crossJoin(F.broadcast(vgv))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            F.col("j").cast("bigint").alias("dim"),
+            F.col("x").cast("bigint").alias("component"),
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "rayleigh"
+            ),
+        )
+    )

@@ -570,3 +570,32 @@ def test_cluster_balanced_sample_caps_and_balance(spark):
         df.repartition(5), per_cell=4, k=2, n_iters=2
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_pca_power_recovers_stretched_axis(spark):
+    """Data stretched along dim 0 with tiny dim-1 noise: the top
+    direction is (±1000, ~0) and the whole integer trajectory is
+    partitioning-invariant."""
+    from potoos_spark.operators.similarity import pca_top_direction
+
+    rows = [(i, [float(i - 50), float((i % 3) - 1) * 0.01]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = sorted((r.dim, r.component) for r in pca_top_direction(df).collect())
+    assert got == [(0, 1000), (1, 0)]
+    again = sorted(
+        (r.dim, r.component)
+        for r in pca_top_direction(df.repartition(7)).collect()
+    )
+    assert got == again
+
+
+def test_pca_power_rotation_mix(spark):
+    """45-degree stretched data: both components share the dominant
+    axis sign pattern (equal magnitude up to integer rescale)."""
+    from potoos_spark.operators.similarity import pca_top_direction
+
+    rows = [(i, [float(i - 50) + 0.01 * (i % 5), float(i - 50)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.dim: r.component for r in pca_top_direction(df).collect()}
+    assert abs(out[0] - out[1]) <= 10  # ~equal loadings on the diagonal
+    assert abs(out[0]) >= 900
