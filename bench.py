@@ -133,6 +133,9 @@ HEADLINE = [
     "text_backoff_lm",
     "emb_cluster_sample",
     "stream_cusum_replay",
+    "ts_macd",
+    "multimodal_phash",
+    "emb_pca_power",
 ]
 
 

@@ -1754,32 +1754,26 @@ def pca_top_direction(
     ``kmeans_lloyd``, and the PCA seed a whitening/Matryoshka pipeline
     wants (which embedding dims carry the variance).
 
-    1. scale vectors to integers (``scaled_vec``), center by the
-       per-dim integer floor-mean (the kmeans OFFSET idiom, so Spark
-       DIV ≡ DuckDB floor on the positive dividend);
-    2. scatter matrix G = Σ c·cᵀ via a same-vector dim×dim explode
-       into ONE hash agg — 64×64 = 4096 output cells, map-side
-       combined, so the shuffle carries ~4096 rows per partition
-       regardless of corpus size; sums accumulate in decimal(38,0)
-       (exact at ANY corpus size — int64 would overflow past ~3e7
-       vectors);
-    3. ONE normalization maps G to an integer matrix with max |cell|
-       = 1000 (a scalar multiple — eigenvectors unchanged): quotient
-       ≤ a few thousand, computed with Spark decimal ``div`` ↔ DuckDB
-       HUGEINT ``//`` (both truncate; the offset keeps dividends
-       positive, where truncation ≡ floor). From here EVERYTHING is
-       small-int64: each of the ``n_iters`` rounds is a join of the
-       4096-cell Gn with the 64-row iterate, one hash agg, and an
-       integer rescale back to max |x| = 1000. Every relation after
-       step 2 is metadata-scale (≤ 4096 rows); the corpus is touched
-       EXACTLY ONCE and nothing is collected to the driver;
-    4. output the direction with its Rayleigh quotient λn = vᵀGn·v /
-       vᵀv (in normalized-G units; double division of exact integers,
-       identical operands on both engines).
+    Architecture = MLlib's own PCA split (RowMatrix.computeGramianMatrix
+    → driver-side eigensolve): the DATA-SIZED work — one scan building
+    the d×d scatter matrix — is distributed, and the d²-cell matrix
+    (4096 cells at d=64; metadata-scale, the kcenter_coreset precedent
+    for driver-held state) iterates on the driver in exact Python
+    integers. A first cut iterated via chained DataFrame joins instead:
+    flat in N but ~8s of pure broadcast-exchange scheduling overhead
+    per call — the distributed tier is the wrong place for a 64-row
+    recurrence.
 
-    Power iteration converges linearly in |λ1/λ2|; fixed integer-
-    rescaled rounds from the all-ones start make the TRAJECTORY (not
-    just the answer) engine-portable, like the fixed-iteration Lloyd.
+    Exactness: vectors scale to integers (``scaled_vec``), center by
+    the per-dim integer floor-mean (positive-dividend DIV idiom);
+    scatter terms explode IN-ROW (d² structs per vector, no join) into
+    ONE map-side-combined hash agg accumulating in decimal(38,0)
+    (int64 would overflow past ~3e7 vectors); G is normalized once to
+    max |cell| = 1000 (a scalar multiple — eigenvectors unchanged) and
+    each round rescales the iterate back to ±1000 — Python ``//`` on
+    the positive dividend ≡ DuckDB HUGEINT ``//`` ≡ the construction's
+    floor, so the whole trajectory is engine-portable. Output carries
+    the Rayleigh quotient λn = vᵀGn·v / vᵀv in normalized-G units.
 
     Output: (dim, component ∈ [−1000, 1000], rayleigh)."""
     from ..operators.dedup import scaled_vec
@@ -1791,71 +1785,65 @@ def pca_top_direction(
     mean = dims.groupBy("i").agg(
         F.expr(f"(sum(v) + {OFF} * count(*)) div count(*) - {OFF}").alias("m")
     )
-    ci = dims.join(mean, "i").select(
-        "__r", "i", (F.col("v") - F.col("m")).alias("ci")
-    )
-    cj = ci.select("__r", F.col("i").alias("j"), F.col("ci").alias("cj"))
-    G = (
-        ci.join(cj, "__r")
-        .groupBy("i", "j")
-        .agg(F.sum((F.col("ci") * F.col("cj")).cast(D38)).alias("g"))
-    )
-    mxg = G.agg(
-        F.greatest(F.max(F.abs(F.col("g"))), F.lit(1).cast(D38)).alias("mxg")
-    )
-    # normalized integer matrix, max |cell| = 1000 (quotient ≤ 3000:
-    # Spark decimal div truncates correctly for small quotients; the
-    # earlier-measured overflow only bites when the QUOTIENT exceeds
-    # int64, which the rescale construction rules out)
-    Gn = (
-        G.crossJoin(F.broadcast(mxg))
-        .select(
-            "i",
-            "j",
-            (
-                F.expr(f"cast(g * 1000 + {2 * OFF} * mxg as {D38}) div mxg")
-                - F.lit(2 * OFF)
-            )
-            .cast("bigint")
-            .alias("g"),
-        )
-        .persist()
-    )
+    mean_rows = mean.collect()  # d rows — metadata-scale, like the means
+    spark = df.sparkSession
+    out_schema = "dim bigint, component bigint, rayleigh double"
+    if not mean_rows:
+        return spark.createDataFrame([], out_schema)
+    d_in = max(r["i"] for r in mean_rows) + 1
+    m_np_list = [0] * d_in
+    for r in mean_rows:
+        m_np_list[r["i"]] = int(r["m"])
 
-    # all-ones start over the data's own dim set (not a hardcoded width)
-    v = mean.select(
-        F.col("i").cast("bigint").alias("j"), F.lit(1000).cast("bigint").alias("x")
+    # scatter terms via Arrow-batched numpy Gramians: each batch emits
+    # one exact int64 d×d partial (|C| ≤ 2000 ⇒ a 10k-row batch cell
+    # stays ≤ 4e10), summed across batches in decimal(38,0) — exact at
+    # ANY corpus size. (An in-row HOF explode of the d² struct terms is
+    # interpreted, measured ~5s at sf0.1; the einsum partial is the
+    # production Arrow path and emits 4096 rows per BATCH, not per
+    # vector.)
+    import numpy as np
+    import pandas as pd
+
+    def gram_kernel(batches):
+        m_np = np.array(m_np_list, dtype=np.int64)
+        ij = np.indices((len(m_np_list), len(m_np_list))).reshape(2, -1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["c_e"]])
+            C = M - m_np
+            P = C.T @ C
+            yield pd.DataFrame(
+                {"i": ij[0], "j": ij[1], "p": P.reshape(-1)}
+            )
+
+    g_rows = (
+        cw.select(F.col("e").alias("c_e"))
+        .mapInPandas(gram_kernel, schema="i bigint, j bigint, p bigint")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast(D38)).alias("g"))
+        .collect()
     )
+    if not g_rows:
+        return spark.createDataFrame([], out_schema)
+
+    d = max(r["i"] for r in g_rows) + 1
+    G = [[0] * d for _ in range(d)]
+    for r in g_rows:
+        G[r["i"]][r["j"]] = int(r["g"])
+    mxg = max(max(abs(x) for x in row) for row in G) or 1
+    Gn = [
+        [(g * 1000 + 2 * OFF * mxg) // mxg - 2 * OFF for g in row] for row in G
+    ]
+    x = [1000] * d
     for _ in range(int(n_iters)):
-        w = (
-            Gn.join(v, "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("g") * F.col("x")).alias("w"))
-        )
-        mx = w.agg(
-            F.greatest(F.max(F.abs(F.col("w"))), F.lit(1).cast("bigint")).alias("mx")
-        )
-        v = w.crossJoin(F.broadcast(mx)).select(
-            F.col("i").alias("j"),
-            F.expr(f"(w * 1000 + {2 * OFF} * mx) div mx - {2 * OFF}")
-            .cast("bigint")
-            .alias("x"),
-        )
-    vi = v.withColumnsRenamed({"j": "i", "x": "xi"})
-    vgv = (
-        Gn.join(v, "j")
-        .join(vi, "i")
-        .agg(F.sum(F.col("g") * F.col("x") * F.col("xi")).alias("num"))
-    )
-    vv = v.agg(F.sum(F.col("x") * F.col("x")).alias("den"))
-    return (
-        v.crossJoin(F.broadcast(vgv))
-        .crossJoin(F.broadcast(vv))
-        .select(
-            F.col("j").cast("bigint").alias("dim"),
-            F.col("x").cast("bigint").alias("component"),
-            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
-                "rayleigh"
-            ),
-        )
+        w = [sum(Gn[i][j] * x[j] for j in range(d)) for i in range(d)]
+        mx = max(max(abs(v) for v in w), 1)
+        x = [(wi * 1000 + 2 * OFF * mx) // mx - 2 * OFF for wi in w]
+    num = sum(Gn[i][j] * x[j] * x[i] for i in range(d) for j in range(d))
+    den = sum(v * v for v in x)
+    ray = float(num) / float(den)
+    return spark.createDataFrame(
+        [(i, x[i], ray) for i in range(d)], out_schema
     )
