@@ -136,6 +136,9 @@ HEADLINE = [
     "ts_macd",
     "multimodal_phash",
     "emb_pca_power",
+    "q_assoc_rules",
+    "emb_pca_project",
+    "stream_macd_replay",
 ]
 
 

@@ -102,3 +102,40 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: A-priori frequent 3-itemsets (basket-bounded explode)
     "q_apriori_triples": QuerySpec(_apriori_fn, _APRIORI_SQL),
 }
+
+
+def _assoc_rules_fn(spark, sf_dir):
+    """Top-20 association rules by (lift, confidence) over the
+    co-purchase baskets — the directional completion of
+    ``q_apriori_triples``'s support counting. Deterministic cut:
+    ORDER BY lift DESC, confidence DESC, antecedent, consequent."""
+    from ..operators.graph import association_rules
+
+    li = table(spark, sf_dir, "lineitem")
+    r = association_rules(li, "l_orderkey", "l_partkey", min_support=2)
+    return r.orderBy(
+        F.col("lift").desc(), F.col("confidence").desc(),
+        "antecedent", "consequent",
+    ).limit(20)
+
+
+_ASSOC_RULES_SQL = (
+    "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+    "nb AS (SELECT COUNT(DISTINCT o) AS N FROM b), "
+    "item AS (SELECT p, COUNT(*) AS n_item FROM b GROUP BY 1), "
+    "pairs AS (SELECT a.p AS u, c.p AS v, COUNT(*) AS n_joint "
+    "FROM b a JOIN b c ON a.o = c.o AND a.p < c.p "
+    "GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    "dirs AS (SELECT u AS antecedent, v AS consequent, n_joint FROM pairs "
+    "UNION ALL SELECT v, u, n_joint FROM pairs), "
+    "j AS (SELECT t.antecedent, t.consequent, t.n_joint, "
+    "ia.n_item AS n_ante, ic.n_item AS n_cons FROM dirs t "
+    "JOIN item ia ON t.antecedent = ia.p JOIN item ic ON t.consequent = ic.p) "
+    "SELECT antecedent, consequent, n_joint, n_ante, "
+    "CAST(n_joint AS DOUBLE) / CAST(n_ante AS DOUBLE) AS confidence, "
+    "CAST(CAST(n_joint AS DECIMAL(38,0)) * (SELECT N FROM nb) AS DOUBLE) / "
+    "CAST(CAST(n_ante AS DECIMAL(38,0)) * n_cons AS DOUBLE) AS lift "
+    "FROM j ORDER BY lift DESC, confidence DESC, antecedent, consequent LIMIT 20"
+)
+
+QUERIES["q_assoc_rules"] = QuerySpec(_assoc_rules_fn, _ASSOC_RULES_SQL)

@@ -3671,3 +3671,33 @@ _PCA_POWER_SQL = (
 )
 
 QUERIES["emb_pca_power"] = QuerySpec(_pca_power_fn, _PCA_POWER_SQL)
+
+
+def _pca_project_fn(spark, sf_dir):
+    return S.pca_project(_embs(spark, sf_dir), n_iters=3)
+
+
+# Projection oracle: the full power-iteration prefix (same CTEs as
+# _PCA_POWER_SQL) plus one exact-integer dot of each centered vector
+# with the final iterate.
+_PCA_PROJECT_SQL = (
+    f"WITH {_SCALED_V}, "
+    "dims AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS i, "
+    "unnest(e) AS val FROM v), "
+    "mean AS (SELECT i, (SUM(val) + 10000 * COUNT(*)) // COUNT(*) - 10000 AS m "
+    "FROM dims GROUP BY 1), "
+    "cent AS (SELECT d.vec_id, d.i, d.val - m.m AS c "
+    "FROM dims d JOIN mean m USING (i)), "
+    "g0 AS (SELECT a.i AS i, b.i AS j, "
+    "SUM(CAST(a.c AS HUGEINT) * b.c) AS g "
+    "FROM cent a JOIN cent b ON a.vec_id = b.vec_id GROUP BY 1, 2), "
+    "mxg AS (SELECT GREATEST(MAX(ABS(g)), 1) AS mxg FROM g0), "
+    "gn AS (SELECT i, j, CAST((g * 1000 + 20000 * mxg) // mxg - 20000 AS BIGINT) "
+    "AS g FROM g0, mxg), "
+    "v0 AS (SELECT CAST(i AS BIGINT) AS j, CAST(1000 AS BIGINT) AS x FROM mean), "
+    + _pca_iter_ctes(3) + " "
+    "SELECT c.vec_id, CAST(SUM(c.c * v3.x) AS BIGINT) AS proj "
+    "FROM cent c JOIN v3 ON v3.j = c.i GROUP BY c.vec_id"
+)
+
+QUERIES["emb_pca_project"] = QuerySpec(_pca_project_fn, _PCA_PROJECT_SQL)

@@ -756,3 +756,40 @@ _STREAM_CUSUM_SQL = (
 )
 
 QUERIES["stream_cusum_replay"] = QuerySpec(_stream_cusum_fn, _STREAM_CUSUM_SQL)
+
+
+def _stream_macd_fn(spark, sf_dir):
+    from ..streaming import streaming_macd
+
+    return _replay(streaming_macd(_events_stream(spark, sf_dir)), "append")
+
+
+from .common import flit as _flm  # noqa: E402
+from ..detectors.sequential import (  # noqa: E402
+    MACD_A_FAST as _SMAF, MACD_B_FAST as _SMBF,
+    MACD_A_SLOW as _SMAS, MACD_B_SLOW as _SMBS,
+    MACD_A_SIG as _SMAG, MACD_B_SIG as _SMBG,
+)
+
+# Causal streaming MACD over RAW events: the (ef, es, sig) recurrence
+# as a recursive CTE in (ts_ms, seq) order; constants through flit()
+# (correctly-rounded string→double parse — the bare-literal path is a
+# 1-ulp trap, see catalog/detectors._MACD_SQL).
+_STREAM_MACD_SQL = (
+    f"WITH RECURSIVE series AS ({EVENTS_SQL}), "
+    "o AS (SELECT series_key, ts_ms, value AS v, ROW_NUMBER() OVER "
+    "(PARTITION BY series_key ORDER BY ts_ms, seq) AS rn FROM series), "
+    "r AS (SELECT series_key, ts_ms, v, rn, v AS ef, v AS es, "
+    "CAST(0.0 AS DOUBLE) AS sig FROM o WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT o.series_key, o.ts_ms, o.v, o.rn, "
+    f"{_flm(_SMAF)} * o.v + {_flm(_SMBF)} * r.ef, "
+    f"{_flm(_SMAS)} * o.v + {_flm(_SMBS)} * r.es, "
+    f"{_flm(_SMAG)} * (({_flm(_SMAF)} * o.v + {_flm(_SMBF)} * r.ef) - "
+    f"({_flm(_SMAS)} * o.v + {_flm(_SMBS)} * r.es)) + {_flm(_SMBG)} * r.sig "
+    "FROM o JOIN r ON o.series_key = r.series_key AND o.rn = r.rn + 1) "
+    "SELECT series_key, ts_ms, v AS value, ef - es AS macd, sig AS signal, "
+    "(ef - es) - sig AS histogram FROM r"
+)
+
+QUERIES["stream_macd_replay"] = QuerySpec(_stream_macd_fn, _STREAM_MACD_SQL)

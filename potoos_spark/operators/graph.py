@@ -30,10 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
+    "association_rules",
     "basket_edges",
+    "frequent_triples",
+    "node_degrees",
     "orient_by_degree",
     "triangle_stats",
-    "frequent_triples",
 ]
 
 
@@ -210,4 +212,66 @@ def frequent_triples(
         triples.groupBy("part_a", "part_b", "part_c")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= int(min_support))
+    )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Directional association rules a→b from frequent co-occurrence
+    pairs (the step after A-priori support counting):
+
+        confidence(a→b) = n_ab / n_a
+        lift(a→b)       = n_ab · N / (n_a · n_b)
+
+    One basket-bounded pair explode (C(basket,2) per basket, linear in
+    baskets), one item-support agg, then each undirected pair emits
+    BOTH directions. Counts are exact; confidence/lift are double
+    divisions of exact decimal products (identical operands on both
+    engines). Rules below ``min_support`` joint occurrences are cut.
+
+    Output: (antecedent, consequent, n_joint, n_ante, confidence, lift).
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = b.select("__b").distinct().agg(F.count("*").alias("N"))
+    item = b.groupBy("__i").agg(F.count("*").alias("n_item"))
+    a = b.withColumnRenamed("__i", "u")
+    c = b.withColumnRenamed("__i", "v")
+    pairs = (
+        a.join(c, "__b")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_joint"))
+        .filter(F.col("n_joint") >= int(min_support))
+    )
+    both = pairs.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "n_joint"
+    ).unionAll(
+        pairs.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "n_joint"
+        )
+    )
+    ia = item.withColumnsRenamed({"__i": "antecedent", "n_item": "n_ante"})
+    ic = item.withColumnsRenamed({"__i": "consequent", "n_item": "n_cons"})
+    D38 = "decimal(38,0)"
+    j = both.join(ia, "antecedent").join(ic, "consequent").crossJoin(
+        F.broadcast(n_baskets)
+    )
+    return j.select(
+        "antecedent",
+        "consequent",
+        "n_joint",
+        "n_ante",
+        (F.col("n_joint").cast("double") / F.col("n_ante").cast("double")).alias(
+            "confidence"
+        ),
+        (
+            (F.col("n_joint").cast(D38) * F.col("N").cast(D38)).cast("double")
+            / (F.col("n_ante").cast(D38) * F.col("n_cons").cast(D38)).cast("double")
+        ).alias("lift"),
     )

@@ -1827,7 +1827,15 @@ def pca_top_direction(
     )
     if not g_rows:
         return spark.createDataFrame([], out_schema)
+    x, ray = _pca_iterate(g_rows, OFF, int(n_iters))
+    return spark.createDataFrame(
+        [(i, x[i], ray) for i in range(len(x))], out_schema
+    )
 
+
+def _pca_iterate(g_rows, OFF: int, n_iters: int):
+    """Exact-Python-integer power iteration on the collected d² scatter
+    cells (see pca_top_direction for why this runs on the driver)."""
     d = max(r["i"] for r in g_rows) + 1
     G = [[0] * d for _ in range(d)]
     for r in g_rows:
@@ -1837,13 +1845,85 @@ def pca_top_direction(
         [(g * 1000 + 2 * OFF * mxg) // mxg - 2 * OFF for g in row] for row in G
     ]
     x = [1000] * d
-    for _ in range(int(n_iters)):
+    for _ in range(n_iters):
         w = [sum(Gn[i][j] * x[j] for j in range(d)) for i in range(d)]
         mx = max(max(abs(v) for v in w), 1)
         x = [(wi * 1000 + 2 * OFF * mx) // mx - 2 * OFF for wi in w]
     num = sum(Gn[i][j] * x[j] * x[i] for i in range(d) for j in range(d))
     den = sum(v * v for v in x)
-    ray = float(num) / float(den)
-    return spark.createDataFrame(
-        [(i, x[i], ray) for i in range(d)], out_schema
+    return x, float(num) / float(den)
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iters: int = 3,
+) -> DataFrame:
+    """Per-vector score along the top principal direction — the
+    downstream half of ``pca_top_direction`` (dimensionality-reduced
+    ordering/bucketing for selection and drift monitoring): solve the
+    direction once (distributed Gramian + driver eigensolve), then ONE
+    map-only pass computes each CENTERED vector's exact integer dot
+    product with the broadcast-literal direction — proj = Σ (e_d − m_d)
+    · x_d, |proj| ≤ d·2000·1000, no float anywhere.
+
+    Output: (id, proj) in scaled·component integer units."""
+    from ..operators.dedup import scaled_vec
+
+    OFF = 10_000
+    D38 = "decimal(38,0)"
+    cw = df.select(F.col(id_col), scaled_vec(vec_col).alias("e"))
+    dims = cw.select(F.posexplode("e").alias("i", "v"))
+    mean_rows = (
+        dims.groupBy("i")
+        .agg(F.expr(f"(sum(v) + {OFF} * count(*)) div count(*) - {OFF}").alias("m"))
+        .collect()
+    )
+    spark = df.sparkSession
+    if not mean_rows:
+        return spark.createDataFrame([], f"{id_col} bigint, proj bigint")
+    d_in = max(r["i"] for r in mean_rows) + 1
+    means = [0] * d_in
+    for r in mean_rows:
+        means[r["i"]] = int(r["m"])
+
+    import numpy as np
+    import pandas as pd
+
+    def gram_kernel(batches):
+        m_np = np.array(means, dtype=np.int64)
+        ij = np.indices((d_in, d_in)).reshape(2, -1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["c_e"]])
+            C = M - m_np
+            P = C.T @ C
+            yield pd.DataFrame({"i": ij[0], "j": ij[1], "p": P.reshape(-1)})
+
+    g_rows = (
+        cw.select(F.col("e").alias("c_e"))
+        .mapInPandas(gram_kernel, schema="i bigint, j bigint, p bigint")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast(D38)).alias("g"))
+        .collect()
+    )
+    x, _ = _pca_iterate(g_rows, OFF, int(n_iters))
+    m_lit = F.array(*[F.lit(m).cast("bigint") for m in means])
+    x_lit = F.array(*[F.lit(v).cast("bigint") for v in x])
+    # exact integer dot of the centered vector with the direction
+    proj = F.aggregate(
+        F.zip_with(
+            F.expr("zip_with(e, __m, (a, b) -> a - b)"),
+            F.col("__x"),
+            lambda c, xv: c * xv,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+    return (
+        cw.withColumn("__m", m_lit)
+        .withColumn("__x", x_lit)
+        .select(F.col(id_col), proj.alias("proj"))
     )

@@ -22,6 +22,7 @@ from .stateful import (
     streaming_bucket_scores,
     streaming_counter_rate,
     streaming_cusum,
+    streaming_macd,
     streaming_debounce,
     streaming_page_hinkley,
     streaming_scores,
@@ -43,6 +44,7 @@ __all__ = [
     "streaming_bucket_scores",
     "streaming_counter_rate",
     "streaming_cusum",
+    "streaming_macd",
     "streaming_debounce",
     "streaming_page_hinkley",
     "streaming_scores",

@@ -1108,3 +1108,80 @@ def streaming_cusum(sdf: DataFrame, profile: DataFrame) -> DataFrame:
     return joined.groupBy("series_key").applyInPandasWithState(
         fn, OUT_SCHEMA, CUSUM_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )
+
+
+MACD_STATE_SCHEMA = "ef double, es double, sig double, seen bigint"
+
+MACD_OUT_SCHEMA = (
+    "series_key string, ts_ms bigint, value double, "
+    "macd double, signal double, histogram double"
+)
+
+
+def streaming_macd(sdf: DataFrame) -> DataFrame:
+    """Stateful streaming MACD(12, 26, 9) — the live twin of
+    ``detectors.sequential.macd_frame``. Unlike CUSUM, the EMA
+    recurrences are fully CAUSAL (no global statistics), so no
+    calibration profile is needed: state is exactly (ef, es, sig) plus
+    a seen flag — O(1) per series, batch-split-invariant, and the
+    availableNow replay reproduces the batch kernel bit-for-bit on the
+    same rows.
+
+    Output (append): (series_key, ts_ms, value, macd, signal,
+    histogram) per point."""
+    from ..detectors.sequential import (
+        MACD_A_FAST, MACD_B_FAST, MACD_A_SLOW, MACD_B_SLOW,
+        MACD_A_SIG, MACD_B_SIG,
+    )
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ef, es, sig, seen = state.get
+        else:
+            ef, es, sig, seen = 0.0, 0.0, 0.0, 0
+
+        pdf = _gather_sorted(batches, ("ts_ms", "seq"))
+        if pdf is not None:
+            out_ts, out_v, out_m, out_s, out_h = [], [], [], [], []
+            for t, v in zip(pdf["ts_ms"], pdf["value"]):
+                t, v = int(t), float(v)
+                if not seen:
+                    ef = es = v
+                    sig = 0.0
+                    seen = 1
+                    m = 0.0
+                else:
+                    ef = MACD_A_FAST * v + MACD_B_FAST * ef
+                    es = MACD_A_SLOW * v + MACD_B_SLOW * es
+                    m = ef - es
+                    sig = MACD_A_SIG * m + MACD_B_SIG * sig
+                out_ts.append(t)
+                out_v.append(v)
+                out_m.append(m)
+                out_s.append(sig)
+                out_h.append(m - sig)
+            if out_ts:
+                yield pd.DataFrame(
+                    {
+                        "series_key": key[0],
+                        "ts_ms": pd.Series(out_ts, dtype="int64"),
+                        "value": out_v,
+                        "macd": out_m,
+                        "signal": out_s,
+                        "histogram": out_h,
+                    }
+                )
+        state.update((ef, es, sig, seen))
+
+    cols = ["series_key", "ts_ms", "value"] + (
+        ["seq"] if "seq" in sdf.columns else []
+    )
+    return (
+        sdf.select(*cols)
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            fn, MACD_OUT_SCHEMA, MACD_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )

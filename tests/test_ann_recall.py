@@ -599,3 +599,16 @@ def test_pca_power_rotation_mix(spark):
     out = {r.dim: r.component for r in pca_top_direction(df).collect()}
     assert abs(out[0] - out[1]) <= 10  # ~equal loadings on the diagonal
     assert abs(out[0]) >= 900
+
+
+def test_pca_project_orders_along_axis(spark):
+    """Projection scores are monotone along the dominant axis and
+    centered (sum ~ 0 up to floor-mean truncation)."""
+    from potoos_spark.operators.similarity import pca_project
+
+    rows = [(i, [float(i), 0.001 * (i % 7)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {r.vec_id: r.proj for r in pca_project(df).collect()}
+    vals = [got[i] for i in range(60)]
+    assert vals == sorted(vals) or vals == sorted(vals, reverse=True)
+    assert abs(sum(vals)) <= 60 * 1000  # centered up to per-dim floor error

@@ -86,3 +86,21 @@ def test_frequent_triples_basket_cap(spark):
     got = {(r.part_a, r.part_b, r.part_c) for r in out}
     assert got == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
     assert all(r.support == 2 for r in out)
+
+
+def test_association_rules_known(spark):
+    """Hand-computed rules: baskets {1,2},{1,2},{1,3},{2} ->
+    pair (1,2) joint 2; conf(1->2)=2/3, conf(2->1)=2/3, N=4,
+    lift = 2*4/(3*3) = 8/9."""
+    from potoos_spark.operators.graph import association_rules
+
+    rows = [("a", 1), ("a", 2), ("b", 1), ("b", 2), ("c", 1), ("c", 3), ("d", 2)]
+    b = spark.createDataFrame(rows, "o string, p bigint")
+    got = {
+        (r.antecedent, r.consequent): (r.n_joint, r.n_ante, r.confidence, r.lift)
+        for r in association_rules(b, "o", "p", min_support=2).collect()
+    }
+    assert set(got) == {(1, 2), (2, 1)}
+    n_joint, n_ante, conf, lift = got[(1, 2)]
+    assert (n_joint, n_ante) == (2, 3)
+    assert conf == 2 / 3 and lift == (2 * 4) / (3 * 3)
