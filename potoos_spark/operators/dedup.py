@@ -1092,7 +1092,12 @@ def dup_components(
         cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if prev_sum is not None and cur_sum == prev_sum:
+        # SUM over an EMPTY label frame is NULL every round: without the
+        # None-break, empty input (the pruned-everything 100 TB shape)
+        # grinds all max_iters chained-join rounds before returning its
+        # zero rows (r7 regression when the sum fixpoint replaced the
+        # new-vs-old join; caught by test_empty_inputs stalling)
+        if cur_sum is None or cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     attrs.unpersist()
