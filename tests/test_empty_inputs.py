@@ -52,6 +52,7 @@ GLOBAL_AGG = {
     "q_correlated_avg",
     "q_funnel",
     "q_repeat_purchase",  # counts + gap-average cross join: one zero row
+    "q_triangle_count",  # one-row graph census: all-zero counts, gcc 0
 }
 
 
