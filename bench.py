@@ -139,6 +139,9 @@ HEADLINE = [
     "q_assoc_rules",
     "emb_pca_project",
     "stream_macd_replay",
+    "q_running_distinct",
+    "q_histogram_2d",
+    "emb_ann_recall_eval",
 ]
 
 

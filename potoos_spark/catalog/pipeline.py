@@ -3701,3 +3701,44 @@ _PCA_PROJECT_SQL = (
 )
 
 QUERIES["emb_pca_project"] = QuerySpec(_pca_project_fn, _PCA_PROJECT_SQL)
+
+
+def _ann_recall_fn(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return S.ann_recall_eval(e.filter(F.col("vec_id") < 20), e, k=10)
+
+
+# Recall@10 of the binary tier vs exact brute force over 20 queries —
+# both tiers' CTEs with the shared deterministic tiebreaks, joined on
+# (query, match) and counted per query.
+_ANN_RECALL_SQL = (
+    f"WITH {_SCALED_V}, "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id, "
+    + _COS.format(a="q", b="c")
+    + " AS cosine FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id "
+    "JOIN nrm na ON na.vec_id = q.vec_id JOIN nrm nb ON nb.vec_id = c.vec_id), "
+    "truth AS (SELECT query_id, match_id FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank FROM scored) "
+    "WHERE rank <= 10), "
+    "bw AS (SELECT vec_id, list_transform(range(CAST(ceil(len(embedding) / 32.0) AS INT)), "
+    "w -> CAST(COALESCE(list_sum(list_transform(range(32), "
+    "j -> CASE WHEN COALESCE(embedding[w * 32 + j + 1] > 0.0, FALSE) "
+    "THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)), 0) AS BIGINT)) AS wds "
+    "FROM embeddings), "
+    "h AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id, "
+    "CAST(list_sum(list_transform(list_zip(q.wds, c.wds), "
+    "p -> bit_count(xor(p[1], p[2])))) AS BIGINT) AS hamming "
+    "FROM bw q JOIN bw c ON q.vec_id < 20 AND q.vec_id <> c.vec_id), "
+    "approx AS (SELECT query_id, match_id FROM (SELECT query_id, match_id, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, match_id) "
+    "AS rank FROM h) WHERE rank <= 10), "
+    "hits AS (SELECT t.query_id, COUNT(*) AS n_overlap FROM truth t "
+    "JOIN approx a ON a.query_id = t.query_id AND a.match_id = t.match_id "
+    "GROUP BY 1), "
+    "qs AS (SELECT DISTINCT query_id FROM truth) "
+    "SELECT qs.query_id, CAST(COALESCE(h2.n_overlap, 0) AS BIGINT) AS n_overlap, "
+    "CAST(COALESCE(h2.n_overlap, 0) AS DOUBLE) / 10.0 AS recall "
+    "FROM qs LEFT JOIN hits h2 ON h2.query_id = qs.query_id"
+)
+
+QUERIES["emb_ann_recall_eval"] = QuerySpec(_ann_recall_fn, _ANN_RECALL_SQL)

@@ -982,3 +982,78 @@ _BENFORD_SQL = (
 )
 
 QUERIES["q_benford"] = QuerySpec(_benford_fn, _BENFORD_SQL)
+
+
+def _running_distinct_fn(spark, sf_dir):
+    """Cumulative distinct customers by order month — the canonical
+    rewrite for COUNT(DISTINCT) OVER (...), which Spark (and ANSI SQL)
+    forbid as a window aggregate: mark each customer's FIRST month (one
+    hash agg, map-side combinable), count firsts per month, then a
+    running sum over the month spine. The window runs over ≤ months
+    rows — never over the fact table — so the rewrite is
+    scale-independent: the heavy relation is touched by exactly one
+    grouped MIN."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    first_m = (
+        o.select(F.col("o_custkey"), month.alias("m"))
+        .groupBy("o_custkey")
+        .agg(F.min("m").alias("first_m"))
+    )
+    per_month = first_m.groupBy(F.col("first_m").alias("month")).agg(
+        F.count("*").alias("new_customers")
+    )
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_month.select(
+        "month",
+        "new_customers",
+        F.sum("new_customers").over(w).cast("bigint").alias("cum_distinct_customers"),
+    )
+
+
+_RUNNING_DISTINCT_SQL = (
+    "WITH fm AS (SELECT o_custkey, MIN(strftime(o_orderdate, '%Y-%m')) AS first_m "
+    "FROM orders GROUP BY 1), "
+    "pm AS (SELECT first_m AS month, COUNT(*) AS new_customers FROM fm GROUP BY 1) "
+    "SELECT month, new_customers, "
+    "CAST(SUM(new_customers) OVER (ORDER BY month "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_distinct_customers FROM pm"
+)
+
+QUERIES["q_running_distinct"] = QuerySpec(_running_distinct_fn, _RUNNING_DISTINCT_SQL)
+
+
+def _hist2d_fn(spark, sf_dir):
+    """2-D equi-width histogram (the heatmap binning behind price-vs-
+    quantity scatter density): exact integer bin indices — cents div
+    1M (capped at 11) × (qty−1) div 5 (capped at 9) — so the bin space
+    is ≤ 12×10 cells regardless of rows and the whole op is ONE
+    map-side-combinable hash agg over the fact scan. Integer division
+    end to end (no float bin edges: a double divide rounds at exact
+    bin boundaries and the engines could disagree by one cell)."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    qty = F.col("l_quantity").cast("bigint")
+    return (
+        li.select(cents.alias("cents"), qty.alias("qty"))
+        .select(
+            F.expr("least(cents div 1000000, 11)").cast("bigint").alias("price_bin"),
+            F.expr("least((qty - 1) div 5, 9)").cast("bigint").alias("qty_bin"),
+        )
+        .groupBy("price_bin", "qty_bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+
+_HIST2D_SQL = (
+    "SELECT LEAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+    "// 1000000, 11) AS price_bin, "
+    "LEAST((CAST(l_quantity AS BIGINT) - 1) // 5, 9) AS qty_bin, "
+    "COUNT(*) AS n FROM lineitem GROUP BY 1, 2"
+)
+
+QUERIES["q_histogram_2d"] = QuerySpec(_hist2d_fn, _HIST2D_SQL)

@@ -1927,3 +1927,47 @@ def pca_project(
         .withColumn("__x", x_lit)
         .select(F.col(id_col), proj.alias("proj"))
     )
+
+
+def ann_recall_eval(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the binary-Hamming ANN tier against exact
+    brute-force cosine, as a first-class operator — the eval a
+    retrieval pipeline must run CONTINUOUSLY (recall silently decays
+    as the corpus distribution drifts away from the quantizer), not
+    once at deployment. Both tiers are the engine's own deterministic
+    ops (exact integer cosine / exact integer Hamming with id
+    tiebreaks), so the per-query overlap is reproducible bit-for-bit
+    and oracle-checkable — turning recall itself into a driver-gated
+    number rather than a notebook claim.
+
+    Cost = the two tiers it compares (brute is the ground truth and
+    dominates; run on a query SAMPLE at scale — the eval needs
+    statistical, not exhaustive, coverage).
+
+    Output: (query_id, n_overlap, recall = n_overlap/k)."""
+    truth = cosine_topk(queries, corpus, k=k, vec_col=vec_col, id_col=id_col)
+    approx = binary_hamming_topk(
+        queries, corpus, k=k, vec_col=vec_col, id_col=id_col
+    )
+    hits = truth.select("query_id", "match_id").join(
+        approx.select("query_id", "match_id"), ["query_id", "match_id"]
+    )
+    per_q = truth.select("query_id").distinct()
+    agg = hits.groupBy("query_id").agg(F.count("*").alias("n_overlap"))
+    return (
+        per_q.join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall"),
+        )
+    )

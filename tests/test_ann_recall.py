@@ -612,3 +612,16 @@ def test_pca_project_orders_along_axis(spark):
     vals = [got[i] for i in range(60)]
     assert vals == sorted(vals) or vals == sorted(vals, reverse=True)
     assert abs(sum(vals)) <= 60 * 1000  # centered up to per-dim floor error
+
+
+def test_ann_recall_eval_perfect_on_sign_separable(spark):
+    """Axis-aligned clusters (+1 / -1 patterns): the binary tier ranks
+    exactly like cosine, so recall@k is 1.0 for every query."""
+    from potoos_spark.operators.similarity import ann_recall_eval
+
+    rows = [(i, [1.0 + 0.001 * i, 1.0, -1.0]) for i in range(8)]
+    rows += [(100 + i, [-1.0 - 0.001 * i, -1.0, 1.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = ann_recall_eval(df.filter("vec_id < 8"), df, k=7).collect()
+    assert len(out) == 8
+    assert all(r.recall == 1.0 and r.n_overlap == 7 for r in out)
