@@ -142,6 +142,8 @@ HEADLINE = [
     "q_running_distinct",
     "q_histogram_2d",
     "emb_ann_recall_eval",
+    "ts_backtest_mae",
+    "q_skew_report",
 ]
 
 

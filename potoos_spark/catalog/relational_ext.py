@@ -1057,3 +1057,74 @@ _HIST2D_SQL = (
 )
 
 QUERIES["q_histogram_2d"] = QuerySpec(_hist2d_fn, _HIST2D_SQL)
+
+
+def _skew_report_fn(spark, sf_dir):
+    """Join-key skew diagnostic WITHOUT sorting the key space — the
+    pre-flight check before any big keyed join: group sizes per
+    l_orderkey (one hash agg), then aggregate the SIZES into a
+    (size → n_keys) histogram — a relation bounded by the number of
+    DISTINCT group sizes (dozens), not keys — and read exact p50/p99
+    off its running sum. A naive percentile-over-keys needs a global
+    sort of the key space; this shape never touches more than the tiny
+    histogram after the first agg. Output: one row of skew facts."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("sz"))
+    hist = sizes.groupBy("sz").agg(F.count("*").alias("nk"))
+    w = W.orderBy("sz").rowsBetween(W.unboundedPreceding, W.currentRow)
+    h = hist.select(
+        "sz", "nk", F.sum("nk").over(w).alias("cum")
+    ).persist()
+    tot = h.agg(
+        F.sum("nk").cast("bigint").alias("n_keys"),
+        F.sum(F.col("sz") * F.col("nk")).cast("bigint").alias("n_rows"),
+        F.max("sz").cast("bigint").alias("max_size"),
+    )
+    p50 = (
+        h.join(F.broadcast(tot))
+        .filter(F.col("cum") >= F.ceil(F.col("n_keys") * 0.5))
+        .agg(F.min("sz").cast("bigint").alias("p50_size"))
+    )
+    p99 = (
+        h.join(F.broadcast(tot))
+        .filter(F.col("cum") >= F.ceil(F.col("n_keys") * 0.99))
+        .agg(F.min("sz").cast("bigint").alias("p99_size"))
+    )
+    return (
+        tot.join(F.broadcast(p50))
+        .join(F.broadcast(p99))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_size",
+            "p50_size",
+            "p99_size",
+            (
+                F.col("max_size").cast("double")
+                / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double"))
+            ).alias("max_over_mean"),
+        )
+    )
+
+
+_SKEW_REPORT_SQL = (
+    "WITH sizes AS (SELECT l_orderkey, COUNT(*) AS sz FROM lineitem GROUP BY 1), "
+    "hist AS (SELECT sz, COUNT(*) AS nk FROM sizes GROUP BY 1), "
+    "h AS (SELECT sz, nk, SUM(nk) OVER (ORDER BY sz "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist), "
+    "tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS n_keys, "
+    "CAST(SUM(sz * nk) AS BIGINT) AS n_rows, "
+    "CAST(MAX(sz) AS BIGINT) AS max_size FROM h), "
+    "p50 AS (SELECT CAST(MIN(sz) AS BIGINT) AS p50_size FROM h, tot "
+    "WHERE cum >= CEIL(n_keys * 0.5)), "
+    "p99 AS (SELECT CAST(MIN(sz) AS BIGINT) AS p99_size FROM h, tot "
+    "WHERE cum >= CEIL(n_keys * 0.99)) "
+    "SELECT tot.n_keys, tot.n_rows, tot.max_size, p50.p50_size, p99.p99_size, "
+    "CAST(tot.max_size AS DOUBLE) / "
+    "(CAST(tot.n_rows AS DOUBLE) / CAST(tot.n_keys AS DOUBLE)) AS max_over_mean "
+    "FROM tot, p50, p99"
+)
+
+QUERIES["q_skew_report"] = QuerySpec(_skew_report_fn, _SKEW_REPORT_SQL)

@@ -1106,3 +1106,70 @@ _THEIL_SEN_SQL = (
 )
 
 QUERIES["ts_theil_sen"] = QuerySpec(_theil_sen_fn, _THEIL_SEN_SQL)
+
+
+def _backtest_fn(spark, sf_dir):
+    """Walk-forward forecast backtest — the eval-family sibling of
+    emb_ann_recall_eval: per series, score the seasonal-naive
+    forecaster (v̂_t = v_{t−24h}) against the persistence baseline
+    (v̂_t = v_{t−1}) on the SAME eval points (both lags defined), and
+    report the skill ratio. Per-point |error| quantizes to integer
+    1e-9 units BEFORE summation (the le9 idiom: double sums are
+    order-dependent; integer sums are exact under any partitioning).
+    One per-series window pass; no joins."""
+    from pyspark.sql import Window as W
+
+    g = hourly_avg_frame(spark, sf_dir)
+    w = W.partitionBy("series_key").orderBy("ts_ms")
+    lag1 = F.lag("value", 1).over(w)
+    lag24 = F.lag("value", 24).over(w)
+    e = (
+        g.select("series_key", "value", lag1.alias("p1"), lag24.alias("p24"))
+        .filter(F.col("p1").isNotNull() & F.col("p24").isNotNull())
+        .select(
+            "series_key",
+            F.round(F.abs(F.col("value") - F.col("p24")) * 1e9)
+            .cast("bigint")
+            .alias("e24"),
+            F.round(F.abs(F.col("value") - F.col("p1")) * 1e9)
+            .cast("bigint")
+            .alias("e1"),
+        )
+    )
+    a = e.groupBy("series_key").agg(
+        F.count("*").alias("n_evals"),
+        F.sum("e24").cast("bigint").alias("s24"),
+        F.sum("e1").cast("bigint").alias("s1"),
+    )
+    mae24 = F.col("s24").cast("double") / F.col("n_evals").cast("double") / F.lit(1e9)
+    mae1 = F.col("s1").cast("double") / F.col("n_evals").cast("double") / F.lit(1e9)
+    return a.select(
+        "series_key",
+        "n_evals",
+        mae24.alias("mae_seasonal"),
+        mae1.alias("mae_persistence"),
+        (F.col("s24").cast("double") / F.col("s1").cast("double")).alias(
+            "error_ratio"
+        ),
+    )
+
+
+_BACKTEST_SQL = (
+    f"WITH series AS ({EVENTS_SQL}), g AS ({G_SQL}), "
+    "l AS (SELECT series_key, value, "
+    "LAG(value, 1) OVER w AS p1, LAG(value, 24) OVER w AS p24 FROM g "
+    "WINDOW w AS (PARTITION BY series_key ORDER BY ts_ms)), "
+    "e AS (SELECT series_key, "
+    "CAST(round(ABS(value - p24) * 1e9) AS BIGINT) AS e24, "
+    "CAST(round(ABS(value - p1) * 1e9) AS BIGINT) AS e1 "
+    "FROM l WHERE p1 IS NOT NULL AND p24 IS NOT NULL), "
+    "a AS (SELECT series_key, COUNT(*) AS n_evals, "
+    "CAST(SUM(e24) AS BIGINT) AS s24, CAST(SUM(e1) AS BIGINT) AS s1 "
+    "FROM e GROUP BY 1) "
+    "SELECT series_key, n_evals, "
+    "CAST(s24 AS DOUBLE) / CAST(n_evals AS DOUBLE) / 1e9 AS mae_seasonal, "
+    "CAST(s1 AS DOUBLE) / CAST(n_evals AS DOUBLE) / 1e9 AS mae_persistence, "
+    "CAST(s24 AS DOUBLE) / CAST(s1 AS DOUBLE) AS error_ratio FROM a"
+)
+
+QUERIES["ts_backtest_mae"] = QuerySpec(_backtest_fn, _BACKTEST_SQL)

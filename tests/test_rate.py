@@ -295,3 +295,25 @@ def test_bollinger_bands_constant_and_spike(spark):
     assert all(r["mean"] == 5.0 for r in flat)
     spike = [r for r in got if r["series_key"] == "spiky"][-1]
     assert spike["value"] == 9.0 and spike["breakout"] == 1
+
+
+def test_backtest_mae_seasonal_beats_persistence_on_seasonal_data(spark, tmp_path):
+    """A pure 24-hour-period signal: the seasonal forecaster is exact
+    (MAE 0), persistence is not — error_ratio 0."""
+    import datetime as dt
+
+    from potoos_spark.catalog.timeseries import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), 1, "k", float(10 + (i % 24)))
+        for i in range(24 * 8)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    ).write.parquet(f"{sf}/events.parquet")
+    out = QUERIES["ts_backtest_mae"].fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.mae_seasonal == 0.0 and r.mae_persistence > 0 and r.error_ratio == 0.0
