@@ -53,6 +53,7 @@ GLOBAL_AGG = {
     "q_funnel",
     "q_repeat_purchase",  # counts + gap-average cross join: one zero row
     "q_triangle_count",  # one-row graph census: all-zero counts, gcc 0
+    "q_skew_report",  # one-row skew facts (NULL percentiles on empty)
 }
 
 
