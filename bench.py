@@ -144,6 +144,7 @@ HEADLINE = [
     "emb_ann_recall_eval",
     "ts_backtest_mae",
     "q_skew_report",
+    "emb_ivf_recall_eval",
 ]
 
 

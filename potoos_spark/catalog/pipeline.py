@@ -3742,3 +3742,56 @@ _ANN_RECALL_SQL = (
 )
 
 QUERIES["emb_ann_recall_eval"] = QuerySpec(_ann_recall_fn, _ANN_RECALL_SQL)
+
+
+def _ivf_recall_fn(spark, sf_dir):
+    """Recall@5 of the md5-medoid IVF tier (nprobe=2 of 16 cells) vs
+    exact brute force on the same 5-query panel — the per-tier recall
+    eval as a driver-gated number (companion to emb_ann_recall_eval's
+    binary tier; SCALE.md's sweep showed coarse quantizers floor on
+    near-random fixtures, so the recorded recall here is an honest
+    property of THIS fixture, not a quality claim)."""
+    e = _embs(spark, sf_dir)
+    truth = S.cosine_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+    approx = S.ivf_topk_md5(e.filter(F.col("vec_id") < 5), e, k=5)
+    return S.recall_vs_truth(truth, approx, k=5)
+
+
+_IVF_RECALL_SQL = (
+    f"WITH {_SCALED_V}, "
+    "scored0 AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id, "
+    + _COS.format(a="q", b="c")
+    + " AS cosine FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id "
+    "JOIN nrm na ON na.vec_id = q.vec_id JOIN nrm nb ON nb.vec_id = c.vec_id), "
+    "truth AS (SELECT query_id, match_id FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank FROM scored0) "
+    "WHERE rank <= 5), "
+    "cent AS (SELECT vec_id AS cell, e AS ce, "
+    "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2 FROM "
+    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)), "
+    "asg AS (SELECT match_id, ce2, cn_m, cell FROM ("
+    "SELECT v.vec_id AS match_id, v.e AS ce2, n.nn AS cn_m, c.cell, "
+    f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_IVF_SQDIST}, c.cell) AS rn "
+    "FROM v JOIN nrm n ON n.vec_id = v.vec_id CROSS JOIN cent c) WHERE rn = 1), "
+    "prob AS (SELECT query_id, qe, qn, cell FROM ("
+    "SELECT v.vec_id AS query_id, v.e AS qe, n.nn AS qn, c.cell, "
+    f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_IVF_SQDIST}, c.cell) AS rn "
+    "FROM v JOIN nrm n ON n.vec_id = v.vec_id CROSS JOIN cent c "
+    "WHERE v.vec_id < 5) WHERE rn <= 2), "
+    "scored AS (SELECT p.query_id, a.match_id, "
+    "CAST(CAST(list_sum(list_transform(list_zip(p.qe, a.ce2), x -> x[1] * x[2])) "
+    "AS BIGINT) AS DOUBLE) / sqrt(CAST(p.qn * a.cn_m AS DOUBLE)) AS cosine "
+    "FROM prob p JOIN asg a ON a.cell = p.cell AND p.query_id <> a.match_id), "
+    "approx AS (SELECT query_id, match_id FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank FROM scored) "
+    "WHERE rank <= 5), "
+    "hits AS (SELECT t.query_id, COUNT(*) AS n_overlap FROM truth t "
+    "JOIN approx a ON a.query_id = t.query_id AND a.match_id = t.match_id "
+    "GROUP BY 1), "
+    "qs AS (SELECT DISTINCT query_id FROM truth) "
+    "SELECT qs.query_id, CAST(COALESCE(h2.n_overlap, 0) AS BIGINT) AS n_overlap, "
+    "CAST(COALESCE(h2.n_overlap, 0) AS DOUBLE) / 5.0 AS recall "
+    "FROM qs LEFT JOIN hits h2 ON h2.query_id = qs.query_id"
+)
+
+QUERIES["emb_ivf_recall_eval"] = QuerySpec(_ivf_recall_fn, _IVF_RECALL_SQL)

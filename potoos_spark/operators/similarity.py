@@ -1955,6 +1955,13 @@ def ann_recall_eval(
     approx = binary_hamming_topk(
         queries, corpus, k=k, vec_col=vec_col, id_col=id_col
     )
+    return recall_vs_truth(truth, approx, k)
+
+
+def recall_vs_truth(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query overlap of an approximate top-k against the exact
+    top-k — the shared tail of every recall eval (binary, IVF, …).
+    Output: (query_id, n_overlap, recall = n_overlap/k)."""
     hits = truth.select("query_id", "match_id").join(
         approx.select("query_id", "match_id"), ["query_id", "match_id"]
     )
