@@ -3642,10 +3642,12 @@ def _pca_iter_ctes(n: int) -> str:
     return ", ".join(parts)
 
 
-# Integer power iteration replayed exactly: floor-mean centering,
-# HUGEINT scatter sums (exact at any corpus size), ONE G normalization
-# to max|cell|=1000, then 3 unrolled bigint matvec+rescale rounds.
-_PCA_POWER_SQL = (
+# Shared CTE prefix of BOTH PCA oracles (ADVICE r7: two verbatim
+# copies of the bit-exactness-critical chain can silently drift):
+# floor-mean centering, HUGEINT scatter sums (exact at any corpus
+# size), ONE G normalization to max|cell|=1000, then 3 unrolled bigint
+# matvec+rescale rounds ending at iterate v3.
+_PCA_PREFIX = (
     f"WITH {_SCALED_V}, "
     "dims AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS i, "
     "unnest(e) AS val FROM v), "
@@ -3660,7 +3662,11 @@ _PCA_POWER_SQL = (
     "gn AS (SELECT i, j, CAST((g * 1000 + 20000 * mxg) // mxg - 20000 AS BIGINT) "
     "AS g FROM g0, mxg), "
     "v0 AS (SELECT CAST(i AS BIGINT) AS j, CAST(1000 AS BIGINT) AS x FROM mean), "
-    + _pca_iter_ctes(3) + ", "
+    + _pca_iter_ctes(3)
+)
+
+_PCA_POWER_SQL = (
+    _PCA_PREFIX + ", "
     "num AS (SELECT SUM(gn.g * b.x * a.xi) AS num FROM gn "
     "JOIN v3 b ON gn.j = b.j "
     "JOIN (SELECT j AS i, x AS xi FROM v3) a ON gn.i = a.i), "
@@ -3677,25 +3683,10 @@ def _pca_project_fn(spark, sf_dir):
     return S.pca_project(_embs(spark, sf_dir), n_iters=3)
 
 
-# Projection oracle: the full power-iteration prefix (same CTEs as
-# _PCA_POWER_SQL) plus one exact-integer dot of each centered vector
-# with the final iterate.
+# Projection oracle: the shared power-iteration prefix plus one
+# exact-integer dot of each centered vector with the final iterate.
 _PCA_PROJECT_SQL = (
-    f"WITH {_SCALED_V}, "
-    "dims AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS i, "
-    "unnest(e) AS val FROM v), "
-    "mean AS (SELECT i, (SUM(val) + 10000 * COUNT(*)) // COUNT(*) - 10000 AS m "
-    "FROM dims GROUP BY 1), "
-    "cent AS (SELECT d.vec_id, d.i, d.val - m.m AS c "
-    "FROM dims d JOIN mean m USING (i)), "
-    "g0 AS (SELECT a.i AS i, b.i AS j, "
-    "SUM(CAST(a.c AS HUGEINT) * b.c) AS g "
-    "FROM cent a JOIN cent b ON a.vec_id = b.vec_id GROUP BY 1, 2), "
-    "mxg AS (SELECT GREATEST(MAX(ABS(g)), 1) AS mxg FROM g0), "
-    "gn AS (SELECT i, j, CAST((g * 1000 + 20000 * mxg) // mxg - 20000 AS BIGINT) "
-    "AS g FROM g0, mxg), "
-    "v0 AS (SELECT CAST(i AS BIGINT) AS j, CAST(1000 AS BIGINT) AS x FROM mean), "
-    + _pca_iter_ctes(3) + " "
+    _PCA_PREFIX + " "
     "SELECT c.vec_id, CAST(SUM(c.c * v3.x) AS BIGINT) AS proj "
     "FROM cent c JOIN v3 ON v3.j = c.i GROUP BY c.vec_id"
 )

@@ -1033,15 +1033,23 @@ def _hist2d_fn(spark, sf_dir):
     is ≤ 12×10 cells regardless of rows and the whole op is ONE
     map-side-combinable hash agg over the fact scan. Integer division
     end to end (no float bin edges: a double divide rounds at exact
-    bin boundaries and the engines could disagree by one cell)."""
+    bin boundaries and the engines could disagree by one cell).
+    Dividends are clamped non-negative FIRST (greatest(..., 0)) so
+    Spark's truncating ``div`` and DuckDB's flooring ``//`` agree and
+    a zero/negative quantity or price can't yield a negative bin id —
+    TPC-H data never hits that, arbitrary data would (ADVICE r7)."""
     li = table(spark, sf_dir, "lineitem")
     cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
     qty = F.col("l_quantity").cast("bigint")
     return (
         li.select(cents.alias("cents"), qty.alias("qty"))
         .select(
-            F.expr("least(cents div 1000000, 11)").cast("bigint").alias("price_bin"),
-            F.expr("least((qty - 1) div 5, 9)").cast("bigint").alias("qty_bin"),
+            F.expr("least(greatest(cents, 0) div 1000000, 11)")
+            .cast("bigint")
+            .alias("price_bin"),
+            F.expr("least(greatest(qty - 1, 0) div 5, 9)")
+            .cast("bigint")
+            .alias("qty_bin"),
         )
         .groupBy("price_bin", "qty_bin")
         .agg(F.count("*").alias("n"))
@@ -1050,9 +1058,9 @@ def _hist2d_fn(spark, sf_dir):
 
 
 _HIST2D_SQL = (
-    "SELECT LEAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
-    "// 1000000, 11) AS price_bin, "
-    "LEAST((CAST(l_quantity AS BIGINT) - 1) // 5, 9) AS qty_bin, "
+    "SELECT LEAST(GREATEST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 "
+    "AS BIGINT), 0) // 1000000, 11) AS price_bin, "
+    "LEAST(GREATEST(CAST(l_quantity AS BIGINT) - 1, 0) // 5, 9) AS qty_bin, "
     "COUNT(*) AS n FROM lineitem GROUP BY 1, 2"
 )
 

@@ -30,7 +30,7 @@ from ..streaming import (
     stream_session_agg,
     streaming_bucket_scores,
 )
-from .common import EVENTS_SQL, QuerySpec
+from .common import EVENTS_SQL, QuerySpec, flit
 from .timeseries import _OHLC_SQL as _OHLC_REPLAY_SQL
 from .timeseries import _SEASONAL_ANOMALY_SQL as _SEASONAL_ANOMALY_REPLAY_SQL
 from .relational_ext import _SCD2_SQL
@@ -715,18 +715,25 @@ def _stream_cusum_fn(spark, sf_dir):
     from ..streaming.stateful import cusum_profile
     from .common import events_frame
 
-    profile = cusum_profile(events_frame(spark, sf_dir))
+    profile = cusum_profile(
+        events_frame(spark, sf_dir), allowance_frac=_CUSUM_ALLOWANCE
+    )
     return _replay(
         streaming_cusum(_events_stream(spark, sf_dir), profile), "append"
     )
 
 
 # Oracle for the deployed CUSUM: profile (LOW median by (value, ts_ms),
-# global range, k = 0.05·range) computed over the SAME raw series the
-# stream replays, then the (s+, s−) recurrence as a recursive CTE in
+# global range, k = allowance·range) computed over the SAME raw series
+# the stream replays, then the (s+, s−) recurrence as a recursive CTE in
 # (ts_ms, seq) order — every float op in the kernel's order, so the
 # replay is bit-exact. (det_cusum's oracle is NOT reusable here: that
 # entry scores the hourly-avg frame; the stream scores raw points.)
+# The allowance constant is shared between the Spark profile call above
+# and this SQL through flit() — the bare-literal path converts
+# decimal→double with an extra rounding (ADVICE r7), and a non-default
+# allowance_frac would silently diverge from a hard-coded 0.05.
+_CUSUM_ALLOWANCE = 0.05
 _STREAM_CUSUM_SQL = (
     f"WITH RECURSIVE series AS ({EVENTS_SQL}), "
     "m AS (SELECT series_key, value, "
@@ -740,8 +747,8 @@ _STREAM_CUSUM_SQL = (
     "ROW_NUMBER() OVER (PARTITION BY series_key ORDER BY ts_ms, seq) AS rn "
     "FROM series), "
     "d AS (SELECT st.series_key, st.ts_ms, st.value, st.rn, pr.rng, "
-    "(st.value - pr.mu) - 0.05 * pr.rng AS dp, "
-    "(pr.mu - st.value) - 0.05 * pr.rng AS dn "
+    f"(st.value - pr.mu) - {flit(_CUSUM_ALLOWANCE)} * pr.rng AS dp, "
+    f"(pr.mu - st.value) - {flit(_CUSUM_ALLOWANCE)} * pr.rng AS dn "
     "FROM st JOIN pr USING (series_key)), "
     "r AS (SELECT series_key, ts_ms, value, rn, rng, "
     "GREATEST(0.0 + dp, 0.0) AS sp, GREATEST(0.0 + dn, 0.0) AS sn "

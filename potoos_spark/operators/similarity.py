@@ -1776,24 +1776,40 @@ def pca_top_direction(
     the Rayleigh quotient λn = vᵀGn·v / vᵀv in normalized-G units.
 
     Output: (dim, component ∈ [−1000, 1000], rayleigh)."""
+    out_schema = "dim bigint, component bigint, rayleigh double"
+    _, _, x, ray = _gramian_and_direction(df, vec_col, id_col, n_iters)
+    if x is None:
+        return df.sparkSession.createDataFrame([], out_schema)
+    return df.sparkSession.createDataFrame(
+        [(i, x[i], ray) for i in range(len(x))], out_schema
+    )
+
+
+def _gramian_and_direction(
+    df: DataFrame, vec_col: str, id_col: str, n_iters: int
+):
+    """Shared mean/Gramian/power-iteration pipeline behind
+    ``pca_top_direction`` and ``pca_project`` — ONE implementation of
+    the bit-exactness-critical path (ADVICE r7: two drifting copies).
+    Returns ``(cw, means, x, rayleigh)`` where ``cw`` is the
+    (id, scaled-int vector) frame the caller can reuse; ``means``/``x``
+    are None when the input is empty."""
     from ..operators.dedup import scaled_vec
 
-    OFF = 10_000  # > any |scaled component|
+    OFF = _PCA_OFF
     D38 = "decimal(38,0)"
-    cw = df.select(F.col(id_col).alias("__r"), scaled_vec(vec_col).alias("e"))
-    dims = cw.select("__r", F.posexplode("e").alias("i", "v"))
+    cw = df.select(F.col(id_col).alias(id_col), scaled_vec(vec_col).alias("e"))
+    dims = cw.select(F.posexplode("e").alias("i", "v"))
     mean = dims.groupBy("i").agg(
         F.expr(f"(sum(v) + {OFF} * count(*)) div count(*) - {OFF}").alias("m")
     )
     mean_rows = mean.collect()  # d rows — metadata-scale, like the means
-    spark = df.sparkSession
-    out_schema = "dim bigint, component bigint, rayleigh double"
     if not mean_rows:
-        return spark.createDataFrame([], out_schema)
+        return cw, None, None, None
     d_in = max(r["i"] for r in mean_rows) + 1
-    m_np_list = [0] * d_in
+    means = [0] * d_in
     for r in mean_rows:
-        m_np_list[r["i"]] = int(r["m"])
+        means[r["i"]] = int(r["m"])
 
     # scatter terms via Arrow-batched numpy Gramians: each batch emits
     # one exact int64 d×d partial (|C| ≤ 2000 ⇒ a 10k-row batch cell
@@ -1806,8 +1822,8 @@ def pca_top_direction(
     import pandas as pd
 
     def gram_kernel(batches):
-        m_np = np.array(m_np_list, dtype=np.int64)
-        ij = np.indices((len(m_np_list), len(m_np_list))).reshape(2, -1)
+        m_np = np.array(means, dtype=np.int64)
+        ij = np.indices((d_in, d_in)).reshape(2, -1)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1826,11 +1842,12 @@ def pca_top_direction(
         .collect()
     )
     if not g_rows:
-        return spark.createDataFrame([], out_schema)
+        return cw, means, None, None
     x, ray = _pca_iterate(g_rows, OFF, int(n_iters))
-    return spark.createDataFrame(
-        [(i, x[i], ray) for i in range(len(x))], out_schema
-    )
+    return cw, means, x, ray
+
+
+_PCA_OFF = 10_000  # > any |scaled component| (positive-dividend DIV idiom)
 
 
 def _pca_iterate(g_rows, OFF: int, n_iters: int):
@@ -1869,47 +1886,10 @@ def pca_project(
     · x_d, |proj| ≤ d·2000·1000, no float anywhere.
 
     Output: (id, proj) in scaled·component integer units."""
-    from ..operators.dedup import scaled_vec
-
-    OFF = 10_000
-    D38 = "decimal(38,0)"
-    cw = df.select(F.col(id_col), scaled_vec(vec_col).alias("e"))
-    dims = cw.select(F.posexplode("e").alias("i", "v"))
-    mean_rows = (
-        dims.groupBy("i")
-        .agg(F.expr(f"(sum(v) + {OFF} * count(*)) div count(*) - {OFF}").alias("m"))
-        .collect()
-    )
+    cw, means, x, _ = _gramian_and_direction(df, vec_col, id_col, n_iters)
     spark = df.sparkSession
-    if not mean_rows:
+    if x is None:
         return spark.createDataFrame([], f"{id_col} bigint, proj bigint")
-    d_in = max(r["i"] for r in mean_rows) + 1
-    means = [0] * d_in
-    for r in mean_rows:
-        means[r["i"]] = int(r["m"])
-
-    import numpy as np
-    import pandas as pd
-
-    def gram_kernel(batches):
-        m_np = np.array(means, dtype=np.int64)
-        ij = np.indices((d_in, d_in)).reshape(2, -1)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            M = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["c_e"]])
-            C = M - m_np
-            P = C.T @ C
-            yield pd.DataFrame({"i": ij[0], "j": ij[1], "p": P.reshape(-1)})
-
-    g_rows = (
-        cw.select(F.col("e").alias("c_e"))
-        .mapInPandas(gram_kernel, schema="i bigint, j bigint, p bigint")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("p").cast(D38)).alias("g"))
-        .collect()
-    )
-    x, _ = _pca_iterate(g_rows, OFF, int(n_iters))
     m_lit = F.array(*[F.lit(m).cast("bigint") for m in means])
     x_lit = F.array(*[F.lit(v).cast("bigint") for v in x])
     # exact integer dot of the centered vector with the direction

@@ -1,0 +1,77 @@
+"""The bench summary line must FIT THE DRIVER'S TAIL WINDOW.
+
+BENCH_r07 recorded ``parsed: null`` because the 92-query JSON line
+(default separators, ~2.5 KB) overflowed the driver's 2000-char stdout
+tail — the first parse failure in seven rounds (VERDICT r7 item 1).
+These tests pin the fix: whatever the headline set grows to, the final
+line stays under ``bench.LINE_BUDGET`` (≤ 1800 < 2000), stays valid
+JSON with the contract fields, ranks the retained per-query entries
+most-expensive-first, and declares any truncation explicitly.
+No Spark session needed — the emission is a pure function.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import bench
+
+
+def _fake_best(n: int, seed: int = 7) -> dict[str, float]:
+    rng = random.Random(seed)
+    return {
+        f"q_{i:03d}_{'x' * rng.randint(5, 25)}": round(rng.uniform(0.1, 9.9), 3)
+        for i in range(n)
+    }
+
+
+def test_current_headline_set_fits_budget():
+    # the real names (the longest part of each entry) with worst-case
+    # 2-decimal values
+    best = {name: 99.99 for name in bench.HEADLINE}
+    line = bench.build_summary_line(best, 0.1, "BENCH_QUERIES.json")
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    assert parsed["n_queries"] == len(bench.HEADLINE)
+    assert parsed["queries_omitted"] == len(bench.HEADLINE) - len(
+        parsed["queries"]
+    )
+    assert parsed["queries_file"] == "BENCH_QUERIES.json"
+    # the retained map is a subset of the real names
+    assert set(parsed["queries"]) <= set(bench.HEADLINE)
+
+
+def test_most_expensive_queries_survive_truncation():
+    best = _fake_best(120)
+    line = bench.build_summary_line(best, 0.1, "BENCH_QUERIES.json")
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = json.loads(line)
+    kept = parsed["queries"]
+    assert 0 < len(kept) < len(best)  # truncation actually happened
+    # every kept entry costs >= every dropped entry
+    dropped = [v for k, v in best.items() if k not in kept]
+    assert min(best[k] for k in kept) >= max(dropped)
+    # total reflects ALL queries, not just the kept ones
+    assert abs(parsed["value"] - round(sum(best.values()), 2)) < 0.05
+
+
+def test_small_set_is_complete_and_untruncated():
+    best = _fake_best(10)
+    parsed = json.loads(
+        bench.build_summary_line(best, 0.01, "BENCH_QUERIES.json")
+    )
+    assert parsed["queries_omitted"] == 0
+    assert set(parsed["queries"]) == set(best)
+
+
+def test_budget_holds_under_pathological_growth():
+    # 3x the current headline count with long names still emits a
+    # parseable line under budget
+    best = _fake_best(3 * len(bench.HEADLINE))
+    line = bench.build_summary_line(best, 1.0, "BENCH_QUERIES.json")
+    assert len(line) <= bench.LINE_BUDGET
+    json.loads(line)
