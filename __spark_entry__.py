@@ -26,9 +26,13 @@ def _ordered_catalog(
     whose MOST RECENT driver row was not fully green (so a shipped fix
     gets re-checked immediately — e.g. the r3 hash failures fixed in
     r4; the verdict's top item, and there are only ever a handful),
-    (2) entries never driver-sampled, (3) the already-green rest.
-    Heals red rows first, then maximizes cumulative coverage. Falls
-    back to the raw order when no CORRECTNESS files exist.
+    (2) entries never driver-sampled, (3) oracle-backed entries whose
+    latest green row compared ZERO rows (a vacuous match proves
+    nothing — VERDICT r7 flagged multimodal_dhash_pairs; once the
+    entry re-samples with rows > 0 it leaves this tier), (4) the
+    already-green rest. Heals red rows first, then maximizes
+    cumulative coverage. Falls back to the raw order when no
+    CORRECTNESS files exist.
 
     ``latest`` (entry name -> most recent driver row) and ``specs``
     (entry name -> QuerySpec) are injectable for tests; by default
@@ -76,12 +80,20 @@ def _ordered_catalog(
         for k, v in specs.items()
         if k in latest and not resolved(k, latest[k])
     }
+    vacuous = {
+        k: v
+        for k, v in specs.items()
+        if k in latest
+        and resolved(k, latest[k])
+        and latest[k].get("spark_rows") == 0
+        and v.sql is not None
+    }
     seen = {
         k: v
         for k, v in specs.items()
-        if k in latest and resolved(k, latest[k])
+        if k in latest and resolved(k, latest[k]) and k not in vacuous
     }
-    return {**red, **fresh, **seen}
+    return {**red, **fresh, **vacuous, **seen}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -619,20 +619,34 @@ _MM_DHASH_SQL = (
 
 
 def _mm_dhash_pairs_fn(spark, sf_dir):
-    """Visual near-dup pairs within Hamming 7 of the 64-bit dHash.
-    Fixture note: sf0.01 has no near-identical payloads (min pairwise
-    dHash distance 12), so the oracle-checked result there is the
-    empty set — correct, not vacuous by accident; sf0.1's duplicate
-    clusters yield 8 hamming-0 pairs (bench-exercised), and the
-    planted-payload recall test in tests/test_multimodal.py pins the
-    banding's exact-recall property."""
-    return M.dhash_hamming_pairs(M.attach_binary(_docs(spark, sf_dir)))
+    """Visual near-dup pairs within Hamming 7 of the 64-bit dHash,
+    over the corpus PLUS deterministic planted near-dups (VERDICT r7
+    item 4: the raw sf0.01 fixture has no payloads within the radius —
+    min pairwise dHash distance 12 — so the driver's oracle row
+    matched on 0 rows, a vacuous check). The fixture is read-only, so
+    the plant happens in-query, identically on both engines: for every
+    doc with doc_id < 30 and ≥ 200 chars, append a copy under
+    doc_id + 1_000_000 with the first byte replaced by 'Z'. Byte 0 is
+    sampled only by hash bit 0 once len ≥ 65, so each planted copy
+    lands within Hamming ≤ 1 of its original — real pairs through the
+    UNMODIFIED banded operator — while distinct-doc distances (≥ 12,
+    minus 2 by triangle inequality) stay outside the radius."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.filter(
+        (F.col("doc_id") < 30) & (F.length("text") >= 200)
+    ).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("Z"), F.expr("substr(text, 2)")).alias("text"),
+    )
+    return M.dhash_hamming_pairs(M.attach_binary(docs.unionAll(planted)))
 
 
 # r7: the visual near-dup completion of the dHash entry — pigeonhole
 # banding (8 bands x 8 bits at k=7) over the unsigned hash value `u`,
 # md5-ranked band_cap=64 mirrored from the Spark side, xor/popcount
-# verify on the signed bigint twin (identical bit pattern).
+# verify on the signed bigint twin (identical bit pattern). r8: the
+# same in-query near-dup plant as the Spark side (docsx CTE), so the
+# driver compares real pairs at every sf.
 _MM_DHASH_PAIRS_K = 7
 _MM_DHASH_BAND_CAP = 64
 _MM_DHASH_BANDS = " UNION ALL ".join(
@@ -641,7 +655,10 @@ _MM_DHASH_BANDS = " UNION ALL ".join(
     for i in range(_MM_DHASH_PAIRS_K + 1)
 )
 _MM_DHASH_PAIRS_SQL = (
-    f"WITH h AS (SELECT doc_id, {_DHASH_BITS} AS u FROM documents "
+    "WITH docsx AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, 'Z' || substr(text, 2) "
+    "FROM documents WHERE doc_id < 30 AND length(text) >= 200), "
+    f"h AS (SELECT doc_id, {_DHASH_BITS} AS u FROM docsx "
     "WHERE length(text) > 0), "
     "fp AS (SELECT doc_id, u, CAST(CASE WHEN u >= 9223372036854775808 "
     "THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS dh FROM h), "

@@ -123,6 +123,34 @@ def test_no_oracle_row_with_failed_rows_match_stays_red():
     assert ordered == ["a", "b"]
 
 
+def test_vacuous_green_resamples_after_fresh():
+    """A green row that compared ZERO rows against a real oracle proves
+    nothing (VERDICT r7: multimodal_dhash_pairs) — the entry re-samples
+    right after the never-sampled tier until a non-trivial row lands."""
+    mod = _entry_module()
+    names = ["a", "b", "c", "d"]
+    specs = _fake_specs(names, with_sql=set(names))
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    latest = {
+        "a": dict(green, spark_rows=0, oracle_rows=0),  # vacuous
+        "b": dict(green, spark_rows=7, oracle_rows=7),  # real green
+    }
+    ordered = list(mod._ordered_catalog(latest=latest, specs=specs))
+    assert ordered == ["c", "d", "a", "b"]
+
+
+def test_vacuous_zero_rows_without_oracle_stays_seen():
+    """rows-only entries legitimately return 0 rows on small fixtures;
+    without an oracle there is nothing extra a re-sample would check."""
+    mod = _entry_module()
+    specs = _fake_specs(["a", "b"], with_sql=set())
+    latest = {
+        "a": dict(_NO_ORACLE_ROW, spark_rows=0),
+    }
+    ordered = list(mod._ordered_catalog(latest=latest, specs=specs))
+    assert ordered == ["b", "a"]
+
+
 def test_no_history_preserves_catalog_order():
     mod = _entry_module()
     assert list(mod._ordered_catalog(latest={})) == list(mod.CATALOG)
