@@ -1099,10 +1099,18 @@ _BUCKET = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(8)
 )
 # Deterministic md5-medoid IVF (mirrors similarity.ivf_topk_md5): the
-# 16 corpus vectors with smallest md5(id) are the cells; assignment and
+# corpus vectors with smallest md5(id) are the cells; assignment and
 # probing rank exact-integer squared L2 (nn + cn - 2*dot, all bigint)
 # with cell-id ties; probe the best 2 cells per query; exact integer
-# cosine over the probed candidates only.
+# cosine over the probed candidates only. r8: the cell COUNT is no
+# longer the fixed literal 16 — it mirrors similarity.auto_n_cells
+# (ceil(N/256) clamped to [4, 65536]) as a scalar-subquery LIMIT, the
+# production lever that keeps expected cell membership constant as the
+# corpus grows (VERDICT r7 item 3).
+_AUTO_CELLS_LIMIT = (
+    "LIMIT (SELECT GREATEST(4, LEAST(65536, (COUNT(*) + 255) // 256)) "
+    "FROM embeddings)"
+)
 _IVF_SQDIST = (
     "n.nn + c.cn2 - 2 * CAST(list_sum(list_transform(list_zip(v.e, c.ce), "
     "p -> p[1] * p[2])) AS BIGINT)"
@@ -1111,7 +1119,8 @@ _KNN_IVF_SQL = (
     f"WITH {_SCALED_V}, "
     "cent AS (SELECT vec_id AS cell, e AS ce, "
     "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2 FROM "
-    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)), "
+    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) "
+    f"{_AUTO_CELLS_LIMIT})), "
     "asg AS (SELECT match_id, ce2, cn_m, cell FROM ("
     "SELECT v.vec_id AS match_id, v.e AS ce2, n.nn AS cn_m, c.cell, "
     f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_IVF_SQDIST}, c.cell) AS rn "
@@ -1145,7 +1154,8 @@ _KNN_MUTUAL_SQL = (
     f"WITH {_SCALED_V}, "
     "cent AS (SELECT vec_id AS cell, e AS ce, "
     "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2 FROM "
-    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)), "
+    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) "
+    f"{_AUTO_CELLS_LIMIT})), "
     "asg AS (SELECT vec_id, e, nn, cell FROM ("
     "SELECT v.vec_id, v.e, n.nn, c.cell, "
     f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_IVF_SQDIST}, c.cell) AS rn "
@@ -2855,7 +2865,8 @@ _SEMANTIC_CELLS_SQL = (
     f"WITH {_SCALED_V}, "
     "cent AS (SELECT vec_id AS cell, e AS ce, "
     "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2 FROM "
-    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)), "
+    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) "
+    f"{_AUTO_CELLS_LIMIT})), "
     "asg AS (SELECT vec_id, e, nn, cell FROM ("
     "SELECT v.vec_id, v.e, n.nn, c.cell, "
     f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_IVF_SQDIST}, c.cell) AS rn "
@@ -3776,7 +3787,8 @@ _IVF_RECALL_SQL = (
     "WHERE rank <= 5), "
     "cent AS (SELECT vec_id AS cell, e AS ce, "
     "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2 FROM "
-    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)), "
+    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) "
+    f"{_AUTO_CELLS_LIMIT})), "
     "asg AS (SELECT match_id, ce2, cn_m, cell FROM ("
     "SELECT v.vec_id AS match_id, v.e AS ce2, n.nn AS cn_m, c.cell, "
     f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_IVF_SQDIST}, c.cell) AS rn "

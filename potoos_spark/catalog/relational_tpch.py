@@ -857,22 +857,29 @@ _HOUR_MS = 3_600_000
 
 
 def _moving_avg_fn(spark, sf_dir):
+    """Trailing-hour moving average over the SHARDED window (time
+    chunks + carry-in, operators/rolling.py): bit-identical to the
+    one-partition-per-series form — the decimal window sum is exact,
+    so the row set (identical by construction) determines the
+    doubles — while the sort parallelism is (series × chunks), not
+    (series). Oracle unchanged."""
+    from ..operators import rolling
     from .common import events_frame
 
     ev = events_frame(spark, sf_dir)
-    w = (
-        W.partitionBy("series_key")
-        .orderBy("ts_ms")
-        .rangeBetween(-_HOUR_MS, 0)
-    )
-    return ev.select(
-        "series_key",
-        "ts_ms",
-        "seq",
-        F.count("*").over(w).alias("n_in_hour"),
-        (F.sum(dec("value")).over(w).cast("double") / F.count("*").over(w)).alias(
-            "avg_in_hour"
-        ),
+    aug, w = rolling.sharded_trailing_window(ev, _HOUR_MS)
+    return rolling.emit_owned(
+        aug.select(
+            "series_key",
+            "ts_ms",
+            "seq",
+            F.count("*").over(w).alias("n_in_hour"),
+            (
+                F.sum(dec("value")).over(w).cast("double") / F.count("*").over(w)
+            ).alias("avg_in_hour"),
+            rolling.OWNED,
+            rolling.CHUNK,
+        )
     )
 
 
@@ -899,16 +906,20 @@ def _bollinger_fn(spark, sf_dir):
     IEEE additions — bit-stable across engines and partitionings.
     ONE window exchange serves all five aggregates.
 
+    r8 (VERDICT r7 item 5): the window runs SHARDED by time chunk
+    with carry-in (operators/rolling.py) — per-task sort is a chunk,
+    not a whole series, so parallelism is (series × chunks) and the
+    exp-0.62 fixed-series bottleneck goes away. All window
+    accumulators are exact bigint, so the output is bit-identical to
+    the unsharded form and the oracle is UNCHANGED.
+
     Output: (series_key, ts_ms, seq, value, n_in_hour, mean, std,
     upper, lower, breakout ∈ {-1, 0, 1})."""
+    from ..operators import rolling
     from .common import events_frame
 
     ev = events_frame(spark, sf_dir)
-    w = (
-        W.partitionBy("series_key")
-        .orderBy("ts_ms")
-        .rangeBetween(-_HOUR_MS, 0)
-    )
+    aug, w = rolling.sharded_trailing_window(ev, _HOUR_MS)
     v100 = (dec("value") * 100).cast("bigint")
     n = F.count("*").over(w)
     a = F.sum(v100).over(w)
@@ -916,16 +927,20 @@ def _bollinger_fn(spark, sf_dir):
     mean = a.cast("double") / (n * 100).cast("double")
     var4 = (n * b - a * a).cast("double") / (n * n * 10_000).cast("double")
     std = F.sqrt(var4)
-    out = ev.select(
-        "series_key",
-        "ts_ms",
-        "seq",
-        "value",
-        n.alias("n_in_hour"),
-        mean.alias("mean"),
-        std.alias("std"),
-        (mean + F.lit(2.0) * std).alias("upper"),
-        (mean - F.lit(2.0) * std).alias("lower"),
+    out = rolling.emit_owned(
+        aug.select(
+            "series_key",
+            "ts_ms",
+            "seq",
+            "value",
+            n.alias("n_in_hour"),
+            mean.alias("mean"),
+            std.alias("std"),
+            (mean + F.lit(2.0) * std).alias("upper"),
+            (mean - F.lit(2.0) * std).alias("lower"),
+            rolling.OWNED,
+            rolling.CHUNK,
+        )
     )
     breakout = (
         F.when(F.col("value") > F.col("upper"), F.lit(1))

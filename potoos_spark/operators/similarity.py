@@ -327,14 +327,15 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 2,
     seed: int = 42,
 ) -> DataFrame:
     """IVF ANN: KMeans coarse quantizer (seeded — deterministic within
     Spark, but not SQL-expressible → rows-only correctness check).
     Corpus rows are assigned to their nearest centroid cell; each query
-    probes its ``n_probe`` nearest cells."""
+    probes its ``n_probe`` nearest cells. ``n_cells=None`` derives the
+    cell count from corpus size (``auto_n_cells``)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -344,7 +345,9 @@ def ivf_topk(
         F.col(vec_col).alias("emb"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    model = KMeans(
+        k=_resolve_n_cells(n_cells, corpus), seed=seed, featuresCol="features"
+    ).fit(train)
     assigned = (
         model.transform(train)
         .select("match_id", scaled_vec("emb").alias("ce"), F.col("prediction").alias("cell"))
@@ -398,7 +401,7 @@ def ivf_topk_md5(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 2,
 ) -> DataFrame:
     """Deterministic IVF — the hash-oracle-checked twin of ``ivf_topk``
@@ -426,7 +429,7 @@ def ivf_topk_md5(
     cent = (
         c.withColumn("__hm", F.md5(F.col("match_id").cast("string")))
         .orderBy("__hm")
-        .limit(int(n_cells))
+        .limit(_resolve_n_cells(n_cells, corpus))
         .select(
             F.col("match_id").alias("cell"),
             F.col("ce").alias("cent_e"),
@@ -1134,6 +1137,40 @@ def whiten_dims(
     )
 
 
+AUTO_CELL_TARGET = 256  # expected members per cell: half the cell_cap
+# guardrail (512), so the cap is a pathology bound, not the steady state
+
+
+def auto_n_cells(
+    n_rows: int,
+    target_cell_size: int = AUTO_CELL_TARGET,
+    lo: int = 4,
+    hi: int = 65536,
+) -> int:
+    """The production blocking lever (VERDICT r7 item 3): cells ∝
+    corpus size, ``ceil(N / target_cell_size)`` clamped to [lo, hi] —
+    keeps EXPECTED cell membership constant as the corpus grows, so
+    per-cell pair work stays flat and the ``cell_cap`` guardrail stops
+    truncating candidates (with cells FIXED at 16, a 100× corpus blows
+    every cell past the cap and recall silently degrades; with the
+    sqrt(N) schedule cell size still grows without bound). Total
+    within-cell pair volume is then Θ(N · target) — linear, the floor
+    for any operator whose OUTPUT is per-row. Deterministic: derived
+    from an exact count, independent of partitioning, and mirrored in
+    the DuckDB oracles as a scalar-subquery LIMIT."""
+    want = (int(n_rows) + int(target_cell_size) - 1) // int(target_cell_size)
+    return max(int(lo), min(int(hi), want))
+
+
+def _resolve_n_cells(n_cells, corpus: DataFrame) -> int:
+    """``n_cells=None`` → derive from ONE count of the corpus (a
+    columnless scan; driver traffic = 1 scalar, within the SCALE.md
+    collect policy). An explicit int passes through untouched."""
+    if n_cells is None:
+        return auto_n_cells(corpus.count())
+    return int(n_cells)
+
+
 def md5_medoid_centroids(c: DataFrame, n_cells: int) -> DataFrame:
     """(cell, cent_e, cent_n) from a standardized (__id, e, n) frame:
     the ``n_cells`` actual corpus vectors whose md5(id) is smallest —
@@ -1182,7 +1219,7 @@ def semantic_dedup_cells(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     threshold: float = 0.4,
     cell_cap: int = 512,
 ) -> DataFrame:
@@ -1199,8 +1236,9 @@ def semantic_dedup_cells(
     engine-portable). ``cell_cap`` bounds members per cell (md5-ranked,
     deterministic) so a pathological mega-cell cannot go quadratic —
     the same guardrail ``pq_blocked_dup_pairs`` ships; the PRODUCTION
-    lever is n_cells ∝ corpus size, which keeps expected cell size
-    (and so pairs-per-cell) constant.
+    lever — n_cells ∝ corpus size, keeping expected cell size (and so
+    pairs-per-cell) constant — is the DEFAULT: ``n_cells=None`` derives
+    ``auto_n_cells(count)`` from one corpus count.
 
     Shape: centroid draw is a TakeOrderedAndProject; assignment is one
     broadcast-centroids map pass + min_by agg; the pair join is keyed
@@ -1223,7 +1261,7 @@ def semantic_dedup_cells(
     c = df.select(
         F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
     ).withColumn("n", sqnorm_expr(F.col("e")))
-    cent = md5_medoid_centroids(c, n_cells)
+    cent = md5_medoid_centroids(c, _resolve_n_cells(n_cells, df))
     assigned = assign_to_cells(c, cent)
     wc = W.partitionBy("cell").orderBy(F.md5(F.col("__id").cast("string")), "__id")
     capped = (
@@ -1474,13 +1512,14 @@ def cell_knn_edges(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     cell_cap: int = 512,
 ) -> DataFrame:
     """Bounded kNN edge list for graph construction: candidates come
     from the md5-medoid CELL blocking (the SemDeDup/IVF quantizer —
-    cell_cap guardrail, n_cells ∝ corpus size as the production
-    lever), exact integer-scaled cosine scores within cells, and a
+    cell_cap guardrail; n_cells ∝ corpus size is the production lever
+    and the DEFAULT, via ``auto_n_cells`` when ``n_cells=None``),
+    exact integer-scaled cosine scores within cells, and a
     per-node ranked window cut to k. This is the candidate-GENERATING-
     relation-capped stage-1 for ``mutual_neighbors`` — pair volume is
     bounded by n_cells · cell_cap² at ANY corpus size, where the exact
@@ -1496,7 +1535,7 @@ def cell_knn_edges(
     c = df.select(
         F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
     ).withColumn("n", sqnorm_expr(F.col("e")))
-    cent = md5_medoid_centroids(c, n_cells)
+    cent = md5_medoid_centroids(c, _resolve_n_cells(n_cells, df))
     assigned = assign_to_cells(c, cent)
     wc = W.partitionBy("cell").orderBy(F.md5(F.col("__id").cast("string")), "__id")
     capped = (

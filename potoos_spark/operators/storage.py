@@ -194,7 +194,7 @@ def write_ivf_index(
     dst: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_cells: int = 16,
+    n_cells: int | None = None,
 ) -> int:
     """Materialize an IVF index as a CELL-PARTITIONED parquet layout —
     the serving-side consumer of the md5-medoid quantizer
@@ -209,12 +209,16 @@ def write_ivf_index(
     Returns the indexed vector count (callers assert row-exactness).
     """
     from .dedup import scaled_vec, sqnorm_expr
-    from .similarity import assign_to_cells, md5_medoid_centroids
+    from .similarity import (
+        _resolve_n_cells,
+        assign_to_cells,
+        md5_medoid_centroids,
+    )
 
     c = corpus.select(
         F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
     ).withColumn("n", sqnorm_expr(F.col("e")))
-    cent = md5_medoid_centroids(c, n_cells)
+    cent = md5_medoid_centroids(c, _resolve_n_cells(n_cells, corpus))
     assigned = assign_to_cells(c, cent).select(
         F.col("__id").alias(id_col), "e", "n", "cell"
     )

@@ -463,6 +463,56 @@ def test_pq_recall_gate_on_clustered_fixture(spark, clustered, clustered_exact):
     assert _recall(got, clustered_exact) >= 0.8
 
 
+def test_ivf_recall_gate_holds_with_auto_cells_at_two_sizes(spark):
+    """VERDICT r7 item 3 done-criterion: with ``n_cells=None`` the
+    quantizer derives ``auto_n_cells(count)`` — ceil(N/256) clamped —
+    and the clustered-fixture recall gate must hold at TWO corpus
+    sizes (1000 → 4 cells, 4000 → 16 cells), so the auto schedule is
+    recall-safe across a 4× size step, not tuned to one fixture."""
+    import sys as _sys
+
+    _sys.path.insert(0, "scripts")
+    from ann_recall_sweep import make_clustered
+
+    from potoos_spark.operators.similarity import (
+        auto_n_cells,
+        cosine_topk,
+        ivf_topk_md5,
+    )
+
+    assert auto_n_cells(1000) == 4
+    assert auto_n_cells(4000) == 16
+    for n in (1000, 4000):
+        e = make_clustered(spark, n=n).persist()
+        try:
+            q = e.filter(F.col("vec_id") < N_QUERIES)
+            exact = {
+                (r["query_id"], r["match_id"])
+                for r in cosine_topk(q, e, k=K).collect()
+            }
+            got = ivf_topk_md5(q, e, k=K).collect()  # auto cells
+            r = _recall(got, exact)
+            assert r >= 0.8, f"n={n}: auto-cell recall {r:.2f}"
+        finally:
+            e.unpersist()
+
+
+def test_auto_n_cells_schedule_properties():
+    """The lever itself: constant expected membership, clamped ends,
+    monotone in N — pure arithmetic, no session."""
+    from potoos_spark.operators.similarity import AUTO_CELL_TARGET, auto_n_cells
+
+    assert auto_n_cells(0) == 4  # lower clamp
+    assert auto_n_cells(10**12) == 65536  # upper clamp
+    prev = 0
+    for n in (10_000, 100_000, 1_000_000, 10_000_000):
+        cells = auto_n_cells(n)
+        assert cells >= prev, "schedule must be monotone"
+        prev = cells
+        # expected membership stays within 2x of the target
+        assert n / cells <= 2 * AUTO_CELL_TARGET
+
+
 def test_mutual_neighbors_keeps_only_reciprocal_edges(spark):
     """r7 mutual-kNN: an edge survives iff BOTH directions are in the
     top-k edge list — hand-built edges where (1,2) is mutual and the
