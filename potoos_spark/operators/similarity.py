@@ -1215,6 +1215,172 @@ def assign_to_cells(c: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _codebook(cent: DataFrame):
+    """Collect the (cell, cent_e, cent_n) relation into numpy arrays
+    sorted by cell id — the IVF codebook every vectorized kernel
+    broadcasts (MLlib KMeans ships its centers to executors the same
+    way). Driver traffic = n_cells · d ints: metadata-scale (33 MB at
+    the 65536-cell clamp with d=64 — the codebook, not the corpus).
+    Cell-ascending order makes ``argmin``'s first-occurrence tie rule
+    equal the (sq, cell) tie rule of ``assign_to_cells``."""
+    import numpy as np
+
+    rows = sorted(cent.collect(), key=lambda r: r["cell"])
+    ids = np.array([r["cell"] for r in rows], dtype=np.int64)
+    ce = np.array([list(r["cent_e"]) for r in rows], dtype=np.int64)
+    cn = np.array([r["cent_n"] for r in rows], dtype=np.int64)
+    return ids, ce, cn
+
+
+def assign_to_cells_np(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """Vectorized twin of ``assign_to_cells``: identical output (exact
+    int64 ``M @ C.T`` Gramian, sq = n + cn − 2·dot, argmin with the
+    same (sq, cell) tie rule), different physical shape — a MAP-ONLY
+    Arrow kernel against the broadcast codebook instead of a
+    crossJoin + min_by shuffle. The r8 stage timing at the 10× probe
+    scale measured the interpreted HOF fold at 3.4 s for 1.58 M
+    centroid distances; the BLAS matmul is milliseconds, and the
+    shuffle disappears entirely. Output: (__id, e, n, cell)."""
+    import numpy as np
+    import pandas as pd
+
+    ids, ce, cn = _codebook(cent)
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["e"]])
+            sq = (
+                pdf["n"].to_numpy(dtype=np.int64)[:, None]
+                + cn[None, :]
+                - 2 * (m @ ce.T)
+            )
+            pdf = pdf[["__id", "e", "n"]].copy()
+            pdf["cell"] = ids[np.argmin(sq, axis=1)]
+            yield pdf
+
+    if ids.size == 0:  # empty corpus: no cells, no assignment
+        return c.limit(0).withColumn("cell", F.lit(None).cast("bigint"))
+    return c.mapInPandas(
+        kern, schema="__id bigint, e array<bigint>, n bigint, cell bigint"
+    )
+
+
+def _md5_capped(pdf, cell_cap: int):
+    """In-kernel twin of the md5-ranked ``row_number() <= cell_cap``
+    guardrail window: sort by (md5(str(id)), id), truncate."""
+    import hashlib
+
+    order = sorted(
+        range(len(pdf)),
+        key=lambda i: (
+            hashlib.md5(str(int(pdf["__id"].iloc[i])).encode()).hexdigest(),
+            int(pdf["__id"].iloc[i]),
+        ),
+    )
+    return pdf.iloc[order[: int(cell_cap)]]
+
+
+def _cell_pair_cosines(pdf):
+    """Within-cell all-pairs cosine matrix with the EXPRESSION tier's
+    exact op order: int64 Gramian, then double(dot)/sqrt(double(na·nb))
+    — both IEEE-correctly-rounded, so every cell is bit-identical to
+    ``cosine_from_norms``."""
+    import numpy as np
+
+    e = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["e"]])
+    n = pdf["n"].to_numpy(dtype=np.int64)
+    dots = e @ e.T
+    return dots.astype(np.float64) / np.sqrt(
+        np.multiply.outer(n, n).astype(np.float64)
+    )
+
+
+def cell_capped_topk(
+    assigned: DataFrame, k: int, cell_cap: int
+) -> DataFrame:
+    """Fused per-cell cap + score + top-k as ONE ``applyInPandas``
+    stage: each node's candidates all live in its own (capped) cell, so
+    the per-node rank cut can happen inside the cell group and only
+    N·k edge rows ever leave Python — where the expression tier
+    materialized the full n_cells·cap² pair relation (5.3 M rows at
+    the 10× probe) through an interpreted fold and a global rank
+    window. One shuffle total (the groupBy cell); group memory is
+    bounded by the cell, which the auto-cells schedule keeps at
+    ~AUTO_CELL_TARGET members. Ranking replicates row_number over
+    (cosine DESC, match_id ASC) exactly (float negation is exact).
+    Output: (query_id, match_id, cosine, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    def kern(pdf):
+        pdf = _md5_capped(pdf, cell_cap)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"query_id": [], "match_id": [], "cosine": [], "rank": []}
+            )
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        cos = _cell_pair_cosines(pdf)
+        q, mt, cs, rk = [], [], [], []
+        for i in range(m):
+            mask = np.ones(m, dtype=bool)
+            mask[i] = False
+            cj, idj = cos[i][mask], ids[mask]
+            top = np.lexsort((idj, -cj))[: int(k)]
+            q.extend([ids[i]] * len(top))
+            mt.extend(idj[top])
+            cs.extend(cj[top])
+            rk.extend(range(1, len(top) + 1))
+        return pd.DataFrame(
+            {"query_id": q, "match_id": mt, "cosine": cs, "rank": rk}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        lambda _, pdf: kern(pdf),
+        schema="query_id bigint, match_id bigint, cosine double, rank bigint",
+    )
+
+
+def cell_capped_pairs(
+    assigned: DataFrame, threshold: float, cell_cap: int
+) -> DataFrame:
+    """Fused per-cell cap + thresholded pair emission (the SemDeDup
+    verify) as one ``applyInPandas`` stage — same physical rationale as
+    ``cell_capped_topk``; only pairs at/above the duplicate bar leave
+    Python. Output: (cell, id_a, id_b, cosine) with id_a < id_b."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def kern(key, pdf):
+        pdf = _md5_capped(pdf, cell_cap)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"cell": [], "id_a": [], "id_b": [], "cosine": []}
+            )
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        cos = _cell_pair_cosines(pdf)
+        iu, ju = np.triu_indices(m, 1)
+        keep = cos[iu, ju] >= thr
+        ia, jb = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "cell": np.full(keep.sum(), int(key[0]), dtype=np.int64),
+                "id_a": np.minimum(ia, jb),
+                "id_b": np.maximum(ia, jb),
+                "cosine": cos[iu, ju][keep],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        kern, schema="cell bigint, id_a bigint, id_b bigint, cosine double"
+    )
+
+
 def semantic_dedup_cells(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1240,10 +1406,14 @@ def semantic_dedup_cells(
     pairs-per-cell) constant — is the DEFAULT: ``n_cells=None`` derives
     ``auto_n_cells(count)`` from one corpus count.
 
-    Shape: centroid draw is a TakeOrderedAndProject; assignment is one
-    broadcast-centroids map pass + min_by agg; the pair join is keyed
-    on the cell id over the capped membership. No global window, no
-    all-pairs join anywhere.
+    Shape (r8, vectorized): centroid draw is a TakeOrderedAndProject;
+    assignment is a MAP-ONLY Arrow kernel against the broadcast
+    codebook (``assign_to_cells_np`` — no shuffle); cap + verify are
+    fused into ONE per-cell ``applyInPandas`` stage
+    (``cell_capped_pairs``) whose exact int64 Gramian replays
+    ``cosine_from_norms`` bit-for-bit, so only at-threshold pairs
+    leave Python. One shuffle total, no global window, no all-pairs
+    join anywhere.
 
     Quality contract (tested in test_ann_recall.py): precision is 1.0
     by construction — the within-cell verify computes the same exact
@@ -1262,29 +1432,7 @@ def semantic_dedup_cells(
         F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
     ).withColumn("n", sqnorm_expr(F.col("e")))
     cent = md5_medoid_centroids(c, _resolve_n_cells(n_cells, df))
-    assigned = assign_to_cells(c, cent)
-    wc = W.partitionBy("cell").orderBy(F.md5(F.col("__id").cast("string")), "__id")
-    capped = (
-        assigned.withColumn("__rn", F.row_number().over(wc))
-        .filter(F.col("__rn") <= int(cell_cap))
-        .drop("__rn")
-    )
-    a = capped.select(
-        "cell", F.col("__id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na")
-    )
-    b = capped.select(
-        "cell", F.col("__id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb")
-    )
-    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "cell",
-        "id_a",
-        "id_b",
-        cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias(
-            "cosine"
-        ),
-    )
-    return scored.filter(F.col("cosine") >= float(threshold))
+    return cell_capped_pairs(assign_to_cells_np(c, cent), threshold, cell_cap)
 
 
 def binary_sign_words(vec: Column, bits_per_word: int = 32) -> Column:
@@ -1519,11 +1667,14 @@ def cell_knn_edges(
     from the md5-medoid CELL blocking (the SemDeDup/IVF quantizer —
     cell_cap guardrail; n_cells ∝ corpus size is the production lever
     and the DEFAULT, via ``auto_n_cells`` when ``n_cells=None``),
-    exact integer-scaled cosine scores within cells, and a
-    per-node ranked window cut to k. This is the candidate-GENERATING-
-    relation-capped stage-1 for ``mutual_neighbors`` — pair volume is
-    bounded by n_cells · cell_cap² at ANY corpus size, where the exact
-    all-pairs ``cosine_topk(corpus, corpus)`` stage-1 is quadratic
+    exact integer-scaled cosine scores within cells, and a per-node
+    rank cut to k FUSED into the per-cell kernel
+    (``cell_capped_topk``) — a node's candidates all live in its own
+    cell, so only N·k edges ever materialize. This is the
+    candidate-GENERATING-relation-capped stage-1 for
+    ``mutual_neighbors`` — scoring volume is bounded by
+    n_cells · cell_cap² at ANY corpus size, where the exact all-pairs
+    ``cosine_topk(corpus, corpus)`` stage-1 is quadratic
     (probe-measured exp 1.18 before this landed). Within-cell kNN is
     the standard approximation for graph clustering: true neighbors
     co-locate by assignment, cross-cell edges are the recall the
@@ -1536,33 +1687,7 @@ def cell_knn_edges(
         F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
     ).withColumn("n", sqnorm_expr(F.col("e")))
     cent = md5_medoid_centroids(c, _resolve_n_cells(n_cells, df))
-    assigned = assign_to_cells(c, cent)
-    wc = W.partitionBy("cell").orderBy(F.md5(F.col("__id").cast("string")), "__id")
-    capped = (
-        assigned.withColumn("__rn", F.row_number().over(wc))
-        .filter(F.col("__rn") <= int(cell_cap))
-        .drop("__rn")
-    )
-    a = capped.select(
-        "cell", F.col("__id").alias("query_id"),
-        F.col("e").alias("ea"), F.col("n").alias("na"),
-    )
-    b = capped.select(
-        "cell", F.col("__id").alias("match_id"),
-        F.col("e").alias("eb"), F.col("n").alias("nb"),
-    )
-    scored = (
-        a.join(b, "cell")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .select(
-            "query_id",
-            "match_id",
-            cosine_from_norms(
-                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-            ).alias("cosine"),
-        )
-    )
-    return _ranked_topk(scored, k)
+    return cell_capped_topk(assign_to_cells_np(c, cent), k, cell_cap)
 
 
 _KM_OFFSET = 10_000  # > any |scaled component|: makes the mean's

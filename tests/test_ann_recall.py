@@ -298,17 +298,22 @@ def test_semantic_dedup_cells_planted_duplicates_and_precision(spark):
 
 
 def test_semantic_dedup_cells_plan_is_blocked(spark):
-    """The centroid relation must reach the assignment pass as a
-    broadcast; the pair join must be keyed on the cell id (a hash or
-    broadcast join), never a cartesian product over the corpus."""
+    """r8 vectorized shape: a MAP-ONLY Arrow assignment kernel (the
+    codebook rides as a Python closure, no join at all) feeding ONE
+    per-cell FlatMapGroupsInPandas — exactly one shuffle (the groupBy
+    cell), never a cartesian product or a corpus-wide pair join."""
     from potoos_spark.operators.similarity import semantic_dedup_cells
 
     e = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
     plan = (
         semantic_dedup_cells(e)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected ONE shuffle, saw {n_exchanges}:\n{plan}"
 
 
 def test_whiten_dims_standardizes_each_dimension(spark):
