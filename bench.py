@@ -160,6 +160,10 @@ HEADLINE = [
     "ts_backtest_mae",
     "q_skew_report",
     "emb_ivf_recall_eval",
+    # round-8 addition: the full Lee et al./RefinedWeb fuzzy-dedup
+    # pipeline as one headline op (MinHash-LSH verify -> components
+    # over verified pairs -> centrality keeper)
+    "corpus_fuzzy_dedup_e2e",
 ]
 
 

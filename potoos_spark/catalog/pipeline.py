@@ -3815,3 +3815,63 @@ _IVF_RECALL_SQL = (
 )
 
 QUERIES["emb_ivf_recall_eval"] = QuerySpec(_ivf_recall_fn, _IVF_RECALL_SQL)
+
+
+def _fuzzy_dedup_e2e_fn(spark, sf_dir):
+    """r8 (VERDICT r7 item 6): the full Lee et al. / RefinedWeb
+    document-level fuzzy dedup as ONE headline op — shingle → MinHash →
+    LSH → exact-Jaccard verify → components over verified pairs →
+    centrality keeper. Single persisted pair relation feeds both graph
+    consumers."""
+    return D.fuzzy_dedup_e2e(
+        _docs(spark, sf_dir), k=K_MINHASH, rows_per_band=ROWS_PER_BAND,
+        jaccard_threshold=0.2,
+    )
+
+
+# Composition oracle: the dedup_minhash_lsh CTE chain (shingle/sig/
+# band/cand/jaccard verify) produces the verified pair set vp; the
+# components recursive closure and the degree-capped integer PageRank
+# (the _KEEP_CENTRAL_SQL machinery — gedges capped most-similar-first
+# by jaccard DESC, mirroring the engine's __ord = -jaccard) both run
+# over vp; the keeper is the per-component (rank_e9 DESC, doc_id)
+# argmax.
+_FUZZY_E2E_SQL = (
+    _BASE_SH.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f", {_SIG}, {_BANDS}, {_CAND}, {_SIZES}, {_SHARED}, {_JACC}, "
+    "vp AS (SELECT j.id_a, j.id_b, j.jaccard FROM jac j "
+    "JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b "
+    "WHERE j.jaccard >= 0.2), "
+    # --- components closure over the verified pair graph ---
+    "pedges AS (SELECT id_a AS u, id_b AS v FROM vp "
+    "UNION ALL SELECT id_b, id_a FROM vp), "
+    "reach AS (SELECT doc_id AS u, doc_id AS v FROM documents "
+    "UNION SELECT r.u, e.v FROM reach r JOIN pedges e ON r.v = e.u), "
+    "comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u), "
+    # --- degree-capped integer PageRank over the same graph ---
+    "alledges AS (SELECT id_a AS src, id_b AS dst, jaccard FROM vp "
+    "UNION ALL SELECT id_b, id_a, jaccard FROM vp), "
+    "gedges AS (SELECT src, dst FROM (SELECT src, dst, ROW_NUMBER() OVER ("
+    "PARTITION BY src ORDER BY jaccard DESC, dst) AS rn FROM alledges) "
+    "WHERE rn <= 16), "
+    "gdegs AS (SELECT src, COUNT(*) AS deg FROM gedges GROUP BY 1), "
+    "nodes AS (SELECT doc_id AS node FROM documents), "
+    "tot AS (SELECT COUNT(*) AS N FROM nodes), "
+    "gr0 AS (SELECT node, CAST(1000000000 AS BIGINT) // t.N AS r "
+    "FROM nodes CROSS JOIN tot t), "
+    + _pr_iter_g_sql("gr0", "1") + ", "
+    + _pr_iter_g_sql("gr1", "2") + ", "
+    + _pr_iter_g_sql("gr2", "3") + ", "
+    # --- per-component argmax keeper ---
+    "joined AS (SELECT comp.component, comp.doc_id, gr3.r AS rank_e9 "
+    "FROM comp JOIN gr3 ON gr3.node = comp.doc_id), "
+    "ranked AS (SELECT component, doc_id, rank_e9, "
+    "ROW_NUMBER() OVER (PARTITION BY component ORDER BY rank_e9 DESC, doc_id) AS rn, "
+    "CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members FROM joined) "
+    # CAST the rank: the PR inflow SUM is HUGEINT in DuckDB, which
+    # pandas materializes as float64 (the r3 dtype-kind lesson)
+    "SELECT component, doc_id AS keep_id, CAST(rank_e9 AS BIGINT) AS keep_rank_e9, "
+    "n_members FROM ranked WHERE rn = 1"
+)
+
+QUERIES["corpus_fuzzy_dedup_e2e"] = QuerySpec(_fuzzy_dedup_e2e_fn, _FUZZY_E2E_SQL)

@@ -1055,7 +1055,18 @@ def dup_components(
         F.col(id_col),
         F.concat(F.lit("s:"), F.col("simhash").cast("string")).alias("attr"),
     )
-    attrs = hashes.union(sims).persist()
+    return _attr_label_propagation(base, hashes.union(sims), id_col, max_iters)
+
+
+def _attr_label_propagation(
+    base: DataFrame, attrs_in: DataFrame, id_col: str, max_iters: int
+) -> DataFrame:
+    """The bipartite min-label-propagation core of ``dup_components``,
+    factored out so components can run over ANY (id, attr) incidence
+    relation — shared content hashes, fingerprints, or explicit pair
+    ids (``edge_components``). Semantics and shuffle shape unchanged.
+    Output: (id_col, component)."""
+    attrs = attrs_in.persist()
 
     labels = base.select(F.col(id_col), F.col(id_col).alias("lbl")).persist()
     # Fixpoint test: labels are monotone non-increasing (every update is
@@ -1079,6 +1090,14 @@ def dup_components(
             .groupBy(id_col)
             .agg(F.min("al101").alias("plbl"))
         )
+        # localCheckpoint (not persist): persist caches the DATA but the
+        # logical plan still nests every prior round, so Catalyst
+        # re-analysis grows geometrically with iteration count (measured
+        # 1.7s → 4.0s → 19s per round before this landed). Checkpointing
+        # truncates lineage to a LogicalRDD — constant-size plans, flat
+        # per-round cost — the standard iterative-graph discipline
+        # (GraphFrames does the same). eager=False: the fixpoint agg
+        # below is the materializing action.
         new_labels = (
             labels.join(prop, id_col, "left")
             .select(
@@ -1087,7 +1106,7 @@ def dup_components(
                     "lbl"
                 ),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
         cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels.unpersist()
@@ -1102,6 +1121,48 @@ def dup_components(
         prev_sum = cur_sum
     attrs.unpersist()
     return labels.select(F.col(id_col), F.col("lbl").alias("component"))
+
+
+def edge_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an EXPLICIT undirected pair list
+    (id_a, id_b) — the composition entry point for pipelines that
+    already verified their near-dup pairs (MinHash-LSH, SemDeDup):
+    each pair becomes one attribute node, then the same bipartite
+    min-label propagation as ``dup_components`` (a doc→pair→doc hop is
+    a graph hop, so convergence is the component-diameter bound).
+    ``ids`` supplies the full node universe — singletons keep their
+    own id.
+
+    Scale shape: the iterative rounds run ONLY over pair MEMBERS — a
+    node in no pair can never change label, and after LSH+verify the
+    pair graph is a small fraction of the corpus (a few % of docs at
+    real dup rates), so each round's joins are sized by 2·|pairs|,
+    not N. Singletons rejoin once at the end via one anti-join.
+    Output: (id_col, component)."""
+    attr = F.concat(
+        F.lit("p:"),
+        F.col("id_a").cast("string"),
+        F.lit("|"),
+        F.col("id_b").cast("string"),
+    )
+    attrs = pairs.select(
+        F.col("id_a").alias(id_col), attr.alias("attr")
+    ).unionAll(pairs.select(F.col("id_b").alias(id_col), attr.alias("attr")))
+    members = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    labeled = _attr_label_propagation(members, attrs, id_col, max_iters)
+    singletons = ids.select(F.col(id_col)).join(
+        members, id_col, "left_anti"
+    ).select(F.col(id_col), F.col(id_col).alias("component"))
+    return labeled.unionByName(singletons)
 
 
 def levenshtein_pairs(
@@ -1531,21 +1592,46 @@ def near_dup_centrality(
     Output: (id_col, deg, rank_e9) for EVERY document (isolated docs
     keep the base rank with deg 0). ``deg`` is the capped out-degree.
     """
-    from pyspark import StorageLevel
-    from pyspark.sql import Window as W
-
     pairs = simhash_hamming_pairs(
         df, max_hamming, text_col, id_col, band_cap=64,
         fingerprints=fingerprints,
+    ).select("id_a", "id_b", F.col("hamming").alias("__ord"))
+    return capped_pagerank(
+        df.select(F.col(id_col)), pairs, id_col,
+        n_iters=n_iters, scale=scale, damping_pct=damping_pct,
+        max_degree=max_degree,
     )
-    we = W.partitionBy("src").orderBy("hamming", "dst")
+
+
+def capped_pagerank(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    n_iters: int = 3,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+    max_degree: int = 16,
+) -> DataFrame:
+    """The integer-exact degree-capped PageRank core of
+    ``near_dup_centrality``, factored out to run over ANY verified
+    similarity pair list — ``pairs`` is (id_a, id_b, __ord) where
+    ``__ord`` ranks a node's edges most-similar-first for the
+    ``max_degree`` cap (Hamming ascending for SimHash, negated Jaccard
+    for MinHash). ``ids`` is the node universe; isolated nodes keep
+    the base rank with deg 0. Semantics, bounds, and shuffle shape are
+    exactly the pre-r8 ``near_dup_centrality`` body.
+    Output: (id_col, deg, rank_e9)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
+
+    we = W.partitionBy("src").orderBy("__ord", "dst")
     e = (
         pairs.select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "hamming"
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "__ord"
         )
         .unionAll(
             pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "hamming"
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "__ord"
             )
         )
         .withColumn("__rn", F.row_number().over(we))
@@ -1554,7 +1640,7 @@ def near_dup_centrality(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = df.select(F.col(id_col).alias("node"))
+    nodes = ids.select(F.col(id_col).alias("node"))
     tot = nodes.agg(F.count("*").alias("N"))
     s, d = int(scale), int(damping_pct)
     r = nodes.crossJoin(F.broadcast(tot)).select(
@@ -1627,6 +1713,16 @@ def keep_central(
         df, n_iters=n_iters, max_hamming=max_hamming,
         text_col=text_col, id_col=id_col, fingerprints=fp,
     )
+    return _component_keeper(comp, cent, id_col)
+
+
+def _component_keeper(comp: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """Per-component argmax keeper shared by ``keep_central`` and
+    ``fuzzy_dedup_e2e``: within each component keep the doc with the
+    highest centrality, ties on id. Output: (component, keep_id,
+    keep_rank_e9, n_members)."""
+    from pyspark.sql import Window as W
+
     j = comp.join(cent, id_col)
     w = W.partitionBy("component").orderBy(
         F.col("rank_e9").desc(), F.col(id_col)
@@ -1643,3 +1739,52 @@ def keep_central(
             "n_members",
         )
     )
+
+
+def fuzzy_dedup_e2e(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.2,
+    n_iters: int = 3,
+    max_degree: int = 16,
+) -> DataFrame:
+    """Document-level fuzzy dedup END TO END — the full Lee et al.
+    2022 / RefinedWeb (Penedo et al. 2023) pipeline as one headline
+    operator: shingle → MinHash sign → banded LSH candidates →
+    exact-Jaccard verify (``minhash_dedup_pairs``) → connected
+    components over the VERIFIED pair graph (``edge_components``) →
+    centrality keeper per component (``capped_pagerank`` ordered
+    most-similar-first by Jaccard, then the ``keep_central`` argmax).
+
+    Every stage keeps its standalone scale contract: one persisted
+    shingle explosion, banded candidate generation with the
+    bucket_cap guardrail (never all-pairs), label propagation whose
+    per-iteration driver traffic is one scalar, an edge list capped at
+    N·max_degree, and integer-exact ranks. The verified pair relation
+    is computed ONCE and persisted — both graph consumers read it
+    (the keep_central single-fingerprint discipline, applied to the
+    MinHash tier).
+
+    Output: (component, keep_id, keep_rank_e9, n_members) — one row
+    per surviving document; n_members > 1 rows are the clusters whose
+    other members a curation pass drops.
+    """
+    from pyspark import StorageLevel
+
+    pairs = minhash_dedup_pairs(
+        df, text_col, id_col, k=k, rows_per_band=rows_per_band,
+        jaccard_threshold=jaccard_threshold,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ids = df.select(F.col(id_col))
+    comp = edge_components(ids, pairs, id_col)
+    cent = capped_pagerank(
+        ids,
+        pairs.select("id_a", "id_b", (-F.col("jaccard")).alias("__ord")),
+        id_col,
+        n_iters=n_iters,
+        max_degree=max_degree,
+    )
+    return _component_keeper(comp, cent, id_col)

@@ -540,3 +540,48 @@ def test_keep_central_fingerprints_corpus_exactly_once(spark, monkeypatch):
     cent_fp = D.near_dup_centrality(docs, fingerprints=real(docs))
     assert sorted(map(tuple, comp.collect())) == sorted(map(tuple, comp_fp.collect()))
     assert sorted(map(tuple, cent.collect())) == sorted(map(tuple, cent_fp.collect()))
+
+
+def test_edge_components_transitive_and_singletons(spark):
+    """r8: components over an EXPLICIT verified-pair list — a chain
+    (1-2, 2-3) merges transitively, disjoint pair (5-6) stays its own
+    component, un-paired docs keep their own id (the anti-join path)."""
+    from potoos_spark.operators.dedup import edge_components
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    got = {r["doc_id"]: r["component"] for r in edge_components(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_edge_components_empty_pairs_all_singletons(spark):
+    from potoos_spark.operators.dedup import edge_components
+
+    ids = spark.createDataFrame([(i,) for i in (3, 9)], "doc_id bigint")
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    got = {r["doc_id"]: r["component"] for r in edge_components(ids, pairs).collect()}
+    assert got == {3: 3, 9: 9}
+
+
+def test_fuzzy_dedup_e2e_groups_planted_near_dups(spark):
+    """The composed pipeline must cluster planted MinHash near-dups
+    (same text with one token changed) and keep exactly one doc per
+    cluster, with full doc-count coverage."""
+    from potoos_spark.operators.dedup import fuzzy_dedup_e2e
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [(1, base), (2, base.replace("lazy", "sleepy", 1)), (3, base)]
+    rows += [(10 + i, f"document number {i} about entirely topic {i} " * 5)
+             for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = fuzzy_dedup_e2e(docs).collect()
+    by_comp = {r["component"]: r for r in out}
+    # 1,2,3 collapse into one cluster of 3; the others are singletons
+    assert len(out) == 1 + 4
+    big = [r for r in out if r["n_members"] == 3]
+    assert len(big) == 1 and big[0]["keep_id"] in (1, 2, 3)
+    assert all(r["n_members"] == 1 for r in out if r is not big[0])
+    # keeper ids + members cover the corpus
+    assert sum(r["n_members"] for r in out) == len(rows)
