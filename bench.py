@@ -164,6 +164,9 @@ HEADLINE = [
     # pipeline as one headline op (MinHash-LSH verify -> components
     # over verified pairs -> centrality keeper)
     "corpus_fuzzy_dedup_e2e",
+    # round-8 addition: hierarchical (IMI-style) two-level IVF — the
+    # sqrt(C) assignment funnel over the nested md5-medoid draw
+    "knn_ivf_two_level",
 ]
 
 

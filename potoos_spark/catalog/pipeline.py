@@ -3875,3 +3875,80 @@ _FUZZY_E2E_SQL = (
 )
 
 QUERIES["corpus_fuzzy_dedup_e2e"] = QuerySpec(_fuzzy_dedup_e2e_fn, _FUZZY_E2E_SQL)
+
+
+def _knn_ivf2_fn(spark, sf_dir):
+    """r8: two-level (IMI-style) IVF — hierarchical assignment over the
+    nested md5-medoid draw (supers = first ceil(sqrt(C)) centroids in
+    the same md5 order), cutting per-vector assignment from C to
+    ~2*sqrt(C) centroid distances. Fully deterministic, hash-checked."""
+    e = _embs(spark, sf_dir)
+    return S.ivf_topk_two_level(e.filter(F.col("vec_id") < 5), e, k=5)
+
+
+# Mirrors similarity._ivf2_n_super: the hierarchy self-gates — S = C
+# (degenerating to exactly flat assignment) below 64 cells, else
+# S = ceil(sqrt(C)).
+_IVF2_S_LIMIT = (
+    "LIMIT (SELECT CASE WHEN c < 64 THEN c "
+    "ELSE CAST(CEIL(SQRT(c)) AS BIGINT) END FROM "
+    "(SELECT GREATEST(4, LEAST(65536, (COUNT(*) + 255) // 256)) AS c "
+    "FROM embeddings))"
+)
+_IVF2_DOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) "
+    "AS BIGINT)"
+)
+_KNN_IVF2_SQL = (
+    f"WITH {_SCALED_V}, "
+    # nested draws: cells by md5(id), supers = first S of the SAME order
+    "centh AS (SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS hm FROM v "
+    f"ORDER BY hm {_AUTO_CELLS_LIMIT}), "
+    "cent AS (SELECT vec_id AS cell, e AS ce, "
+    "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2, hm FROM centh), "
+    f"sup AS (SELECT cell AS scell, ce AS se, cn2 AS sn2 FROM "
+    f"(SELECT * FROM cent ORDER BY hm {_IVF2_S_LIMIT})), "
+    # centroid -> super (exact int sq L2, ties super id)
+    "c2s AS (SELECT cell, ce, cn2, scell FROM (SELECT c.cell, c.ce, c.cn2, "
+    "s.scell, ROW_NUMBER() OVER (PARTITION BY c.cell ORDER BY "
+    "c.cn2 + s.sn2 - 2 * "
+    + _IVF2_DOT.format(a="c.ce", b="s.se")
+    + ", s.scell) AS rn FROM cent c CROSS JOIN sup s) WHERE rn = 1), "
+    # vector -> super -> cell within that super's group
+    "vsup AS (SELECT vec_id, e, nn, scell FROM (SELECT v.vec_id, v.e, n.nn, "
+    "s.scell, ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY "
+    "n.nn + s.sn2 - 2 * "
+    + _IVF2_DOT.format(a="v.e", b="s.se")
+    + ", s.scell) AS rn FROM v JOIN nrm n ON n.vec_id = v.vec_id "
+    "CROSS JOIN sup s) WHERE rn = 1), "
+    "asg AS (SELECT match_id, ce2, cn_m, cell FROM (SELECT vs.vec_id AS "
+    "match_id, vs.e AS ce2, vs.nn AS cn_m, c.cell, ROW_NUMBER() OVER ("
+    "PARTITION BY vs.vec_id ORDER BY vs.nn + c.cn2 - 2 * "
+    + _IVF2_DOT.format(a="vs.e", b="c.ce")
+    + ", c.cell) AS rn FROM vsup vs JOIN c2s c ON c.scell = vs.scell) "
+    "WHERE rn = 1), "
+    # query -> 2 supers -> best 2 cells among their centroids (global
+    # (sq, cell) rank over the union of both probed supers' cells)
+    "qsup AS (SELECT vec_id, e, nn, scell FROM (SELECT v.vec_id, v.e, n.nn, "
+    "s.scell, ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY "
+    "n.nn + s.sn2 - 2 * "
+    + _IVF2_DOT.format(a="v.e", b="s.se")
+    + ", s.scell) AS rn FROM v JOIN nrm n ON n.vec_id = v.vec_id "
+    "CROSS JOIN sup s WHERE v.vec_id < 5) WHERE rn <= 2), "
+    "prob AS (SELECT query_id, qe, qn, cell FROM (SELECT q.vec_id AS "
+    "query_id, q.e AS qe, q.nn AS qn, c.cell, ROW_NUMBER() OVER ("
+    "PARTITION BY q.vec_id ORDER BY q.nn + c.cn2 - 2 * "
+    + _IVF2_DOT.format(a="q.e", b="c.ce")
+    + ", c.cell) AS rn FROM qsup q JOIN c2s c ON c.scell = q.scell) "
+    "WHERE rn <= 2), "
+    "scored AS (SELECT p.query_id, a.match_id, "
+    "CAST(CAST(list_sum(list_transform(list_zip(p.qe, a.ce2), "
+    "x -> x[1] * x[2])) AS BIGINT) AS DOUBLE) / "
+    "sqrt(CAST(p.qn * a.cn_m AS DOUBLE)) AS cosine "
+    "FROM prob p JOIN asg a ON a.cell = p.cell AND p.query_id <> a.match_id) "
+    "SELECT query_id, match_id, cosine, rank FROM (SELECT *, ROW_NUMBER() "
+    "OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank "
+    "FROM scored) WHERE rank <= 5"
+)
+
+QUERIES["knn_ivf_two_level"] = QuerySpec(_knn_ivf2_fn, _KNN_IVF2_SQL)

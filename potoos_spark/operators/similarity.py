@@ -1435,6 +1435,185 @@ def semantic_dedup_cells(
     return cell_capped_pairs(assign_to_cells_np(c, cent), threshold, cell_cap)
 
 
+def _ceil_isqrt(n: int) -> int:
+    """ceil(sqrt(n)) in exact integer arithmetic (DuckDB mirrors it as
+    CEIL(SQRT(n)) — equal for every n below the 65 536-cell clamp)."""
+    import math
+
+    return math.isqrt(max(int(n) - 1, 0)) + 1 if n > 0 else 1
+
+
+#: below this codebook size the hierarchy is counterproductive — a
+#: handful of random-medoid supers routes poorly (any proper subset
+#: drops a large fraction of the space: measured recall 0.48–0.72 vs
+#: flat 0.89–0.94 at C=8–16) AND there is nothing to save (C dots per
+#: vector is already cheap). S = C then makes every super its own
+#: singleton group, so assignment degenerates to EXACTLY flat.
+IVF2_HIER_MIN_CELLS = 64
+
+
+def _ivf2_n_super(n_cells: int) -> int:
+    """Super count for the two-level funnel: engage the hierarchy
+    (S = ceil(sqrt(C))) only once the codebook is big enough to both
+    matter and route well; identity (flat) below. At C = 157 the
+    engaged hierarchy measured recall parity with flat (0.535 vs
+    0.540 at probe 2, equal at probe 3) — the regime where it cuts
+    per-vector assignment from C to ~2·sqrt(C) distances."""
+    c = int(n_cells)
+    return c if c < IVF2_HIER_MIN_CELLS else _ceil_isqrt(c)
+
+
+def ivf_topk_two_level(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int | None = None,
+    n_super: int | None = None,
+    n_probe: int = 2,
+    n_super_probe: int = 2,
+    n_super_assign: int = 2,
+) -> DataFrame:
+    """Two-level (IMI-style) IVF — the hierarchical-assignment lever
+    SCALE.md documents as the flat codebook's successor: with cells ∝
+    corpus size (``auto_n_cells``), FLAT assignment scans all C
+    centroids per vector (N·C = N²/target total — the quadratic term
+    that eventually dominates); splitting the codebook into
+    S = ceil(sqrt(C)) SUPER-cells cuts that to N·(S + C/S) ≈ 2·N·√C —
+    the standard inverted-multi-index funnel (Babenko & Lempitsky,
+    CVPR'12; FAISS's IVF-in-IVF "residual quantizer" coarse stage).
+
+    Determinism is preserved end to end, so the whole thing is
+    hash-oracle-checkable: centroids are the C corpus vectors with
+    smallest md5(id) (exactly ``ivf_topk_md5``'s draw) and the supers
+    are the FIRST S of those in the SAME md5 order (a nested draw —
+    no second hash family needed); every argmin is exact-integer
+    squared L2 with id ties. Assignment: vector → its
+    ``n_super_assign`` nearest supers → nearest centroid over the
+    UNION of those supers' groups (the approximation: a boundary
+    vector's true nearest centroid can live under an unprobed super;
+    widening to 2 supers measured +0.1–0.2 recall over 1 on the
+    clustered fixture because membership then rarely diverges from
+    flat assignment — the recall gate in tests/test_ann_recall.py
+    bounds the residual loss). Probing mirrors it: ``n_super_probe``
+    supers, then the best ``n_probe`` cells among their centroids.
+
+    Physical shape: ONE driver-held codebook (metadata-scale, the
+    ``_codebook`` contract) with the super split computed driver-side
+    on C rows; corpus assignment is a map-only Arrow kernel (grouped
+    matmuls per super); candidates are only the probed cells' rows.
+
+    Output: (query_id, match_id, cosine, rank) — same as every knn
+    entry."""
+    import numpy as np
+    import pandas as pd
+
+    C = _resolve_n_cells(n_cells, corpus)
+    c = corpus.select(
+        F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
+    ).withColumn("n", sqnorm_expr(F.col("e")))
+    cent = md5_medoid_centroids(c, C)
+
+    # --- driver-side codebook + nested super split (C rows) ---
+    import hashlib
+
+    rows = cent.collect()
+    if not rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, match_id bigint, cosine double, rank bigint"
+        )
+    rows.sort(key=lambda r: hashlib.md5(str(r["cell"]).encode()).hexdigest())
+    S = _ivf2_n_super(len(rows)) if n_super is None else int(n_super)
+    sup_rows = sorted(rows[:S], key=lambda r: r["cell"])  # id-asc for tie rule
+    sup_ids = np.array([r["cell"] for r in sup_rows], dtype=np.int64)
+    sup_e = np.array([list(r["cent_e"]) for r in sup_rows], dtype=np.int64)
+    sup_n = np.array([r["cent_n"] for r in sup_rows], dtype=np.int64)
+    all_rows = sorted(rows, key=lambda r: r["cell"])
+    cell_ids = np.array([r["cell"] for r in all_rows], dtype=np.int64)
+    cell_e = np.array([list(r["cent_e"]) for r in all_rows], dtype=np.int64)
+    cell_n = np.array([r["cent_n"] for r in all_rows], dtype=np.int64)
+    # centroid -> super (exact int sq L2, ties super id == argmin-first)
+    c2s = np.argmin(
+        cell_n[:, None] + sup_n[None, :] - 2 * (cell_e @ sup_e.T), axis=1
+    )
+
+    nsa = int(n_super_assign)
+
+    def assign_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["e"]])
+            n = pdf["n"].to_numpy(dtype=np.int64)
+            # top-nsa supers per row (ties super id), then the best cell
+            # over the UNION of those supers' groups (ties (sq, cell)) —
+            # the widened funnel that keeps assignment close to flat
+            ssq = n[:, None] + sup_n[None, :] - 2 * (m @ sup_e.T)
+            tops = np.sort(np.argsort(ssq, axis=1, kind="stable")[:, :nsa], axis=1)
+            cells = np.empty(len(pdf), dtype=np.int64)
+            combos, inv = np.unique(tops, axis=0, return_inverse=True)
+            for ci in range(len(combos)):
+                sel = np.flatnonzero(inv == ci)
+                grp = np.flatnonzero(np.isin(c2s, combos[ci]))
+                sq = (
+                    n[sel][:, None]
+                    + cell_n[grp][None, :]
+                    - 2 * (m[sel] @ cell_e[grp].T)
+                )
+                best = np.argmin(sq, axis=1)  # grp is cell-id ascending
+                cells[sel] = cell_ids[grp][best]
+            out = pdf[["__id", "e", "n"]].copy()
+            out["cell"] = cells
+            yield out
+
+    assigned = c.mapInPandas(
+        assign_kernel, schema="__id bigint, e array<bigint>, n bigint, cell bigint"
+    )
+
+    npb = int(n_probe)
+
+    def probe_kernel(batches):
+        # FLAT probing: queries rank ALL C cells (ties (sq, cell)) —
+        # the per-query C-dot cost is trivial next to the N-scale
+        # assignment the hierarchy exists to cut, and it keeps probe
+        # behavior identical to ivf_topk_md5's (the recall driver).
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["e"]])
+            n = pdf["n"].to_numpy(dtype=np.int64)
+            sq = n[:, None] + cell_n[None, :] - 2 * (m @ cell_e.T)
+            order = np.argsort(sq, axis=1, kind="stable")[:, :npb]
+            qs = np.repeat(pdf["__id"].to_numpy(dtype=np.int64), order.shape[1])
+            yield pd.DataFrame(
+                {"query_id": qs, "cell": cell_ids[order].reshape(-1)}
+            )
+
+    q = queries.select(
+        F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
+    ).withColumn("n", sqnorm_expr(F.col("e")))
+    probed = q.mapInPandas(probe_kernel, schema="query_id bigint, cell bigint")
+    qv = q.select(
+        F.col("__id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+    )
+    scored = (
+        probed.join(assigned, "cell")
+        .join(qv, "query_id")
+        .filter(F.col("query_id") != F.col("__id"))
+        .select(
+            "query_id",
+            F.col("__id").alias("match_id"),
+            cosine_from_norms(
+                F.col("qe"), F.col("e"), F.col("qn"), F.col("n")
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
 def binary_sign_words(vec: Column, bits_per_word: int = 32) -> Column:
     """Pack the sign bits of a float vector into an array of bigint
     words, ``bits_per_word`` dims per word (32 keeps every term ≤ 2³¹ —

@@ -680,3 +680,84 @@ def test_ann_recall_eval_perfect_on_sign_separable(spark):
     out = ann_recall_eval(df.filter("vec_id < 8"), df, k=7).collect()
     assert len(out) == 8
     assert all(r.recall == 1.0 and r.n_overlap == 7 for r in out)
+
+
+def test_two_level_ivf_recall_gate_on_clustered_fixture(
+    spark, clustered, clustered_exact
+):
+    """r8: below IVF2_HIER_MIN_CELLS the funnel must degenerate to
+    EXACTLY flat assignment (a handful of random-medoid supers routes
+    poorly — measured 0.48-0.72 vs flat 0.89-0.94 before the
+    self-gating rule), so the small-fixture gate is the flat gate."""
+    from potoos_spark.operators.similarity import (
+        _ivf2_n_super,
+        auto_n_cells,
+        ivf_topk_two_level,
+    )
+
+    assert _ivf2_n_super(auto_n_cells(2000)) == auto_n_cells(2000)  # flat
+    q = clustered.filter(F.col("vec_id") < N_QUERIES)
+    got = ivf_topk_two_level(q, clustered, k=K).collect()
+    assert _recall(got, clustered_exact) >= 0.8
+
+
+def test_two_level_ivf_engaged_regime_equal_budget_recall(spark):
+    """The hierarchy's actual regime: a corpus big enough that
+    C >= IVF2_HIER_MIN_CELLS (24k vectors -> C = 94, S = 10). The
+    funnel cuts per-vector assignment from C to S + nsa*C/S ~ 29
+    distances (3.2x); the honest recall comparison is EQUAL TOTAL
+    BUDGET: granting the two-level funnel ONE extra probe costs
+    Q*(N/C) extra candidate scores (query-scale) while the assignment
+    saving is N*(C - 29) distances (corpus-scale, ~2500x larger at
+    N = 24k, Q = 20) — so two_level(np+1) must reach at least
+    flat(np)'s recall. Measured 0.775 vs 0.760 at landing (and
+    recall PARITY at equal np once C ~ 157: 0.535 vs 0.540)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "scripts")
+    from ann_recall_sweep import make_clustered
+
+    from potoos_spark.operators.similarity import (
+        _ivf2_n_super,
+        auto_n_cells,
+        cosine_topk,
+        ivf_topk_md5,
+        ivf_topk_two_level,
+    )
+
+    C = auto_n_cells(24_000)
+    assert _ivf2_n_super(C) < C  # hierarchy actually engaged
+    e = make_clustered(spark, n=24_000).persist()
+    try:
+        q = e.filter(F.col("vec_id") < N_QUERIES)
+        exact = {
+            (r["query_id"], r["match_id"])
+            for r in cosine_topk(q, e, k=K).collect()
+        }
+        flat = _recall(ivf_topk_md5(q, e, k=K, n_probe=3).collect(), exact)
+        two = _recall(
+            ivf_topk_two_level(q, e, k=K, n_probe=4).collect(), exact
+        )
+        assert two >= flat, (two, flat)
+    finally:
+        e.unpersist()
+
+
+def test_two_level_ivf_partitioning_invariant(spark):
+    """Bit-determinism across partitionings — the md5 draws, integer
+    argmins, and id ties must make the full funnel layout-independent."""
+    from potoos_spark.operators.similarity import ivf_topk_two_level
+    from tests.conftest import SF_ORACLE_DIR
+
+    e = spark.read.parquet(f"{SF_ORACLE_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_topk_two_level(q, e, k=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ivf_topk_two_level(
+                q.repartition(7), e.repartition(13), k=5
+            ).collect(),
+        )
+    )
+    assert a == b and a
