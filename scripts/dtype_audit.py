@@ -101,6 +101,14 @@ def main() -> int:
             print(f"[{i + 1}/{len(names)}] {name}: ok", flush=True)
     out = {"mismatches": bad, "width_diffs": widths, "errors": errs,
            "n_checked": len(names)}
+    if only:
+        # subset runs report to stdout ONLY — ADVICE r7: a per-entry
+        # run once overwrote the committed full-catalog report,
+        # silently shrinking its coverage from 300 entries to 1
+        print(json.dumps(out, indent=2))
+        print(f"\n{len(bad)} mismatching entries, {len(errs)} errors "
+              f"/ {len(names)} checked (subset run: report file untouched)")
+        return 0
     with open("scripts/dtype_audit_report.json", "w") as f:
         json.dump(out, f, indent=2)
     print(f"\n{len(bad)} mismatching entries, {len(errs)} errors "
