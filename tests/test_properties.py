@@ -708,3 +708,181 @@ def test_span_removal_matches_python_reference(spark, docs):
     }
     toks = {i: (d.split() if d else []) for i, d in enumerate(docs)}
     assert got == _span_removal_reference(toks, 4)
+
+
+# ---- r8: sharded trailing windows vs the one-partition reference ----
+
+_SH_TS = st.integers(min_value=0, max_value=400)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), _SH_TS, VAL),
+        min_size=1,
+        max_size=30,
+    ),
+    window=st.sampled_from([1, 7, 25]),
+    chunk_mult=st.sampled_from([1, 3, 24]),
+)
+@SETTINGS
+def test_sharded_trailing_window_matches_global(spark, rows, window, chunk_mult):
+    """Random cadences, DUPLICATE timestamps, and boundary-exact values
+    against the unsharded window — count and exact bigint sum per row
+    must be identical at every (window, chunk) geometry, including the
+    degenerate chunk == window."""
+    from pyspark.sql import Window as W
+
+    from potoos_spark.operators import rolling
+
+    df = spark.createDataFrame(
+        [(k, t, v) for k, t, v in rows],
+        "series_key string, ts_ms bigint, v bigint",
+    )
+    wg = (
+        W.partitionBy("series_key").orderBy("ts_ms").rangeBetween(-window, 0)
+    )
+    want = sorted(
+        tuple(r)
+        for r in df.select(
+            "series_key",
+            "ts_ms",
+            "v",
+            F.count("*").over(wg).alias("n"),
+            F.sum("v").over(wg).alias("s"),
+        ).collect()
+    )
+    aug, w = rolling.sharded_trailing_window(
+        df, window, chunk_ms=window * chunk_mult
+    )
+    got = sorted(
+        tuple(r)
+        for r in rolling.emit_owned(
+            aug.select(
+                "series_key",
+                "ts_ms",
+                "v",
+                F.count("*").over(w).alias("n"),
+                F.sum("v").over(w).alias("s"),
+                rolling.OWNED,
+                rolling.CHUNK,
+            )
+        ).collect()
+    )
+    assert got == want
+
+
+# ---- r8: edge components vs a python union-find ----
+
+
+@given(
+    n_nodes=st.integers(min_value=1, max_value=12),
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        max_size=12,
+    ),
+)
+@SETTINGS
+def test_edge_components_matches_union_find(spark, n_nodes, edges):
+    """Random pair lists (self-loops and out-of-universe endpoints
+    filtered, duplicates kept) against a reference union-find: every
+    node's component must be the MIN reachable node id."""
+    from potoos_spark.operators.dedup import edge_components
+
+    pairs = [(a, b) for a, b in edges if a != b and a < n_nodes and b < n_nodes]
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n_nodes)}
+
+    ids = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id bigint")
+    pdf = (
+        spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+        if pairs
+        else spark.createDataFrame([], "id_a bigint, id_b bigint")
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in edge_components(ids, pdf).collect()
+    }
+    assert got == want
+
+
+# ---- r8: vectorized per-cell kernels vs the expression tier ----
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=4, max_size=4),
+        min_size=2,
+        max_size=14,
+    ),
+    k=st.sampled_from([1, 3]),
+)
+@SETTINGS
+def test_cell_capped_topk_matches_expression_tier(spark, vecs, k):
+    """The Arrow kernel's ranking must be BIT-identical to the
+    expression tier (cosine_from_norms + row_number window) on random
+    small integer vectors — including ties, negative components, and
+    near-parallel pairs. Zero vectors are excluded (NaN cosine order
+    is engine-undefined, documented)."""
+    from pyspark.sql import Window as W
+
+    from potoos_spark.operators.dedup import cosine_from_norms
+    from potoos_spark.operators.similarity import cell_capped_topk
+
+    vecs = [v for v in vecs if any(x != 0 for x in v)]
+    if len(vecs) < 2:
+        return
+    rows = [
+        (i, [x * 500 for x in v], sum((x * 500) ** 2 for x in v))
+        for i, v in enumerate(vecs)
+    ]
+    assigned = spark.createDataFrame(
+        [(i, e, n, 0) for i, e, n in rows],
+        "__id bigint, e array<bigint>, n bigint, cell bigint",
+    )
+    got = sorted(
+        tuple(r)
+        for r in cell_capped_topk(assigned, k, cell_cap=512).collect()
+    )
+    a = assigned.select(
+        "cell", F.col("__id").alias("query_id"),
+        F.col("e").alias("ea"), F.col("n").alias("na"),
+    )
+    b = assigned.select(
+        "cell", F.col("__id").alias("match_id"),
+        F.col("e").alias("eb"), F.col("n").alias("nb"),
+    )
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine_from_norms(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "match_id")
+    want = sorted(
+        tuple(r)
+        for r in scored.withColumn(
+            "rank", F.row_number().over(wq).cast("bigint")
+        )
+        .filter(F.col("rank") <= k)
+        .collect()
+    )
+    assert got == want
