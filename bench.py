@@ -167,6 +167,9 @@ HEADLINE = [
     # round-8 addition: hierarchical (IMI-style) two-level IVF — the
     # sqrt(C) assignment funnel over the nested md5-medoid draw
     "knn_ivf_two_level",
+    # round-8 addition: the RAG-indexing pipeline e2e (chunk ->
+    # hashed embed -> auto-cell IVF layout -> per-cell summary)
+    "corpus_index_e2e",
 ]
 
 

@@ -3952,3 +3952,94 @@ _KNN_IVF2_SQL = (
 )
 
 QUERIES["knn_ivf_two_level"] = QuerySpec(_knn_ivf2_fn, _KNN_IVF2_SQL)
+
+
+def _index_e2e_fn(spark, sf_dir):
+    """r8: the RAG-indexing pipeline END TO END — sliding-window
+    chunking (corpus_chunk_overlap's grain) → hashing-trick chunk
+    embeddings (the no-model bootstrap embedding) → auto-cell
+    md5-medoid IVF assignment (the knn_ivf quantizer over CHUNK
+    count) → per-cell index summary. The composed shape a retrieval
+    corpus build runs before a learned encoder exists; every stage
+    keeps its standalone contract (map-only chunking + embedding,
+    broadcast-codebook Arrow assignment). member_sum checksums exact
+    cell membership, so the driver hash pins the full chain."""
+    from ..operators.curate import chunk_overlap
+    from ..operators.dedup import sqnorm_expr
+    from ..operators.similarity import (
+        _resolve_n_cells,
+        assign_to_cells_np,
+        md5_medoid_centroids,
+    )
+    from ..operators.text import hashing_trick_embed
+
+    chunks = chunk_overlap(_docs(spark, sf_dir), chunk_words=12, stride_words=8)
+    ch = chunks.select(
+        (F.col("doc_id") * 100000 + F.col("ci")).alias("chunk_id"),
+        F.col("chunk"),
+    )
+    emb = hashing_trick_embed(
+        ch, dim=16, text_col="chunk", id_col="chunk_id", as_array=True
+    )
+    c = emb.select(
+        F.col("chunk_id").alias("__id"), F.col("embedding").alias("e")
+    ).withColumn("n", sqnorm_expr(F.col("e")))
+    cent = md5_medoid_centroids(c, _resolve_n_cells(None, c))
+    assigned = assign_to_cells_np(c, cent)
+    return assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.countDistinct(F.expr("__id div 100000")).cast("bigint").alias("n_docs"),
+        F.sum("__id").cast("bigint").alias("member_sum"),
+    )
+
+
+# Composition oracle: the chunk CTE (corpus_chunk_overlap), the
+# hashing-trick embedding re-tokenized at CHUNK grain (text_hash_embed's
+# bucket/sign rules), integer norms, the md5-medoid centroid draw with
+# auto cells over the TOKENFUL chunk count, one exact-integer
+# assignment argmin, and the per-cell rollup.
+_INDEX_E2E_SQL = (
+    "WITH s AS (SELECT doc_id, string_split(trim(text), ' ') AS w "
+    "FROM documents), "
+    "n0 AS (SELECT doc_id, w, len(w) AS nw FROM s), "
+    "ck AS (SELECT doc_id, gs - 1 AS ci, "
+    "list_aggregate(w[(gs-1)*8+1 : (gs-1)*8+12], 'string_agg', ' ') AS chunk "
+    "FROM n0, LATERAL (SELECT unnest(range(1, 2 + "
+    "CAST(ceil(GREATEST(nw - 12, 0) / 8.0) AS BIGINT))) AS gs)), "
+    "ch AS (SELECT doc_id * 100000 + ci AS chunk_id, chunk FROM ck), "
+    "ctok AS (SELECT chunk_id, list_filter(string_split_regex(trim("
+    "regexp_replace(lower(chunk), '[^a-z0-9]+', ' ', 'g')), ' '), "
+    "x -> x <> '') AS toks FROM ch), "
+    "ct AS (SELECT chunk_id, unnest(toks) AS tok FROM ctok), "
+    "dt AS (SELECT DISTINCT chunk_id, tok FROM ct), "
+    "bkt AS (SELECT chunk_id, "
+    "CAST('0x' || substr(md5(tok), 1, 4) AS INT) % 16 AS dim_idx, "
+    "CASE WHEN substr(md5(tok), 5, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END "
+    "AS sgn FROM dt), "
+    "wt AS (SELECT chunk_id, dim_idx, SUM(sgn) AS wt FROM bkt GROUP BY 1, 2), "
+    "dims AS (SELECT unnest(range(16)) AS dim_idx), "
+    "tokful AS (SELECT DISTINCT chunk_id FROM dt), "
+    "e AS (SELECT tokful.chunk_id, "
+    "list(CAST(COALESCE(wt.wt, 0) AS BIGINT) ORDER BY dims.dim_idx) AS e "
+    "FROM tokful CROSS JOIN dims LEFT JOIN wt "
+    "ON wt.chunk_id = tokful.chunk_id AND wt.dim_idx = dims.dim_idx "
+    "GROUP BY tokful.chunk_id), "
+    "nrm AS (SELECT chunk_id, CAST(list_sum([x * x for x in e]) AS BIGINT) "
+    "AS nn FROM e), "
+    "cent AS (SELECT chunk_id AS cell, e AS ce, nn AS cn2 FROM ("
+    "SELECT e.chunk_id, e.e, n.nn FROM e JOIN nrm n USING (chunk_id) "
+    "ORDER BY md5(CAST(e.chunk_id AS VARCHAR)) "
+    "LIMIT (SELECT GREATEST(4, LEAST(65536, (COUNT(*) + 255) // 256)) "
+    "FROM tokful))), "
+    "asg AS (SELECT chunk_id, cell FROM (SELECT e.chunk_id, c.cell, "
+    "ROW_NUMBER() OVER (PARTITION BY e.chunk_id ORDER BY "
+    "n.nn + c.cn2 - 2 * CAST(list_sum(list_transform(list_zip(e.e, c.ce), "
+    "p -> p[1] * p[2])) AS BIGINT), c.cell) AS rn "
+    "FROM e JOIN nrm n USING (chunk_id) CROSS JOIN cent c) WHERE rn = 1) "
+    "SELECT cell, COUNT(*) AS n_chunks, "
+    "CAST(COUNT(DISTINCT chunk_id // 100000) AS BIGINT) AS n_docs, "
+    "CAST(SUM(chunk_id) AS BIGINT) AS member_sum "
+    "FROM asg GROUP BY cell"
+)
+
+QUERIES["corpus_index_e2e"] = QuerySpec(_index_e2e_fn, _INDEX_E2E_SQL)
