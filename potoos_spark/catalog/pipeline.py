@@ -3973,6 +3973,8 @@ def _index_e2e_fn(spark, sf_dir):
     )
     from ..operators.text import hashing_trick_embed
 
+    from pyspark import StorageLevel
+
     chunks = chunk_overlap(_docs(spark, sf_dir), chunk_words=12, stride_words=8)
     ch = chunks.select(
         (F.col("doc_id") * 100000 + F.col("ci")).alias("chunk_id"),
@@ -3981,9 +3983,17 @@ def _index_e2e_fn(spark, sf_dir):
     emb = hashing_trick_embed(
         ch, dim=16, text_col="chunk", id_col="chunk_id", as_array=True
     )
-    c = emb.select(
-        F.col("chunk_id").alias("__id"), F.col("embedding").alias("e")
-    ).withColumn("n", sqnorm_expr(F.col("e")))
+    # persist the chunk+embed chain: THREE consumers scan it (the
+    # auto-cells count, the centroid draw, the assignment kernel) and
+    # it is the pipeline's expensive stage — same single-computation
+    # discipline as minhash_dedup_pairs' shingle explosion
+    c = (
+        emb.select(
+            F.col("chunk_id").alias("__id"), F.col("embedding").alias("e")
+        )
+        .withColumn("n", sqnorm_expr(F.col("e")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cent = md5_medoid_centroids(c, _resolve_n_cells(None, c))
     assigned = assign_to_cells_np(c, cent)
     return assigned.groupBy("cell").agg(
