@@ -170,6 +170,9 @@ HEADLINE = [
     # round-8 addition: the RAG-indexing pipeline e2e (chunk ->
     # hashed embed -> auto-cell IVF layout -> per-cell summary)
     "corpus_index_e2e",
+    # round-8 addition: dedup recall as a driver-gated eval (planted
+    # near-dups through the unmodified MinHash-LSH pipeline)
+    "dedup_minhash_recall_eval",
 ]
 
 

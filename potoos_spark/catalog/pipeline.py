@@ -4053,3 +4053,63 @@ _INDEX_E2E_SQL = (
 )
 
 QUERIES["corpus_index_e2e"] = QuerySpec(_index_e2e_fn, _INDEX_E2E_SQL)
+
+
+def _minhash_recall_fn(spark, sf_dir):
+    """r8: near-dup-detection RECALL as a driver-gated operator — the
+    dedup twin of emb_ann_recall_eval. The fixture has no planted
+    near-dup pairs, so both engines plant them in-query (docsx: one
+    'qz ' token prepended to every doc with doc_id < 40 and >= 200
+    chars — the shingle set gains exactly one 3-gram, Jaccard
+    |S|/(|S|+1) ~ 0.97) and the UNMODIFIED MinHash-LSH pipeline must
+    recover each planted pair. Output: one row per planted pair with
+    its found flag, so the driver hash pins per-pair recall, not just
+    an aggregate."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plantable = docs.filter(
+        (F.col("doc_id") < 40) & (F.length("text") >= 200)
+    )
+    planted = plantable.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("qz "), F.col("text")).alias("text"),
+    )
+    pairs = D.minhash_dedup_pairs(
+        docs.unionAll(planted), k=K_MINHASH, rows_per_band=ROWS_PER_BAND,
+        jaccard_threshold=0.2,
+    )
+    truth = plantable.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 2_000_000).alias("id_b"),
+    )
+    found = pairs.select("id_a", "id_b").withColumn("__f", F.lit(1))
+    return truth.join(found, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.coalesce("__f", F.lit(0)).cast("bigint").alias("found"),
+    )
+
+
+# The dedup_minhash_lsh CTE chain verbatim (only the tok CTE retargets
+# to the planted docsx relation), then a left join of the planted truth
+# pairs against the verified pair set.
+_MINHASH_RECALL_SQL = (
+    "WITH docsx AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 2000000, 'qz ' || text FROM documents "
+    "WHERE doc_id < 40 AND length(text) >= 200), "
+    "tok AS (SELECT doc_id, list_filter(string_split_regex(trim("
+    "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), "
+    "x -> x <> '') AS toks FROM docsx), "
+    f"{_T}, {_SH}, {_SIG}, {_BANDS}, {_CAND}, {_SIZES}, {_SHARED}, {_JACC}, "
+    "vp AS (SELECT j.id_a, j.id_b FROM jac j "
+    "JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b "
+    "WHERE j.jaccard >= 0.2), "
+    "truth AS (SELECT doc_id AS id_a, doc_id + 2000000 AS id_b "
+    "FROM documents WHERE doc_id < 40 AND length(text) >= 200) "
+    "SELECT t.id_a, t.id_b, CAST(CASE WHEN v.id_a IS NOT NULL "
+    "THEN 1 ELSE 0 END AS BIGINT) AS found "
+    "FROM truth t LEFT JOIN vp v ON v.id_a = t.id_a AND v.id_b = t.id_b"
+)
+
+QUERIES["dedup_minhash_recall_eval"] = QuerySpec(
+    _minhash_recall_fn, _MINHASH_RECALL_SQL
+)
