@@ -5,7 +5,9 @@ in-memory dataclass (S4). Spark-side, a source is anything that yields
 the canonical series frame and a sink is any DataFrame writer — these
 helpers pin the conversions so every format lands in the same frame:
 
-* batch: parquet / csv / json readers → ``series_frame``
+* batch: parquet / csv / json / orc readers → ``series_frame``
+* binary media: ``read_binary_dir`` (Spark ``binaryFile`` source) →
+  the multimodal tier's (doc_id, payload, meta) shape
 * streaming: file-directory stream (schema-required), rate source for
   load tests / demos
 * sink: parquet append (batch), and the streaming sinks live with the
@@ -107,6 +109,55 @@ def rate_series(
 def write_batch(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "append") -> None:
     """S4 batch sink."""
     df.write.format(fmt).mode(mode).save(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*",
+    id_from_name: bool = True,
+) -> DataFrame:
+    """Ingest a directory of OPAQUE binary payloads (images / audio /
+    video files) into the multimodal tier's canonical shape via Spark's
+    built-in ``binaryFile`` source — the production entry point the
+    text-stand-in fixtures emulate: (doc_id, payload binary,
+    meta struct<byte_len, checksum, mime>), directly consumable by
+    ``multimodal.decode_features`` / ``dhash_features`` /
+    ``byte_histogram``.
+
+    ``doc_id`` derives from the FILENAME's digit run when
+    ``id_from_name`` (the layout a media dump ships: ``0001234.jpg``);
+    otherwise a deterministic 63-bit hash of the full path (xxhash64,
+    masked non-negative) — stable across re-reads, no window or
+    zipWithIndex (a monotonically-increasing id would depend on
+    partitioning, which is banned repo-wide for identity columns).
+
+    Scale shape: ``binaryFile`` is a plain file-scan source — predicate
+    pushdown applies to the path/length metadata columns and the scan
+    parallelizes per file; payloads never pass through the driver."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    name = F.element_at(F.split(F.col("path"), "/"), -1)
+    digit_run = F.regexp_extract(name, r"(\d+)", 1)
+    doc_id = (
+        F.when(digit_run != "", digit_run.cast("bigint")).otherwise(
+            F.abs(F.xxhash64(F.col("path")))
+        )
+        if id_from_name
+        else F.abs(F.xxhash64(F.col("path")))
+    )
+    return df.select(
+        doc_id.cast("bigint").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.col("length").cast("bigint").alias("byte_len"),
+            F.md5(F.col("content")).alias("checksum"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
 
 
 def zip_ingest(

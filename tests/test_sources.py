@@ -97,3 +97,59 @@ def test_write_batch_roundtrip(spark, sample, tmp_path):
     write_batch(frame, p)
     back = spark.read.parquet(p)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, frame.collect()))
+
+
+def test_read_binary_dir_feeds_multimodal_tier(spark, tmp_path):
+    """r8: the production media entry point — a directory of opaque
+    binary files lands in the multimodal canonical shape (filename
+    digit run as doc_id, exact byte_len/checksum meta) and flows
+    straight through dhash_features."""
+    import hashlib
+
+    from potoos_spark.operators.multimodal import dhash_features
+    from potoos_spark.operators.sources import read_binary_dir
+
+    payloads = {
+        7: bytes(range(200)) * 3,
+        42: b"some ascii-ish payload " * 40,
+    }
+    for i, b in payloads.items():
+        (tmp_path / f"img_{i:04d}.bin").write_bytes(b)
+    got = {r["doc_id"]: r for r in read_binary_dir(spark, str(tmp_path)).collect()}
+    assert set(got) == set(payloads)
+    for i, b in payloads.items():
+        assert bytes(got[i]["payload"]) == b
+        assert got[i]["meta"]["byte_len"] == len(b)
+        assert got[i]["meta"]["checksum"] == hashlib.md5(b).hexdigest()
+    hashes = dhash_features(read_binary_dir(spark, str(tmp_path))).collect()
+    assert {r["doc_id"] for r in hashes} == set(payloads)
+    assert all(isinstance(r["dhash"], int) for r in hashes)
+
+
+def test_read_binary_dir_hash_ids_are_read_stable(spark, tmp_path):
+    """Digit-less filenames fall back to a path hash that must be
+    identical across reads (no partitioning-dependent ids)."""
+    from potoos_spark.operators.sources import read_binary_dir
+
+    (tmp_path / "noid.bin").write_bytes(b"x" * 64)
+    a = read_binary_dir(spark, str(tmp_path)).collect()[0]["doc_id"]
+    b = read_binary_dir(spark, str(tmp_path)).collect()[0]["doc_id"]
+    assert a == b and a >= 0
+
+
+def test_read_write_batch_orc_round_trip(spark, tmp_path):
+    """ORC joins the exercised batch formats: write_batch -> read_batch
+    must reproduce the canonical series frame exactly."""
+    from potoos_spark.operators.sources import read_batch, write_batch
+
+    rows = [("a", 1_000, 1.5, 0), ("a", 2_000, 2.5, 1), ("b", 1_500, -1.0, 2)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts_ms bigint, value double, seq bigint"
+    )
+    dst = str(tmp_path / "orc_series")
+    write_batch(df, dst, fmt="orc")
+    got = sorted(
+        tuple(r)
+        for r in read_batch(spark, dst, fmt="orc", seq="seq").collect()
+    )
+    assert got == sorted(rows)
