@@ -173,6 +173,9 @@ HEADLINE = [
     # round-8 addition: dedup recall as a driver-gated eval (planted
     # near-dups through the unmodified MinHash-LSH pipeline)
     "dedup_minhash_recall_eval",
+    # round-8 addition: char-entropy quality signal (gibberish /
+    # encoding-noise / base64-blob detector)
+    "text_char_entropy",
 ]
 
 

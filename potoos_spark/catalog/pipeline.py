@@ -4113,3 +4113,28 @@ _MINHASH_RECALL_SQL = (
 QUERIES["dedup_minhash_recall_eval"] = QuerySpec(
     _minhash_recall_fn, _MINHASH_RECALL_SQL
 )
+
+
+def _char_entropy_fn(spark, sf_dir):
+    from ..operators.text import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+# Exact char histogram (the _MM_BYTE_HISTOGRAM position-walk pattern),
+# c*log2(c) terms, entropy rounded to 9 decimals (the bm25 precedent:
+# 1-ulp log differences and sum reassociation cannot move the hash).
+_CHAR_ENTROPY_SQL = (
+    "WITH pos AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS i "
+    "FROM documents WHERE length(text) > 0), "
+    "h AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch, COUNT(*) AS c "
+    "FROM pos JOIN documents USING (doc_id) GROUP BY 1, 2), "
+    "a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars, "
+    "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+    "SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS t FROM h GROUP BY 1) "
+    "SELECT doc_id, n_chars, n_distinct, "
+    "ROUND(log2(CAST(n_chars AS DOUBLE)) - t / CAST(n_chars AS DOUBLE), 9) "
+    "AS entropy FROM a"
+)
+
+QUERIES["text_char_entropy"] = QuerySpec(_char_entropy_fn, _CHAR_ENTROPY_SQL)

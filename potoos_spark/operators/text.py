@@ -259,6 +259,47 @@ def _gram_list(tok: Column, n: int) -> Column:
     return F.when(F.size(tok) >= n, make).otherwise(F.array())
 
 
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    gibberish / encoding-noise / base64-blob detector (CCNet-family
+    pipelines threshold on it next to the LM perplexity): natural text
+    sits near 4–4.5 bits/char, random base64 near 6, single-char spam
+    near 0. H = log2(n) − (Σ c·log2 c)/n over the exact character
+    histogram.
+
+    Shape: one explode → (doc, char) hash agg (map-side combinable,
+    the byte_histogram discipline) → one per-doc agg. Cross-engine
+    floats: log2 can differ by an ulp between engines and the Σ over
+    characters is reassociation-ordered, so the emitted entropy is
+    ROUNDED to 9 decimals — the bm25_topk precedent — making the
+    driver hash stable while keeping far more precision than any
+    downstream threshold needs. Empty documents are dropped (no
+    characters, no distribution).
+
+    Output: (id_col, n_chars, n_distinct, entropy)."""
+    ch = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    hist = ch.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    term = F.col("c").cast("double") * F.log2(F.col("c").cast("double"))
+    agg = hist.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(term).alias("__t"),
+    )
+    ent = F.log2(F.col("n_chars").cast("double")) - F.col("__t") / F.col(
+        "n_chars"
+    ).cast("double")
+    return agg.select(
+        id_col,
+        "n_chars",
+        "n_distinct",
+        F.round(ent, 9).alias("entropy"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

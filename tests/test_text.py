@@ -572,3 +572,23 @@ def test_backoff_trigram_tiers(spark):
             s = BACKOFF_ALPHA2 * ((un.get(w3, 0) + 1) / (T + V))
         nll -= round(math.log(s) * 1e9)
     assert r.nll_e9 == nll
+
+
+def test_char_entropy_known_distributions(spark):
+    """r8: exact entropies on hand distributions — uniform 2-symbol =
+    1 bit, single symbol = 0, uniform 4-symbol = 2 bits; empty docs
+    dropped."""
+    from potoos_spark.operators.text import char_entropy
+
+    rows = [
+        (1, "abab"),          # H = 1.0
+        (2, "aaaa"),          # H = 0.0
+        (3, "abcd"),          # H = 2.0
+        (4, ""),              # dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["entropy"] == 1.0 and got[1]["n_distinct"] == 2
+    assert got[2]["entropy"] == 0.0 and got[2]["n_chars"] == 4
+    assert got[3]["entropy"] == 2.0 and got[3]["n_distinct"] == 4
