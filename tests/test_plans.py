@@ -526,3 +526,42 @@ def test_dsir_weights_single_wide_shuffle(spark):
     plan = _plan(CATALOG["corpus_dsir_weights"].fn(spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+# ---- r8 compositions -------------------------------------------------------
+
+
+def test_cell_knn_edges_plan_is_one_shuffle_arrow_funnel(spark):
+    """The vectorized kNN-graph stage-1: map-only Arrow assignment
+    (MapInPandas, codebook in the closure — no join), ONE shuffle into
+    the fused per-cell cap+score+topk kernel (FlatMapGroupsInPandas),
+    no pair join of any kind."""
+    from potoos_spark.operators.similarity import cell_knn_edges
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(cell_knn_edges(e, k=5), mode="simple")
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_corpus_index_e2e_plan_reuses_persisted_chain(spark):
+    """The RAG-index build must read the persisted chunk+embed chain
+    (InMemoryTableScan), assign through the Arrow kernel, and never
+    fall back to a cartesian product."""
+    plan = _plan(CATALOG["corpus_index_e2e"].fn(spark, SF_DIR), mode="simple")
+    assert "InMemoryTableScan" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fuzzy_dedup_e2e_final_plan_has_no_cartesian(spark):
+    """The composed keeper join (components x centrality) and the
+    window cut must compile to keyed joins — a cartesian anywhere
+    would be quadratic in documents."""
+    plan = _plan(
+        CATALOG["corpus_fuzzy_dedup_e2e"].fn(spark, SF_DIR), mode="simple"
+    )
+    assert "CartesianProduct" not in plan, plan
