@@ -3914,33 +3914,31 @@ _KNN_IVF2_SQL = (
     "c.cn2 + s.sn2 - 2 * "
     + _IVF2_DOT.format(a="c.ce", b="s.se")
     + ", s.scell) AS rn FROM cent c CROSS JOIN sup s) WHERE rn = 1), "
-    # vector -> super -> cell within that super's group
+    # vector -> its TOP-2 supers (n_super_assign, ties super id) -> best
+    # cell over the UNION of both supers' groups — mirrors the engine's
+    # assign_kernel exactly (ADVICE r8 high: rn = 1 here diverged from
+    # the engine's 2-super union once the hierarchy engaged at C >= 64;
+    # the engaged regime is pinned by test_oracle_parity.py at N = 16,384)
     "vsup AS (SELECT vec_id, e, nn, scell FROM (SELECT v.vec_id, v.e, n.nn, "
     "s.scell, ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY "
     "n.nn + s.sn2 - 2 * "
     + _IVF2_DOT.format(a="v.e", b="s.se")
     + ", s.scell) AS rn FROM v JOIN nrm n ON n.vec_id = v.vec_id "
-    "CROSS JOIN sup s) WHERE rn = 1), "
+    "CROSS JOIN sup s) WHERE rn <= 2), "
     "asg AS (SELECT match_id, ce2, cn_m, cell FROM (SELECT vs.vec_id AS "
     "match_id, vs.e AS ce2, vs.nn AS cn_m, c.cell, ROW_NUMBER() OVER ("
     "PARTITION BY vs.vec_id ORDER BY vs.nn + c.cn2 - 2 * "
     + _IVF2_DOT.format(a="vs.e", b="c.ce")
     + ", c.cell) AS rn FROM vsup vs JOIN c2s c ON c.scell = vs.scell) "
     "WHERE rn = 1), "
-    # query -> 2 supers -> best 2 cells among their centroids (global
-    # (sq, cell) rank over the union of both probed supers' cells)
-    "qsup AS (SELECT vec_id, e, nn, scell FROM (SELECT v.vec_id, v.e, n.nn, "
-    "s.scell, ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY "
-    "n.nn + s.sn2 - 2 * "
-    + _IVF2_DOT.format(a="v.e", b="s.se")
-    + ", s.scell) AS rn FROM v JOIN nrm n ON n.vec_id = v.vec_id "
-    "CROSS JOIN sup s WHERE v.vec_id < 5) WHERE rn <= 2), "
-    "prob AS (SELECT query_id, qe, qn, cell FROM (SELECT q.vec_id AS "
-    "query_id, q.e AS qe, q.nn AS qn, c.cell, ROW_NUMBER() OVER ("
-    "PARTITION BY q.vec_id ORDER BY q.nn + c.cn2 - 2 * "
-    + _IVF2_DOT.format(a="q.e", b="c.ce")
-    + ", c.cell) AS rn FROM qsup q JOIN c2s c ON c.scell = q.scell) "
-    "WHERE rn <= 2), "
+    # query probing is FLAT (the engine's probe_kernel): rank ALL C
+    # cells by exact-integer sq L2, keep the best n_probe = 2
+    "prob AS (SELECT query_id, qe, qn, cell FROM (SELECT v.vec_id AS "
+    "query_id, v.e AS qe, n.nn AS qn, c.cell, ROW_NUMBER() OVER ("
+    "PARTITION BY v.vec_id ORDER BY n.nn + c.cn2 - 2 * "
+    + _IVF2_DOT.format(a="v.e", b="c.ce")
+    + ", c.cell) AS rn FROM v JOIN nrm n ON n.vec_id = v.vec_id "
+    "CROSS JOIN cent c WHERE v.vec_id < 5) WHERE rn <= 2), "
     "scored AS (SELECT p.query_id, a.match_id, "
     "CAST(CAST(list_sum(list_transform(list_zip(p.qe, a.ce2), "
     "x -> x[1] * x[2])) AS BIGINT) AS DOUBLE) / "

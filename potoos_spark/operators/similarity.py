@@ -1215,21 +1215,27 @@ def assign_to_cells(c: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _codebook_arrays(rows):
+    """Pre-collected (cell, cent_e, cent_n) rows → numpy arrays sorted
+    by cell id. Cell-ascending order makes ``argmin``'s
+    first-occurrence tie rule equal the (sq, cell) tie rule of
+    ``assign_to_cells``."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r["cell"])
+    ids = np.array([r["cell"] for r in rows], dtype=np.int64)
+    ce = np.array([list(r["cent_e"]) for r in rows], dtype=np.int64)
+    cn = np.array([r["cent_n"] for r in rows], dtype=np.int64)
+    return ids, ce, cn
+
+
 def _codebook(cent: DataFrame):
     """Collect the (cell, cent_e, cent_n) relation into numpy arrays
     sorted by cell id — the IVF codebook every vectorized kernel
     broadcasts (MLlib KMeans ships its centers to executors the same
     way). Driver traffic = n_cells · d ints: metadata-scale (33 MB at
-    the 65536-cell clamp with d=64 — the codebook, not the corpus).
-    Cell-ascending order makes ``argmin``'s first-occurrence tie rule
-    equal the (sq, cell) tie rule of ``assign_to_cells``."""
-    import numpy as np
-
-    rows = sorted(cent.collect(), key=lambda r: r["cell"])
-    ids = np.array([r["cell"] for r in rows], dtype=np.int64)
-    ce = np.array([list(r["cent_e"]) for r in rows], dtype=np.int64)
-    cn = np.array([r["cent_n"] for r in rows], dtype=np.int64)
-    return ids, ce, cn
+    the 65536-cell clamp with d=64 — the codebook, not the corpus)."""
+    return _codebook_arrays(cent.collect())
 
 
 def assign_to_cells_np(c: DataFrame, cent: DataFrame) -> DataFrame:
@@ -1241,10 +1247,12 @@ def assign_to_cells_np(c: DataFrame, cent: DataFrame) -> DataFrame:
     scale measured the interpreted HOF fold at 3.4 s for 1.58 M
     centroid distances; the BLAS matmul is milliseconds, and the
     shuffle disappears entirely. Output: (__id, e, n, cell)."""
-    import numpy as np
-    import pandas as pd
+    return _assign_np_arrays(c, *_codebook(cent))
 
-    ids, ce, cn = _codebook(cent)
+
+def _assign_np_arrays(c: DataFrame, ids, ce, cn) -> DataFrame:
+    """``assign_to_cells_np`` over an already-collected codebook."""
+    import numpy as np
 
     def kern(batches):
         for pdf in batches:
@@ -1463,81 +1471,70 @@ def _ivf2_n_super(n_cells: int) -> int:
     return c if c < IVF2_HIER_MIN_CELLS else _ceil_isqrt(c)
 
 
-def ivf_topk_two_level(
-    queries: DataFrame,
-    corpus: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 5,
-    n_cells: int | None = None,
+def two_level_assign(
+    c: DataFrame,
+    cent: DataFrame,
     n_super: int | None = None,
-    n_probe: int = 2,
-    n_super_probe: int = 2,
     n_super_assign: int = 2,
 ) -> DataFrame:
-    """Two-level (IMI-style) IVF — the hierarchical-assignment lever
-    SCALE.md documents as the flat codebook's successor: with cells ∝
+    """Hierarchical (IMI-style) cell assignment — the drop-in successor
+    to ``assign_to_cells_np`` for auto-sized codebooks: with cells ∝
     corpus size (``auto_n_cells``), FLAT assignment scans all C
     centroids per vector (N·C = N²/target total — the quadratic term
     that eventually dominates); splitting the codebook into
-    S = ceil(sqrt(C)) SUPER-cells cuts that to N·(S + C/S) ≈ 2·N·√C —
-    the standard inverted-multi-index funnel (Babenko & Lempitsky,
-    CVPR'12; FAISS's IVF-in-IVF "residual quantizer" coarse stage).
+    S = ceil(sqrt(C)) SUPER-cells cuts that to N·(S + nsa·C/S) ≈
+    (1+nsa)·N·√C — the inverted-multi-index funnel (Babenko &
+    Lempitsky, CVPR'12; FAISS's coarse-within-coarse stage).
 
-    Determinism is preserved end to end, so the whole thing is
-    hash-oracle-checkable: centroids are the C corpus vectors with
-    smallest md5(id) (exactly ``ivf_topk_md5``'s draw) and the supers
-    are the FIRST S of those in the SAME md5 order (a nested draw —
-    no second hash family needed); every argmin is exact-integer
+    Determinism: supers are the FIRST S centroids in md5(cell) order
+    (the SAME order the ``md5_medoid_centroids`` draw used — a nested
+    draw, no second hash family); every argmin is exact-integer
     squared L2 with id ties. Assignment: vector → its
     ``n_super_assign`` nearest supers → nearest centroid over the
-    UNION of those supers' groups (the approximation: a boundary
-    vector's true nearest centroid can live under an unprobed super;
-    widening to 2 supers measured +0.1–0.2 recall over 1 on the
-    clustered fixture because membership then rarely diverges from
-    flat assignment — the recall gate in tests/test_ann_recall.py
-    bounds the residual loss). Probing mirrors it: ``n_super_probe``
-    supers, then the best ``n_probe`` cells among their centroids.
+    UNION of those supers' groups (widening to 2 supers measured
+    +0.1–0.2 recall over 1 on the clustered fixture because membership
+    then rarely diverges from flat assignment).
 
-    Physical shape: ONE driver-held codebook (metadata-scale, the
-    ``_codebook`` contract) with the super split computed driver-side
-    on C rows; corpus assignment is a map-only Arrow kernel (grouped
-    matmuls per super); candidates are only the probed cells' rows.
+    Below ``IVF2_HIER_MIN_CELLS`` the funnel routes poorly AND saves
+    nothing, and S = C makes the union argmin provably equal flat
+    assignment — so this self-gates to the flat kernel there
+    (bit-identical output either way; pinned by
+    tests/test_oracle_parity.py's engaged-regime comparison).
 
-    Output: (query_id, match_id, cosine, rank) — same as every knn
-    entry."""
-    import numpy as np
-    import pandas as pd
+    Input/output contract is exactly ``assign_to_cells_np``'s:
+    standardized (__id, e, n) in, (__id, e, n, cell) out, map-only
+    Arrow kernel against the driver-held codebook (C rows collected
+    ONCE — metadata-scale per the SCALE.md collect policy)."""
+    return _two_level_assign_rows(c, cent.collect(), n_super, n_super_assign)
 
-    C = _resolve_n_cells(n_cells, corpus)
-    c = corpus.select(
-        F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
-    ).withColumn("n", sqnorm_expr(F.col("e")))
-    cent = md5_medoid_centroids(c, C)
 
-    # --- driver-side codebook + nested super split (C rows) ---
+def _two_level_assign_rows(
+    c: DataFrame, rows, n_super: int | None, n_super_assign: int
+) -> DataFrame:
+    """``two_level_assign`` over an already-collected codebook."""
     import hashlib
 
-    rows = cent.collect()
+    import numpy as np
+
     if not rows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id bigint, match_id bigint, cosine double, rank bigint"
-        )
-    rows.sort(key=lambda r: hashlib.md5(str(r["cell"]).encode()).hexdigest())
+        return c.limit(0).withColumn("cell", F.lit(None).cast("bigint"))
     S = _ivf2_n_super(len(rows)) if n_super is None else int(n_super)
-    sup_rows = sorted(rows[:S], key=lambda r: r["cell"])  # id-asc for tie rule
-    sup_ids = np.array([r["cell"] for r in sup_rows], dtype=np.int64)
+    if S >= len(rows):
+        # degenerate regime: every super is its own singleton group, so
+        # the union argmin equals the flat argmin — run the flat kernel
+        return _assign_np_arrays(c, *_codebook_arrays(rows))
+
+    ordered = sorted(
+        rows, key=lambda r: hashlib.md5(str(r["cell"]).encode()).hexdigest()
+    )
+    sup_rows = sorted(ordered[:S], key=lambda r: r["cell"])  # id-asc ties
     sup_e = np.array([list(r["cent_e"]) for r in sup_rows], dtype=np.int64)
     sup_n = np.array([r["cent_n"] for r in sup_rows], dtype=np.int64)
-    all_rows = sorted(rows, key=lambda r: r["cell"])
-    cell_ids = np.array([r["cell"] for r in all_rows], dtype=np.int64)
-    cell_e = np.array([list(r["cent_e"]) for r in all_rows], dtype=np.int64)
-    cell_n = np.array([r["cent_n"] for r in all_rows], dtype=np.int64)
+    cell_ids, cell_e, cell_n = _codebook_arrays(rows)
     # centroid -> super (exact int sq L2, ties super id == argmin-first)
     c2s = np.argmin(
         cell_n[:, None] + sup_n[None, :] - 2 * (cell_e @ sup_e.T), axis=1
     )
-
     nsa = int(n_super_assign)
 
     def assign_kernel(batches):
@@ -1567,9 +1564,53 @@ def ivf_topk_two_level(
             out["cell"] = cells
             yield out
 
-    assigned = c.mapInPandas(
+    return c.mapInPandas(
         assign_kernel, schema="__id bigint, e array<bigint>, n bigint, cell bigint"
     )
+
+
+def ivf_topk_two_level(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int | None = None,
+    n_super: int | None = None,
+    n_probe: int = 2,
+    n_super_assign: int = 2,
+) -> DataFrame:
+    """Two-level (IMI-style) IVF top-k: hierarchical CORPUS assignment
+    (``two_level_assign`` — the N-scale cost the funnel exists to cut)
+    + FLAT query probing. Probing is deliberately flat: queries rank
+    ALL C cells by exact-integer squared L2 and take the best
+    ``n_probe`` — per-query cost is Q·C (query-scale, trivial next to
+    the N·C assignment term at Q ≪ N; C is clamped at 65,536), and it
+    keeps probe behavior identical to ``ivf_topk_md5``'s, which is
+    what drives recall. The DuckDB oracle in catalog/pipeline.py
+    mirrors BOTH halves exactly (2-super-union assignment CTE, flat
+    all-cell probe), so the operator is hash-checkable in the engaged
+    regime too — see tests/test_oracle_parity.py's N ≥ 16,384 check.
+
+    Output: (query_id, match_id, cosine, rank) — same as every knn
+    entry."""
+    import numpy as np
+    import pandas as pd
+
+    C = _resolve_n_cells(n_cells, corpus)
+    c = corpus.select(
+        F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
+    ).withColumn("n", sqnorm_expr(F.col("e")))
+    cent = md5_medoid_centroids(c, C)
+
+    # ONE driver-side codebook collect serves assignment + probing
+    rows = cent.collect()
+    if not rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, match_id bigint, cosine double, rank bigint"
+        )
+    assigned = _two_level_assign_rows(c, rows, n_super, n_super_assign)
+    cell_ids, cell_e, cell_n = _codebook_arrays(rows)
 
     npb = int(n_probe)
 

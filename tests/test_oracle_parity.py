@@ -48,3 +48,58 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert df.columns
+
+
+def _synth_embeddings_parquet(tmpdir: str, n: int, dim: int = 8) -> str:
+    """Write a deterministic clustered embeddings.parquet big enough to
+    engage the two-level hierarchy (C = ceil(n/256) >= 64 at
+    n >= 16,384). float32 column like the driver fixture."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(20260816)
+    centers = rng.normal(size=(32, dim))
+    vecs = (
+        centers[np.arange(n) % 32] + 0.25 * rng.normal(size=(n, dim))
+    ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "label": pa.array((np.arange(n) % 32).astype(np.int32)),
+        }
+    )
+    path = f"{tmpdir}/embeddings.parquet"
+    pq.write_table(tbl, path)
+    return path
+
+
+def test_two_level_ivf_oracle_parity_engaged_regime(spark, tmp_path):
+    """ADVICE r8 (high): the knn_ivf_two_level oracle and engine only
+    met in the degenerate C < 64 regime because every fixture has 2000
+    embeddings (C = 8). This pins the ENGAGED regime: N = 16,384 ->
+    C = 64 = IVF2_HIER_MIN_CELLS -> S = 8 — hierarchical 2-super-union
+    assignment and flat probing must match the SQL bit-for-bit."""
+    import duckdb
+
+    from potoos_spark.catalog.pipeline import QUERIES as CATQ
+    from potoos_spark.operators.similarity import (
+        IVF2_HIER_MIN_CELLS,
+        _ivf2_n_super,
+        auto_n_cells,
+    )
+
+    n = 16_384
+    C = auto_n_cells(n)
+    assert C >= IVF2_HIER_MIN_CELLS and _ivf2_n_super(C) < C  # engaged
+    d = str(tmp_path)
+    _synth_embeddings_parquet(d, n)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    spec = CATQ["knn_ivf_two_level"]
+    diff = compare(spec.fn(spark, d), spec.sql, con)
+    con.close()
+    assert diff is None, diff
