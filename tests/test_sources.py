@@ -137,6 +137,45 @@ def test_read_binary_dir_hash_ids_are_read_stable(spark, tmp_path):
     assert a == b and a >= 0
 
 
+def test_read_binary_dir_assert_unique_ids(spark, tmp_path):
+    """ADVICE r8: digit-run ids collide across subdirectories or
+    multi-counter names (a.1.bin vs b.1.bin). The opt-in uniqueness
+    guard must raise on a planted collision and pass clean layouts."""
+    import pytest
+
+    from potoos_spark.operators.sources import read_binary_dir
+
+    (tmp_path / "a.1.bin").write_bytes(b"first" * 10)
+    (tmp_path / "b.1.bin").write_bytes(b"second" * 10)
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        read_binary_dir(
+            spark, str(tmp_path), assert_unique_ids=True
+        ).collect()
+    (tmp_path / "b.1.bin").unlink()
+    (tmp_path / "b.2.bin").write_bytes(b"second" * 10)
+    got = read_binary_dir(
+        spark, str(tmp_path), assert_unique_ids=True
+    ).collect()
+    assert {r["doc_id"] for r in got} == {1, 2}
+
+
+def test_read_binary_dir_hash_ids_nonnegative_mask(spark, tmp_path):
+    """The hash fallback is xxhash64 & Long.MAX_VALUE — a true 63-bit
+    mask (abs() kept Long.MIN_VALUE negative). All ids in a wide sample
+    of digit-less names must be non-negative and distinct."""
+    from potoos_spark.operators.sources import read_binary_dir
+
+    names = [f"f{chr(97 + i)}{chr(97 + j)}.bin" for i in range(6) for j in range(6)]
+    for nm in names:
+        (tmp_path / nm).write_bytes(nm.encode())
+    ids = [
+        r["doc_id"]
+        for r in read_binary_dir(spark, str(tmp_path)).collect()
+    ]
+    assert len(ids) == len(names) == len(set(ids))
+    assert all(i >= 0 for i in ids)
+
+
 def test_read_write_batch_orc_round_trip(spark, tmp_path):
     """ORC joins the exercised batch formats: write_batch -> read_batch
     must reproduce the canonical series frame exactly."""
