@@ -70,10 +70,11 @@ HEADLINE = [
     "q_profile_stats",
     "corpus_pack_bins",
     "text_unigram_lm",
-    # round-3-late additions (the df-capped containment is the ~linear
-    # production form; the uncapped entry is the quadratic baseline and
+    # round-3-late additions (r9: the emission-bounded per-doc top-k is
+    # now the production containment form; the unbounded-emission
+    # df-capped entry joined the uncapped one as a named baseline and
     # stays out of the headline, like dedup_ngram_jaccard)
-    "dedup_containment_capped",
+    "dedup_containment_topk",
     "dedup_containment_bottomk",
     "corpus_ngram_novelty",
     "knn_matryoshka",

@@ -197,6 +197,13 @@ def _containment_bottomk_fn(spark, sf_dir):
     return D.capped_bottomk_containment_pairs(sh, _DF_CAP, k=8, threshold=0.5)
 
 
+def _containment_topk_fn(spark, sf_dir):
+    """r9 (VERDICT r8 item 3): the emission-bounded production form —
+    per-doc top-k partners by containment, output ≤ N·k by contract."""
+    sh = D.shingle_frame(_spread_docs(spark, sf_dir))
+    return D.topk_containment_pairs(sh, _DF_CAP, k_per_doc=3)
+
+
 def _ngram_capped_fn(spark, sf_dir):
     sh = D.shingle_frame(_spread_docs(spark, sf_dir))
     return D.capped_jaccard_pairs(sh, _DF_CAP).filter(F.col("jaccard") >= 0.1)
@@ -827,6 +834,30 @@ _CONTAIN_CAPPED_SQL = (
     "JOIN sizes sb ON sb.doc_id = s.id_b) "
     "SELECT id_a, id_b, shared, sz_a, sz_b, containment FROM cont "
     "WHERE containment >= 0.5"
+)
+
+# Per-doc top-k containment: the capped pair relation symmetrized and
+# cut by one per-doc ranked window — the emission-bounded production
+# form (output ≤ N·k). Ordering (containment DESC, other_id) is exact
+# over integer-ratio doubles, so the window is engine-portable.
+_CONTAIN_TOPK_SQL = (
+    f"{_BASE_SH}, "
+    "keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100), "
+    "shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id), "
+    "shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared "
+    "FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+    "cont AS (SELECT s.id_a, s.id_b, s.shared, sa.sz AS sz_a, sb.sz AS sz_b, "
+    "CAST(s.shared AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) AS containment "
+    "FROM shared s JOIN sizes sa ON sa.doc_id = s.id_a "
+    "JOIN sizes sb ON sb.doc_id = s.id_b), "
+    "sym AS (SELECT id_a AS doc_id, id_b AS other_id, shared, "
+    "sz_a AS sz_doc, sz_b AS sz_other, containment FROM cont "
+    "UNION ALL SELECT id_b, id_a, shared, sz_b, sz_a, containment FROM cont), "
+    "rnkd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY containment DESC, other_id) AS rnk FROM sym) "
+    "SELECT doc_id, other_id, shared, sz_doc, sz_other, containment, "
+    "CAST(rnk AS BIGINT) AS rnk FROM rnkd WHERE rnk <= 3"
 )
 
 # Marginal n-gram novelty per document: fraction of a doc's distinct
@@ -3243,10 +3274,20 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_containment_exact_baseline": QuerySpec(
         _containment_pairs_fn, _CONTAIN_PAIRS_SQL
     ),
-    # extension: the ~linear production form — boilerplate shingles
-    # df-capped before pair scoring
-    "dedup_containment_capped": QuerySpec(
+    # extension: df-capped WORK bound, but UNBOUNDED emission — the r8
+    # scale probe measured exp 1.04 purely from answer volume (the TRUE
+    # above-threshold pair count grows quadratically under replication).
+    # Named so nobody wires it as the production path — use
+    # dedup_containment_topk (same df cap + per-doc top-k emission
+    # bound) instead.
+    "dedup_containment_capped_unbounded": QuerySpec(
         _containment_capped_fn, _CONTAIN_CAPPED_SQL
+    ),
+    # r9: the emission-bounded production form — df-capped postings for
+    # the work bound, per-doc top-k ranked cut for the output bound
+    # (≤ N·k rows by contract, like the bottom-k twin)
+    "dedup_containment_topk": QuerySpec(
+        _containment_topk_fn, _CONTAIN_TOPK_SQL
     ),
     # extension: bottom-k sampled containment estimate (directional;
     # candidate volume cut by |H|/k vs the exact join)

@@ -441,6 +441,67 @@ def capped_containment_pairs(
     return out.select("id_a", "id_b", "shared", "sz_a", "sz_b", "containment")
 
 
+def topk_containment_pairs(
+    sh: DataFrame,
+    df_cap: int,
+    k_per_doc: int = 3,
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+) -> DataFrame:
+    """EMISSION-BOUNDED containment (VERDICT r8 item 3): per document,
+    its ``k_per_doc`` highest-containment partners — output ≤ N·k rows
+    BY CONTRACT, the same bounded-output design as
+    ``bottomk_containment_pairs``. ``capped_containment_pairs`` bounds
+    WORK (df-capped postings keep pair generation ≤ cap² per shingle)
+    but emits every above-threshold pair, and the TRUE pair count can
+    grow quadratically (the r8 scale probe measured exp 1.04 on the
+    replicated fixture purely from answer volume); at 100 TB an
+    answer-volume quadratic is still a quadratic. A dedup consumer
+    only acts on the strongest partners per doc anyway, so the ranked
+    cut loses nothing downstream.
+
+    Physical shape: the capped pair relation (work-bounded as before)
+    is symmetrized and cut by ONE per-doc ranked window — partitioned
+    by doc_id, so no global sort, and per-doc pair volume is itself
+    df_cap-bounded per shingle. Ordering (containment DESC, partner id
+    ASC) is exact-integer-ratio deterministic, hence hash-checkable.
+
+    Output: (doc_id, other_id, shared, sz_doc, sz_other, containment,
+    rnk) — directional: each pair appears under BOTH endpoints (when
+    it survives both cuts), like the bottom-k twin."""
+    from pyspark.sql import Window as W
+
+    pairs = capped_containment_pairs(sh, df_cap, id_col, min_shared)
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("other_id"),
+        "shared",
+        F.col("sz_a").alias("sz_doc"),
+        F.col("sz_b").alias("sz_other"),
+        "containment",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("other_id"),
+            "shared",
+            F.col("sz_b").alias("sz_doc"),
+            F.col("sz_a").alias("sz_other"),
+            "containment",
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("containment").desc(), F.col("other_id")
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k_per_doc))
+        .select(
+            "doc_id", "other_id", "shared", "sz_doc", "sz_other",
+            "containment", F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
 def capped_jaccard_pairs(
     sh: DataFrame,
     df_cap: int,

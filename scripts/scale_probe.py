@@ -57,7 +57,7 @@ QUERIES = [
     # deliberately so the probe re-measures its superlinear exponent);
     # the df-capped form is the ~linear production path.
     "dedup_containment_exact_baseline",
-    "dedup_containment_capped",
+    "dedup_containment_capped_unbounded",
     "dedup_containment_bottomk",
     "corpus_ngram_novelty",
     # round-4 additions (VERDICT r3 item 5): the untested heavy tier

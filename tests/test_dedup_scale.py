@@ -137,6 +137,55 @@ def test_capped_posting_operators_match_joinback_shapes(spark):
     spark.catalog.clearCache()
 
 
+def test_topk_containment_bounds_emission_per_doc(spark):
+    """r9 (VERDICT r8 item 3): the emission-bounded containment form —
+    per doc at most k partners, ranked (containment DESC, other_id),
+    and each emitted row must agree exactly with the unbounded capped
+    relation it was cut from."""
+    from potoos_spark.operators.dedup import (
+        capped_containment_pairs,
+        shingle_frame,
+        topk_containment_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{base} variant {i % 7} tail {i % 3}") for i in range(40)] + [
+        (100 + i, f"totally unique document number {i} with its own words only")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = shingle_frame(df)
+    k = 3
+    got = topk_containment_pairs(sh, 10, k_per_doc=k).collect()
+    spark.catalog.clearCache()
+    full = capped_containment_pairs(sh, 10).collect()
+    spark.catalog.clearCache()
+
+    # bounded: at most k rows per doc, ranks 1..k without gaps
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in per_doc.items():
+        assert len(rs) <= k
+        assert sorted(x["rnk"] for x in rs) == list(range(1, len(rs) + 1))
+
+    # faithful: the kept rows are EXACTLY the per-doc top-k of the
+    # symmetrized unbounded relation (ties on partner id)
+    sym = {}
+    for r in full:
+        sym.setdefault(r["id_a"], []).append((r["id_b"], r))
+        sym.setdefault(r["id_b"], []).append((r["id_a"], r))
+    for d, partners in sym.items():
+        want = sorted(
+            partners, key=lambda p: (-p[1]["containment"], p[0])
+        )[:k]
+        have = sorted(per_doc.get(d, []), key=lambda x: x["rnk"])
+        assert [h["other_id"] for h in have] == [w[0] for w in want]
+        for h, (oid, w) in zip(have, want):
+            assert h["shared"] == w["shared"]
+            assert h["containment"] == w["containment"]
+
+
 def test_capped_posting_pair_plan_has_no_selfjoin_or_window(spark):
     """Plan pin for the posting-array scorers: candidate pairs must come
     from the in-row double explode (Generate nodes), never a shingle
