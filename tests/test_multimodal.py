@@ -212,3 +212,68 @@ def test_phash_brightness_invariance_and_determinism(spark):
     assert got == again
     # DC bit is always 0: bit 0 of w_lo clear
     assert got[1][1] % 2 == 0
+
+
+def test_bmp_ppm_codecs_round_trip_and_reject_unsupported():
+    """r9: the pure-numpy BMP/PPM codecs must round-trip arbitrary RGB
+    matrices (including widths whose BMP rows need padding) and fail
+    loudly on unsupported containers rather than mis-decode."""
+    import numpy as np
+    import pytest
+
+    from potoos_spark.operators.multimodal import (
+        decode_bmp24,
+        decode_image,
+        decode_ppm6,
+        encode_bmp24,
+        encode_ppm6,
+    )
+
+    rng = np.random.default_rng(20260816)
+    for h, w in [(8, 9), (1, 1), (5, 7), (16, 16), (3, 254)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp24(encode_bmp24(px)) == px).all()
+        assert (decode_ppm6(encode_ppm6(px)) == px).all()
+        assert (decode_image(encode_bmp24(px)) == px).all()
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a not supported")
+    with pytest.raises(ValueError):
+        decode_bmp24(b"BM" + b"\x00" * 60)  # bpp 0 -> unsupported
+    # PPM header comments and whitespace runs
+    px = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    hdr = b"P6\n# a comment\n 3  2 \n# another\n255\n"
+    assert (decode_ppm6(hdr + px.tobytes()) == px).all()
+
+
+def test_image_dhash_real_decode_pairs_and_negative(spark, tmp_path):
+    """The decode path's planted-pair gate: the SAME pixels through two
+    different containers (BMP and PPM) must land on the same dhash,
+    while a visibly different image must not. Input goes file ->
+    read_binary_dir -> container parse -> luma -> hash; pixels are
+    never synthesized past the codec."""
+    import numpy as np
+
+    from potoos_spark.operators.multimodal import (
+        encode_bmp24,
+        encode_ppm6,
+        image_dhash_features,
+    )
+    from potoos_spark.operators.sources import read_binary_dir
+
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    other = px.copy()
+    other[::2] = 255 - other[::2]  # strong alternating-row inversion
+    (tmp_path / "img10.bmp").write_bytes(encode_bmp24(px))
+    (tmp_path / "img11.ppm").write_bytes(encode_ppm6(px))
+    (tmp_path / "img20.bmp").write_bytes(encode_bmp24(other))
+    got = {
+        r["doc_id"]: r
+        for r in image_dhash_features(
+            read_binary_dir(spark, str(tmp_path))
+        ).collect()
+    }
+    assert set(got) == {10, 11, 20}
+    assert all(r["height"] == 32 and r["width"] == 48 for r in got.values())
+    assert got[10]["dhash"] == got[11]["dhash"]  # same pixels, 2 containers
+    assert got[10]["dhash"] != got[20]["dhash"]  # different image
