@@ -75,3 +75,31 @@ def test_budget_holds_under_pathological_growth():
     line = bench.build_summary_line(best, 1.0, "BENCH_QUERIES.json")
     assert len(line) <= bench.LINE_BUDGET
     json.loads(line)
+
+
+def test_prior_omitted_rotation_guarantees_union_coverage():
+    """r9 (VERDICT r8 item 4): simulate two consecutive rounds — every
+    query omitted from round k's line must appear in round k+1's line,
+    so the two driver-parsed artifacts jointly cover the full set."""
+    best = _fake_best(105)
+    line1 = bench.build_summary_line(best, 0.1, "BENCH_QUERIES.json")
+    p1 = json.loads(line1)
+    omitted1 = sorted(set(best) - set(p1["queries"]))
+    assert omitted1  # rotation is only meaningful under truncation
+    # the guarantee needs the omitted set to fit the line capacity —
+    # true for the real headline set (31 omitted vs ~66 capacity at r8)
+    assert len(omitted1) < len(p1["queries"])
+    line2 = bench.build_summary_line(
+        best, 0.1, "BENCH_QUERIES.json", prior_omitted=omitted1
+    )
+    p2 = json.loads(line2)
+    assert len(line2) <= bench.LINE_BUDGET
+    # everything omitted last round is in this round's line
+    assert set(omitted1) <= set(p2["queries"])
+    # and jointly the two lines cover every query
+    assert set(p1["queries"]) | set(p2["queries"]) == set(best)
+    # remaining budget still goes most-expensive-first: among the
+    # NON-prioritized entries, every kept one costs >= every dropped one
+    rest_kept = [best[k] for k in p2["queries"] if k not in set(omitted1)]
+    dropped = [v for k, v in best.items() if k not in p2["queries"]]
+    assert min(rest_kept) >= max(dropped)
