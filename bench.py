@@ -177,6 +177,11 @@ HEADLINE = [
     # round-8 addition: char-entropy quality signal (gibberish /
     # encoding-noise / base64-blob detector)
     "text_char_entropy",
+    # round-9 additions: emission-bounded containment (the new
+    # production form), the streaming MinHash-LSH guard, and the real
+    # BMP/PPM decode -> pixel-dHash path
+    "dedup_minhash_streaming",
+    "multimodal_decode_dhash",
 ]
 
 

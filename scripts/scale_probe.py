@@ -84,6 +84,13 @@ QUERIES = [
     "stream_heartbeat_sla_replay",
     "dedup_exact_streaming",     # exact sibling of streaming_simhash_dedup
     "dedup_simhash_streaming",
+    # r9: the emission-bounded containment production form and the
+    # streaming MinHash-LSH guard (multimodal_decode_dhash is excluded
+    # like q_skyline: its input is 32 fixed rendered images — no growth
+    # axis to measure; the decade probe covers the containment family
+    # under perturbed replication in scale_probe_decade.py)
+    "dedup_containment_topk",
+    "dedup_minhash_streaming",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]

@@ -565,3 +565,66 @@ def test_fuzzy_dedup_e2e_final_plan_has_no_cartesian(spark):
         CATALOG["corpus_fuzzy_dedup_e2e"].fn(spark, SF_DIR), mode="simple"
     )
     assert "CartesianProduct" not in plan, plan
+
+
+# ---- r9 compositions -------------------------------------------------------
+
+
+def test_topk_containment_plan_window_is_per_doc_not_global(spark):
+    """The emission bound is ONE ranked window PARTITIONED BY doc_id —
+    never a global (empty-partition) window, which would single-task
+    the cut; and the pair generation stays the in-row double explode
+    (no shingle self-join)."""
+    from potoos_spark.operators.dedup import (
+        shingle_frame,
+        topk_containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y z")], "doc_id bigint, text string"
+    )
+    plan = _plan(topk_containment_pairs(shingle_frame(df), 5), mode="simple")
+    assert "Window" in plan, plan
+    assert "windowspecdefinition(doc_id" in plan, plan
+    # the only joins are the thin doc-keyed size joins (2 per direction
+    # of the symmetrized union resolves to the same 2 cached subtrees)
+    assert "CartesianProduct" not in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_two_level_assign_plan_is_map_only_in_engaged_regime(spark):
+    """The hierarchical assignment must stay a MAP-ONLY Arrow kernel —
+    codebook and super split live in the closure, so the plan has no
+    join and no exchange between the scan and the kernel (same claim
+    the flat kernel carries, now in the ENGAGED regime)."""
+    import numpy as np
+    import pandas as pd
+
+    from potoos_spark.operators.dedup import scaled_vec, sqnorm_expr
+    from potoos_spark.operators.similarity import (
+        IVF2_HIER_MIN_CELLS,
+        md5_medoid_centroids,
+        two_level_assign,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 16_384
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(
+                rng.normal(size=(n, 4)).astype("float64")
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    c = df.select(
+        F.col("vec_id").alias("__id"), scaled_vec("embedding").alias("e")
+    ).withColumn("n", sqnorm_expr(F.col("e")))
+    cent = md5_medoid_centroids(c, 64)
+    assert 64 >= IVF2_HIER_MIN_CELLS
+    assigned = two_level_assign(c, cent)
+    plan = _plan(assigned, mode="simple")
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert "Exchange" not in plan, plan
