@@ -592,23 +592,31 @@ def topk_containment_pairs(
     from pyspark.sql import Window as W
 
     pairs = capped_containment_pairs(sh, df_cap, id_col, min_shared)
+    # in-row symmetrization (explode of a 2-struct array), NOT a union
+    # of two selects — a union would evaluate the whole pair subtree
+    # twice; this is one pass and stays map-side before the window
     sym = pairs.select(
-        F.col("id_a").alias("doc_id"),
-        F.col("id_b").alias("other_id"),
-        "shared",
-        F.col("sz_a").alias("sz_doc"),
-        F.col("sz_b").alias("sz_other"),
-        "containment",
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("doc_id"),
-            F.col("id_a").alias("other_id"),
-            "shared",
-            F.col("sz_b").alias("sz_doc"),
-            F.col("sz_a").alias("sz_other"),
-            "containment",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc_id"),
+                    F.col("id_b").alias("other_id"),
+                    F.col("shared"),
+                    F.col("sz_a").alias("sz_doc"),
+                    F.col("sz_b").alias("sz_other"),
+                    F.col("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc_id"),
+                    F.col("id_a").alias("other_id"),
+                    F.col("shared"),
+                    F.col("sz_b").alias("sz_doc"),
+                    F.col("sz_a").alias("sz_other"),
+                    F.col("containment"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
     w = W.partitionBy("doc_id").orderBy(
         F.col("containment").desc(), F.col("other_id")
     )
