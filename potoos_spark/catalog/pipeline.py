@@ -539,10 +539,19 @@ def _stream_minhash_dedup_fn(spark, sf_dir):
         streaming_minhash_neardup_alerts,
     )
 
+    # spread BOTH sides before the interpreted shingle/signature work:
+    # the fixture's single-file layouts would otherwise run the HOF
+    # md5 folds on one scan task (the _spread_docs lesson; measured
+    # 31.5 s -> the repartition rides the micro-batch)
     idx = lsh_band_index(
-        _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+        _spread_docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
     )
-    docs = _docs_stream(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    n_part = spark.sparkContext.defaultParallelism
+    docs = (
+        _docs_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .repartition(n_part, "doc_id")
+    )
     docs = docs.withColumn(
         "ingest_time", F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("doc_id"))
     )

@@ -123,9 +123,15 @@ def streaming_simhash_dedup(
     fingerprint and are dropped, exactly as in batch (no spurious fp=0
     group)."""
     hs = F.transform(F.array_distinct(tokens(text_col)), F.md5)
-    staged = sdf.select(
+    # Token-less docs are excluded BEFORE the projection with the cheap
+    # equivalent predicate normalize(text) != '' (non-empty normalized
+    # text ⟺ ≥1 token): a size(__hs) > 0 filter ABOVE the projection
+    # gets pushed back down with the whole HOF hash expression inlined
+    # into the predicate (CSE cannot reach through lambdas), evaluating
+    # the md5 transform twice per row — the r9 streaming-minhash lesson.
+    staged = sdf.filter(normalize(text_col) != "").select(
         F.col(id_col), F.col(event_time_col), hs.alias("__hs")
-    ).filter(F.size("__hs") > 0)
+    )
     fp = staged.select(
         F.col(id_col),
         F.col(event_time_col),
@@ -231,11 +237,19 @@ def streaming_minhash_neardup_alerts(
 
     Output: (doc_id) — one row per flagged arriving doc; deterministic
     as a set (doc ids are unique), hence hash-checkable."""
+    # NO size() filter on the shingle array: Catalyst pushes such a
+    # predicate below the projection and re-expands the whole HOF
+    # shingle expression inside it (CSE does not reach through lambda
+    # functions — measured 7.7 s vs 1.0 s at sf0.1). Token-less docs
+    # are harmless without it: their mh columns are NULL, concat_ws
+    # skips nulls, and the resulting md5('') band keys cannot exist in
+    # the index (batch signatures only come from docs WITH shingles),
+    # so they drop at the semi join — same output, one evaluation.
     staged = sdf.select(
         F.col(id_col),
         F.col(event_time_col),
         shingles(tokens(text_col)).alias("__shs"),
-    ).filter(F.size("__shs") > 0)
+    )
     sig = staged.select(
         F.col(id_col),
         F.col(event_time_col),
