@@ -2451,17 +2451,21 @@ def _dedup_report_fn(spark, sf_dir):
     from ..operators.dedup import simhash_fingerprint
 
     docs = _docs(spark, sf_dir)
-    staged = docs.select(
-        "source",
-        F.md5(T.normalize("text")).alias("__h"),
-        F.transform(F.array_distinct(T.tokens("text")), F.md5).alias("__hs"),
-    )
-    exact = staged.groupBy("source").agg(
+    exact = docs.select(
+        "source", F.md5(T.normalize("text")).alias("__h")
+    ).groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.count_distinct("__h").alias("n_exact_distinct"),
     )
+    # token-ful docs pre-filtered with the cheap equivalent predicate —
+    # a size(__hs) filter above the hash projection would re-inline the
+    # md5 transform into the pushed-down predicate (r9 HOF lesson)
+    fp_staged = docs.filter(T.normalize("text") != "").select(
+        "source",
+        F.transform(F.array_distinct(T.tokens("text")), F.md5).alias("__hs"),
+    )
     fp = (
-        staged.filter(F.size("__hs") > 0)
+        fp_staged
         .select("source", simhash_fingerprint(F.col("__hs")).alias("__fp"))
         .groupBy("source")
         .agg(

@@ -1402,9 +1402,12 @@ def levenshtein_pairs(
     its block canonical, distance ≤ max_distance.
     """
     hs = F.transform(F.array_distinct(tokens(text_col)), F.md5)
-    staged = df.select(
+    # pre-filter on the cheap equivalent predicate (⟺ ≥1 token) — a
+    # size(__hs) filter above the projection would re-inline the md5
+    # transform into the pushed-down predicate (r9 HOF-pushdown lesson)
+    staged = df.filter(normalize(text_col) != "").select(
         F.col(id_col), F.col(text_col), hs.alias("__hs")
-    ).filter(F.size("__hs") > 0)
+    )
     s = staged.select(
         F.col(id_col),
         F.col(text_col),

@@ -23,9 +23,13 @@ def _doc_vectors(df: DataFrame, text_col: str, id_col: str, n_features: int):
     (same shingling as the deterministic dedup path, text.shingles)."""
     from pyspark.ml.feature import HashingTF
 
-    shingled = df.select(
+    # pre-filter on token count (shingles nonempty ⟺ ≥3 tokens): a
+    # size filter above the projection would re-inline the whole
+    # shingle builder into the pushed-down predicate (r9 HOF lesson);
+    # duplicating only tokens() in the predicate is the cheap half
+    shingled = df.filter(F.size(tokens(text_col)) >= 3).select(
         F.col(id_col), shingles(tokens(text_col)).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=n_features)
     return tf.transform(shingled)
 

@@ -692,7 +692,15 @@ def hashing_trick_embed(
     bs = F.transform(
         hs, lambda x: F.struct(bucket(x).alias("b"), sign(x).alias("s"))
     )
-    staged = df.select(F.col(id_col), bs.alias("__bs")).filter(F.size("__bs") > 0)
+    # Token-less docs are excluded with the cheap pre-filter
+    # normalize(text) != '' (⟺ ≥1 token) BEFORE the projection: a
+    # size(__bs) > 0 filter above it would be pushed back down with the
+    # whole md5/bucket/sign transform inlined into the predicate,
+    # building the array twice per row (the r9 streaming-minhash
+    # lesson; CSE cannot reach through HOF lambdas).
+    staged = df.filter(normalize(text_col) != "").select(
+        F.col(id_col), bs.alias("__bs")
+    )
     emb = F.aggregate(
         F.col("__bs"),
         F.array_repeat(F.lit(0).cast("bigint"), n),
