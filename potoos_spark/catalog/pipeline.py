@@ -1277,6 +1277,51 @@ _IVF_SQDIST = (
     "n.nn + c.cn2 - 2 * CAST(list_sum(list_transform(list_zip(v.e, c.ce), "
     "p -> p[1] * p[2])) AS BIGINT)"
 )
+
+# --- two-level (IMI) assignment mirror, shared fragment -------------------
+# Mirrors similarity.two_level_assign over the embeddings codebook:
+# nested super draw (first S of the SAME md5 order; S self-gates to C
+# below 64 cells, where the union argmin provably equals flat),
+# centroid->super map, vector -> top-2 supers -> best cell over the
+# union of both supers' groups. Shared by the semantic-cells,
+# mutual-kNN, and two-level-IVF oracles so the engine and every
+# consumer oracle can never drift. Produces asg(vec_id, e, nn, cell).
+_IVF2_S_LIMIT = (
+    "LIMIT (SELECT CASE WHEN c < 64 THEN c "
+    "ELSE CAST(CEIL(SQRT(c)) AS BIGINT) END FROM "
+    "(SELECT GREATEST(4, LEAST(65536, (COUNT(*) + 255) // 256)) AS c "
+    "FROM embeddings))"
+)
+_IVF2_DOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) "
+    "AS BIGINT)"
+)
+_IVF2_ASSIGN_CTES = (
+    "centh AS (SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS hm FROM v "
+    f"ORDER BY hm {_AUTO_CELLS_LIMIT}), "
+    "cent AS (SELECT vec_id AS cell, e AS ce, "
+    "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2, hm FROM centh), "
+    "sup AS (SELECT cell AS scell, ce AS se, cn2 AS sn2 FROM "
+    f"(SELECT * FROM cent ORDER BY hm {_IVF2_S_LIMIT})), "
+    "c2s AS (SELECT cell, ce, cn2, scell FROM (SELECT c.cell, c.ce, c.cn2, "
+    "s.scell, ROW_NUMBER() OVER (PARTITION BY c.cell ORDER BY "
+    "c.cn2 + s.sn2 - 2 * "
+    + _IVF2_DOT.format(a="c.ce", b="s.se")
+    + ", s.scell) AS rn FROM cent c CROSS JOIN sup s) WHERE rn = 1), "
+    "vsup AS (SELECT vec_id, e, nn, scell FROM (SELECT v.vec_id, v.e, n.nn, "
+    "s.scell, ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY "
+    "n.nn + s.sn2 - 2 * "
+    + _IVF2_DOT.format(a="v.e", b="s.se")
+    + ", s.scell) AS rn FROM v JOIN nrm n ON n.vec_id = v.vec_id "
+    "CROSS JOIN sup s) WHERE rn <= 2), "
+    "asg AS (SELECT vec_id, e, nn, cell FROM (SELECT vs.vec_id, vs.e, "
+    "vs.nn, c.cell, ROW_NUMBER() OVER (PARTITION BY vs.vec_id ORDER BY "
+    "vs.nn + c.cn2 - 2 * "
+    + _IVF2_DOT.format(a="vs.e", b="c.ce")
+    + ", c.cell) AS rn FROM vsup vs JOIN c2s c ON c.scell = vs.scell) "
+    "WHERE rn = 1)"
+)
+
 _KNN_IVF_SQL = (
     f"WITH {_SCALED_V}, "
     "cent AS (SELECT vec_id AS cell, e AS ce, "
@@ -1310,18 +1355,11 @@ def _knn_mutual_fn(spark, sf_dir):
     return S.mutual_neighbors(S.cell_knn_edges(e, k=10))
 
 
-# within-cell kNN stage-1 (the _SEMANTIC_CELLS_SQL cent/asg/cap CTEs)
-# + per-node ranked cut + mutual reciprocity join.
+# within-cell kNN stage-1 (r9: the shared two-level assignment CTEs —
+# the engine's cell_knn_edges now assigns through the self-gating IMI
+# funnel) + per-node ranked cut + mutual reciprocity join.
 _KNN_MUTUAL_SQL = (
-    f"WITH {_SCALED_V}, "
-    "cent AS (SELECT vec_id AS cell, e AS ce, "
-    "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2 FROM "
-    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) "
-    f"{_AUTO_CELLS_LIMIT})), "
-    "asg AS (SELECT vec_id, e, nn, cell FROM ("
-    "SELECT v.vec_id, v.e, n.nn, c.cell, "
-    f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_IVF_SQDIST}, c.cell) AS rn "
-    "FROM v JOIN nrm n ON n.vec_id = v.vec_id CROSS JOIN cent c) WHERE rn = 1), "
+    f"WITH {_SCALED_V}, {_IVF2_ASSIGN_CTES}, "
     "cap AS (SELECT vec_id, e, nn, cell FROM ("
     "SELECT asg.*, ROW_NUMBER() OVER (PARTITION BY cell "
     "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crn FROM asg) "
@@ -3024,19 +3062,11 @@ def _semantic_cells_fn(spark, sf_dir):
     return S.semantic_dedup_cells(_embs(spark, sf_dir), threshold=0.4)
 
 
-# SemDeDup cell-blocked semantic near-dup pairs: md5-medoid cells (the
-# _KNN_IVF_SQL asg CTE), md5-ranked cell_cap guardrail, exact integer
-# cosine verify within cells only.
+# SemDeDup cell-blocked semantic near-dup pairs: md5-medoid cells with
+# the r9 two-level assignment mirror (shared CTEs), md5-ranked cell_cap
+# guardrail, exact integer cosine verify within cells only.
 _SEMANTIC_CELLS_SQL = (
-    f"WITH {_SCALED_V}, "
-    "cent AS (SELECT vec_id AS cell, e AS ce, "
-    "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2 FROM "
-    "(SELECT vec_id, e FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) "
-    f"{_AUTO_CELLS_LIMIT})), "
-    "asg AS (SELECT vec_id, e, nn, cell FROM ("
-    "SELECT v.vec_id, v.e, n.nn, c.cell, "
-    f"ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_IVF_SQDIST}, c.cell) AS rn "
-    "FROM v JOIN nrm n ON n.vec_id = v.vec_id CROSS JOIN cent c) WHERE rn = 1), "
+    f"WITH {_SCALED_V}, {_IVF2_ASSIGN_CTES}, "
     "cap AS (SELECT vec_id, e, nn, cell FROM ("
     "SELECT asg.*, ROW_NUMBER() OVER (PARTITION BY cell "
     "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crn FROM asg) "
@@ -4074,64 +4104,26 @@ def _knn_ivf2_fn(spark, sf_dir):
     return S.ivf_topk_two_level(e.filter(F.col("vec_id") < 5), e, k=5)
 
 
-# Mirrors similarity._ivf2_n_super: the hierarchy self-gates — S = C
-# (degenerating to exactly flat assignment) below 64 cells, else
-# S = ceil(sqrt(C)).
-_IVF2_S_LIMIT = (
-    "LIMIT (SELECT CASE WHEN c < 64 THEN c "
-    "ELSE CAST(CEIL(SQRT(c)) AS BIGINT) END FROM "
-    "(SELECT GREATEST(4, LEAST(65536, (COUNT(*) + 255) // 256)) AS c "
-    "FROM embeddings))"
-)
-_IVF2_DOT = (
-    "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) "
-    "AS BIGINT)"
-)
+# r9: the assignment half is the SHARED two-level fragment
+# (_IVF2_ASSIGN_CTES — also the semantic-cells / mutual-kNN mirror, so
+# the engine and every consumer oracle share one point of truth; the
+# ADVICE r8 high divergence cannot recur per-oracle). Query probing is
+# FLAT (the engine's probe_kernel): rank ALL C cells by exact-integer
+# sq L2, keep the best n_probe = 2. Engaged regime pinned at N = 16,384
+# by test_oracle_parity.py.
 _KNN_IVF2_SQL = (
-    f"WITH {_SCALED_V}, "
-    # nested draws: cells by md5(id), supers = first S of the SAME order
-    "centh AS (SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS hm FROM v "
-    f"ORDER BY hm {_AUTO_CELLS_LIMIT}), "
-    "cent AS (SELECT vec_id AS cell, e AS ce, "
-    "CAST(list_sum([x * x for x in e]) AS BIGINT) AS cn2, hm FROM centh), "
-    f"sup AS (SELECT cell AS scell, ce AS se, cn2 AS sn2 FROM "
-    f"(SELECT * FROM cent ORDER BY hm {_IVF2_S_LIMIT})), "
-    # centroid -> super (exact int sq L2, ties super id)
-    "c2s AS (SELECT cell, ce, cn2, scell FROM (SELECT c.cell, c.ce, c.cn2, "
-    "s.scell, ROW_NUMBER() OVER (PARTITION BY c.cell ORDER BY "
-    "c.cn2 + s.sn2 - 2 * "
-    + _IVF2_DOT.format(a="c.ce", b="s.se")
-    + ", s.scell) AS rn FROM cent c CROSS JOIN sup s) WHERE rn = 1), "
-    # vector -> its TOP-2 supers (n_super_assign, ties super id) -> best
-    # cell over the UNION of both supers' groups — mirrors the engine's
-    # assign_kernel exactly (ADVICE r8 high: rn = 1 here diverged from
-    # the engine's 2-super union once the hierarchy engaged at C >= 64;
-    # the engaged regime is pinned by test_oracle_parity.py at N = 16,384)
-    "vsup AS (SELECT vec_id, e, nn, scell FROM (SELECT v.vec_id, v.e, n.nn, "
-    "s.scell, ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY "
-    "n.nn + s.sn2 - 2 * "
-    + _IVF2_DOT.format(a="v.e", b="s.se")
-    + ", s.scell) AS rn FROM v JOIN nrm n ON n.vec_id = v.vec_id "
-    "CROSS JOIN sup s) WHERE rn <= 2), "
-    "asg AS (SELECT match_id, ce2, cn_m, cell FROM (SELECT vs.vec_id AS "
-    "match_id, vs.e AS ce2, vs.nn AS cn_m, c.cell, ROW_NUMBER() OVER ("
-    "PARTITION BY vs.vec_id ORDER BY vs.nn + c.cn2 - 2 * "
-    + _IVF2_DOT.format(a="vs.e", b="c.ce")
-    + ", c.cell) AS rn FROM vsup vs JOIN c2s c ON c.scell = vs.scell) "
-    "WHERE rn = 1), "
-    # query probing is FLAT (the engine's probe_kernel): rank ALL C
-    # cells by exact-integer sq L2, keep the best n_probe = 2
+    f"WITH {_SCALED_V}, {_IVF2_ASSIGN_CTES}, "
     "prob AS (SELECT query_id, qe, qn, cell FROM (SELECT v.vec_id AS "
     "query_id, v.e AS qe, n.nn AS qn, c.cell, ROW_NUMBER() OVER ("
     "PARTITION BY v.vec_id ORDER BY n.nn + c.cn2 - 2 * "
     + _IVF2_DOT.format(a="v.e", b="c.ce")
     + ", c.cell) AS rn FROM v JOIN nrm n ON n.vec_id = v.vec_id "
     "CROSS JOIN cent c WHERE v.vec_id < 5) WHERE rn <= 2), "
-    "scored AS (SELECT p.query_id, a.match_id, "
-    "CAST(CAST(list_sum(list_transform(list_zip(p.qe, a.ce2), "
+    "scored AS (SELECT p.query_id, a.vec_id AS match_id, "
+    "CAST(CAST(list_sum(list_transform(list_zip(p.qe, a.e), "
     "x -> x[1] * x[2])) AS BIGINT) AS DOUBLE) / "
-    "sqrt(CAST(p.qn * a.cn_m AS DOUBLE)) AS cosine "
-    "FROM prob p JOIN asg a ON a.cell = p.cell AND p.query_id <> a.match_id) "
+    "sqrt(CAST(p.qn * a.nn AS DOUBLE)) AS cosine "
+    "FROM prob p JOIN asg a ON a.cell = p.cell AND p.query_id <> a.vec_id) "
     "SELECT query_id, match_id, cosine, rank FROM (SELECT *, ROW_NUMBER() "
     "OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank "
     "FROM scored) WHERE rank <= 5"

@@ -1440,7 +1440,10 @@ def semantic_dedup_cells(
         F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
     ).withColumn("n", sqnorm_expr(F.col("e")))
     cent = md5_medoid_centroids(c, _resolve_n_cells(n_cells, df))
-    return cell_capped_pairs(assign_to_cells_np(c, cent), threshold, cell_cap)
+    # r9: assignment rides the two-level funnel (self-gates to flat
+    # below 64 cells) — with cells ∝ corpus size the flat N·C scan is
+    # the documented ~10⁷-vector wall; the funnel cuts it to ~3·N·√C
+    return cell_capped_pairs(two_level_assign(c, cent), threshold, cell_cap)
 
 
 def _ceil_isqrt(n: int) -> int:
@@ -1907,7 +1910,9 @@ def cell_knn_edges(
         F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
     ).withColumn("n", sqnorm_expr(F.col("e")))
     cent = md5_medoid_centroids(c, _resolve_n_cells(n_cells, df))
-    return cell_capped_topk(assign_to_cells_np(c, cent), k, cell_cap)
+    # r9: two-level assignment (self-gating) — same wall-removal as
+    # semantic_dedup_cells; the per-cell kernel is unchanged
+    return cell_capped_topk(two_level_assign(c, cent), k, cell_cap)
 
 
 _KM_OFFSET = 10_000  # > any |scaled component|: makes the mean's

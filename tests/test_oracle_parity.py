@@ -103,3 +103,30 @@ def test_two_level_ivf_oracle_parity_engaged_regime(spark, tmp_path):
     diff = compare(spec.fn(spark, d), spec.sql, con)
     con.close()
     assert diff is None, diff
+
+
+def test_semantic_cells_and_mutual_knn_engaged_regime_parity(
+    spark, tmp_path
+):
+    """r9: semantic_dedup_cells and cell_knn_edges now assign through
+    the two-level funnel; their oracles use the shared assignment CTE
+    fragment. Pin BOTH in the engaged regime (N = 16,384 -> C = 64,
+    S = 8) — a drift between the funnel and the shared SQL mirror must
+    fail here, not at 10^7 vectors."""
+    import duckdb
+
+    from potoos_spark.catalog.pipeline import QUERIES as CATQ
+
+    n = 16_384
+    d = str(tmp_path)
+    _synth_embeddings_parquet(d, n)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    for name in ("dedup_semantic_cells", "knn_mutual_neighbors"):
+        spec = CATQ[name]
+        spark.catalog.clearCache()
+        diff = compare(spec.fn(spark, d), spec.sql, con)
+        assert diff is None, f"{name}: {diff}"
+    con.close()
