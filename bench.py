@@ -182,6 +182,8 @@ HEADLINE = [
     # BMP/PPM decode -> pixel-dHash path
     "dedup_minhash_streaming",
     "multimodal_decode_dhash",
+    # round-9 late: in-engine learned quality filter (integer GD)
+    "corpus_quality_perceptron",
 ]
 
 

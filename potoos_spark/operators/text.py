@@ -1622,3 +1622,184 @@ def backoff_trigram_logprob(
             round_digits,
         ).alias("avg_nll"),
     )
+
+
+def quality_perceptron(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    n_iters: int = 4,
+    label_expr: Column | None = None,
+) -> DataFrame:
+    """MODEL-BASED quality filtering — the learned stage the big-corpus
+    pipelines run on top of rule filters (GPT-3's LR classifier over
+    hashed features, Brown et al. 2020 App. A; CCNet/RefinedWeb's
+    fastText-style scorers): a linear classifier over hashing-trick
+    features, trained IN THE ENGINE with the rule tier
+    (``gopher_quality``) as weak labels — the standard bootstrap when
+    no human labels exist — then applied to every document, yielding a
+    margin (a graded quality score the rules alone cannot give) and a
+    prediction that generalizes the rules through token-level features.
+
+    Trainer: fixed-``n_iters`` full-batch gradient descent on the
+    perceptron loss (Rosenblatt 1958 updates, MEAN-normalized per
+    epoch: w += floor(S·Σ_mis y·x / n) with S = 256 — the raw batch
+    sum swings the whole misclassified mass each epoch and oscillates
+    between the all-positive and all-negative states; measured 0.45 vs
+    0.96 agreement) on y ∈ {+1, −1} from ``label_expr`` — a boolean
+    expression over ``gopher_quality``'s metric columns. Features: the
+    ``dim`` signed-hash token counts (``hashing_trick_embed``), the
+    MEAN-CENTERED total token count at dim ``d`` (length is what every
+    count-window rule needs and the ~0-mean hashed sums cannot see;
+    centering keeps this feature ~0-mean too, a second oscillation
+    guard), and a bias at dim ``d``+1. The default label rule is the
+    word-count / word-length / symbol window (the Gopher sub-rules
+    with signal on ANY corpus); the full ``gopher_pass`` conjunction
+    is the production choice on natural text but collapses to one
+    class on stopword-free synthetic fixtures, which would make
+    training vacuous. EVERYTHING is exact integer arithmetic —
+    margins are int sums of int products, the misclassified set is
+    y·m ≤ 0, and the update's floor strips the positive remainder
+    (pmod) so truncating DIV equals floor on both engines (the Lloyd
+    DIV lesson) — the whole trajectory is bit-deterministic across
+    engines and partitionings, and the DuckDB oracle replays it
+    unrolled (the Lloyd / integer-PageRank determinism pattern; a
+    logistic trainer would need exp(), which is exactly what those
+    precedents avoid).
+
+    Physical shape: ONE persisted long-form training relation
+    (doc, dim, x, y) — N·(dim+2) thin rows; each epoch is two
+    map-side-combinable hash aggregations (margins per doc against the
+    broadcast (dim+2)-row weight relation; misclassified gradient per
+    dim) — no windows; weights stay a (dim+2)-row DataFrame end to
+    end; driver traffic is 2 scalars (count mean + n, within the
+    SCALE.md collect policy). At 100 TB each epoch is Θ(N·dim) with
+    ~KB shuffles.
+
+    Output: (doc_id, margin bigint, pred ∈ {1,−1}, weak_label, agree)
+    for every token-ful document — ``margin`` is the quality score;
+    disagreements (agree = 0) are exactly the docs where the learned
+    generalization overrides the rules (the review queue a curation
+    team samples).
+    """
+    from pyspark import StorageLevel
+
+    d = int(dim)
+    xl = hashing_trick_embed(
+        df, dim=d, text_col=text_col, id_col=id_col, as_array=False
+    )
+    # two dense features beyond the hashed counts: the CENTERED total
+    # token count (dim d — signed hash sums are ~0-mean, so LENGTH,
+    # which every count-window quality rule needs, is otherwise
+    # invisible to a linear model; centering by the integer-mean count
+    # keeps the feature ~0-mean too, without which the full-batch
+    # update oscillates between the all-positive and all-negative
+    # states — measured 0.45 vs 0.96 agreement) and the bias (dim d+1)
+    counts = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("bigint").alias("__cnt"),
+    ).filter(F.col("__cnt") > 0)
+    stats = counts.agg(
+        F.sum("__cnt").alias("s"), F.count("*").alias("n")
+    ).first()
+    if not stats["n"]:  # empty / all-token-less corpus: nothing to train
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{id_col} bigint, margin bigint, pred bigint, "
+            "weak_label bigint, agree bigint",
+        )
+    n_train, cbar = int(stats["n"]), int(stats["s"]) // int(stats["n"])
+    cfeat = counts.select(
+        F.col(id_col),
+        F.lit(d).cast("bigint").alias("dim_idx"),
+        (F.col("__cnt") - F.lit(cbar)).cast("bigint").alias("weight"),
+    )
+    bias = counts.select(
+        F.col(id_col),
+        F.lit(d + 1).cast("bigint").alias("dim_idx"),
+        F.lit(1).cast("bigint").alias("weight"),
+    )
+    xl = xl.unionByName(cfeat).unionByName(bias)
+    if label_expr is None:
+        label_expr = (
+            F.col("n_words").between(50, 100_000)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("symbol_ratio") <= 0.1)
+        )
+    labels = gopher_quality(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col),
+        F.when(label_expr, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("y"),
+    )
+    tr = xl.join(labels, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # mean update, integer-exact: w += floor(g·S / n_train) — the
+    # floor is (a − pmod(a, n)) div n on BOTH engines (Spark div and
+    # DuckDB // truncate toward zero, which diverges from floor on
+    # negative gradients; pmod repairs it — the Lloyd DIV lesson).
+    # The raw perceptron sum-update overshoots at full batch (the
+    # whole misclassified mass swings every weight each epoch).
+    S = 256
+    # floor(g·S / n) as pure bigint ops: strip the POSITIVE remainder
+    # (pmod) so the exactly-divisible dividend makes truncating DIV
+    # equal floor on both engines
+    _upd = (
+        f"CAST((g * {S} - pmod(g * {S}, {n_train})) DIV {n_train} AS BIGINT)"
+    )
+
+    # epoch 1 from w = 0: every margin is 0, y·m ≤ 0 everywhere, so the
+    # first gradient is the full label-weighted feature sum
+    w = (
+        tr.groupBy("dim_idx")
+        .agg(F.sum(F.col("y") * F.col("weight")).alias("g"))
+        .select("dim_idx", F.expr(_upd).alias("wv"))
+    )
+    for _ in range(int(n_iters) - 1):
+        m = (
+            tr.join(F.broadcast(w), "dim_idx")
+            .groupBy(id_col)
+            .agg(
+                F.sum(F.col("wv") * F.col("weight")).alias("m"),
+                F.first("y").alias("y"),
+            )
+        )
+        mis = m.filter(F.col("y") * F.col("m") <= 0).select(id_col)
+        g = (
+            tr.join(mis, id_col, "left_semi")
+            .groupBy("dim_idx")
+            .agg(F.sum(F.col("y") * F.col("weight")).alias("g"))
+        )
+        w = w.join(g, "dim_idx", "left").select(
+            "dim_idx",
+            (
+                F.col("wv")
+                + F.coalesce(F.expr(_upd), F.lit(0).cast("bigint"))
+            ).alias("wv"),
+        )
+
+    final = (
+        tr.join(F.broadcast(w), "dim_idx")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("wv") * F.col("weight")).alias("margin"),
+            F.first("y").alias("weak_label"),
+        )
+    )
+    return final.select(
+        F.col(id_col),
+        F.col("margin").cast("bigint"),
+        F.when(F.col("margin") > 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("pred"),
+        F.col("weak_label").cast("bigint"),
+        F.when(
+            (F.col("margin") > 0) == (F.col("weak_label") > 0), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("agree"),
+    )

@@ -91,6 +91,7 @@ QUERIES = [
     # under perturbed replication in scale_probe_decade.py)
     "dedup_containment_topk",
     "dedup_minhash_streaming",
+    "corpus_quality_perceptron",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]

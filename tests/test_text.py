@@ -592,3 +592,48 @@ def test_char_entropy_known_distributions(spark):
     assert got[1]["entropy"] == 1.0 and got[1]["n_distinct"] == 2
     assert got[2]["entropy"] == 0.0 and got[2]["n_chars"] == 4
     assert got[3]["entropy"] == 2.0 and got[3]["n_distinct"] == 4
+
+
+def test_quality_perceptron_learns_separable_corpus(spark):
+    """r9: the learned quality stage must actually LEARN — on a corpus
+    where the label rule (word-count window) is linearly separable in
+    the count feature, agreement must be near-perfect and far above the
+    majority-class rate, with a real confusion matrix on the fixture
+    rule (not an all-one-class predictor)."""
+    from potoos_spark.operators.text import quality_perceptron
+
+    rows = [
+        (i, "lorem ipsum dolor sit amet consectetur " * 12)  # 84 words: pass
+        for i in range(40)
+    ] + [
+        (100 + i, "short text only here")  # 4 words: fail
+        for i in range(35)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = quality_perceptron(df).collect()
+    assert len(out) == 75
+    agree = sum(r["agree"] for r in out) / len(out)
+    assert agree >= 0.95, agree
+    preds = {r["doc_id"]: r["pred"] for r in out}
+    assert all(preds[i] == 1 for i in range(40))
+    assert all(preds[100 + i] == -1 for i in range(35))
+    spark.catalog.clearCache()
+
+
+def test_quality_perceptron_bit_invariant_across_partitionings(spark):
+    """The full integer GD trajectory (labels, centered count, floor
+    updates) must be partitioning-independent — margins bit-equal."""
+    from potoos_spark.operators.text import quality_perceptron
+
+    rows = [
+        (i, ("alpha beta gamma delta epsilon zeta " * (3 + i % 20)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(map(tuple, quality_perceptron(df).collect()))
+    spark.catalog.clearCache()
+    b = sorted(
+        map(tuple, quality_perceptron(df.repartition(11)).collect())
+    )
+    assert a == b and a
+    spark.catalog.clearCache()
