@@ -704,26 +704,35 @@ def render_fixture_images(ids, out_dir: str) -> str:
     (two different containers, one pixel truth). Pixels are the first
     72 bytes of md5(f\"{id}|{k}\") for k = 0..4 laid out row-major on
     the 8×9 grid, so a SQL oracle can recompute the expected dHash from
-    first principles. Idempotent: existing files are left alone (the
-    content is a pure function of the id)."""
+    first principles. Idempotent AND self-repairing: every file is
+    rewritten via a temp file + ``os.replace`` (atomic on POSIX) — a
+    truncated file left by an interrupted earlier run is repaired, and
+    a concurrent reader never sees a partial write. The files are
+    ~250 bytes and content is a pure function of the id, so the
+    unconditional rewrite costs nothing."""
     import hashlib
     import os
 
     import numpy as np
 
     os.makedirs(out_dir, exist_ok=True)
+
+    def _atomic_write(path: str, data: bytes) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
     for i in ids:
         stream = b"".join(
             hashlib.md5(f"{int(i)}|{k}".encode()).digest() for k in range(5)
         )
         g = np.frombuffer(stream[:72], dtype=np.uint8).reshape(8, 9)
         px = np.repeat(g[:, :, None], 3, axis=2)
-        bmp = os.path.join(out_dir, f"img{int(i) * 10}.bmp")
-        ppm = os.path.join(out_dir, f"img{int(i) * 10 + 1}.ppm")
-        if not os.path.exists(bmp):
-            with open(bmp, "wb") as f:
-                f.write(encode_bmp24(px))
-        if not os.path.exists(ppm):
-            with open(ppm, "wb") as f:
-                f.write(encode_ppm6(px))
+        _atomic_write(
+            os.path.join(out_dir, f"img{int(i) * 10}.bmp"), encode_bmp24(px)
+        )
+        _atomic_write(
+            os.path.join(out_dir, f"img{int(i) * 10 + 1}.ppm"), encode_ppm6(px)
+        )
     return out_dir

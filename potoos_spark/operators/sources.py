@@ -135,8 +135,10 @@ def read_binary_dir(
     (63-bit masked xxhash64 of the FULL path — collision odds ~n²/2⁶⁴,
     negligible below billions of files) or set
     ``assert_unique_ids=True`` to fail loudly on the first duplicate
-    (adds one lazy hash-partition count over the metadata — payload
-    columns are not shuffled, the check rides the id column only).
+    (adds one lazy duplicate-id aggregation over a THIN doc_id-only
+    projection, broadcast-left-joined back — the payload side never
+    shuffles: a window over the full row would ship every binary
+    payload through the exchange, a real cost on large media dumps).
 
     The hash id is ``xxhash64 & Long.MAX_VALUE`` — a real non-negative
     63-bit mask; ``abs()`` was wrong (abs(Long.MIN_VALUE) stays
@@ -168,18 +170,25 @@ def read_binary_dir(
         ).alias("meta"),
     )
     if assert_unique_ids:
-        from pyspark.sql import Window
-
-        n_per_id = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        # duplicate check on a THIN doc_id-only projection (empty in
+        # the pass case), broadcast back so payloads never shuffle
+        dup_ids = (
+            out.select("doc_id")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .select("doc_id", F.lit(1).cast("bigint").alias("__dup"))
+        )
         guard = F.coalesce(
             F.assert_true(
-                n_per_id == 1,
+                F.col("__dup").isNull(),
                 F.lit("read_binary_dir: duplicate doc_id from filename digit runs"),
             ).cast("bigint"),
             F.lit(0).cast("bigint"),
         )
-        out = out.select(
-            (F.col("doc_id") + guard).alias("doc_id"), "payload", "meta"
+        out = (
+            out.join(F.broadcast(dup_ids), "doc_id", "left")
+            .select((F.col("doc_id") + guard).alias("doc_id"), "payload", "meta")
         )
     return out
 

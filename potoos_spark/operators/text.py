@@ -1672,10 +1672,15 @@ def quality_perceptron(
     (doc, dim, x, y) — N·(dim+2) thin rows; each epoch is two
     map-side-combinable hash aggregations (margins per doc against the
     broadcast (dim+2)-row weight relation; misclassified gradient per
-    dim) — no windows; weights stay a (dim+2)-row DataFrame end to
-    end; driver traffic is 2 scalars (count mean + n, within the
-    SCALE.md collect policy). At 100 TB each epoch is Θ(N·dim) with
-    ~KB shuffles.
+    dim) — no windows; weights stay a (dim+2)-row relation end to
+    end, MATERIALIZED each epoch (collect the ≤ dim+2 rows, rebuild
+    via createDataFrame — deterministic, trajectory unchanged) so
+    every epoch's plan depends on a literal relation rather than the
+    previous epoch's lazy lineage: the lazy form references the prior
+    w twice (margins→gradient and the left join) and re-executes
+    ~2^epoch times at action time. Driver traffic is 2 scalars +
+    n_iters·(dim+2) weight rows (~KB, within the SCALE.md collect
+    policy). At 100 TB each epoch is Θ(N·dim) with ~KB shuffles.
 
     Output: (doc_id, margin bigint, pred ∈ {1,−1}, weak_label, agree)
     for every token-ful document — ``margin`` is the quality score;
@@ -1750,9 +1755,18 @@ def quality_perceptron(
         f"CAST((g * {S} - pmod(g * {S}, {n_train})) DIV {n_train} AS BIGINT)"
     )
 
+    # each epoch's w is collected (≤ dim+2 rows) and rebuilt as a
+    # literal relation: the lazy plan references the prior epoch's w
+    # twice, doubling re-execution per epoch at action time
+    def _materialize(wdf: DataFrame) -> DataFrame:
+        rows = [(int(r["dim_idx"]), int(r["wv"])) for r in wdf.collect()]
+        return df.sparkSession.createDataFrame(
+            rows, "dim_idx bigint, wv bigint"
+        )
+
     # epoch 1 from w = 0: every margin is 0, y·m ≤ 0 everywhere, so the
     # first gradient is the full label-weighted feature sum
-    w = (
+    w = _materialize(
         tr.groupBy("dim_idx")
         .agg(F.sum(F.col("y") * F.col("weight")).alias("g"))
         .select("dim_idx", F.expr(_upd).alias("wv"))
@@ -1772,12 +1786,14 @@ def quality_perceptron(
             .groupBy("dim_idx")
             .agg(F.sum(F.col("y") * F.col("weight")).alias("g"))
         )
-        w = w.join(g, "dim_idx", "left").select(
-            "dim_idx",
-            (
-                F.col("wv")
-                + F.coalesce(F.expr(_upd), F.lit(0).cast("bigint"))
-            ).alias("wv"),
+        w = _materialize(
+            w.join(g, "dim_idx", "left").select(
+                "dim_idx",
+                (
+                    F.col("wv")
+                    + F.coalesce(F.expr(_upd), F.lit(0).cast("bigint"))
+                ).alias("wv"),
+            )
         )
 
     final = (
