@@ -344,11 +344,35 @@ def dhash_hamming_pairs(
     the 64-bit dHash fingerprints from ``dhash_features`` — the same
     pigeonhole banding as ``dedup.simhash_hamming_pairs`` (Manku et
     al., WWW'07), applied to the visual fingerprint instead of the
-    text one. Two hashes within Hamming distance k agree exactly on at
-    least one of k+1 bit bands, so candidates come from equality
-    self-joins per (band_id, band_val) — never all-pairs — and the
-    xor/popcount verify is exact (recall 1.0 within the radius).
-    At the default k=7 the 64-bit hash splits into 8 bands of 8 bits.
+    text one. The banding itself lives in ``hamming_pairs_from_hashes``
+    so the REAL decode path (``image_dhash_features`` → pixel dHash)
+    feeds the identical join.
+
+    Output: (id_a, id_b, hamming) with hamming ≤ max_hamming.
+    """
+    h = dhash_features(df, id_col, payload_col)
+    return hamming_pairs_from_hashes(
+        h.select(id_col, "dhash"),
+        max_hamming=max_hamming,
+        id_col=id_col,
+        band_cap=band_cap,
+    )
+
+
+def hamming_pairs_from_hashes(
+    h: DataFrame,
+    max_hamming: int = 7,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    band_cap: int = 64,
+) -> DataFrame:
+    """Banded Hamming self-join over precomputed 64-bit fingerprints
+    (id, hash): two hashes within Hamming distance k agree exactly on
+    at least one of k+1 bit bands (pigeonhole; Manku et al., WWW'07),
+    so candidates come from equality self-joins per (band_id,
+    band_val) — never all-pairs — and the xor/popcount verify is exact
+    (recall 1.0 within the radius). At the default k=7 the 64-bit hash
+    splits into 8 bands of 8 bits.
 
     ``band_cap`` is the generator-side guardrail (md5-ranked
     ``row_number ≤ cap`` on the banded relation BEFORE the self-join):
@@ -367,7 +391,7 @@ def dhash_hamming_pairs(
     extra = 64 % n_bands
     widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    h = dhash_features(df, id_col, payload_col)
+    h = h.select(F.col(id_col), F.col(hash_col).alias("dhash"))
     band_vals = F.array(
         *[
             F.shiftrightunsigned(F.col("dhash"), offsets[i]).bitwiseAND(
@@ -695,6 +719,70 @@ def image_dhash_features(
         id_col=id_col,
         payload_col=payload_col,
     )
+
+
+def render_neardup_corpus(ids, out_dir: str) -> str:
+    """Deterministically render one PLANTED NEAR-DUP CLUSTER of three
+    image files per id — the pixel-space analogue of the text tier's
+    in-query near-dup plants, giving the full file → decode → pixel
+    dHash → banded Hamming pipeline real must-find pairs:
+
+    - ``img{id*10}.bmp``   — the base 8×9 image (same md5-derived
+      pixels as ``render_fixture_images``: bytes of md5(f"{id}|{k}"),
+      k = 0..4, first 72 laid row-major).
+    - ``img{id*10+1}.ppm`` — perturbation A: pixel (0, 0) shifted by
+      +128 mod 256. g[0,0] feeds ONLY dHash bit 0 (bit j = r·8+c
+      compares g[r,c] vs g[r,c+1]), so Hamming(base, A) ≤ 1 — and the
+      different container exercises the PPM parse.
+    - ``img{id*10+2}.bmp`` — perturbation B: pixel (7, 8) shifted by
+      +128 mod 256. g[7,8] feeds ONLY bit 63, so
+      Hamming(base, B) ≤ 1 and Hamming(A, B) ≤ 2.
+
+    Every cluster therefore yields exactly 3 pairs inside the default
+    Hamming-7 radius BY CONSTRUCTION (no probabilistic margin), while
+    distinct-cluster base hashes are md5-independent 64-bit values —
+    and since both engines recompute the SAME deterministic pixels, a
+    chance cross-cluster band hit is found identically by both. All
+    writes are atomic (temp + os.replace), same self-repair contract
+    as ``render_fixture_images``."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _atomic_write(path: str, data: bytes) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def _rgb(g):
+        return np.repeat(g[:, :, None], 3, axis=2)
+
+    for i in ids:
+        stream = b"".join(
+            hashlib.md5(f"{int(i)}|{k}".encode()).digest() for k in range(5)
+        )
+        g = np.frombuffer(stream[:72], dtype=np.uint8).reshape(8, 9).copy()
+        ga = g.copy()
+        ga[0, 0] = (int(ga[0, 0]) + 128) % 256
+        gb = g.copy()
+        gb[7, 8] = (int(gb[7, 8]) + 128) % 256
+        _atomic_write(
+            os.path.join(out_dir, f"img{int(i) * 10}.bmp"),
+            encode_bmp24(_rgb(g)),
+        )
+        _atomic_write(
+            os.path.join(out_dir, f"img{int(i) * 10 + 1}.ppm"),
+            encode_ppm6(_rgb(ga)),
+        )
+        _atomic_write(
+            os.path.join(out_dir, f"img{int(i) * 10 + 2}.bmp"),
+            encode_bmp24(_rgb(gb)),
+        )
+    return out_dir
 
 
 def render_fixture_images(ids, out_dir: str) -> str:

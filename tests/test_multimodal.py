@@ -277,3 +277,50 @@ def test_image_dhash_real_decode_pairs_and_negative(spark, tmp_path):
     assert all(r["height"] == 32 and r["width"] == 48 for r in got.values())
     assert got[10]["dhash"] == got[11]["dhash"]  # same pixels, 2 containers
     assert got[10]["dhash"] != got[20]["dhash"]  # different image
+
+
+def test_render_neardup_corpus_cluster_geometry(tmp_path):
+    """Every rendered cluster honors the Hamming contract the catalog
+    entry's non-vacuousness rests on: base-vs-A and base-vs-B differ in
+    at most one dHash bit each (single-pixel perturbations at (0,0) and
+    (7,8) feed bits 0 and 63 only), A-vs-B in at most two — all inside
+    the default radius 7."""
+    from potoos_spark.operators.multimodal import (
+        decode_image,
+        gray_luma,
+        pixel_dhash,
+        render_neardup_corpus,
+    )
+
+    out = render_neardup_corpus([3, 17], str(tmp_path))
+    import os
+
+    def dh(name):
+        with open(os.path.join(out, name), "rb") as f:
+            return pixel_dhash(gray_luma(decode_image(f.read())))
+
+    for i in (3, 17):
+        base = dh(f"img{i * 10}.bmp")
+        pa = dh(f"img{i * 10 + 1}.ppm")
+        pb = dh(f"img{i * 10 + 2}.bmp")
+        ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+        assert ham(base, pa) <= 1
+        assert ham(base, pb) <= 1
+        assert ham(pa, pb) <= 2
+
+
+def test_pixel_neardup_catalog_recall_is_total(spark):
+    """The r10 headline entry end-to-end on the sf0.001 fixture: the
+    real file -> decode -> pixel-dHash -> banded-Hamming pipeline must
+    recover EVERY planted intra-cluster pair (found = 1 on all truth
+    rows) — the engine-side half of the driver-gated recall entry."""
+    from potoos_spark.catalog.pipeline import (
+        _mm_pixel_neardup_fn,
+        _mm_pixel_recall_fn,
+    )
+
+    rec = _mm_pixel_recall_fn(spark, SF_DIR).collect()
+    assert len(rec) > 0 and len(rec) % 3 == 0
+    assert all(r["found"] == 1 for r in rec)
+    pairs = _mm_pixel_neardup_fn(spark, SF_DIR)
+    assert pairs.filter(F.col("hamming") > 7).count() == 0
