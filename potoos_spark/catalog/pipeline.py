@@ -3985,6 +3985,70 @@ _BPE_ENCODE_SQL = (
 QUERIES["text_bpe_encode"] = QuerySpec(_bpe_encode_fn, _BPE_ENCODE_SQL)
 
 
+def _tokenize_pack_fn(spark, sf_dir):
+    """r10 (VERDICT r9 item 5): the training-batch materialization
+    end-to-end — the LAST step every LLM data pipeline runs: corpus →
+    learned BPE encode (per-doc token counts under the corpus's own
+    merges, ``bpe_encode_stats``) → offset-partitioned sequence
+    packing of those TOKEN counts into fixed 2048-token contexts
+    (``pack_bins`` with size = n_syms — the distributed two-phase
+    prefix sum, never a single-task global window) → per-bin stats
+    (docs started, tokens contributed, id span, boundary spill).
+    Composes the two already-oracle-checked stages into one
+    driver-checked path, the corpus_curate_e2e / fuzzy_dedup_e2e
+    pattern. Everything integer; scale shape = one map-only encode
+    pass + the prefix-sum machinery pack_bins already proved."""
+    from ..operators.curate import pack_bins
+
+    cap = 2048
+    enc = T.bpe_encode_stats(_docs(spark, sf_dir), n_merges=3)
+    packed = pack_bins(enc, size_col="n_syms", capacity=cap)
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("size").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+        F.greatest(
+            F.max(F.col("offset_in_bin") + F.col("size")) - F.lit(cap),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("spill"),
+    )
+
+
+# The BPE-encode CTE chain verbatim (the learned rules t1..t3 and the
+# per-word replace chain), reduced to per-doc n_syms, then the naive
+# global cumulative-sum packing the distributed prefix sum must equal,
+# then per-bin aggregation. spill = how far the last-started doc runs
+# past the 2048-token boundary (the truncation/continuation budget).
+_TOKENIZE_PACK_SQL = (
+    f"WITH {_TOK}, "
+    "wrd AS (SELECT unnest(toks) AS word FROM tok), "
+    "wc AS (SELECT word, COUNT(*) AS cnt FROM wrd GROUP BY 1), "
+    "v0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) "
+    "|| ' ' AS w, cnt FROM wc), "
+    + ", ".join(_bpe_step_sql(k) for k in (1, 2, 3))
+    + ", wd AS (SELECT doc_id, unnest(toks) AS word FROM tok WHERE len(toks) > 0), "
+    "enc AS (SELECT wd.doc_id, "
+    f"CAST(SUM(len(string_split(trim({_BPE_ENC_CHAIN}), ' '))) AS BIGINT) "
+    "AS size FROM wd, t1, t2, t3 GROUP BY wd.doc_id), "
+    "c AS (SELECT doc_id, size, COALESCE(SUM(size) OVER ("
+    "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    "), 0) AS cum FROM enc), "
+    "p AS (SELECT doc_id, size, CAST(floor(cum / 2048.0) AS BIGINT) AS bin_id, "
+    "CAST(cum % 2048 AS BIGINT) AS off FROM c) "
+    "SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(size) AS BIGINT) AS n_tokens, "
+    "MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id, "
+    "CAST(GREATEST(MAX(off + size) - 2048, 0) AS BIGINT) AS spill "
+    "FROM p GROUP BY bin_id"
+)
+
+QUERIES["corpus_tokenize_pack_e2e"] = QuerySpec(
+    _tokenize_pack_fn, _TOKENIZE_PACK_SQL
+)
+
+
 def _mm_vad_fn(spark, sf_dir):
     return M.vad_segments(
         M.pcm_energy_windows(M.attach_binary(_docs(spark, sf_dir)))

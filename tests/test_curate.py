@@ -529,3 +529,24 @@ class TestDSIR:
         assert "BroadcastExchange" in plan, plan
         assert "TakeOrderedAndProject" in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_tokenize_pack_e2e_conserves_tokens_and_bins_contiguous(spark):
+    """r10 e2e entry invariants: the per-bin token totals conserve the
+    encode stage's symbol counts exactly, bin ids are contiguous from
+    0, every bin starts at least one document, and spill is bounded by
+    the largest single document (offset-partitioned packing only runs
+    past a boundary by the tail of the doc that straddles it)."""
+    from potoos_spark.catalog.pipeline import _tokenize_pack_fn
+    from potoos_spark.operators.text import bpe_encode_stats
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bins = _tokenize_pack_fn(spark, SF_DIR).collect()
+    enc = bpe_encode_stats(docs, n_merges=3).collect()
+    assert sum(r["n_tokens"] for r in bins) == sum(r["n_syms"] for r in enc)
+    ids = sorted(r["bin_id"] for r in bins)
+    assert ids == list(range(len(ids)))
+    assert all(r["n_docs"] >= 1 for r in bins)
+    max_doc = max(r["n_syms"] for r in enc)
+    assert all(0 <= r["spill"] < max_doc for r in bins)
