@@ -3399,8 +3399,8 @@ def _qp_epoch_sql(prev: str, cur: str, i: int) -> str:
 # _HASH_EMBED_SQL chain) + centered count + bias, Gopher
 # count/len/symbol weak labels, and per-epoch margin/gradient/update
 # CTEs (the Lloyd / integer-PageRank unrolled-trajectory pattern).
-_QUALITY_PERCEPTRON_SQL = (
-    f"WITH {_TOK}, {_T}, "
+_QP_CTES = (
+    f"{_TOK}, {_T}, "
     "dt AS (SELECT DISTINCT doc_id, tok FROM t), "
     "hb AS (SELECT doc_id, "
     "CAST('0x' || substr(md5(tok), 1, 4) AS INT) % 16 AS dim_idx, "
@@ -3443,12 +3443,98 @@ _QUALITY_PERCEPTRON_SQL = (
     + _qp_epoch_sql("qw2", "qw3", 3) + ", "
     + _qp_epoch_sql("qw3", "qw4", 4) + ", "
     "fin AS (SELECT tr.doc_id, CAST(SUM(qw4.wv * tr.x) AS BIGINT) AS margin, "
-    "MIN(tr.y) AS y FROM tr JOIN qw4 USING (dim_idx) GROUP BY 1) "
+    "MIN(tr.y) AS y FROM tr JOIN qw4 USING (dim_idx) GROUP BY 1)"
+)
+
+_QUALITY_PERCEPTRON_SQL = (
+    f"WITH {_QP_CTES} "
     "SELECT doc_id, margin, "
     "CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred, "
     "CAST(y AS BIGINT) AS weak_label, "
     "CAST(CASE WHEN (margin > 0) = (y > 0) THEN 1 ELSE 0 END AS BIGINT) "
     "AS agree FROM fin"
+)
+
+
+def _quality_perceptron_eval_fn(spark, sf_dir):
+    """r10 (VERDICT r9 item 6): judge the learned quality filter on
+    DETECTION of planted degradation, not on agreement with its own
+    weak-label teacher. Both engines plant two corrupted twins of
+    every doc with doc_id < 20 and >= 300 chars, in-query and
+    deterministically: a GIBBERISH twin (text replaced by
+    repeat(md5(text), 8) — one 256-char hex token, the base64-blob
+    shape) and a TRUNCATED twin (first 40 chars — the cut-off-document
+    shape). The UNMODIFIED trainer runs over corpus + plants; the
+    entry emits one row per (clean doc, plant kind) with both margins
+    and detected = margin_plant < margin_clean. The oracle replays the
+    identical integer trajectory over the planted corpus, and the CI
+    gate (test_text.py) requires detected = 1 on every row — planted
+    recall 1.0, the dedup_minhash_recall_eval pattern."""
+    from ..operators.text import quality_perceptron
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plantable = docs.filter(
+        (F.col("doc_id") < 20) & (F.length("text") >= 300)
+    )
+    gib = plantable.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.repeat(F.md5("text"), 8).alias("text"),
+    )
+    tru = plantable.select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.substring("text", 1, 40).alias("text"),
+    )
+    scored = quality_perceptron(docs.unionByName(gib).unionByName(tru))
+    m = scored.select("doc_id", "margin")
+    base = (
+        plantable.select("doc_id")
+        .join(m, "doc_id")
+        .select("doc_id", F.col("margin").alias("margin_clean"))
+    )
+    parts = []
+    for kind, off in (("gibberish", 3_000_000), ("truncated", 4_000_000)):
+        pm = m.select(
+            (F.col("doc_id") - off).alias("doc_id"),
+            F.col("margin").alias("margin_plant"),
+        )
+        parts.append(
+            base.join(pm, "doc_id").select(
+                "doc_id",
+                F.lit(kind).alias("kind"),
+                "margin_clean",
+                "margin_plant",
+                F.when(
+                    F.col("margin_plant") < F.col("margin_clean"), F.lit(1)
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("detected"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+# The full perceptron CTE chain retargeted to the planted corpus
+# (every `FROM documents` becomes `FROM docsx`), then the clean-vs-
+# plant margin pairing. Margins are bit-exact integers on both
+# engines, so `detected` is too.
+_QP_EVAL_SQL = (
+    "WITH docsx AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 3000000, repeat(md5(text), 8) "
+    "FROM documents WHERE doc_id < 20 AND length(text) >= 300 "
+    "UNION ALL SELECT doc_id + 4000000, substr(text, 1, 40) "
+    "FROM documents WHERE doc_id < 20 AND length(text) >= 300), "
+    + _QP_CTES.replace("FROM documents", "FROM docsx")
+    + ", pl AS (SELECT doc_id FROM documents "
+    "WHERE doc_id < 20 AND length(text) >= 300) "
+    "SELECT pl.doc_id, k.kind, c.margin AS margin_clean, "
+    "p.margin AS margin_plant, "
+    "CAST(CASE WHEN p.margin < c.margin THEN 1 ELSE 0 END AS BIGINT) "
+    "AS detected "
+    "FROM pl CROSS JOIN (VALUES ('gibberish', 3000000), "
+    "('truncated', 4000000)) k(kind, com) "
+    "JOIN fin c ON c.doc_id = pl.doc_id "
+    "JOIN fin p ON p.doc_id = pl.doc_id + k.com"
 )
 
 
@@ -3844,6 +3930,12 @@ QUERIES: dict[str, QuerySpec] = {
     # oracle, the Lloyd/PageRank determinism pattern)
     "corpus_quality_perceptron": QuerySpec(
         _quality_perceptron_fn, _QUALITY_PERCEPTRON_SQL
+    ),
+    # r10: planted-signal eval for the learned filter — gibberish and
+    # truncated twins must score below their clean originals (driver
+    # pins per-pair margins; CI gates detected = 1 on every row)
+    "corpus_quality_perceptron_eval": QuerySpec(
+        _quality_perceptron_eval_fn, _QP_EVAL_SQL
     ),
     # multimodal plumbing
     "multimodal_meta": QuerySpec(_mm_meta_fn, _MM_META_SQL),

@@ -637,3 +637,19 @@ def test_quality_perceptron_bit_invariant_across_partitionings(spark):
     )
     assert a == b and a
     spark.catalog.clearCache()
+
+
+def test_quality_perceptron_eval_detects_all_plants(spark):
+    """r10 planted-signal gate: the learned filter must score every
+    gibberish and truncated plant BELOW its clean twin (detected = 1
+    on all rows) — the model is judged on detection of degradation it
+    was never explicitly told about, not on agreeing with its
+    weak-label teacher."""
+    from potoos_spark.catalog.pipeline import _quality_perceptron_eval_fn
+    from tests.conftest import SF_DIR
+
+    rows = _quality_perceptron_eval_fn(spark, SF_DIR).collect()
+    assert len(rows) > 0 and len(rows) % 2 == 0
+    assert {r["kind"] for r in rows} == {"gibberish", "truncated"}
+    missed = [r for r in rows if r["detected"] != 1]
+    assert not missed, f"undetected plants: {missed}"
