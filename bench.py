@@ -184,6 +184,15 @@ HEADLINE = [
     "multimodal_decode_dhash",
     # round-9 late: in-engine learned quality filter (integer GD)
     "corpus_quality_perceptron",
+    # round-10 additions: the real-pixel image near-dup pipeline
+    # (rendered planted clusters -> file ingest -> BMP/PPM decode ->
+    # pixel dHash -> banded Hamming) + its driver-gated recall twin,
+    # the tokenize-and-pack training-batch materialization e2e, and
+    # the planted-signal eval of the learned quality filter
+    "multimodal_pixel_neardup_pairs",
+    "multimodal_pixel_neardup_recall",
+    "corpus_tokenize_pack_e2e",
+    "corpus_quality_perceptron_eval",
 ]
 
 
@@ -256,6 +265,43 @@ def build_summary_line(
     return serialize(keep)
 
 
+def compute_prior_omitted(
+    best: dict[str, float], here: str, queries_file: str
+) -> list[str]:
+    """Rotation input (r10 fix): rank first every headline query ABSENT
+    from the latest DRIVER artifact's parsed line (``BENCH_r{N}.json``),
+    not merely the rolling file's last ``line_omitted`` — the builder's
+    round-end run sits between driver artifacts, so chaining off the
+    rolling file lets a query omitted by the driver in round N slip
+    back out of the line in round N+1 (seen: BENCH_r08 ∪ BENCH_r09
+    left 31 queries driver-invisible). Deriving the prior set from the
+    artifact itself makes consecutive DRIVER artifacts jointly cover
+    the whole headline set regardless of interleaved runs. Fallback:
+    the rolling file's ``line_omitted`` (no parseable artifact yet)."""
+    try:
+        artifacts = sorted(
+            f
+            for f in os.listdir(here)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+        )
+    except OSError:
+        artifacts = []
+    for fname in reversed(artifacts):
+        try:
+            with open(os.path.join(here, fname)) as f:
+                parsed = json.load(f).get("parsed") or {}
+            seen = set(parsed.get("queries") or {})
+            if seen:
+                return sorted(set(best) - seen)
+        except (OSError, ValueError, AttributeError):
+            continue
+    try:
+        with open(os.path.join(here, queries_file)) as f:
+            return json.load(f).get("line_omitted", [])
+    except (OSError, ValueError):
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -290,13 +336,7 @@ def main() -> None:
     total = round(sum(best.values()), 3)
     here = os.path.dirname(os.path.abspath(__file__))
     queries_file = "BENCH_QUERIES.json"
-    # rotation input: the previous run's line-omitted set (if any)
-    prior_omitted: list[str] = []
-    try:
-        with open(os.path.join(here, queries_file)) as f:
-            prior_omitted = json.load(f).get("line_omitted", [])
-    except (OSError, ValueError):
-        pass
+    prior_omitted = compute_prior_omitted(best, here, queries_file)
     line = build_summary_line(best, sf, queries_file, prior_omitted)
     omitted_now = sorted(set(best) - set(json.loads(line)["queries"]))
     full = {

@@ -103,3 +103,78 @@ def test_prior_omitted_rotation_guarantees_union_coverage():
     rest_kept = [best[k] for k in p2["queries"] if k not in set(omitted1)]
     dropped = [v for k, v in best.items() if k not in p2["queries"]]
     assert min(rest_kept) >= max(dropped)
+
+
+def test_prior_derived_from_latest_driver_artifact(tmp_path):
+    """r10 (VERDICT r9 item 2): the rotation prior comes from the
+    newest BENCH_r{N}.json's parsed line — every current headline query
+    the driver artifact did NOT show ranks first next run — so two
+    consecutive DRIVER artifacts jointly cover the whole set even when
+    a builder round-end run is interleaved between them."""
+    best = {f"q_{i:02d}": 1.0 for i in range(10)}
+    seen = {f"q_{i:02d}": 1.0 for i in range(6)}  # artifact showed 0-5
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"parsed": {"queries": {"q_00": 1.0}}})
+    )
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"parsed": {"queries": seen}})
+    )
+    # a stale rolling file must NOT win over the artifact
+    (tmp_path / "BENCH_QUERIES.json").write_text(
+        json.dumps({"line_omitted": ["q_00"]})
+    )
+    prior = bench.compute_prior_omitted(
+        best, str(tmp_path), "BENCH_QUERIES.json"
+    )
+    assert prior == [f"q_{i:02d}" for i in range(6, 10)]
+
+
+def test_prior_falls_back_to_rolling_file_without_artifact(tmp_path):
+    best = {"a": 1.0, "b": 2.0}
+    (tmp_path / "BENCH_QUERIES.json").write_text(
+        json.dumps({"line_omitted": ["b"]})
+    )
+    assert bench.compute_prior_omitted(
+        best, str(tmp_path), "BENCH_QUERIES.json"
+    ) == ["b"]
+    # unparseable artifact is skipped, not fatal
+    (tmp_path / "BENCH_r09.json").write_text("{not json")
+    assert bench.compute_prior_omitted(
+        best, str(tmp_path), "BENCH_QUERIES.json"
+    ) == ["b"]
+
+
+def test_repo_artifact_pair_covers_headline():
+    """The committed-state half of the r10 rotation proof: whenever the
+    rolling BENCH_QUERIES.json comes from a run NEWER than the latest
+    BENCH_r{N}.json artifact (the round-end state the driver will turn
+    into artifact N+1), everything its line omits must already be in
+    artifact N's parsed line — so artifacts N and N+1 jointly cover
+    every headline query."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    rolling_path = os.path.join(here, "BENCH_QUERIES.json")
+    if not os.path.exists(rolling_path):
+        return  # nothing to check yet
+    with open(rolling_path) as f:
+        rolling = json.load(f)
+    artifacts = sorted(
+        f
+        for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    parsed = None
+    for fname in reversed(artifacts):
+        with open(os.path.join(here, fname)) as f:
+            p = json.load(f).get("parsed") or {}
+        if p.get("queries"):
+            parsed = p
+            break
+    if parsed is None or parsed.get("value") == round(rolling["value"], 2):
+        return  # rolling file IS the latest artifact's own run
+    missing = set(rolling.get("line_omitted", [])) - set(parsed["queries"])
+    assert not missing, (
+        f"queries invisible in both the latest artifact and the next "
+        f"line: {sorted(missing)}"
+    )
