@@ -92,6 +92,13 @@ QUERIES = [
     "dedup_containment_topk",
     "dedup_minhash_streaming",
     "corpus_quality_perceptron",
+    # r10: the tokenize-and-pack e2e and the perceptron planted-signal
+    # eval both grow with the documents spine. The real-pixel near-dup
+    # pair/recall entries are excluded like q_skyline and
+    # multimodal_decode_dhash: their input is a fixed 300-file rendered
+    # corpus — no growth axis to measure.
+    "corpus_tokenize_pack_e2e",
+    "corpus_quality_perceptron_eval",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]

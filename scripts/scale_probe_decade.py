@@ -56,6 +56,13 @@ STANDARD = [
     "knn_mutual_neighbors",
     "text_backoff_lm",
     "corpus_index_e2e",
+    # r10 (VERDICT r9 items 4+7): second-decade evidence for the r9
+    # additions — the learned filter's GD trainer, and the streaming
+    # MinHash guard replayed at 100x state cardinality (the heavy
+    # streaming twin probe) — plus the r10 tokenize-and-pack e2e
+    "corpus_quality_perceptron",
+    "dedup_minhash_streaming",
+    "corpus_tokenize_pack_e2e",
 ]
 PERTURBED = [
     "dedup_containment_capped_unbounded",
