@@ -193,6 +193,10 @@ HEADLINE = [
     "multimodal_pixel_neardup_recall",
     "corpus_tokenize_pack_e2e",
     "corpus_quality_perceptron_eval",
+    # round-10: IVFADC — the canonical FAISS IndexIVFPQ composition
+    # (two-level cell probe restricts the scan, PQ-ADC makes it
+    # codes-only)
+    "knn_ivf_pq",
 ]
 
 

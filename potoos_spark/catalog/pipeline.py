@@ -4531,6 +4531,53 @@ _KNN_IVF2_SQL = (
 QUERIES["knn_ivf_two_level"] = QuerySpec(_knn_ivf2_fn, _KNN_IVF2_SQL)
 
 
+def _knn_ivf_pq_fn(spark, sf_dir):
+    """r10: IVFADC (Jégou et al., TPAMI 2011 §V — FAISS IndexIVFPQ's
+    shape): two-level IVF cell probing restricts the scan to ~n_probe/C
+    of the corpus, PQ asymmetric-distance scoring makes that restricted
+    scan codes-only. Composes the two oracle-checked halves
+    (knn_ivf_two_level's assignment/probe + knn_pq_adc's LUT scoring)
+    into the canonical billion-scale ANN operator."""
+    e = _embs(spark, sf_dir)
+    return S.ivf_pq_topk(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+# The shared two-level assignment CTEs + the flat probe (both verbatim
+# from _KNN_IVF2_SQL) pick the candidate set; the PQ CTE chain
+# (verbatim from _PQ_BASE, its `asg` renamed to dodge the IVF `asg`)
+# scores ONLY those candidates via the per-query LUT sum.
+_PQ_BASE_R = _PQ_BASE.replace(f"{_SCALED_V}, ", "").replace(
+    "asg AS (", "pqasg AS ("
+)
+_KNN_IVFPQ_SQL = (
+    f"WITH {_SCALED_V}, {_IVF2_ASSIGN_CTES}, "
+    "prob AS (SELECT query_id, cell FROM (SELECT v.vec_id AS query_id, "
+    "c.cell, ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY "
+    "n.nn + c.cn2 - 2 * "
+    + _IVF2_DOT.format(a="v.e", b="c.ce")
+    + ", c.cell) AS rn FROM v JOIN nrm n ON n.vec_id = v.vec_id "
+    "CROSS JOIN cent c WHERE v.vec_id < 5) WHERE rn <= 2), "
+    "cnd AS (SELECT p.query_id, a.vec_id AS match_id FROM prob p "
+    "JOIN asg a ON a.cell = p.cell AND p.query_id <> a.vec_id), "
+    + _PQ_BASE_R
+    + ", codes AS (SELECT vec_id AS match_id, s, cid AS code FROM pqasg "
+    "WHERE rn = 1), "
+    "lut AS (SELECT sub.vec_id AS query_id, sub.s, cb.cid, "
+    + _PQ_SQ.format(a="sub.sub", b="cb.csub")
+    + " AS lsq FROM sub JOIN cb ON cb.s = sub.s WHERE sub.vec_id < 5), "
+    "tot AS (SELECT cnd.query_id, cnd.match_id, SUM(l.lsq) AS total "
+    "FROM cnd JOIN codes c ON c.match_id = cnd.match_id "
+    "JOIN lut l ON l.query_id = cnd.query_id AND l.s = c.s "
+    "AND l.cid = c.code GROUP BY 1, 2) "
+    "SELECT query_id, match_id, "
+    "sqrt(CAST(total AS DOUBLE)) / 1000.0 AS adc_dist, rank "
+    "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY total, match_id) AS rank FROM tot) WHERE rank <= 10"
+)
+
+QUERIES["knn_ivf_pq"] = QuerySpec(_knn_ivf_pq_fn, _KNN_IVFPQ_SQL)
+
+
 def _index_e2e_fn(spark, sf_dir):
     """r8: the RAG-indexing pipeline END TO END — sliding-window
     chunking (corpus_chunk_overlap's grain) → hashing-trick chunk

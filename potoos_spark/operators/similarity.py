@@ -1572,6 +1572,37 @@ def _two_level_assign_rows(
     )
 
 
+def _flat_probe(q: DataFrame, rows, n_probe: int) -> DataFrame:
+    """FLAT query probing against a collected codebook: each query
+    ranks ALL C cells by exact-integer squared L2 (ties (sq, cell) —
+    cell-ascending codebook order makes stable argsort equal that
+    rule) and keeps the best ``n_probe``. The per-query C-dot cost is
+    query-scale (trivial next to the N·C assignment term at Q ≪ N; C
+    clamped at 65,536) and probe behavior stays identical to
+    ``ivf_topk_md5``'s, which is what drives recall. Input ``q`` must
+    carry (__id, e, n); output (query_id, cell)."""
+    import numpy as np
+    import pandas as pd
+
+    cell_ids, cell_e, cell_n = _codebook_arrays(rows)
+    npb = int(n_probe)
+
+    def probe_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["e"]])
+            n = pdf["n"].to_numpy(dtype=np.int64)
+            sq = n[:, None] + cell_n[None, :] - 2 * (m @ cell_e.T)
+            order = np.argsort(sq, axis=1, kind="stable")[:, :npb]
+            qs = np.repeat(pdf["__id"].to_numpy(dtype=np.int64), order.shape[1])
+            yield pd.DataFrame(
+                {"query_id": qs, "cell": cell_ids[order].reshape(-1)}
+            )
+
+    return q.mapInPandas(probe_kernel, schema="query_id bigint, cell bigint")
+
+
 def ivf_topk_two_level(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1613,31 +1644,10 @@ def ivf_topk_two_level(
             [], "query_id bigint, match_id bigint, cosine double, rank bigint"
         )
     assigned = _two_level_assign_rows(c, rows, n_super, n_super_assign)
-    cell_ids, cell_e, cell_n = _codebook_arrays(rows)
-
-    npb = int(n_probe)
-
-    def probe_kernel(batches):
-        # FLAT probing: queries rank ALL C cells (ties (sq, cell)) —
-        # the per-query C-dot cost is trivial next to the N-scale
-        # assignment the hierarchy exists to cut, and it keeps probe
-        # behavior identical to ivf_topk_md5's (the recall driver).
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.stack([np.asarray(e, dtype=np.int64) for e in pdf["e"]])
-            n = pdf["n"].to_numpy(dtype=np.int64)
-            sq = n[:, None] + cell_n[None, :] - 2 * (m @ cell_e.T)
-            order = np.argsort(sq, axis=1, kind="stable")[:, :npb]
-            qs = np.repeat(pdf["__id"].to_numpy(dtype=np.int64), order.shape[1])
-            yield pd.DataFrame(
-                {"query_id": qs, "cell": cell_ids[order].reshape(-1)}
-            )
-
     q = queries.select(
         F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
     ).withColumn("n", sqnorm_expr(F.col("e")))
-    probed = q.mapInPandas(probe_kernel, schema="query_id bigint, cell bigint")
+    probed = _flat_probe(q, rows, n_probe)
     qv = q.select(
         F.col("__id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -1656,6 +1666,101 @@ def ivf_topk_two_level(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_cells: int | None = None,
+    n_super: int | None = None,
+    n_probe: int = 2,
+    n_super_assign: int = 2,
+    n_sub: int = 8,
+    n_centroids: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """IVFADC — the full production ANN composition of Jégou et al.
+    (TPAMI 2011, §V): coarse IVF cell-probing RESTRICTS the scan, PQ
+    asymmetric-distance scoring makes the restricted scan codes-only.
+    This is the shape FAISS's IndexIVFPQ ships at billion-vector
+    scale, here assembled from the repo's two oracle-checked halves:
+
+    * corpus side: two-level (IMI-style) hierarchical cell assignment
+      (``two_level_assign`` semantics — the N·C term cut to
+      ~2·sqrt(C)) + PQ codes (``pq_codes``, n_sub small ints per
+      vector);
+    * query side: flat cell probe (``_flat_probe``, best ``n_probe``
+      cells) + per-subspace LUT of exact integer squared distances to
+      every codebook centroid (|Q|·n_sub·n_centroids rows — KBs,
+      always broadcast);
+    * scan: candidate = corpus row in a probed cell; its approximate
+      distance is the sum of n_sub LUT lookups keyed by stored codes.
+      The corpus's float vectors are never touched after indexing —
+      the scan reads (cell, codes) only, and reads them only for the
+      probed fraction (~n_probe/C of the corpus vs ALL of it in the
+      global-ADC ``pq_adc_topk``).
+
+    Everything stays integer until the final reported distance, same
+    determinism contract as both parents, so the composed operator is
+    hash-checkable against the DuckDB replay.
+
+    Output: (query_id, match_id, adc_dist, rank) — ascending ADC
+    distance, ties on match_id."""
+    C = _resolve_n_cells(n_cells, corpus)
+    c = corpus.select(
+        F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
+    ).withColumn("n", sqnorm_expr(F.col("e")))
+    cent = md5_medoid_centroids(c, C)
+    rows = cent.collect()
+    if not rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, match_id bigint, adc_dist double, rank bigint"
+        )
+    assigned = _two_level_assign_rows(c, rows, n_super, n_super_assign).select(
+        F.col("__id").alias("match_id"), "cell"
+    )
+    q = queries.select(
+        F.col(id_col).alias("__id"), scaled_vec(vec_col).alias("e")
+    ).withColumn("n", sqnorm_expr(F.col("e")))
+    cand = (
+        _flat_probe(q, rows, n_probe)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id")
+    )
+    codes = pq_codes(corpus, vec_col, id_col, n_sub, n_centroids, dim).select(
+        F.col("vec_id").alias("match_id"), "s", "code"
+    )
+    cb = _pq_codebook(corpus, vec_col, id_col, n_sub, n_centroids, dim)
+    qsub = _pq_parts(queries, vec_col, id_col, "query_id", n_sub, dim)
+    lut = qsub.join(F.broadcast(cb), "s").select(
+        "query_id",
+        "s",
+        F.col("cid").alias("code"),
+        _sub_sqdist(F.col("sub"), F.col("csub")).alias("__lsq"),
+    )
+    tot = (
+        cand.join(codes, "match_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("__lsq").alias("__total"))
+    )
+    w = W.partitionBy("query_id").orderBy("__total", "match_id")
+    return (
+        tot.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            "match_id",
+            (F.sqrt(F.col("__total").cast("double")) / F.lit(1000.0)).alias(
+                "adc_dist"
+            ),
+            "rank",
+        )
+    )
 
 
 def binary_sign_words(vec: Column, bits_per_word: int = 32) -> Column:

@@ -130,3 +130,26 @@ def test_semantic_cells_and_mutual_knn_engaged_regime_parity(
         diff = compare(spec.fn(spark, d), spec.sql, con)
         assert diff is None, f"{name}: {diff}"
     con.close()
+
+
+def test_ivf_pq_engaged_regime_parity(spark, tmp_path):
+    """r10: knn_ivf_pq composes the two-level funnel with PQ-ADC
+    scoring. Pin the composition in the ENGAGED regime (N = 16,384 ->
+    C = 64, S = 8) at the full 64-dim shape so all 8 PQ subspaces
+    carry real data — the sf fixtures are degenerate (C = 8), and a
+    funnel/LUT drift must fail here, not at production scale."""
+    import duckdb
+
+    from potoos_spark.catalog.pipeline import QUERIES as CATQ
+
+    n = 16_384
+    d = str(tmp_path)
+    _synth_embeddings_parquet(d, n, dim=64)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    spec = CATQ["knn_ivf_pq"]
+    diff = compare(spec.fn(spark, d), spec.sql, con)
+    con.close()
+    assert diff is None, diff
