@@ -99,6 +99,7 @@ QUERIES = [
     # corpus — no growth axis to measure.
     "corpus_tokenize_pack_e2e",
     "corpus_quality_perceptron_eval",
+    "knn_ivf_pq",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
