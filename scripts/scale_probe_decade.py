@@ -63,6 +63,10 @@ STANDARD = [
     "corpus_quality_perceptron",
     "dedup_minhash_streaming",
     "corpus_tokenize_pack_e2e",
+    # r10 close-out: second-decade evidence for the two r10 additions
+    # that landed with one decade (sf0.1->sf1) of probe coverage
+    "corpus_quality_perceptron_eval",
+    "knn_ivf_pq",
 ]
 PERTURBED = [
     "dedup_containment_capped_unbounded",
