@@ -3057,6 +3057,37 @@ FROM c
 """
 
 
+def _shard_manifest_fn(spark, sf_dir):
+    from ..operators.curate import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), n_shards=16, seed=7)
+
+
+# Seeded md5 shard split + balance manifest: shard id from the first
+# 4 hex digits ('0x'-cast, the text_hash_embed recipe), sort-key
+# endpoints as MIN/MAX over the 15-hex-digit 60-bit integer (the
+# sketch.py hash-fraction recipe — integer endpoints keep Spark's
+# aggregate hash-based); token count is the repo-wide normalize+split
+# recipe; CAST SUM AS BIGINT (HUGEINT rule).
+_SHARD_MANIFEST_SQL = """
+WITH t AS (
+  SELECT md5('s7_' || CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len(list_filter(string_split_regex(trim(regexp_replace(
+           lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> ''))
+           AS BIGINT) AS nt,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM documents
+)
+SELECT CAST(CAST('0x' || substr(h, 1, 4) AS INT) % 16 AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       MIN(CAST(('0x' || substr(h, 1, 15)) AS BIGINT)) AS first_key,
+       MAX(CAST(('0x' || substr(h, 1, 15)) AS BIGINT)) AS last_key
+FROM t GROUP BY 1
+"""
+
+
 
 
 def _unigram_lm_fn(spark, sf_dir):
@@ -3896,6 +3927,7 @@ QUERIES: dict[str, QuerySpec] = {
     # extension: per-source token-budget sampling (data mixing)
     "corpus_token_budget": QuerySpec(_token_budget_fn, _TOKEN_BUDGET_SQL),
     "corpus_pack_bins": QuerySpec(_pack_bins_fn, _PACK_BINS_SQL),
+    "corpus_shard_manifest": QuerySpec(_shard_manifest_fn, _SHARD_MANIFEST_SQL),
     "corpus_decontaminate": QuerySpec(_decontaminate_fn, _DECONTAMINATE_SQL),
     "corpus_source_cap": QuerySpec(_source_cap_fn, _SOURCE_CAP_SQL),
     # extension: skew-safe two-phase per-source cap — row-identical to

@@ -798,3 +798,71 @@ def dsir_select(
         .orderBy(F.col("key_e9").desc(), F.col(id_col))
         .limit(int(k))
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-shard layout manifest — the LAST
+    materialization step of a curated corpus (after packing): every
+    document is routed to one of ``n_shards`` output shards by a
+    SEEDED md5 split (shard = first-4-hex-digits of
+    md5("s{seed}_" || id) mod n_shards) and ordered within its shard
+    by the full hash — the same reproducible pseudo-random shuffle the
+    curation tier uses everywhere, here serving training-order
+    randomization: adjacent source documents land in different shards
+    at uncorrelated positions, and the layout is identical across
+    runs, cluster sizes, and input partitionings (no ``rand()``, no
+    ``zipWithIndex``). The seed prefix makes epochs cheap: a new seed
+    is a whole new global order for free.
+
+    The manifest pins what a shard writer needs to validate balance
+    BEFORE paying for the write: per-shard doc / token / char totals
+    plus the shard's sort-key endpoints (``first_key``/``last_key`` —
+    the range a range-partitioned writer splits files on). The sort
+    key is the hash's first 15 hex digits as a 60-bit integer (the
+    ``sketch.py`` hash-fraction recipe; ties at write time break on
+    the unique id) — integer endpoints keep the aggregation buffer
+    fixed-width, so Spark plans a HashAggregate; string MIN/MAX
+    endpoints would demote the whole pass to a per-partition-sorting
+    SortAggregate.
+
+    100 TB shape: one map-side projection (hash, token count, length
+    ride the scan), one ``n_shards``-row hash aggregation (map-side
+    combined) — no window, no join, no sort. The shard WRITE this
+    manifests is ``repartitionByRange(key) + sortWithinPartitions``,
+    scaling with the partition count rather than the shard count. md5
+    is uniform, so shard skew is Binomial(N, 1/n_shards) — ±0.01% at
+    10^9 docs/shard — and hot-key skew is impossible by construction
+    (the key hashes a unique id).
+
+    Output: (shard_id, n_docs, n_tokens, n_chars, first_key,
+    last_key).
+    """
+    h = F.md5(
+        F.concat(F.lit(f"s{int(seed)}_"), F.col(id_col).cast("string"))
+    )
+    key = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    shard = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % int(n_shards)
+    )
+    return (
+        df.select(
+            shard.alias("shard_id"),
+            key.alias("__k"),
+            F.size(tokens(text_col)).cast("bigint").alias("__nt"),
+            F.length(text_col).cast("bigint").alias("__nc"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.sum("__nc").alias("n_chars"),
+            F.min("__k").alias("first_key"),
+            F.max("__k").alias("last_key"),
+        )
+    )

@@ -550,3 +550,52 @@ def test_tokenize_pack_e2e_conserves_tokens_and_bins_contiguous(spark):
     assert all(r["n_docs"] >= 1 for r in bins)
     max_doc = max(r["n_syms"] for r in enc)
     assert all(0 <= r["spill"] < max_doc for r in bins)
+
+
+def test_shard_manifest_totals_determinism_and_plan(spark):
+    """r10 shard layout manifest invariants: shard totals conserve the
+    corpus exactly (docs/chars), every shard id is in [0, n_shards)
+    and populated at fixture scale, the layout is invariant to input
+    partitioning (hash-derived, no rand/zipWithIndex), a different
+    seed re-deals the within-shard order, and the plan is one
+    map-side-combined aggregation — no window, no join, no sort."""
+    from pyspark.sql import functions as F
+
+    from potoos_spark.operators.curate import shard_manifest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    m = shard_manifest(docs, n_shards=16, seed=7)
+    rows = sorted(m.collect(), key=lambda r: r["shard_id"])
+
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_chars"] for r in rows) == (
+        docs.agg(F.sum(F.length("text"))).first()[0]
+    )
+    assert [r["shard_id"] for r in rows] == list(range(16))
+    assert all(r["first_key"] <= r["last_key"] for r in rows)
+
+    again = sorted(
+        shard_manifest(docs.repartition(7), n_shards=16, seed=7).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+    reseeded = sorted(
+        shard_manifest(docs, n_shards=16, seed=8).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    assert sum(r["n_docs"] for r in reseeded) == n_docs
+    assert {r["first_key"] for r in reseeded} != {
+        r["first_key"] for r in rows
+    }
+
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    # integer key endpoints keep the agg buffer fixed-width -> hash
+    # aggregation with map-side partials; string MIN/MAX here would
+    # demote the pass to a per-partition-sorting SortAggregate
+    assert "HashAggregate" in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "Sort" not in plan.replace("SortAggregate", ""), plan
