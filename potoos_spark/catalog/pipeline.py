@@ -4679,8 +4679,11 @@ def _index_e2e_fn(spark, sf_dir):
 # hashing-trick embedding re-tokenized at CHUNK grain (text_hash_embed's
 # bucket/sign rules), integer norms, the md5-medoid centroid draw with
 # auto cells over the TOKENFUL chunk count, one exact-integer
-# assignment argmin, and the per-cell rollup.
-_INDEX_E2E_SQL = (
+# assignment argmin, and the per-cell rollup. The CTE chain (through
+# the corpus cell assignment `asg`) is shared with the r10 retrieval
+# eval (`corpus_rag_recall_eval`) — one point of truth, the
+# _IVF2_ASSIGN_CTES discipline.
+_INDEX_CHAIN_CTES = (
     "WITH s AS (SELECT doc_id, string_split(trim(text), ' ') AS w "
     "FROM documents), "
     "n0 AS (SELECT doc_id, w, len(w) AS nw FROM s), "
@@ -4738,6 +4741,9 @@ _INDEX_E2E_SQL = (
     "vs.nn + c.cn2 - 2 * " + _IVF2_DOT.format(a="vs.e", b="c.ce")
     + ", c.cell) AS rn FROM vsup vs JOIN c2s c ON c.scell = vs.scell) "
     "WHERE rn = 1) "
+)
+
+_INDEX_E2E_SQL = _INDEX_CHAIN_CTES + (
     "SELECT cell, COUNT(*) AS n_chunks, "
     "CAST(COUNT(DISTINCT chunk_id // 100000) AS BIGINT) AS n_docs, "
     "CAST(SUM(chunk_id) AS BIGINT) AS member_sum "
@@ -4745,6 +4751,174 @@ _INDEX_E2E_SQL = (
 )
 
 QUERIES["corpus_index_e2e"] = QuerySpec(_index_e2e_fn, _INDEX_E2E_SQL)
+
+
+def _rag_recall_fn(spark, sf_dir):
+    """r10: end-to-end RETRIEVAL eval over the RAG chunk index — the
+    eval twin `corpus_index_e2e` was missing (the recall-eval theme:
+    emb_ann_recall_eval / dedup_minhash_recall_eval /
+    multimodal_pixel_neardup_recall judge their pipelines on
+    detection; this judges the index on RETRIEVAL). Queries are the
+    first 8 words of every 5th document — a partial-context probe
+    whose gold label is its own source document — embedded with the
+    same hashing trick, probed through the same flat-probe/two-level
+    split as `knn_ivf_two_level` (ONE codebook collect serves
+    assignment and probing), scored by exact integer squared L2
+    inside the probed cells only. Per-query grain output pins the
+    retrieved set, the top-1 chunk, and the hit flag (gold doc in
+    top-4); integer-only columns — cosine's float division is not
+    needed to rank and hash-embeds can be zero-norm.
+
+    100 TB shape: identical to the index build (the corpus side IS
+    the index build) plus a query-scale flat probe (Q·C trivial at
+    Q ≪ N) and a per-query ranked window over ~n_probe/C of the
+    corpus. Queries ride the same broadcast codebook."""
+    from ..operators.curate import chunk_overlap
+    from ..operators.dedup import sqnorm_expr
+    from ..operators.similarity import (
+        _flat_probe,
+        _resolve_n_cells,
+        _two_level_assign_rows,
+        md5_medoid_centroids,
+    )
+    from ..operators.text import hashing_trick_embed
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    chunks = chunk_overlap(docs, chunk_words=12, stride_words=8)
+    ci_guard = F.coalesce(
+        F.assert_true(
+            F.col("ci") < 100000,
+            F.lit(
+                "corpus_rag_recall_eval: chunk index >= 100000 collides "
+                "into the next doc_id"
+            ),
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    ch = chunks.select(
+        (F.col("doc_id") * 100000 + F.col("ci") + ci_guard).alias("chunk_id"),
+        F.col("chunk"),
+    )
+    emb = hashing_trick_embed(
+        ch, dim=16, text_col="chunk", id_col="chunk_id", as_array=True
+    )
+    c = (
+        emb.select(
+            F.col("chunk_id").alias("__id"), F.col("embedding").alias("e")
+        )
+        .withColumn("n", sqnorm_expr(F.col("e")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cent = md5_medoid_centroids(c, _resolve_n_cells(None, c))
+    rows = cent.collect()
+    assigned = _two_level_assign_rows(c, rows, None, 2)
+
+    qsrc = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), " "), 1, 8), " "
+        ).alias("qt"),
+    )
+    q = (
+        hashing_trick_embed(
+            qsrc, dim=16, text_col="qt", id_col="doc_id", as_array=True
+        )
+        .select(F.col("doc_id").alias("__id"), F.col("embedding").alias("e"))
+        .withColumn("n", sqnorm_expr(F.col("e")))
+    )
+    probed = _flat_probe(q, rows, n_probe=2)
+    qv = q.select(
+        F.col("__id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+    )
+    sq = (
+        F.col("qn")
+        + F.col("n")
+        - 2
+        * F.aggregate(
+            F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+    )
+    cand = (
+        probed.join(assigned, "cell")
+        .join(qv, "query_id")
+        .select(
+            F.col("query_id").alias("query_doc"),
+            F.col("__id").alias("match_id"),
+            sq.alias("sq"),
+        )
+    )
+    w = W.partitionBy("query_doc").orderBy("sq", "match_id")
+    rk = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 4
+    )
+    return rk.groupBy("query_doc").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("match_id"))).alias(
+            "top1_chunk"
+        ),
+        F.max(
+            (F.expr("match_id div 100000") == F.col("query_doc")).cast(
+                "bigint"
+            )
+        ).alias("hit"),
+        F.count("*").alias("n_retrieved"),
+    )
+
+
+# The corpus half is _INDEX_CHAIN_CTES verbatim (chunk -> embed ->
+# codebook -> two-level asg); the query half mirrors the engine's
+# flat probe (rank ALL C cells, ties (sq, cell) — the stable-argsort
+# rule) and the in-cell exact-integer scan with ties (sq, match_id).
+_RAG_RECALL_SQL = _INDEX_CHAIN_CTES + (
+    ", qsrc AS (SELECT doc_id, "
+    "list_aggregate(w[1:8], 'string_agg', ' ') AS qt "
+    "FROM n0 WHERE doc_id % 5 = 0), "
+    "qtok AS (SELECT doc_id, list_filter(string_split_regex(trim("
+    "regexp_replace(lower(qt), '[^a-z0-9]+', ' ', 'g')), ' '), "
+    "x -> x <> '') AS toks FROM qsrc), "
+    "qct AS (SELECT doc_id, unnest(toks) AS tok FROM qtok), "
+    "qdt AS (SELECT DISTINCT doc_id, tok FROM qct), "
+    "qbkt AS (SELECT doc_id, "
+    "CAST('0x' || substr(md5(tok), 1, 4) AS INT) % 16 AS dim_idx, "
+    "CASE WHEN substr(md5(tok), 5, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END "
+    "AS sgn FROM qdt), "
+    "qwt AS (SELECT doc_id, dim_idx, SUM(sgn) AS wt FROM qbkt GROUP BY 1, 2), "
+    "qtokful AS (SELECT DISTINCT doc_id FROM qdt), "
+    "qemb AS (SELECT qtokful.doc_id, "
+    "list(CAST(COALESCE(qwt.wt, 0) AS BIGINT) ORDER BY dims.dim_idx) AS e "
+    "FROM qtokful CROSS JOIN dims LEFT JOIN qwt "
+    "ON qwt.doc_id = qtokful.doc_id AND qwt.dim_idx = dims.dim_idx "
+    "GROUP BY qtokful.doc_id), "
+    "qnrm AS (SELECT doc_id, CAST(list_sum([x * x for x in e]) AS BIGINT) "
+    "AS nn FROM qemb), "
+    "qpr AS (SELECT query_doc, cell FROM (SELECT q.doc_id AS query_doc, "
+    "c.cell, ROW_NUMBER() OVER (PARTITION BY q.doc_id ORDER BY "
+    "n.nn + c.cn2 - 2 * " + _IVF2_DOT.format(a="q.e", b="c.ce")
+    + ", c.cell) AS rn FROM qemb q JOIN qnrm n USING (doc_id) "
+    "CROSS JOIN cent c) WHERE rn <= 2), "
+    "cand AS (SELECT p.query_doc, a.chunk_id AS match_id, "
+    "qnrm.nn + nrm.nn - 2 * " + _IVF2_DOT.format(a="qemb.e", b="e.e")
+    + " AS sq FROM qpr p JOIN asg a USING (cell) "
+    "JOIN e ON e.chunk_id = a.chunk_id "
+    "JOIN nrm ON nrm.chunk_id = a.chunk_id "
+    "JOIN qemb ON qemb.doc_id = p.query_doc "
+    "JOIN qnrm ON qnrm.doc_id = p.query_doc), "
+    "rk AS (SELECT query_doc, match_id, ROW_NUMBER() OVER ("
+    "PARTITION BY query_doc ORDER BY sq, match_id) AS rn FROM cand) "
+    "SELECT query_doc, "
+    "MAX(CASE WHEN rn = 1 THEN match_id END) AS top1_chunk, "
+    "CAST(MAX(CASE WHEN match_id // 100000 = query_doc THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS hit, "
+    "COUNT(*) AS n_retrieved FROM rk WHERE rn <= 4 GROUP BY query_doc"
+)
+
+QUERIES["corpus_rag_recall_eval"] = QuerySpec(_rag_recall_fn, _RAG_RECALL_SQL)
 
 
 def _minhash_recall_fn(spark, sf_dir):

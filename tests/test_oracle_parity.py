@@ -153,3 +153,31 @@ def test_ivf_pq_engaged_regime_parity(spark, tmp_path):
     diff = compare(spec.fn(spark, d), spec.sql, con)
     con.close()
     assert diff is None, diff
+
+
+def test_rag_recall_eval_engaged_regime_parity(spark):
+    """r10: corpus_rag_recall_eval shares _INDEX_CHAIN_CTES with
+    corpus_index_e2e, but adds a QUERY side (flat probe + in-cell
+    integer scan) the sf0.01 fixture only exercises at C = 8 (< 64,
+    degenerate flat). sf0.1's ~20k chunks give C >= 64 — the engaged
+    two-level corpus assignment under a flat query probe must match
+    the SQL bit-for-bit there too (the fixture-degeneracy lesson of
+    ADVICE r8)."""
+    from potoos_spark.catalog.pipeline import QUERIES as CATQ
+    from potoos_spark.operators.similarity import (
+        IVF2_HIER_MIN_CELLS,
+        auto_n_cells,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    from potoos_spark.operators.curate import chunk_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_chunks = chunk_overlap(docs, chunk_words=12, stride_words=8).count()
+    assert auto_n_cells(n_chunks) >= IVF2_HIER_MIN_CELLS  # engaged
+
+    con = duckdb_connection(sf_dir)
+    spec = CATQ["corpus_rag_recall_eval"]
+    diff = compare(spec.fn(spark, sf_dir), spec.sql, con)
+    con.close()
+    assert diff is None, diff
