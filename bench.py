@@ -197,6 +197,12 @@ HEADLINE = [
     # (two-level cell probe restricts the scan, PQ-ADC makes it
     # codes-only)
     "knn_ivf_pq",
+    # round-10 close-out: the deterministic training-shard layout
+    # manifest (the last materialization step after packing) and the
+    # retrieval eval over the RAG chunk index (hit@4, gold = source
+    # doc — the eval twin corpus_index_e2e was missing)
+    "corpus_shard_manifest",
+    "corpus_rag_recall_eval",
 ]
 
 

@@ -100,6 +100,10 @@ QUERIES = [
     "corpus_tokenize_pack_e2e",
     "corpus_quality_perceptron_eval",
     "knn_ivf_pq",
+    # r10 close-out: the shard-layout manifest (map + 16-row agg) and
+    # the retrieval eval (index chain + query-scale probe/scan)
+    "corpus_shard_manifest",
+    "corpus_rag_recall_eval",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
