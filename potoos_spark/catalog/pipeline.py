@@ -568,6 +568,34 @@ def _stream_minhash_dedup_fn(spark, sf_dir):
     return spark.table(name)
 
 
+def _stream_shard_manifest_fn(spark, sf_dir):
+    """r10: the shard-layout manifest maintained INCREMENTALLY — the
+    batch `shard_manifest` operator applied UNCHANGED to the document
+    replay stream (its whole plan is a deterministic projection + one
+    grouped aggregation: stream-batch agnostic by construction, the
+    Structured Streaming ideal). State = one running
+    (count, sums, min, max) row per shard — 16 rows total, O(1) in
+    corpus size, no watermark needed — so a 100 TB ingest keeps a
+    live, always-consistent manifest for free; complete-mode emission
+    replaces the 16-row table each micro-batch. Final drained state
+    must equal the batch manifest exactly (same oracle)."""
+    import uuid
+
+    from ..operators.curate import shard_manifest
+
+    out = shard_manifest(_docs_stream(spark, sf_dir), n_shards=16, seed=7)
+    name = f"sshard_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # alerts = odd docs sharing ANY LSH band key with the even-doc index
 # (same signature/banding fragments as the batch MinHash oracle)
 _STREAM_MINHASH_SQL = (
@@ -3928,6 +3956,9 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_token_budget": QuerySpec(_token_budget_fn, _TOKEN_BUDGET_SQL),
     "corpus_pack_bins": QuerySpec(_pack_bins_fn, _PACK_BINS_SQL),
     "corpus_shard_manifest": QuerySpec(_shard_manifest_fn, _SHARD_MANIFEST_SQL),
+    "corpus_shard_manifest_streaming": QuerySpec(
+        _stream_shard_manifest_fn, _SHARD_MANIFEST_SQL
+    ),
     "corpus_decontaminate": QuerySpec(_decontaminate_fn, _DECONTAMINATE_SQL),
     "corpus_source_cap": QuerySpec(_source_cap_fn, _SOURCE_CAP_SQL),
     # extension: skew-safe two-phase per-source cap — row-identical to

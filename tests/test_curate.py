@@ -599,3 +599,25 @@ def test_shard_manifest_totals_determinism_and_plan(spark):
     assert "HashAggregate" in plan, plan
     assert "SortAggregate" not in plan, plan
     assert "Sort" not in plan.replace("SortAggregate", ""), plan
+
+
+def test_shard_manifest_streaming_twin_equals_batch(spark):
+    """r10: the manifest operator is stream-batch agnostic — the SAME
+    `shard_manifest` call applied to the document replay stream must
+    drain to exactly the batch result (16 running-aggregate rows of
+    state, complete-mode emission, no watermark)."""
+    from potoos_spark.catalog.pipeline import (
+        _shard_manifest_fn,
+        _stream_shard_manifest_fn,
+    )
+
+    batch = {
+        tuple(r)
+        for r in _shard_manifest_fn(spark, SF_DIR).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in _stream_shard_manifest_fn(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 16
