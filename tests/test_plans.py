@@ -628,3 +628,17 @@ def test_two_level_assign_plan_is_map_only_in_engaged_regime(spark):
     assert "MapInPandas" in plan, plan
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_rag_recall_eval_plan_shape(spark):
+    """r10 retrieval eval: the probe-restricted scan must stay keyed —
+    candidates come from the (cell) join of the flat probe against the
+    assignment and the (query_id) join of query vectors, never a
+    cartesian; the final cut is a per-query ranked window (parallel
+    across queries, ~n_probe/C of the corpus per query)."""
+    df = CATALOG["corpus_rag_recall_eval"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan
+    # both Arrow kernels (assignment + flat probe) ride mapInPandas
+    assert plan.count("MapInPandas") >= 2, plan
