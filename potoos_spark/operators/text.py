@@ -1274,6 +1274,41 @@ def gopher_quality(
     Output: (id, n_words, mean_word_len, symbol_ratio, bullet_frac,
     ellipsis_frac, alpha_frac, stop_hits, gopher_pass).
     """
+    return df.select(
+        F.col(id_col),
+        *_gopher_metric_exprs(
+            text_col,
+            min_words,
+            max_words,
+            min_mean_word_len,
+            max_mean_word_len,
+            max_symbol_ratio,
+            max_bullet_frac,
+            max_ellipsis_frac,
+            min_alpha_frac,
+            min_stop_hits,
+        ),
+    )
+
+
+def _gopher_metric_exprs(
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> list:
+    """The Gopher metric columns of ``gopher_quality`` as a reusable
+    aliased-expression list, so consumers that also need OTHER
+    per-document expressions (``quality_perceptron``'s feature fold)
+    can compute everything in ONE scan projection instead of a join of
+    two scans. Expressions are byte-identical to the historical inline
+    form — the oracle replays them."""
     toks = tokens(text_col)
     raw = F.col(text_col)
     n_words = F.size(toks).cast("bigint")
@@ -1314,8 +1349,7 @@ def gopher_quality(
         & (alpha_frac >= float(min_alpha_frac))
         & (stop_hits >= int(min_stop_hits))
     )
-    return df.select(
-        F.col(id_col),
+    return [
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),
@@ -1324,7 +1358,7 @@ def gopher_quality(
         alpha_frac.alias("alpha_frac"),
         stop_hits.alias("stop_hits"),
         gopher_pass.alias("gopher_pass"),
-    )
+    ]
 
 
 def distinct_ngram_stats(
@@ -1668,19 +1702,22 @@ def quality_perceptron(
     logistic trainer would need exp(), which is exactly what those
     precedents avoid).
 
-    Physical shape: ONE persisted long-form training relation
-    (doc, dim, x, y) — N·(dim+2) thin rows; each epoch is two
-    map-side-combinable hash aggregations (margins per doc against the
-    broadcast (dim+2)-row weight relation; misclassified gradient per
-    dim) — no windows; weights stay a (dim+2)-row relation end to
-    end, MATERIALIZED each epoch (collect the ≤ dim+2 rows, rebuild
-    via createDataFrame — deterministic, trajectory unchanged) so
-    every epoch's plan depends on a literal relation rather than the
-    previous epoch's lazy lineage: the lazy form references the prior
-    w twice (margins→gradient and the left join) and re-executes
-    ~2^epoch times at action time. Driver traffic is 2 scalars +
-    n_iters·(dim+2) weight rows (~KB, within the SCALE.md collect
-    policy). At 100 TB each epoch is Θ(N·dim) with ~KB shuffles.
+    Physical shape (r10 optimization round, guide §2.4 — remove
+    shuffles outright): ONE persisted WIDE training relation
+    (doc, x array<bigint>[dim+2], y) built in a single scan projection
+    that fuses the feature fold, the token count and the Gopher label
+    metrics (the former long form joined three scans and shuffled
+    N·(dim+2) thin rows per epoch). Margins are an IN-ROW dot product
+    against the dim+2 LITERAL weights (no broadcast join, no groupBy —
+    the weights live in the plan), so each epoch is ONE grouping-less
+    hash aggregation: dim+2 conditional sums over the misclassified
+    rows — map-side combined, the exchange carries one row per
+    partition. The weight update floor(g·S/n) runs on the driver in
+    exact Python integers (Python ``//`` IS floor — identical to the
+    pmod-adjusted DIV trajectory, bit for bit). Driver traffic is 2
+    scalars + n_iters·(dim+2) gradient sums (~KB). At 100 TB each
+    epoch is Θ(N·dim) map-local work with ~KB shuffles, and the final
+    margin pass is map-only.
 
     Output: (doc_id, margin bigint, pred ∈ {1,−1}, weak_label, agree)
     for every token-ful document — ``margin`` is the quality score;
@@ -1691,130 +1728,129 @@ def quality_perceptron(
     from pyspark import StorageLevel
 
     d = int(dim)
-    xl = hashing_trick_embed(
-        df, dim=d, text_col=text_col, id_col=id_col, as_array=False
+    nfeat = d + 2
+    # ONE scan projection computing everything per document: the signed
+    # (bucket, sign) md5 structs the feature fold consumes, the token
+    # count, and the Gopher label metrics. The token-less filter is the
+    # cheap normalize != '' pre-filter (⟺ ≥1 token ⟺ __cnt > 0 — the
+    # HOF-pushdown rule hashing_trick_embed established).
+    hs = F.transform(F.array_distinct(tokens(text_col)), F.md5)
+    bucket = lambda x: F.conv(F.substring(x, 1, 4), 16, 10).cast("bigint") % d
+    sign = lambda x: F.when(
+        F.substring(x, 5, 1).between("8", "f"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    bs = F.transform(
+        hs, lambda x: F.struct(bucket(x).alias("b"), sign(x).alias("s"))
     )
-    # two dense features beyond the hashed counts: the CENTERED total
-    # token count (dim d — signed hash sums are ~0-mean, so LENGTH,
-    # which every count-window quality rule needs, is otherwise
-    # invisible to a linear model; centering by the integer-mean count
-    # keeps the feature ~0-mean too, without which the full-batch
-    # update oscillates between the all-positive and all-negative
-    # states — measured 0.45 vs 0.96 agreement) and the bias (dim d+1)
-    counts = df.select(
+    pre = df.filter(normalize(text_col) != "").select(
         F.col(id_col),
+        bs.alias("__bs"),
         F.size(tokens(text_col)).cast("bigint").alias("__cnt"),
-    ).filter(F.col("__cnt") > 0)
-    stats = counts.agg(
-        F.sum("__cnt").alias("s"), F.count("*").alias("n")
-    ).first()
-    if not stats["n"]:  # empty / all-token-less corpus: nothing to train
-        return df.sparkSession.createDataFrame(
-            [],
-            f"{id_col} bigint, margin bigint, pred bigint, "
-            "weak_label bigint, agree bigint",
-        )
-    n_train, cbar = int(stats["n"]), int(stats["s"]) // int(stats["n"])
-    cfeat = counts.select(
-        F.col(id_col),
-        F.lit(d).cast("bigint").alias("dim_idx"),
-        (F.col("__cnt") - F.lit(cbar)).cast("bigint").alias("weight"),
+        *_gopher_metric_exprs(text_col),
     )
-    bias = counts.select(
-        F.col(id_col),
-        F.lit(d + 1).cast("bigint").alias("dim_idx"),
-        F.lit(1).cast("bigint").alias("weight"),
+    emb = F.aggregate(
+        F.col("__bs"),
+        F.array_repeat(F.lit(0).cast("bigint"), d),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda a, j: a + F.when(t["b"] == j, t["s"]).otherwise(0),
+        ),
     )
-    xl = xl.unionByName(cfeat).unionByName(bias)
     if label_expr is None:
         label_expr = (
             F.col("n_words").between(50, 100_000)
             & F.col("mean_word_len").between(3.0, 10.0)
             & (F.col("symbol_ratio") <= 0.1)
         )
-    labels = gopher_quality(df, text_col=text_col, id_col=id_col).select(
+    # two dense features beyond the hashed counts: the CENTERED total
+    # token count (dim d — signed hash sums are ~0-mean, so LENGTH,
+    # which every count-window quality rule needs, is otherwise
+    # invisible to a linear model; centering by the integer-mean count
+    # keeps the feature ~0-mean too, without which the full-batch
+    # update oscillates between the all-positive and all-negative
+    # states — measured 0.45 vs 0.96 agreement) and the bias (dim d+1).
+    # The center (cbar) is a global scalar, so the cached frame carries
+    # the RAW count; x materializes lazily on top of the cache.
+    staged = pre.select(
         F.col(id_col),
+        emb.alias("__emb"),
+        F.col("__cnt"),
         F.when(label_expr, F.lit(1))
         .otherwise(F.lit(-1))
         .cast("bigint")
         .alias("y"),
-    )
-    tr = xl.join(labels, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # mean update, integer-exact: w += floor(g·S / n_train) — the
-    # floor is (a − pmod(a, n)) div n on BOTH engines (Spark div and
-    # DuckDB // truncate toward zero, which diverges from floor on
-    # negative gradients; pmod repairs it — the Lloyd DIV lesson).
-    # The raw perceptron sum-update overshoots at full batch (the
-    # whole misclassified mass swings every weight each epoch).
-    S = 256
-    # floor(g·S / n) as pure bigint ops: strip the POSITIVE remainder
-    # (pmod) so the exactly-divisible dividend makes truncating DIV
-    # equal floor on both engines
-    _upd = (
-        f"CAST((g * {S} - pmod(g * {S}, {n_train})) DIV {n_train} AS BIGINT)"
-    )
-
-    # each epoch's w is collected (≤ dim+2 rows) and rebuilt as a
-    # literal relation: the lazy plan references the prior epoch's w
-    # twice, doubling re-execution per epoch at action time
-    def _materialize(wdf: DataFrame) -> DataFrame:
-        rows = [(int(r["dim_idx"]), int(r["wv"])) for r in wdf.collect()]
+    stats = staged.agg(
+        F.sum("__cnt").alias("s"), F.count("*").alias("n")
+    ).first()
+    if not stats["n"]:  # empty / all-token-less corpus: nothing to train
+        staged.unpersist()
         return df.sparkSession.createDataFrame(
-            rows, "dim_idx bigint, wv bigint"
+            [],
+            f"{id_col} bigint, margin bigint, pred bigint, "
+            "weak_label bigint, agree bigint",
         )
+    n_train, cbar = int(stats["n"]), int(stats["s"]) // int(stats["n"])
+    txy = staged.select(
+        F.col(id_col),
+        F.concat(
+            F.col("__emb"),
+            F.array(
+                (F.col("__cnt") - F.lit(cbar)).cast("bigint"),
+                F.lit(1).cast("bigint"),
+            ),
+        ).alias("x"),
+        F.col("y"),
+    )
+
+    # per-dim gradient sums as ONE grouping-less agg: dim+2 conditional
+    # sums (codegen'd element_at — no explode, no join, no window)
+    gsums = [
+        F.sum(F.col("y") * F.element_at("x", j + 1)).alias(f"g{j}")
+        for j in range(nfeat)
+    ]
+
+    def margin_expr(w: list[int]):
+        # in-row dot product against the LITERAL weights — bigint
+        # products and sums, associative and exact, so the value equals
+        # the historical hash-agg-over-thin-rows form bit for bit
+        m = F.lit(0).cast("bigint")
+        for j, wv in enumerate(w):
+            m = m + F.element_at("x", j + 1) * F.lit(int(wv)).cast("bigint")
+        return m
+
+    # mean update, integer-exact: w += floor(g·S / n_train). Python //
+    # IS floor division on exact ints — identical to the engine-side
+    # pmod-adjusted truncating DIV the long form used (and to the
+    # oracle's replay). The raw perceptron sum-update overshoots at
+    # full batch, hence the S/n_train scaling.
+    S = 256
 
     # epoch 1 from w = 0: every margin is 0, y·m ≤ 0 everywhere, so the
     # first gradient is the full label-weighted feature sum
-    w = _materialize(
-        tr.groupBy("dim_idx")
-        .agg(F.sum(F.col("y") * F.col("weight")).alias("g"))
-        .select("dim_idx", F.expr(_upd).alias("wv"))
-    )
+    g = txy.agg(*gsums).first()
+    w = [(int(g[j]) * S) // n_train for j in range(nfeat)]
     for _ in range(int(n_iters) - 1):
-        m = (
-            tr.join(F.broadcast(w), "dim_idx")
-            .groupBy(id_col)
-            .agg(
-                F.sum(F.col("wv") * F.col("weight")).alias("m"),
-                F.first("y").alias("y"),
-            )
-        )
-        mis = m.filter(F.col("y") * F.col("m") <= 0).select(id_col)
-        g = (
-            tr.join(mis, id_col, "left_semi")
-            .groupBy("dim_idx")
-            .agg(F.sum(F.col("y") * F.col("weight")).alias("g"))
-        )
-        w = _materialize(
-            w.join(g, "dim_idx", "left").select(
-                "dim_idx",
-                (
-                    F.col("wv")
-                    + F.coalesce(F.expr(_upd), F.lit(0).cast("bigint"))
-                ).alias("wv"),
-            )
-        )
+        mis = txy.filter(F.col("y") * margin_expr(w) <= 0)
+        g = mis.agg(*gsums).first()
+        # an empty misclassified set yields NULL sums → gradient 0
+        w = [
+            w[j] + ((int(g[j]) * S) // n_train if g[j] is not None else 0)
+            for j in range(nfeat)
+        ]
 
-    final = (
-        tr.join(F.broadcast(w), "dim_idx")
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("wv") * F.col("weight")).alias("margin"),
-            F.first("y").alias("weak_label"),
-        )
-    )
-    return final.select(
+    margin = margin_expr(w)
+    return txy.select(
         F.col(id_col),
-        F.col("margin").cast("bigint"),
-        F.when(F.col("margin") > 0, F.lit(1))
+        margin.cast("bigint").alias("margin"),
+        F.when(margin > 0, F.lit(1))
         .otherwise(F.lit(-1))
         .cast("bigint")
         .alias("pred"),
-        F.col("weak_label").cast("bigint"),
-        F.when(
-            (F.col("margin") > 0) == (F.col("weak_label") > 0), F.lit(1)
-        )
+        F.col("y").cast("bigint").alias("weak_label"),
+        F.when((margin > 0) == (F.col("y") > 0), F.lit(1))
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("agree"),
