@@ -58,6 +58,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_input(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Scale-adaptive scan-parallelism repair (optimization guide §2.5:
+    "one huge unsplittable file … repartition immediately after the
+    read"). The test fixtures are single-file, single-ROW-GROUP parquet
+    tables — an indivisible split — so every scan otherwise runs as ONE
+    task and serializes the per-row expression work (tokenize, md5,
+    shingle, decode) that dominates the text/dedup/similarity tiers.
+
+    Guarded to be a NO-OP whenever the scan already yields at least
+    half the default parallelism (any real multi-file table, so the
+    exchange never appears in at-scale plans — this is not a local-mode
+    constant, it adapts to whatever the scan provides). When it fires,
+    it hash-partitions on ``key`` (deterministic, avoids round-robin's
+    sort-before-repartition, and doc-keyed shuffles downstream can
+    reuse the exchange) or round-robins when no key is natural.
+    Results are partition-invariant by catalog contract (pinned by
+    tests), so this changes plans, never values."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, n // 2):
+        return df
+    return df.repartition(n, F.col(key)) if key else df.repartition(n)
+
+
 def events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical many-series frame from ``events``; ns → ms flooring on
     both engines (DuckDB's epoch_ms truncates the same way). Carries

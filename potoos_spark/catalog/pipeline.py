@@ -19,7 +19,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
-from .common import QuerySpec, table
+from .common import QuerySpec, spread_input, table
 
 K_MINHASH = 12
 ROWS_PER_BAND = 2
@@ -91,6 +91,16 @@ _COS = (
 # --- Spark sides ----------------------------------------------------------
 
 def _docs(spark, sf_dir):
+    # single-row-group fixture files are indivisible scans: spread the
+    # corpus so tokenize/md5-heavy consumers parallelize (no-op on any
+    # multi-file table — see spread_input)
+    return spread_input(table(spark, sf_dir, "documents"), "doc_id")
+
+
+def _docs_raw(spark, sf_dir):
+    # un-spread corpus for the multimodal tier: attach_binary feeds
+    # Arrow map kernels whose payload work is already batched, and the
+    # r10 A/B measured the spread exchange as a uniform loss there
     return table(spark, sf_dir, "documents")
 
 
@@ -120,6 +130,11 @@ def _docs_stream(spark, sf_dir):
 
 
 def _embs(spark, sf_dir):
+    # NOT spread: the embeddings table is vector-grain (no tokenize-
+    # class per-row expression work at the scan), and the similarity
+    # tier's kernels run against broadcast codebooks — the r10 A/B
+    # measured the extra exchange as a uniform small loss across all
+    # knn_*/emb_* entries and no winner
     return table(spark, sf_dir, "embeddings")
 
 
@@ -142,7 +157,8 @@ def _embs_stream(spark, sf_dir):
 
 
 def _dedup_exact_fn(spark, sf_dir):
-    return D.exact_dedup(_docs(spark, sf_dir))
+    # raw: one md5 per doc is too cheap to pay the spread exchange (A/B)
+    return D.exact_dedup(_docs_raw(spark, sf_dir))
 
 
 def _dedup_keep_longest_fn(spark, sf_dir):
@@ -279,11 +295,13 @@ def _text_bpe_fn(spark, sf_dir):
 
 
 def _text_bpe_pairs_fn(spark, sf_dir):
-    return T.bpe_pair_stats(_docs(spark, sf_dir))
+    # raw: vocab-grain work dominates, the spread exchange lost in A/B
+    return T.bpe_pair_stats(_docs_raw(spark, sf_dir))
 
 
 def _text_fertility_fn(spark, sf_dir):
-    return T.fertility_by_lang(_docs(spark, sf_dir))
+    # raw: single partial agg is the pinned shape; spread adds nothing
+    return T.fertility_by_lang(_docs_raw(spark, sf_dir))
 
 
 def _text_quality_fn(spark, sf_dir):
@@ -667,7 +685,7 @@ def _stream_quality_fn(spark, sf_dir):
 
 
 def _mm_meta_fn(spark, sf_dir):
-    b = M.attach_binary(_docs(spark, sf_dir))
+    b = M.attach_binary(_docs_raw(spark, sf_dir))
     return b.select(
         "doc_id",
         F.col("meta.byte_len").alias("byte_len"),
@@ -678,7 +696,7 @@ def _mm_meta_fn(spark, sf_dir):
 
 def _mm_decode_fn(spark, sf_dir):
     # default kernel = deterministic byte-stats stub
-    return M.decode_features(M.attach_binary(_docs(spark, sf_dir)))
+    return M.decode_features(M.attach_binary(_docs_raw(spark, sf_dir)))
 
 
 def _mm_dhash_fn(spark, sf_dir):
@@ -687,7 +705,7 @@ def _mm_dhash_fn(spark, sf_dir):
     absorbs value noise, not the insertions text near-dups carry), so
     downstream grouping composes the banded Hamming join exactly as the
     SimHash pipeline does."""
-    return M.dhash_features(M.attach_binary(_docs(spark, sf_dir)))
+    return M.dhash_features(M.attach_binary(_docs_raw(spark, sf_dir)))
 
 
 # dHash bit j compares the strided sample bytes j and j+1 (ASCII corpus:
@@ -720,7 +738,7 @@ def _mm_dhash_pairs_fn(spark, sf_dir):
     lands within Hamming ≤ 1 of its original — real pairs through the
     UNMODIFIED banded operator — while distinct-doc distances (≥ 12,
     minus 2 by triangle inequality) stay outside the radius."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs_raw(spark, sf_dir).select("doc_id", "text")
     planted = docs.filter(
         (F.col("doc_id") < 30) & (F.length("text") >= 200)
     ).select(
@@ -766,7 +784,7 @@ _MM_DHASH_PAIRS_SQL = (
 
 
 def _mm_pcm_energy_fn(spark, sf_dir):
-    return M.pcm_energy_windows(M.attach_binary(_docs(spark, sf_dir)))
+    return M.pcm_energy_windows(M.attach_binary(_docs_raw(spark, sf_dir)))
 
 
 # PCM stand-in over ASCII payload bytes: sample i = ord(2i+1) +
@@ -1012,7 +1030,7 @@ _MM_PIXEL_RECALL_SQL = (
 
 
 def _mm_byte_histogram_fn(spark, sf_dir):
-    return M.byte_histogram(M.attach_binary(_docs(spark, sf_dir)))
+    return M.byte_histogram(M.attach_binary(_docs_raw(spark, sf_dir)))
 
 
 # Byte histogram through the pluggable batch-kernel interface. The
@@ -1309,7 +1327,8 @@ def _simhash_hamming_fn(spark, sf_dir):
 
 
 def _dedup_centrality_fn(spark, sf_dir):
-    return D.near_dup_centrality(_docs(spark, sf_dir), n_iters=3, max_hamming=_HAM_K)
+    # raw: measured slower with the spread exchange (A/B, 3 reps)
+    return D.near_dup_centrality(_docs_raw(spark, sf_dir), n_iters=3, max_hamming=_HAM_K)
 
 
 def _pr_iter_sql(prev: str, cur: str) -> str:
@@ -2203,7 +2222,8 @@ _CURATE_SQL = (
 
 
 def _text_clean_fn(spark, sf_dir):
-    return T.clean_html(_docs(spark, sf_dir))
+    # raw: map-only, shuffle-free by contract (plan-pinned)
+    return T.clean_html(_docs_raw(spark, sf_dir))
 
 
 # Same op order as operators/text.py::clean_html: tags -> entities
@@ -2220,7 +2240,8 @@ _TEXT_CLEAN_SQL = (
 
 
 def _text_pii_fn(spark, sf_dir):
-    return T.pii_mask(_docs(spark, sf_dir))
+    # raw: map-only, shuffle-free by contract (plan-pinned)
+    return T.pii_mask(_docs_raw(spark, sf_dir))
 
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -2239,7 +2260,8 @@ def _text_collocations_fn(spark, sf_dir):
     # threshold 1.3 fits the fixture's near-random word soup (scores
     # cluster at ~1.0 = independence, max ~1.45); real corpora put
     # true phrases 10-100x above independence
-    return T.collocations(_docs(spark, sf_dir), threshold=1.3)
+    # raw: vocab-grain op, spread exchange lost in A/B
+    return T.collocations(_docs_raw(spark, sf_dir), threshold=1.3)
 
 
 # word2vec phrase score (Mikolov '13 eq. 6): all counts exact; the
@@ -2715,7 +2737,7 @@ _DEDUP_REPORT_SQL = (
 
 
 def _mm_framesample_fn(spark, sf_dir):
-    return M.frame_sample(_docs(spark, sf_dir))
+    return M.frame_sample(_docs_raw(spark, sf_dir))
 
 
 # Uniform strided frame sampler over fake fixed-size frames; md5 of the
@@ -2919,7 +2941,7 @@ def _stratified_sample_fn(spark, sf_dir):
     from ..operators.curate import stratified_sample
 
     return stratified_sample(
-        _docs(spark, sf_dir),
+        _docs_raw(spark, sf_dir),  # raw: map-only, shuffle-free by contract
         rates={"en": 0.5, "de": 0.8, "fr": 0.8, "es": 0.8},
         default_rate=1.0,
     )
@@ -3088,7 +3110,8 @@ FROM c
 def _shard_manifest_fn(spark, sf_dir):
     from ..operators.curate import shard_manifest
 
-    return shard_manifest(_docs(spark, sf_dir), n_shards=16, seed=7)
+    # raw: one md5 + token count per doc, spread a wash in A/B
+    return shard_manifest(_docs_raw(spark, sf_dir), n_shards=16, seed=7)
 
 
 # Seeded md5 shard split + balance manifest: shard id from the first
@@ -4206,7 +4229,7 @@ QUERIES["corpus_tokenize_pack_e2e"] = QuerySpec(
 
 def _mm_vad_fn(spark, sf_dir):
     return M.vad_segments(
-        M.pcm_energy_windows(M.attach_binary(_docs(spark, sf_dir)))
+        M.pcm_energy_windows(M.attach_binary(_docs_raw(spark, sf_dir)))
     )
 
 
@@ -4280,7 +4303,7 @@ QUERIES["text_backoff_lm"] = QuerySpec(_backoff_lm_fn, _BACKOFF_LM_SQL)
 
 
 def _mm_phash_fn(spark, sf_dir):
-    return M.phash64(M.attach_binary(_docs(spark, sf_dir)))
+    return M.phash64(M.attach_binary(_docs_raw(spark, sf_dir)))
 
 
 from ..operators.multimodal import PHASH_K as _PHK  # noqa: E402

@@ -65,11 +65,12 @@ def stage_report(app_id: str, first_job: int) -> list[str]:
                 rows.append(att)
         except Exception:
             pass
-    rows.sort(key=lambda s: -s.get("executorRunTime", 0))
+    rows.sort(key=lambda s: -s.get("executorCpuTime", 0))
     out = []
     for s in rows[:14]:
         out.append(
-            f"  stage {s['stageId']}: run={s['executorRunTime'] / 1e3:7.2f}s "
+            f"  stage {s['stageId']}: cpu={s.get('executorCpuTime', 0) / 1e9:7.2f}s "
+            f"run={s['executorRunTime'] / 1e3:7.2f}s "
             f"tasks={s['numCompleteTasks']:4d} "
             f"in={s.get('inputBytes', 0) / 1e6:8.1f}MB "
             f"sh_r={s.get('shuffleReadBytes', 0) / 1e6:8.1f}MB "
