@@ -561,8 +561,21 @@ def _stream_minhash_dedup_fn(spark, sf_dir):
     # the fixture's single-file layouts would otherwise run the HOF
     # md5 folds on one scan task (the _spread_docs lesson; measured
     # 31.5 s -> the repartition rides the micro-batch)
-    idx = lsh_band_index(
-        _spread_docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    #
+    # persist + eager fill (r10 optimization round): the stream-static
+    # join re-evaluates the STATIC side once per micro-batch — the
+    # profiled replay showed the ~13 CPU-s shingle/signature index
+    # build running 3× (once per batch). The operator contract says
+    # "probes the PERSISTED batch index"; materializing it here makes
+    # every micro-batch a cache read, which is also exactly the
+    # production posture (the batch job rebuilds the index
+    # periodically; the stream only reads it).
+    from ..operators.dedup import eager_fill
+
+    idx = eager_fill(
+        lsh_band_index(
+            _spread_docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+        ).persist()
     )
     n_part = spark.sparkContext.defaultParallelism
     docs = (

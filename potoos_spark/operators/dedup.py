@@ -270,6 +270,22 @@ def streaming_minhash_neardup_alerts(
     )
 
 
+def eager_fill(df: DataFrame) -> DataFrame:
+    """Materialize a lazily-persisted relation NOW (one cheap count),
+    before any concurrent consumer exists. Under AQE the broadcast-
+    exchange threads and the main stage evaluate concurrently, and an
+    un-filled cache is not locked per-partition — every concurrent
+    reader re-computes the full subtree (profiled in the r10
+    optimization round: duplicate 20–100 CPU-s stages running the
+    identical MinHash/verify pipeline side by side). Call this on a
+    persisted frame that is about to be referenced from more than one
+    plan branch. Wall-cost is one extra job over the (now cached)
+    relation; the duplicated subtree evaluation it prevents is pure
+    waste at any scale where executors are busy."""
+    df.count()
+    return df
+
+
 def shingle_frame(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -708,6 +724,9 @@ def minhash_dedup_pairs(
     sh = shingle_frame(df.repartition(n_part, id_col), text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # EAGER fill (r10 optimization round): the shingle explosion is the
+    # expensive subtree every branch below hangs off — see eager_fill.
+    eager_fill(sh)
 
     prof = sh.groupBy(id_col).agg(*_minhash_aggs(k), F.count("*").alias("sz"))
     # Candidate pairs and per-candidate shingle sets are tiny relative to
@@ -1984,6 +2003,14 @@ def fuzzy_dedup_e2e(
         df, text_col, id_col, k=k, rows_per_band=rows_per_band,
         jaccard_threshold=jaccard_threshold,
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # EAGER fill (r10 optimization round): downstream, ``pairs`` is
+    # referenced twice in every union (attrs, members, e) — six plan
+    # references in all. A lazy persist let the first action's
+    # concurrent subtrees each evaluate the FULL MinHash+verify
+    # pipeline before the cache existed (profiled: a 101 CPU-s
+    # broadcast-thread stage re-running the whole verify join) — see
+    # eager_fill.
+    eager_fill(pairs)
     ids = df.select(F.col(id_col))
     comp = edge_components(ids, pairs, id_col)
     cent = capped_pagerank(

@@ -42,16 +42,41 @@ __all__ = [
 def basket_edges(baskets: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     """Distinct undirected co-occurrence edges (u < v) from a
     (basket, item) relation. Per-basket pair fan-out is C(items, 2) —
-    bounded by basket size, linear in baskets overall."""
-    b = baskets.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    a = b.withColumnRenamed("__i", "u")
-    c = b.withColumnRenamed("__i", "v")
+    bounded by basket size, linear in baskets overall.
+
+    r10 optimization round (guide §2.4 — remove shuffles outright):
+    pairs are generated IN-ROW from each basket's sorted distinct-item
+    array (the ``frequent_triples`` / ``lsh_candidate_pairs`` explode
+    pattern) instead of a basket-keyed self-join. The old form
+    evaluated the (basket, item) distinct subtree TWICE (both join
+    sides — one full extra input scan + hash agg) and materialized the
+    C(k, 2) pairs through a join; this form is ONE scan, one groupBy
+    (collect_set dedups in-basket, replacing the pre-join distinct),
+    and the same global distinct. The in-row pair array holds C(k, 2)
+    structs of the SAME bounded basket the join form already expanded
+    to rows — no new blowup mode. Output identical (x < y follows from
+    the ascending array_sort)."""
+    arrs = (
+        baskets.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .groupBy("__b")
+        .agg(F.array_sort(F.collect_set("__i")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(c, "__b")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+        arrs.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ids, (x, i) -> transform("
+                        "slice(ids, i + 2, size(ids)), "
+                        "y -> struct(x AS u, y AS v)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
         .distinct()
     )
 
@@ -109,13 +134,23 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     All counts are exact integers; the only double is the final ratio,
     computed from identical operands on both engines."""
     # each persisted relation feeds ≥2 consumers below — without the
-    # persists Catalyst replays the basket self-join / orientation
-    # joins once per consumer (no cross-branch subtree reuse)
-    edges = edges.persist()
-    deg = node_degrees(edges).persist()
-    oriented = orient_by_degree(edges, deg).persist()
-    adj = oriented.groupBy("src").agg(
-        F.array_sort(F.collect_list("dst")).alias("nbrs")
+    # persists Catalyst replays the basket pair generation / orientation
+    # joins once per consumer (no cross-branch subtree reuse). EAGER
+    # fills (r10 optimization round): the final three broadcast branches
+    # (summary, n_edges, tri) evaluate concurrently, and a lazy persist
+    # is re-computed by every concurrent reader until filled — see
+    # operators.dedup.eager_fill. adj is also persisted now: it feeds
+    # BOTH sides of the intersection join (au, av) and was rebuilt
+    # twice.
+    from ..operators.dedup import eager_fill
+
+    edges = eager_fill(edges.persist())
+    deg = eager_fill(node_degrees(edges).persist())
+    oriented = eager_fill(orient_by_degree(edges, deg).persist())
+    adj = eager_fill(
+        oriented.groupBy("src")
+        .agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
+        .persist()
     )
     au = adj.withColumnsRenamed({"src": "u_", "nbrs": "nu"})
     av = adj.withColumnsRenamed({"src": "v_", "nbrs": "nv"})

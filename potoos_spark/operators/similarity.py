@@ -2181,6 +2181,18 @@ def kcenter_coreset(
     metadata-scale, like ``storage.delete_rows``'s partition values,
     never row data.
 
+    r10 optimization round: the min-distance is maintained
+    INCREMENTALLY (classic Gonzalez) — each round carries
+    (id, e, __md) forward and folds in ONLY the newest center via
+    ``least(__md, dist(new))``, instead of re-evaluating the distance
+    to every chosen center. Each round's frame is localCheckpoint'd,
+    so the per-round plan is a constant-size (LogicalRDD → one
+    distance expression → TakeOrdered) — the previous form's round-i
+    plan held i nested HOF lambdas and the driver spent ~5 of the
+    entry's 6 s ANALYZING plans, not running them (profiled: all
+    stages ≤ 0.11 s). min over a set == fold of ``least``, ties and
+    integer math unchanged, so the selection SEQUENCE is bit-identical.
+
     Output: (round, center_id, radius_sq) — radius_sq is the chosen
     point's exact min squared distance to the prior centers (the
     covering radius achieved when it was picked; NULL for the seed).
@@ -2213,22 +2225,28 @@ def kcenter_coreset(
             lambda acc, x: acc + x,
         )
 
+    # running (id, e, min-dist-to-chosen) relation; chosen rows are
+    # dropped as they are picked, so the TakeOrdered needs no isin
+    cur = c.filter(F.col("__id") != int(seed["__id"])).select(
+        "__id", "e", sqdist_to(chosen[0][1]).alias("__md")
+    ).localCheckpoint(eager=False)
     for _ in range(int(k) - 1):
-        mind = F.least(*[sqdist_to(v) for _, v, _ in chosen]) if len(chosen) > 1 \
-            else sqdist_to(chosen[0][1])
         nxt_rows = (
-            c.filter(~F.col("__id").isin([i for i, _, _ in chosen]))
-            .select("__id", "e", mind.alias("__md"))
-            .orderBy(F.col("__md").desc(), F.col("__id"))
+            cur.orderBy(F.col("__md").desc(), F.col("__id"))
             .limit(1)
             .collect()
         )
         if not nxt_rows:  # k >= N: every point already chosen
             break
         nxt = nxt_rows[0]
-        chosen.append(
-            (int(nxt["__id"]), [int(x) for x in nxt["e"]], int(nxt["__md"]))
-        )
+        nxt_id, nxt_e = int(nxt["__id"]), [int(x) for x in nxt["e"]]
+        chosen.append((nxt_id, nxt_e, int(nxt["__md"])))
+        if len(chosen) < int(k):
+            cur = cur.filter(F.col("__id") != nxt_id).select(
+                "__id",
+                "e",
+                F.least(F.col("__md"), sqdist_to(nxt_e)).alias("__md"),
+            ).localCheckpoint(eager=False)
 
     spark = df.sparkSession
     rows = [
