@@ -1846,10 +1846,19 @@ def capped_pagerank(
     the base rank with deg 0. Semantics, bounds, and shuffle shape are
     exactly the pre-r8 ``near_dup_centrality`` body.
     Output: (id_col, deg, rank_e9)."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
     we = W.partitionBy("src").orderBy("__ord", "dst")
+    # EAGER localCheckpoint (r10 optimization round): ``e`` is
+    # referenced by deg, every power-iteration round, and the final
+    # join — five references whose logical lineage otherwise repeats
+    # the full banded-pair subtree (the SimHash pipeline when called
+    # from near_dup_centrality), so the driver re-analyzed it per
+    # action and concurrent branches re-computed it before a lazy
+    # persist filled (see eager_fill). The capped edge list is
+    # ≤ N·max_degree by construction — metadata-scale next to the
+    # corpus — so truncating it to a LogicalRDD is the label-prop
+    # discipline, not a fault-tolerance trade.
     e = (
         pairs.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "__ord"
@@ -1862,7 +1871,7 @@ def capped_pagerank(
         .withColumn("__rn", F.row_number().over(we))
         .filter(F.col("__rn") <= int(max_degree))
         .select("src", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = ids.select(F.col(id_col).alias("node"))
@@ -1997,20 +2006,25 @@ def fuzzy_dedup_e2e(
     per surviving document; n_members > 1 rows are the clusters whose
     other members a curation pass drops.
     """
-    from pyspark import StorageLevel
-
+    # EAGER localCheckpoint (r10 optimization round): downstream,
+    # ``pairs`` is referenced twice in every union (attrs, members, e)
+    # — six plan references in all, and the label-prop loop runs one
+    # ACTION per round. A lazy persist let the first action's
+    # concurrent subtrees each evaluate the FULL MinHash+verify
+    # pipeline before the cache existed (profiled: a 101 CPU-s
+    # broadcast-thread stage re-running the whole verify join), and
+    # even once cached, every action re-ANALYZED the full MinHash
+    # logical lineage six times over (a 26k-line explain). The eager
+    # checkpoint materializes the small verified-pair relation once and
+    # truncates its lineage to a LogicalRDD — the same iterative-graph
+    # discipline ``_attr_label_propagation`` documents (constant-size
+    # plans; the relation is candidate-volume-sized, so re-deriving it
+    # on partition loss is not the recovery path a 100 TB run cares
+    # about — the e2e would re-run from the persisted corpus anyway).
     pairs = minhash_dedup_pairs(
         df, text_col, id_col, k=k, rows_per_band=rows_per_band,
         jaccard_threshold=jaccard_threshold,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # EAGER fill (r10 optimization round): downstream, ``pairs`` is
-    # referenced twice in every union (attrs, members, e) — six plan
-    # references in all. A lazy persist let the first action's
-    # concurrent subtrees each evaluate the FULL MinHash+verify
-    # pipeline before the cache existed (profiled: a 101 CPU-s
-    # broadcast-thread stage re-running the whole verify join) — see
-    # eager_fill.
-    eager_fill(pairs)
+    ).localCheckpoint(eager=True)
     ids = df.select(F.col(id_col))
     comp = edge_components(ids, pairs, id_col)
     cent = capped_pagerank(
