@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.cache import eager_fill
+
 from .common import QuerySpec, table
 
 
@@ -1082,9 +1084,9 @@ def _skew_report_fn(spark, sf_dir):
     sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("sz"))
     hist = sizes.groupBy("sz").agg(F.count("*").alias("nk"))
     w = W.orderBy("sz").rowsBetween(W.unboundedPreceding, W.currentRow)
-    h = hist.select(
+    h = eager_fill(hist.select(
         "sz", "nk", F.sum("nk").over(w).alias("cum")
-    ).persist()
+    ).persist())
     tot = h.agg(
         F.sum("nk").cast("bigint").alias("n_keys"),
         F.sum(F.col("sz") * F.col("nk")).cast("bigint").alias("n_rows"),

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from .cache import eager_fill
+
 from .dedup import simhash_fingerprint
 from .text import STOPWORDS, normalize, tokens
 
@@ -364,9 +366,9 @@ def ngram_novelty(
     # (clearCache after materializing) — same contract as
     # minhash_estimate_pairs.
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    sh = shingle_frame(
+    sh = eager_fill(shingle_frame(
         df.repartition(n_part, id_col), text_col, id_col, n
-    ).persist()
+    ).persist())
     totals = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     owned = (
         sh.groupBy("s")
@@ -455,11 +457,13 @@ def pack_bins(
     # recomputation after a task retry could pick different split
     # points, assigning a boundary row to partition p in one branch
     # while its size counts toward p+1's offset in the other.
-    sized = (
+    # eager fill: see dedup.eager_fill — also closes the concurrent
+    # double-range-sampling hazard the comment above describes
+    sized = eager_fill((
         df.select(F.col(id_col), F.col(size_col).cast("bigint").alias("sz"))
         .repartitionByRange(n_parts, F.col(id_col))
         .withColumn("__pid", F.spark_partition_id())
-    ).persist()
+    ).persist())
     w_local = (
         W.partitionBy("__pid")
         .orderBy(id_col)

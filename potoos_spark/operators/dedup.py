@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .cache import eager_fill
 from .text import normalize, shingles, tokens
 
 
@@ -268,22 +269,6 @@ def streaming_minhash_neardup_alerts(
         .dropDuplicatesWithinWatermark([id_col])
         .select(id_col)
     )
-
-
-def eager_fill(df: DataFrame) -> DataFrame:
-    """Materialize a lazily-persisted relation NOW (one cheap count),
-    before any concurrent consumer exists. Under AQE the broadcast-
-    exchange threads and the main stage evaluate concurrently, and an
-    un-filled cache is not locked per-partition — every concurrent
-    reader re-computes the full subtree (profiled in the r10
-    optimization round: duplicate 20–100 CPU-s stages running the
-    identical MinHash/verify pipeline side by side). Call this on a
-    persisted frame that is about to be referenced from more than one
-    plan branch. Wall-cost is one extra job over the (now cached)
-    relation; the duplicated subtree evaluation it prevents is pure
-    waste at any scale where executors are busy."""
-    df.count()
-    return df
 
 
 def shingle_frame(
@@ -576,7 +561,9 @@ def capped_containment_pairs(
     owned by the caller (unpersist / clearCache after materializing).
 
     Output: (id_a, id_b, shared, sz_a, sz_b, containment)."""
-    posts = capped_posting_lists(sh, df_cap, id_col).persist()
+    # eager fill: posts feeds BOTH the pair branch and the size branch
+    # concurrently (see eager_fill)
+    posts = eager_fill(capped_posting_lists(sh, df_cap, id_col).persist())
     shared, sizes = _posting_pairs_and_sizes(posts)
     if min_shared > 1:
         shared = shared.filter(F.col("shared") >= int(min_shared))
@@ -671,7 +658,9 @@ def capped_jaccard_pairs(
     size from the capped per-doc sizes). Cache contract as there.
 
     Output: (id_a, id_b, shared, union_size, jaccard)."""
-    posts = capped_posting_lists(sh, df_cap, id_col).persist()
+    # eager fill: posts feeds BOTH the pair branch and the size branch
+    # concurrently (see eager_fill)
+    posts = eager_fill(capped_posting_lists(sh, df_cap, id_col).persist())
     shared, sizes = _posting_pairs_and_sizes(posts)
     if min_shared > 1:
         shared = shared.filter(F.col("shared") >= int(min_shared))
@@ -846,9 +835,11 @@ def capped_bottomk_containment_pairs(
     Output: (id_a, id_b, m, k_used, est_containment) — identical to
     ``bottomk_containment_pairs`` over ``df_capped_shingles``."""
     posts = capped_posting_lists(sh, df_cap, id_col)
-    h = posts.select(
+    # eager fill: h feeds sizes, the bottom-k slice and the probe join
+    # concurrently (see eager_fill)
+    h = eager_fill(posts.select(
         F.explode("ids").alias(id_col), F.md5("s").alias("h")
-    ).persist()
+    ).persist())
     sizes = h.groupBy(id_col).agg(F.count("*").alias("sz"))
     bk = (
         h.groupBy(id_col)
@@ -916,8 +907,13 @@ def minhash_estimate_pairs(
     """
     n_part = df.sparkSession.sparkContext.defaultParallelism
     sh = shingle_frame(df.repartition(n_part, id_col), text_col, id_col)
-    sig = minhash_signatures(sh, id_col, k)
-    cand = lsh_candidate_pairs(sig, id_col, k, rows_per_band).persist()
+    # eager-filled persist: sig feeds the candidate generator AND both
+    # sides of the signature-compare join — without it the full
+    # shingle+groupBy pipeline evaluated up to 3x (see eager_fill)
+    sig = eager_fill(minhash_signatures(sh, id_col, k).persist())
+    cand = eager_fill(
+        lsh_candidate_pairs(sig, id_col, k, rows_per_band).persist()
+    )
     a = sig.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(k)],
@@ -1427,11 +1423,13 @@ def levenshtein_pairs(
     staged = df.filter(normalize(text_col) != "").select(
         F.col(id_col), F.col(text_col), hs.alias("__hs")
     )
-    s = staged.select(
+    # eager-filled: s feeds the canonical-block agg AND the member join
+    # (see eager_fill)
+    s = eager_fill(staged.select(
         F.col(id_col),
         F.col(text_col),
         simhash_fingerprint(F.col("__hs"), 32).alias("simhash"),
-    ).persist()
+    ).persist())
     canon = s.groupBy("simhash").agg(
         F.min(id_col).alias("keep_id"),
         F.min_by(text_col, F.col(id_col)).alias("__ktext"),
@@ -1941,7 +1939,9 @@ def keep_central(
     from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
-    fp = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    fp = eager_fill(
+        simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     comp = dup_components(df, text_col, id_col, fingerprints=fp)
     cent = near_dup_centrality(
         df, n_iters=n_iters, max_hamming=max_hamming,

@@ -142,7 +142,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     # operators.dedup.eager_fill. adj is also persisted now: it feeds
     # BOTH sides of the intersection join (au, av) and was rebuilt
     # twice.
-    from ..operators.dedup import eager_fill
+    from .cache import eager_fill
 
     edges = eager_fill(edges.persist())
     deg = eager_fill(node_degrees(edges).persist())
@@ -211,9 +211,19 @@ def frequent_triples(
     triple agg — no self-joins; cost is linear in baskets.
 
     Output: (part_a < part_b < part_c, support ≥ min_support)."""
-    b = baskets.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    from .cache import eager_fill
+
+    # eager-filled persist (r10 optimization round): b feeds the item-
+    # support aggregate AND the prune join — the support side rides the
+    # broadcast thread, so an unpersisted b evaluated the input distinct
+    # twice (see cache.eager_fill)
+    b = eager_fill(
+        baskets.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .distinct()
+        .persist()
+    )
     freq_items = (
         b.groupBy("__i")
         .agg(F.count("*").alias("sup"))

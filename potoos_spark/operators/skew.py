@@ -22,6 +22,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .cache import eager_fill
+
 _DECOMPOSABLE = ("sum", "count", "min", "max", "avg", "var.p", "var.s", "std.p", "std.s")
 
 
@@ -192,6 +194,11 @@ def global_rank(
         df.repartitionByRange(int(n_parts), *cols)
         .withColumn("__pid", F.spark_partition_id())
     ).persist()
+    # eager fill: staged feeds the local-window branch and the
+    # partition-totals branch concurrently (see dedup.eager_fill); an
+    # unfilled cache would also let the two branches range-sample
+    # independently — the retry hazard the pack_bins docstring flags
+    eager_fill(staged)
     w_local = W.partitionBy("__pid").orderBy(*cols)
     local = staged.withColumn("__rn", F.row_number().over(w_local))
     counts = staged.groupBy("__pid").agg(F.count("*").alias("__n"))
@@ -284,6 +291,11 @@ def global_cumsum(
         df.repartitionByRange(int(n_parts), *cols)
         .withColumn("__pid", F.spark_partition_id())
     ).persist()
+    # eager fill: staged feeds the local-window branch and the
+    # partition-totals branch concurrently (see dedup.eager_fill); an
+    # unfilled cache would also let the two branches range-sample
+    # independently — the retry hazard the pack_bins docstring flags
+    eager_fill(staged)
     w_local = (
         W.partitionBy("__pid")
         .orderBy(*cols)
@@ -331,6 +343,11 @@ def global_cummax(
         df.repartitionByRange(int(n_parts), *cols)
         .withColumn("__pid", F.spark_partition_id())
     ).persist()
+    # eager fill: staged feeds the local-window branch and the
+    # partition-totals branch concurrently (see dedup.eager_fill); an
+    # unfilled cache would also let the two branches range-sample
+    # independently — the retry hazard the pack_bins docstring flags
+    eager_fill(staged)
     end = 0 if inclusive else -1
     w_local = (
         W.partitionBy("__pid")
