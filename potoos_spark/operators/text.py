@@ -321,9 +321,16 @@ def repetition_stats(
     doc_id, the scalable shape for billion-doc corpora (an in-row mode
     would be O(len²) per document)."""
     t = F.col("_t")
+    # pre-filter on the cheap equivalent predicate (normalize is
+    # single-spaced, so containing ' ' ⟺ ≥2 tokens): a size(_t) filter
+    # above the projection is pushed below it and re-inlines the whole
+    # tokenize into the predicate (the r9 HOF-pushdown double-eval)
     staged = (
-        _with_tokens(df, text_col, [id_col])
-        .filter(F.size(t) >= 2)
+        _with_tokens(
+            df.filter(F.contains(normalize(text_col), F.lit(" "))),
+            text_col,
+            [id_col],
+        )
         .select(
             F.col(id_col),
             _gram_list(t, 2).alias("_bg"),
@@ -1216,8 +1223,12 @@ def bpe_encode_stats(
             w = F.replace(F.replace(w, pat, rep), pat, rep)
         return F.size(F.split(F.trim(w), " "))
 
-    base = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
-        F.size("__toks") > 0
+    # pre-filter on the cheap equivalent predicate (⟺ ≥1 token): a
+    # size(__toks) filter above the projection is pushed below it and
+    # re-inlines the whole tokenize into the predicate — the r9
+    # HOF-pushdown double-eval (measured 7.7s vs 1.0s elsewhere)
+    base = df.filter(normalize(text_col) != "").select(
+        F.col(id_col), tokens(text_col).alias("__toks")
     )
     per_doc = base.crossJoin(F.broadcast(wide)).select(
         id_col,
@@ -1782,6 +1793,13 @@ def quality_perceptron(
     # states — measured 0.45 vs 0.96 agreement) and the bias (dim d+1).
     # The center (cbar) is a global scalar, so the cached frame carries
     # the RAW count; x materializes lazily on top of the cache.
+    # coalesce to the default parallelism (no shuffle; a no-op when the
+    # input already has <= that many partitions): a unioned training
+    # corpus — the planted-signal eval stacks three spread frames —
+    # otherwise carries 3x partitions into the cache, and every epoch's
+    # grouping-less agg then launches 3x near-empty tasks (r10
+    # optimization round; guide §2.2, fewer larger tasks)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     staged = pre.select(
         F.col(id_col),
         emb.alias("__emb"),
@@ -1790,7 +1808,7 @@ def quality_perceptron(
         .otherwise(F.lit(-1))
         .cast("bigint")
         .alias("y"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).coalesce(n_part).persist(StorageLevel.MEMORY_AND_DISK)
 
     stats = staged.agg(
         F.sum("__cnt").alias("s"), F.count("*").alias("n")
