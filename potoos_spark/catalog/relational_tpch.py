@@ -833,15 +833,23 @@ def _corr_fn(spark, sf_dir):
     return agg.select("l_returnflag", corr.alias("corr_qty_price"))
 
 
+# Decimal sums leave DuckDB through a VARCHAR roundtrip: the direct
+# DECIMAL→DOUBLE cast converts the INT128 payload to double FIRST and
+# divides by 10^scale after — two roundings, not correctly rounded once
+# the payload exceeds 2^53 (syy's raw units pass that at sf0.001
+# already; measured 1-ulp high on the 'A' group, the same INT128 hazard
+# catalog/timeseries.py documents). The string parse is correctly
+# rounded (the flit() rationale), matching Spark's BigDecimal→double
+# exactly for every value, at every scale factor.
 _CORR_SQL = """
 WITH m AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag,
