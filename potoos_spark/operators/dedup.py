@@ -597,48 +597,90 @@ def topk_containment_pairs(
     only acts on the strongest partners per doc anyway, so the ranked
     cut loses nothing downstream.
 
-    Physical shape: the capped pair relation (work-bounded as before)
-    is symmetrized and cut by ONE per-doc ranked window — partitioned
-    by doc_id, so no global sort, and per-doc pair volume is itself
-    df_cap-bounded per shingle. Ordering (containment DESC, partner id
-    ASC) is exact-integer-ratio deterministic, hence hash-checkable.
+    Physical shape (r11 optimization round — guide §2.4 remove
+    shuffles, §5 caching only when reused): ONE LINEAR PIPELINE, no
+    persist, no joins. The bounded posting arrays explode in-row into
+    DIRECTIONAL pairs (d, o) for every ordered pair of distinct ids
+    PLUS one SELF-PAIR marker (x, x) per posting element; one hash
+    aggregation then counts every group, so a pair group's count is
+    the shared-shingle count and a self-pair group's count is that
+    doc's capped set size (exactly ``_posting_pairs_and_sizes``'s
+    ``sizes``, which this replaces). Two windows attach the sizes
+    in-row (``max`` of the self-pair count over each endpoint's
+    partition — no size join, no second pass over the postings), and
+    the ranked cut shares the doc_id window partitioning. The r10 form
+    persisted + eager-filled the posting relation (a dedicated fill
+    job) and evaluated the sizes aggregation twice (once per broadcast
+    build); this form consumes the postings exactly once, so the cache
+    and its fill job are gone (profiled on the r10 plan: 2 duplicate
+    ~2-3 CPU-s sizes stages + one fill job + count stage removed).
+    Ordering (containment DESC, partner id ASC) is exact-integer-ratio
+    deterministic, hence hash-checkable.
 
     Output: (doc_id, other_id, shared, sz_doc, sz_other, containment,
     rnk) — directional: each pair appears under BOTH endpoints (when
     it survives both cuts), like the bottom-k twin."""
     from pyspark.sql import Window as W
 
-    pairs = capped_containment_pairs(sh, df_cap, id_col, min_shared)
-    # in-row symmetrization (explode of a 2-struct array), NOT a union
-    # of two selects — a union would evaluate the whole pair subtree
-    # twice; this is one pass and stays map-side before the window
-    sym = pairs.select(
+    posts = capped_posting_lists(sh, df_cap, id_col)
+    # canonical (least, greatest) pairs — each unordered pair ONCE —
+    # plus one (x, x) self-pair marker per element, in ONE explode.
+    # shingle frames are distinct (id, s), so ids holds no duplicate
+    # values and d != o exactly separates pairs from markers. The
+    # aggregation input is C(n,2)+n structs per posting row; the pair
+    # relation is symmetrized AFTER the count (post-agg volume), not
+    # before.
+    ex = posts.select(
         F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_a").alias("doc_id"),
-                    F.col("id_b").alias("other_id"),
-                    F.col("shared"),
-                    F.col("sz_a").alias("sz_doc"),
-                    F.col("sz_b").alias("sz_other"),
-                    F.col("containment"),
-                ),
-                F.struct(
-                    F.col("id_b").alias("doc_id"),
-                    F.col("id_a").alias("other_id"),
-                    F.col("shared"),
-                    F.col("sz_b").alias("sz_doc"),
-                    F.col("sz_a").alias("sz_other"),
-                    F.col("containment"),
-                ),
+            F.expr(
+                "concat("
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(least(x, y) AS d, greatest(x, y) AS o)))), "
+                "transform(ids, x -> struct(x AS d, x AS o)))"
             )
         ).alias("p")
-    ).select("p.*")
+    ).select("p.d", "p.o")
+    cnt = ex.groupBy("d", "o").agg(F.count("*").alias("cnt"))
+    is_marker = F.col("d") == F.col("o")
+    # in-row symmetrization: pair groups emit both directions, marker
+    # groups pass through once (they are their own mirror image)
+    sym = cnt.select(
+        F.explode(
+            F.when(
+                is_marker,
+                F.array(F.struct("d", "o", "cnt")),
+            ).otherwise(
+                F.array(
+                    F.struct("d", "o", "cnt"),
+                    F.struct(
+                        F.col("o").alias("d"), F.col("d").alias("o"), "cnt"
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.d", "p.o", "p.cnt")
+    w_o = W.partitionBy("o")
+    w_d = W.partitionBy("d")
+    sized = sym.withColumn(
+        "sz_other", F.max(F.when(is_marker, F.col("cnt"))).over(w_o)
+    ).withColumn("sz_doc", F.max(F.when(is_marker, F.col("cnt"))).over(w_d))
+    pairs = sized.filter(~is_marker & (F.col("cnt") >= int(min_shared))).select(
+        F.col("d").alias("doc_id"),
+        F.col("o").alias("other_id"),
+        F.col("cnt").alias("shared"),
+        "sz_doc",
+        "sz_other",
+        (
+            F.col("cnt").cast("double")
+            / F.least("sz_doc", "sz_other").cast("double")
+        ).alias("containment"),
+    )
     w = W.partitionBy("doc_id").orderBy(
         F.col("containment").desc(), F.col("other_id")
     )
     return (
-        sym.withColumn("rnk", F.row_number().over(w))
+        pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= int(k_per_doc))
         .select(
             "doc_id", "other_id", "shared", "sz_doc", "sz_other",
@@ -833,34 +875,43 @@ def capped_bottomk_containment_pairs(
     than the join-back + window shape at sf0.1, bit-identical output.
 
     Output: (id_a, id_b, m, k_used, est_containment) — identical to
-    ``bottomk_containment_pairs`` over ``df_capped_shingles``."""
+    ``bottomk_containment_pairs`` over ``df_capped_shingles``.
+
+    r11 optimization round (guide §2.3 shuffle fewer passes, §2.4):
+    the per-doc size and the bottom-k sample come from ONE grouping
+    pass (the r10 form ran two separate aggregations over the cached
+    hash relation — a duplicate full cache scan), and ``sz`` rides the
+    probe rows into the pair aggregation (``max`` of a per-group
+    constant), so the final doc-keyed size join is gone entirely. The
+    hash relation keeps its persist + eager fill: it still feeds two
+    plan branches (the bottom-k aggregation and the probe side)."""
     posts = capped_posting_lists(sh, df_cap, id_col)
-    # eager fill: h feeds sizes, the bottom-k slice and the probe join
-    # concurrently (see eager_fill)
+    # eager fill: h feeds the bottom-k sample aggregation AND the probe
+    # join concurrently (see eager_fill)
     h = eager_fill(posts.select(
         F.explode("ids").alias(id_col), F.md5("s").alias("h")
     ).persist())
-    sizes = h.groupBy(id_col).agg(F.count("*").alias("sz"))
     bk = (
         h.groupBy(id_col)
-        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, int(k)).alias("__bh"))
-        .select(id_col, F.explode("__bh").alias("h"))
+        .agg(
+            F.count("*").alias("sz"),
+            F.slice(F.array_sort(F.collect_list("h")), 1, int(k)).alias("__bh"),
+        )
+        .select(id_col, "sz", F.explode("__bh").alias("h"))
     )
     m = (
         bk.withColumnsRenamed({id_col: "id_a"})
         .join(h.withColumnsRenamed({id_col: "id_b"}), "h")
         .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("m"))
+        # sz is constant within each (id_a, id_b) group (it is a
+        # function of id_a alone); max() recovers it exactly
+        .agg(F.count("*").alias("m"), F.max("sz").alias("sz"))
     )
     k_used = F.least(F.col("sz"), F.lit(int(k)))
-    est = (
-        m.join(sizes.withColumnsRenamed({id_col: "id_a"}), "id_a")
-        .withColumn("k_used", k_used.cast("bigint"))
-        .withColumn(
-            "est_containment",
-            F.col("m").cast("double") / F.col("k_used").cast("double"),
-        )
+    est = m.withColumn("k_used", k_used.cast("bigint")).withColumn(
+        "est_containment",
+        F.col("m").cast("double") / F.col("k_used").cast("double"),
     )
     return est.select("id_a", "id_b", "m", "k_used", "est_containment").filter(
         F.col("est_containment") >= float(threshold)

@@ -132,34 +132,54 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     form runs the identical exact count in ~1/4 the time.
     Wedges are counted on the UNDIRECTED degree sequence: Σ C(deg, 2).
     All counts are exact integers; the only double is the final ratio,
-    computed from identical operands on both engines."""
-    # each persisted relation feeds ≥2 consumers below — without the
-    # persists Catalyst replays the basket pair generation / orientation
-    # joins once per consumer (no cross-branch subtree reuse). EAGER
-    # fills (r10 optimization round): the final three broadcast branches
-    # (summary, n_edges, tri) evaluate concurrently, and a lazy persist
-    # is re-computed by every concurrent reader until filled — see
-    # operators.dedup.eager_fill. adj is also persisted now: it feeds
-    # BOTH sides of the intersection join (au, av) and was rebuilt
-    # twice.
+    computed from identical operands on both engines.
+
+    Materialization discipline (r11 optimization round, guide §2.4/§5
+    — the r10 form ran FOUR eager-fill jobs and three extra cache
+    passes; interleaved A/B: 3.24 → 2.67 s at sf0.1):
+
+    * ``edges`` is persisted but NOT separately filled — its only
+      cold-cache reader is the degree aggregation inside ``deg``'s
+      fill (the orientation probe runs strictly after the degree
+      broadcasts, so it always reads the warm cache; no race).
+    * ``deg`` comes from ONE in-row explode of the edge list
+      (``array(u, v)``), not a union of two selects — one cache pass
+      instead of two. It stays eager-filled: its three consumers (both
+      orientation broadcasts and the summary aggregate) evaluate
+      concurrently.
+    * ``oriented`` is fused into ``adj`` (its only remaining
+      consumer): the intersection probe re-derives each oriented edge
+      by EXPLODING the adjacency arrays — (src, nbrs) expands to one
+      (src, nu, dst) row per out-edge, which is exactly the row the
+      r10 plan built by joining ``oriented`` back to ``au``. One
+      relation, one fill, one broadcast join instead of two.
+    * ``n_edges`` = Σ deg DIV 2 (every edge contributes exactly two
+      endpoint occurrences — exact integers), folded into the summary
+      aggregate: the separate edge-count pass and its broadcast join
+      are gone.
+    """
     from .cache import eager_fill
 
-    edges = eager_fill(edges.persist())
-    deg = eager_fill(node_degrees(edges).persist())
-    oriented = eager_fill(orient_by_degree(edges, deg).persist())
+    edges = edges.persist()
+    deg = eager_fill(
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .persist()
+    )
     adj = eager_fill(
-        oriented.groupBy("src")
+        orient_by_degree(edges, deg)
+        .groupBy("src")
         .agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
         .persist()
     )
-    au = adj.withColumnsRenamed({"src": "u_", "nbrs": "nu"})
     av = adj.withColumnsRenamed({"src": "v_", "nbrs": "nv"})
-    # inner joins: an edge whose dst has no out-neighbors closes no
+    # inner join: an edge whose dst has no out-neighbors closes no
     # triangle, so dropping it changes nothing — and keeps the arrays
     # type-generic (no typed empty-array literal needed)
     tri = (
-        oriented.join(au, oriented.src == au.u_)
-        .join(av, oriented.dst == av.v_)
+        adj.select(F.col("nbrs").alias("nu"), F.explode("nbrs").alias("dst"))
+        .join(av, F.col("dst") == av.v_)
         .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_triangles"))
     )
@@ -168,16 +188,17 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     summary = deg.agg(
         F.count("*").alias("n_nodes"),
         F.coalesce(
+            F.expr("sum(deg) div 2").cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("n_edges"),
+        F.coalesce(
             F.sum(
                 F.expr("(deg * (deg - 1)) div 2").cast("decimal(38,0)")
             ).cast("bigint"),
             F.lit(0).cast("bigint"),
         ).alias("n_wedges"),
     )
-    n_edges = edges.agg(F.count("*").alias("n_edges"))
     return (
-        summary.join(F.broadcast(n_edges))
-        .join(F.broadcast(tri))
+        summary.join(F.broadcast(tri))
         .select(
             "n_nodes",
             "n_edges",

@@ -87,6 +87,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--no-stages", action="store_true")
+    ap.add_argument("--plans-dir", default="r11")
     args = ap.parse_args()
 
     from potoos_spark.catalog import CATALOG
@@ -96,7 +97,7 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     spark.read.parquet(f"{args.sf}/lineitem.parquet").limit(1).count()
 
-    plans_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r10")
+    plans_dir = os.path.join(os.path.dirname(__file__), "..", "plans", args.plans_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in args.names:
