@@ -561,9 +561,10 @@ def capped_containment_pairs(
     owned by the caller (unpersist / clearCache after materializing).
 
     Output: (id_a, id_b, shared, sz_a, sz_b, containment)."""
-    # eager fill: posts feeds BOTH the pair branch and the size branch
-    # concurrently (see eager_fill)
-    posts = eager_fill(capped_posting_lists(sh, df_cap, id_col).persist())
+    # persisted; filled by its first consumer (r11: the dedicated
+    # eager-fill job was re-measured on a quiet host as pure overhead —
+    # no concurrent duplicate evaluation; see OPTIMIZATION_r11.md)
+    posts = capped_posting_lists(sh, df_cap, id_col).persist()
     shared, sizes = _posting_pairs_and_sizes(posts)
     if min_shared > 1:
         shared = shared.filter(F.col("shared") >= int(min_shared))
@@ -700,9 +701,9 @@ def capped_jaccard_pairs(
     size from the capped per-doc sizes). Cache contract as there.
 
     Output: (id_a, id_b, shared, union_size, jaccard)."""
-    # eager fill: posts feeds BOTH the pair branch and the size branch
-    # concurrently (see eager_fill)
-    posts = eager_fill(capped_posting_lists(sh, df_cap, id_col).persist())
+    # persisted; filled by its first consumer (r11: dedicated fill
+    # re-measured as pure overhead — see OPTIMIZATION_r11.md)
+    posts = capped_posting_lists(sh, df_cap, id_col).persist()
     shared, sizes = _posting_pairs_and_sizes(posts)
     if min_shared > 1:
         shared = shared.filter(F.col("shared") >= int(min_shared))
@@ -755,9 +756,16 @@ def minhash_dedup_pairs(
     sh = shingle_frame(df.repartition(n_part, id_col), text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # EAGER fill (r10 optimization round): the shingle explosion is the
-    # expensive subtree every branch below hangs off — see eager_fill.
-    eager_fill(sh)
+    # The shingle explosion is the expensive subtree every branch below
+    # hangs off; it is filled by the FIRST consumer (the signature pass
+    # pipelines the explosion straight into its partial aggregation,
+    # and the verify semi-join runs strictly after the candidates
+    # exist, so it always reads a warm cache). r11: the r10 dedicated
+    # eager-fill job here was re-measured on a quiet host as pure
+    # overhead — executor CPU 34.9 s WITHOUT it vs 42.2 s with it on
+    # the recall eval (no concurrent duplicate evaluation; the fill's
+    # extra cache pass was the waste), wall lower without it on both
+    # consumers.
 
     prof = sh.groupBy(id_col).agg(*_minhash_aggs(k), F.count("*").alias("sz"))
     # Candidate pairs and per-candidate shingle sets are tiny relative to
@@ -883,14 +891,15 @@ def capped_bottomk_containment_pairs(
     hash relation — a duplicate full cache scan), and ``sz`` rides the
     probe rows into the pair aggregation (``max`` of a per-group
     constant), so the final doc-keyed size join is gone entirely. The
-    hash relation keeps its persist + eager fill: it still feeds two
-    plan branches (the bottom-k aggregation and the probe side)."""
+    hash relation keeps its persist — it still feeds two plan branches
+    (the bottom-k aggregation and the probe side) — but is filled by
+    its first consumer: the dedicated eager-fill job was re-measured
+    on a quiet host as pure overhead (wall 2.87 s without vs 3.51 s
+    with; executor CPU 38.8 vs 39.8 — no duplicate evaluation)."""
     posts = capped_posting_lists(sh, df_cap, id_col)
-    # eager fill: h feeds the bottom-k sample aggregation AND the probe
-    # join concurrently (see eager_fill)
-    h = eager_fill(posts.select(
+    h = posts.select(
         F.explode("ids").alias(id_col), F.md5("s").alias("h")
-    ).persist())
+    ).persist()
     bk = (
         h.groupBy(id_col)
         .agg(
@@ -958,13 +967,13 @@ def minhash_estimate_pairs(
     """
     n_part = df.sparkSession.sparkContext.defaultParallelism
     sh = shingle_frame(df.repartition(n_part, id_col), text_col, id_col)
-    # eager-filled persist: sig feeds the candidate generator AND both
-    # sides of the signature-compare join — without it the full
-    # shingle+groupBy pipeline evaluated up to 3x (see eager_fill)
-    sig = eager_fill(minhash_signatures(sh, id_col, k).persist())
-    cand = eager_fill(
-        lsh_candidate_pairs(sig, id_col, k, rows_per_band).persist()
-    )
+    # persisted: sig feeds the candidate generator AND both sides of
+    # the signature-compare join; cand feeds the estimate and the
+    # exact verifier. Both are filled by their first consumers (r11:
+    # the dedicated eager-fill jobs re-measured on a quiet host as
+    # overhead — wall 5.01 s without vs 5.25 s with, CPU equal)
+    sig = minhash_signatures(sh, id_col, k).persist()
+    cand = lsh_candidate_pairs(sig, id_col, k, rows_per_band).persist()
     a = sig.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(k)],

@@ -232,13 +232,13 @@ def frequent_triples(
     triple agg — no self-joins; cost is linear in baskets.
 
     Output: (part_a < part_b < part_c, support ≥ min_support)."""
-    from .cache import eager_fill
-
-    # eager-filled persist (r10 optimization round): b feeds the item-
-    # support aggregate AND the prune join — the support side rides the
-    # broadcast thread, so an unpersisted b evaluated the input distinct
-    # twice (see cache.eager_fill)
-    b = eager_fill(
+    # persisted: b feeds the item-support aggregate AND the prune
+    # join. Filled by its first consumer — both branches sit above b's
+    # OWN distinct exchange, which AQE reuses, so even a cold cache is
+    # computed once (r11: the r10 dedicated eager-fill job re-measured
+    # on a quiet host as pure overhead — wall 1.76 s without vs 1.87 s
+    # with, executor CPU 14.6 vs 15.7)
+    b = (
         baskets.select(
             F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
         )

@@ -828,9 +828,7 @@ def bigram_logprob(
     # result is lazy, so the CALLER owns the cache lifetime (unpersist /
     # clearCache after materializing) — same contract as
     # dedup.minhash_estimate_pairs.
-    tf = eager_fill(
-        bg.groupBy(id_col, "bg").agg(F.count("*").alias("tf")).persist()
-    )
+    tf = bg.groupBy(id_col, "bg").agg(F.count("*").alias("tf")).persist()
     cbg = tf.groupBy("bg").agg(F.sum("tf").alias("cbg"))
     c1 = (
         cbg.groupBy(F.substring_index("bg", "_", 1).alias("w1"))
@@ -839,9 +837,7 @@ def bigram_logprob(
     uni = df.select(F.explode(tokens(text_col)).alias("tok"))
     # cu is vocabulary-sized; persisted so the grand total doesn't replay
     # the token explode.
-    cu = eager_fill(
-        uni.groupBy("tok").agg(F.count("*").alias("cu")).persist()
-    )
+    cu = uni.groupBy("tok").agg(F.count("*").alias("cu")).persist()
     tot = cu.agg(F.sum("cu").alias("total"))
     p = (
         F.lit(float(lam)) * (F.col("cbg").cast("double") / F.col("c1").cast("double"))
@@ -1600,9 +1596,10 @@ def backoff_trigram_logprob(
     # expensive scan work; deriving tri/bi/unigrams from three separate
     # text scans re-ran it 3× — measured 8.1s → ~5s at sf0.1) and build
     # every count relation from the persisted token arrays in-row
-    train_toks = eager_fill(
-        train.select(tokens(text_col).alias("tk")).persist()
-    )  # 3 count relations read it concurrently (see dedup.eager_fill)
+    # persisted; filled by the first count relation's partial-agg pass
+    # (r11: the dedicated eager-fill job re-measured as pure overhead —
+    # wall 1.94 s without vs 2.12 s with, executor CPU equal)
+    train_toks = train.select(tokens(text_col).alias("tk")).persist()
     tf3 = (
         score.select(
             F.col(id_col), F.explode(_gram_structs(tokens(text_col), 3)).alias("g")
@@ -1623,11 +1620,9 @@ def backoff_trigram_logprob(
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("cb"))
     )
-    cu = eager_fill(
-        train_toks.select(F.explode("tk").alias("tok")).groupBy("tok").agg(
-            F.count("*").alias("cu")
-        ).persist()
-    )
+    cu = train_toks.select(F.explode("tk").alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("cu")
+    ).persist()
     tot = cu.agg(
         F.sum("cu").cast("bigint").alias("T"),
         F.count("*").cast("bigint").alias("V"),
